@@ -1,0 +1,638 @@
+"""Query catalog: every entry pairs a Spark DataFrame query with the
+equivalent DuckDB SQL oracle over the driver's testdata tables.
+
+Engine-backed entries run the real msgvault_spark engine over the
+TPC-H→archive adapter (sources/adapter.py); the oracle replays the same
+mapping as SQL CTEs. Plain entries exercise individual operator families
+(SURVEY.md §2) directly on the TPC-H tables.
+
+Determinism rules (the driver hash-compares values):
+  - every computed column aliased identically on both sides;
+  - DuckDB SUM(BIGINT) returns HUGEINT → always CAST(... AS BIGINT);
+  - no raw double aggregation in compared output: floats go through
+    floor()/decimal casts so both engines agree bit-for-bit;
+  - every LIMIT is preceded by a total ordering (tie-broken on a key).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from msgvault_spark.sources.adapter import build_archive, oracle
+from msgvault_spark.sources.loader import load_table
+from msgvault_spark.plans.models import (
+    AggregateOptions,
+    MessageFilter,
+    MessageSort,
+    MessageSortField,
+    Pagination,
+    SortDirection,
+    SortField,
+    TimeGranularity,
+    ViewType,
+)
+from msgvault_spark.plans import aggregate as agg
+from msgvault_spark.plans.listing import list_messages
+
+
+@dataclass
+class QuerySpec:
+    fn: Callable[[SparkSession, str], DataFrame]
+    oracle_sql: str | None  # None → driver runs rows-only check
+    headline: bool = False  # include in bench.py
+
+
+CATALOG: dict[str, QuerySpec] = {}
+
+
+def register(name: str, oracle_sql: str | None, headline: bool = False):
+    def deco(fn):
+        CATALOG[name] = QuerySpec(fn=fn, oracle_sql=oracle_sql, headline=headline)
+        return fn
+
+    return deco
+
+
+# ---------------------------------------------------------------------------
+# shared oracle SQL fragments (archive side)
+# ---------------------------------------------------------------------------
+
+_ATT_PREAGG = (
+    "SELECT message_id, CAST(SUM(size) AS BIGINT) AS attachment_size, "
+    "COUNT(*) AS attachment_count FROM attachments GROUP BY message_id"
+)
+
+
+def _agg_oracle(
+    key_expr: str,
+    join_clause: str,
+    null_guard: str,
+    where: str = "1=1",
+    order: str = "count DESC, key ASC",
+    limit: int = 100,
+) -> str:
+    return oracle(
+        f"""
+, att AS ({_ATT_PREAGG})
+, agg AS (
+    SELECT {key_expr} AS key,
+           COUNT(*) AS count,
+           CAST(COALESCE(SUM(CAST(msg.size_estimate AS BIGINT)), 0) AS BIGINT)
+               AS total_size,
+           CAST(COALESCE(SUM(att.attachment_size), 0) AS BIGINT) AS attachment_size,
+           CAST(COALESCE(SUM(att.attachment_count), 0) AS BIGINT) AS attachment_count
+    FROM messages msg
+    {join_clause}
+    LEFT JOIN att ON att.message_id = msg.id
+    WHERE ({where}) AND ({null_guard})
+    GROUP BY 1
+)
+SELECT key, count, total_size, attachment_size, attachment_count,
+       (SELECT COUNT(*) FROM agg) AS total_unique
+FROM agg
+ORDER BY {order}
+LIMIT {limit}
+"""
+    )
+
+
+_FROM_JOIN = (
+    "JOIN message_recipients mr ON mr.message_id = msg.id "
+    "AND mr.recipient_type = 'from' "
+    "JOIN participants p ON p.id = mr.participant_id"
+)
+_RECIP_JOIN = (
+    "JOIN message_recipients mr ON mr.message_id = msg.id "
+    "AND mr.recipient_type IN ('to','cc','bcc') "
+    "JOIN participants p ON p.id = mr.participant_id"
+)
+_LABEL_JOIN = (
+    "JOIN message_labels ml ON ml.message_id = msg.id "
+    "JOIN labels lbl ON lbl.id = ml.label_id"
+)
+_NAME_EXPR = (
+    "COALESCE(NULLIF(TRIM(p.display_name), ''), NULLIF(p.phone_number, ''), "
+    "p.email_address)"
+)
+
+
+# ---------------------------------------------------------------------------
+# engine-backed aggregate views (A1-A3, J1/J2/J4/J5, O1/O2/O6, W1)
+# ---------------------------------------------------------------------------
+
+
+@register("agg_senders", _agg_oracle("p.email_address", _FROM_JOIN,
+                                     "p.email_address IS NOT NULL"), headline=True)
+def agg_senders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return agg.aggregate(build_archive(spark, sf_dir), ViewType.SENDERS)
+
+
+@register("agg_sender_names", _agg_oracle(_NAME_EXPR, _FROM_JOIN,
+                                          _NAME_EXPR + " IS NOT NULL"))
+def agg_sender_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return agg.aggregate(build_archive(spark, sf_dir), ViewType.SENDER_NAMES)
+
+
+@register("agg_recipients", _agg_oracle("p.email_address", _RECIP_JOIN,
+                                        "p.email_address IS NOT NULL"), headline=True)
+def agg_recipients(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return agg.aggregate(build_archive(spark, sf_dir), ViewType.RECIPIENTS)
+
+
+@register("agg_domains", _agg_oracle("p.domain", _FROM_JOIN,
+                                     "p.domain IS NOT NULL AND p.domain != ''"),
+          headline=True)
+def agg_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return agg.aggregate(build_archive(spark, sf_dir), ViewType.DOMAINS)
+
+
+@register("agg_labels", _agg_oracle("lbl.name", _LABEL_JOIN,
+                                    "lbl.name IS NOT NULL"))
+def agg_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return agg.aggregate(build_archive(spark, sf_dir), ViewType.LABELS)
+
+
+@register(
+    "agg_time_month",
+    _agg_oracle(
+        "CAST(msg.year AS VARCHAR) || '-' || LPAD(CAST(msg.month AS VARCHAR), 2, '0')",
+        "",
+        "msg.sent_at IS NOT NULL",
+        order="key ASC",
+        limit=1000,
+    ),
+    headline=True,
+)
+def agg_time_month(spark: SparkSession, sf_dir: str) -> DataFrame:
+    opts = AggregateOptions(
+        sort_field=SortField.NAME, sort_direction=SortDirection.ASC, limit=1000
+    )
+    return agg.aggregate(build_archive(spark, sf_dir), ViewType.TIME, opts)
+
+
+@register(
+    "agg_time_year_filtered",
+    _agg_oracle(
+        "CAST(msg.year AS VARCHAR)",
+        "",
+        "msg.sent_at IS NOT NULL",
+        where="msg.sent_at >= TIMESTAMP '1996-01-01' AND "
+        "msg.sent_at < TIMESTAMP '1999-01-01' AND msg.has_attachments",
+        order="key ASC",
+        limit=100,
+    ),
+)
+def agg_time_year_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datetime import datetime
+
+    opts = AggregateOptions(
+        sort_field=SortField.NAME,
+        sort_direction=SortDirection.ASC,
+        time_granularity=TimeGranularity.YEAR,
+        after=datetime(1996, 1, 1),
+        before=datetime(1999, 1, 1),
+        with_attachments_only=True,
+    )
+    return agg.aggregate(build_archive(spark, sf_dir), ViewType.TIME, opts)
+
+
+@register(
+    "sub_agg_domain_to_senders",
+    oracle(
+        f"""
+, att AS ({_ATT_PREAGG})
+, dom_msgs AS (
+    SELECT msg.* FROM messages msg
+    WHERE EXISTS (
+        SELECT 1 FROM message_recipients mr
+        JOIN participants p ON p.id = mr.participant_id
+        WHERE mr.message_id = msg.id AND mr.recipient_type = 'from'
+          AND p.domain = 'nation_7.example.com'
+    )
+)
+, agg AS (
+    SELECT p.email_address AS key,
+           COUNT(*) AS count,
+           CAST(COALESCE(SUM(CAST(msg.size_estimate AS BIGINT)), 0) AS BIGINT)
+               AS total_size,
+           CAST(COALESCE(SUM(att.attachment_size), 0) AS BIGINT) AS attachment_size,
+           CAST(COALESCE(SUM(att.attachment_count), 0) AS BIGINT) AS attachment_count
+    FROM dom_msgs msg
+    JOIN message_recipients mr ON mr.message_id = msg.id
+         AND mr.recipient_type = 'from'
+    JOIN participants p ON p.id = mr.participant_id
+    LEFT JOIN att ON att.message_id = msg.id
+    WHERE p.email_address IS NOT NULL
+    GROUP BY 1
+)
+SELECT key, count, total_size, attachment_size, attachment_count,
+       (SELECT COUNT(*) FROM agg) AS total_unique
+FROM agg ORDER BY count DESC, key ASC LIMIT 100
+"""
+    ),
+    headline=True,
+)
+def sub_agg_domain_to_senders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return agg.sub_aggregate(
+        build_archive(spark, sf_dir),
+        ViewType.SENDERS,
+        MessageFilter(domain="nation_7.example.com"),
+    )
+
+
+@register(
+    "sub_agg_label_to_time",
+    oracle(
+        f"""
+, att AS ({_ATT_PREAGG})
+, lab_msgs AS (
+    SELECT msg.* FROM messages msg
+    WHERE EXISTS (
+        SELECT 1 FROM message_labels ml
+        JOIN labels lbl ON lbl.id = ml.label_id
+        WHERE ml.message_id = msg.id AND lbl.name ILIKE '1-URGENT'
+    )
+)
+, agg AS (
+    SELECT CAST(msg.year AS VARCHAR) AS key,
+           COUNT(*) AS count,
+           CAST(COALESCE(SUM(CAST(msg.size_estimate AS BIGINT)), 0) AS BIGINT)
+               AS total_size,
+           CAST(COALESCE(SUM(att.attachment_size), 0) AS BIGINT) AS attachment_size,
+           CAST(COALESCE(SUM(att.attachment_count), 0) AS BIGINT) AS attachment_count
+    FROM lab_msgs msg
+    LEFT JOIN att ON att.message_id = msg.id
+    WHERE msg.sent_at IS NOT NULL
+    GROUP BY 1
+)
+SELECT key, count, total_size, attachment_size, attachment_count,
+       (SELECT COUNT(*) FROM agg) AS total_unique
+FROM agg ORDER BY key ASC LIMIT 100
+"""
+    ),
+)
+def sub_agg_label_to_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    opts = AggregateOptions(
+        sort_field=SortField.NAME,
+        sort_direction=SortDirection.ASC,
+        time_granularity=TimeGranularity.YEAR,
+    )
+    return agg.sub_aggregate(
+        build_archive(spark, sf_dir),
+        ViewType.TIME,
+        MessageFilter(label="1-URGENT"),
+        opts,
+    )
+
+
+@register(
+    "total_stats",
+    oracle(
+        f"""
+, att AS ({_ATT_PREAGG})
+, core AS (
+    SELECT COUNT(*) AS message_count,
+           CAST(COALESCE(SUM(CAST(msg.size_estimate AS BIGINT)), 0) AS BIGINT)
+               AS total_size,
+           CAST(COALESCE(SUM(att.attachment_count), 0) AS BIGINT) AS attachment_count,
+           CAST(COALESCE(SUM(att.attachment_size), 0) AS BIGINT) AS attachment_size,
+           COUNT(DISTINCT msg.source_id) AS account_count
+    FROM messages msg LEFT JOIN att ON att.message_id = msg.id
+)
+SELECT core.*, (
+    SELECT COUNT(DISTINCT ml.label_id) FROM message_labels ml
+    JOIN messages msg ON msg.id = ml.message_id
+) AS label_count
+FROM core
+"""
+    ),
+    headline=True,
+)
+def total_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return agg.total_stats(build_archive(spark, sf_dir))
+
+
+@register(
+    "list_messages_by_domain",
+    oracle(
+        """
+, filtered AS (
+    SELECT msg.* FROM messages msg
+    WHERE EXISTS (
+        SELECT 1 FROM message_recipients mr
+        JOIN participants p ON p.id = mr.participant_id
+        WHERE mr.message_id = msg.id AND mr.recipient_type = 'from'
+          AND p.domain = 'nation_3.example.com'
+    )
+    ORDER BY msg.sent_at DESC, msg.id DESC
+    LIMIT 50 OFFSET 10
+),
+msg_sender AS (
+    SELECT mr.message_id,
+           MIN_BY(p.email_address, mr.participant_id) AS from_email,
+           MIN_BY(COALESCE(NULLIF(TRIM(mr.display_name), ''),
+                           NULLIF(TRIM(p.display_name), ''),
+                           NULLIF(p.phone_number, ''), p.email_address, ''),
+                  mr.participant_id) AS from_name,
+           MIN_BY(COALESCE(p.phone_number, ''), mr.participant_id) AS from_phone
+    FROM message_recipients mr
+    JOIN participants p ON p.id = mr.participant_id
+    WHERE mr.recipient_type = 'from'
+      AND mr.message_id IN (SELECT id FROM filtered)
+    GROUP BY mr.message_id
+),
+direct_sender AS (
+    SELECT msg.id AS message_id,
+           COALESCE(p.email_address, '') AS from_email,
+           COALESCE(p.display_name, '') AS from_name,
+           COALESCE(p.phone_number, '') AS from_phone
+    FROM filtered msg JOIN participants p ON p.id = msg.sender_id
+    WHERE msg.sender_id IS NOT NULL
+      AND msg.id NOT IN (SELECT message_id FROM msg_sender)
+)
+SELECT msg.id,
+       COALESCE(msg.source_message_id, '') AS source_message_id,
+       COALESCE(msg.conversation_id, 0) AS conversation_id,
+       COALESCE(c.source_conversation_id, '') AS source_conversation_id,
+       COALESCE(msg.subject, '') AS subject,
+       COALESCE(msg.snippet, '') AS snippet,
+       COALESCE(ms.from_email, ds.from_email, '') AS from_email,
+       COALESCE(ms.from_name, ds.from_name, '') AS from_name,
+       COALESCE(ms.from_phone, ds.from_phone, '') AS from_phone,
+       msg.sent_at,
+       COALESCE(msg.size_estimate, 0) AS size_estimate,
+       COALESCE(msg.has_attachments, false) AS has_attachments,
+       COALESCE(msg.attachment_count, 0) AS attachment_count,
+       COALESCE(msg.message_type, '') AS message_type,
+       COALESCE(c.title, '') AS conv_title
+FROM filtered msg
+LEFT JOIN msg_sender ms ON ms.message_id = msg.id
+LEFT JOIN direct_sender ds ON ds.message_id = msg.id
+LEFT JOIN conversations c ON c.id = msg.conversation_id
+"""
+    ),
+    headline=True,
+)
+def list_messages_by_domain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    f = MessageFilter(
+        domain="nation_3.example.com",
+        sorting=MessageSort(MessageSortField.DATE, SortDirection.DESC),
+        pagination=Pagination(limit=50, offset=10),
+    )
+    return list_messages(build_archive(spark, sf_dir), f)
+
+
+# ---------------------------------------------------------------------------
+# plain TPC-H-shaped operator queries
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "pricing_summary",
+    """
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate < TIMESTAMP '2000-09-01'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+""",
+    headline=True,
+)
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: scan + filter pushdown + hash aggregate (A1). Decimal
+    aggregation keeps Spark/DuckDB bit-identical; final cast to double."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") < F.lit("2000-09-01").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double").alias("sum_qty"),
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_base_price"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+@register(
+    "top_customers_by_spend",
+    """
+SELECT c_name AS customer, n_name AS nation,
+       COUNT(*) AS order_count,
+       CAST(SUM(CAST(floor(o_totalprice) AS BIGINT)) AS BIGINT) AS total_spend
+FROM orders
+JOIN customer ON c_custkey = o_custkey
+JOIN nation ON n_nationkey = c_nationkey
+GROUP BY c_name, n_name
+ORDER BY total_spend DESC, customer ASC
+LIMIT 25
+""",
+    headline=True,
+)
+def top_customers_by_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact⋈broadcast-dim join + agg + top-k (J1/A1/O2)."""
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    return (
+        orders.join(F.broadcast(customer), orders["o_custkey"] == customer["c_custkey"])
+        .join(F.broadcast(nation), customer["c_nationkey"] == nation["n_nationkey"])
+        .groupBy(F.col("c_name").alias("customer"), F.col("n_name").alias("nation"))
+        .agg(
+            F.count(F.lit(1)).alias("order_count"),
+            F.sum(F.floor("o_totalprice").cast("long")).cast("long").alias("total_spend"),
+        )
+        .orderBy(F.col("total_spend").desc(), F.col("customer").asc())
+        .limit(25)
+    )
+
+
+@register(
+    "orders_semi_anti",
+    """
+SELECT
+  (SELECT COUNT(*) FROM customer c
+   WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                 AND o.o_orderstatus = 'F')) AS with_f_orders,
+  (SELECT COUNT(*) FROM customer c
+   WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey))
+      AS without_orders
+""",
+)
+def orders_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-join + anti-join (J4/J5/U2) as scalar counts."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    f_orders = orders.filter(F.col("o_orderstatus") == "F").select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    semi = customer.join(f_orders, "c_custkey", "left_semi").agg(
+        F.count(F.lit(1)).alias("with_f_orders")
+    )
+    anti = customer.join(
+        orders.select(F.col("o_custkey").alias("c_custkey")), "c_custkey", "left_anti"
+    ).agg(F.count(F.lit(1)).alias("without_orders"))
+    return semi.crossJoin(anti)
+
+
+@register(
+    "latest_order_per_customer",
+    """
+SELECT c_custkey, o_orderkey AS latest_order, o_orderdate AS latest_date
+FROM (
+    SELECT c_custkey, o_orderkey, o_orderdate,
+           ROW_NUMBER() OVER (PARTITION BY c_custkey
+                              ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+    FROM customer JOIN orders ON o_custkey = c_custkey
+) t
+WHERE rn = 1
+ORDER BY c_custkey
+LIMIT 200
+""",
+)
+def latest_order_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered FIRST-per-group via row_number window (A5/W3/J8)."""
+    from pyspark.sql import Window
+
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("c_custkey").orderBy(
+        F.col("o_orderdate").desc(), F.col("o_orderkey").desc()
+    )
+    return (
+        customer.join(orders, customer["c_custkey"] == orders["o_custkey"])
+        .select("c_custkey", "o_orderkey", "o_orderdate")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "c_custkey",
+            F.col("o_orderkey").alias("latest_order"),
+            F.col("o_orderdate").alias("latest_date"),
+        )
+        .orderBy("c_custkey")
+        .limit(200)
+    )
+
+
+@register(
+    "events_by_type_daily",
+    """
+SELECT strftime(ts, '%Y-%m-%d') AS day, event_type,
+       COUNT(*) AS events,
+       COUNT(DISTINCT user_id) AS users,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM events
+GROUP BY 1, 2
+ORDER BY day ASC, event_type ASC
+LIMIT 1000
+""",
+)
+def events_by_type_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-bucketed aggregate with distinct count (A7/P7/F5)."""
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy(
+            F.date_format("ts", "yyyy-MM-dd").alias("day"),
+            F.col("event_type"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("events"),
+            F.count_distinct("user_id").alias("users"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias(
+                "total_value"
+            ),
+        )
+        .orderBy(F.col("day").asc(), F.col("event_type").asc())
+        .limit(1000)
+    )
+
+
+@register(
+    "scalar_functions_chain",
+    """
+SELECT c_custkey,
+       lower(c_name) AS lowered,
+       upper(c_mktsegment) AS segment,
+       COALESCE(NULLIF(TRIM(c_name), ''), 'unknown') AS display,
+       lpad(CAST(c_nationkey AS VARCHAR), 4, '0') AS nation_padded,
+       length(c_name) AS name_len,
+       substr(c_name, 1, 8) AS name_prefix,
+       c_name || '/' || c_mktsegment AS concatenated
+FROM customer
+ORDER BY c_custkey
+LIMIT 500
+""",
+)
+def scalar_functions_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar function parity pack (F1-F4)."""
+    customer = load_table(spark, sf_dir, "customer")
+    return (
+        customer.select(
+            "c_custkey",
+            F.lower("c_name").alias("lowered"),
+            F.upper("c_mktsegment").alias("segment"),
+            F.coalesce(
+                F.when(F.trim(F.col("c_name")) != "", F.trim(F.col("c_name"))),
+                F.lit("unknown"),
+            ).alias("display"),
+            F.lpad(F.col("c_nationkey").cast("string"), 4, "0").alias("nation_padded"),
+            F.length("c_name").alias("name_len"),
+            F.substring("c_name", 1, 8).alias("name_prefix"),
+            F.concat(F.col("c_name"), F.lit("/"), F.col("c_mktsegment")).alias(
+                "concatenated"
+            ),
+        )
+        .orderBy("c_custkey")
+        .limit(500)
+    )
+
+
+@register(
+    "union_distinct_parts",
+    """
+SELECT part_label, COUNT(*) AS n FROM (
+    SELECT DISTINCT p_brand AS part_label FROM part
+    UNION ALL
+    SELECT DISTINCT p_type AS part_label FROM part
+) t GROUP BY part_label ORDER BY part_label
+""",
+)
+def union_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION ALL + DISTINCT (U1)."""
+    part = load_table(spark, sf_dir, "part")
+    brands = part.select(F.col("p_brand").alias("part_label")).distinct()
+    types = part.select(F.col("p_type").alias("part_label")).distinct()
+    return (
+        brands.unionByName(types)
+        .groupBy("part_label")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("part_label")
+    )
+
+
+@register(
+    "ilike_part_search",
+    """
+SELECT p_partkey, p_name, p_brand
+FROM part
+WHERE p_name ILIKE '%green%' AND p_size > 20
+ORDER BY p_partkey
+""",
+)
+def ilike_part_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ILIKE substring + comparison predicates (P8/P9)."""
+    part = load_table(spark, sf_dir, "part")
+    return (
+        part.filter(F.col("p_name").ilike("%green%") & (F.col("p_size") > 20))
+        .select("p_partkey", "p_name", "p_brand")
+        .orderBy("p_partkey")
+    )

@@ -1,0 +1,79 @@
+"""Shared scalar expressions (Column builders, JVM-side only — no UDFs).
+
+Counterparts of the reference's shared SQL-expression helpers
+(internal/query/shared.go:18-52, duckdb.go:419-425,681-691).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from msgvault_spark.plans.models import TimeGranularity
+
+
+def nullif_empty(col: Column) -> Column:
+    """NULLIF(col, '')."""
+    return F.when(col != "", col)
+
+
+def participant_name(df_prefix: str = "") -> Column:
+    """Display-name fallback chain display_name → phone_number →
+    email_address (reference shared.go:32-37). ``df_prefix`` like 'p.'."""
+    p = df_prefix
+    return F.coalesce(
+        nullif_empty(F.trim(F.col(p + "display_name"))),
+        nullif_empty(F.col(p + "phone_number")),
+        F.col(p + "email_address"),
+    )
+
+
+def recipient_name(mr_prefix: str, p_prefix: str) -> Column:
+    """Per-message display override chain (reference shared.go:47-52)."""
+    return F.coalesce(
+        nullif_empty(F.trim(F.col(mr_prefix + "display_name"))),
+        nullif_empty(F.trim(F.col(p_prefix + "display_name"))),
+        nullif_empty(F.col(p_prefix + "phone_number")),
+        F.col(p_prefix + "email_address"),
+        F.lit(""),
+    )
+
+
+def escape_like(s: str) -> str:
+    """Escape LIKE/ILIKE wildcards in user input (reference
+    duckdb.go:419-425). Backslash first."""
+    return s.replace("\\", "\\\\").replace("%", "\\%").replace("_", "\\_")
+
+
+def ilike_contains(col: Column, term: str) -> Column:
+    """Case-insensitive substring match with wildcard escaping (P8)."""
+    return col.ilike("%" + escape_like(term) + "%")
+
+
+def time_key(granularity: TimeGranularity) -> Column:
+    """Time grouping key (reference timeExpr, duckdb.go:681-691). Uses the
+    materialized year/month partition columns for YEAR/MONTH so partition
+    pruning and row-group skipping stay effective at scale."""
+    if granularity == TimeGranularity.YEAR:
+        return F.col("year").cast("string")
+    if granularity == TimeGranularity.DAY:
+        return F.date_format(F.col("sent_at"), "yyyy-MM-dd")
+    return F.concat(
+        F.col("year").cast("string"),
+        F.lit("-"),
+        F.lpad(F.col("month").cast("string"), 2, "0"),
+    )
+
+
+def email_only_predicate() -> Column:
+    """Email-modality predicate (reference shared.go:18)."""
+    mt = F.col("message_type")
+    return (mt == "email") | mt.isNull() | (mt == "")
+
+
+TEXT_MESSAGE_TYPES = ("whatsapp", "imessage", "sms", "google_voice_text")
+
+
+def text_only_predicate() -> Column:
+    """Chat-modality predicate (reference duckdb_text.go:16-18)."""
+    return F.col("message_type").isin(*TEXT_MESSAGE_TYPES)

@@ -1,0 +1,62 @@
+"""SparkSession factory.
+
+The reference pins DuckDB to ``SET threads = GOMAXPROCS`` on one pooled
+connection (reference: internal/query/duckdb.go:91-99). The Spark analogue is
+a single long-lived session with AQE enabled so Catalyst re-plans at runtime
+(skew joins, partition coalescing) — the knobs that matter at 100 TB are set
+here once and inherited by every operator.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def default_parallelism() -> int:
+    return int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
+
+
+def get_spark(
+    app_name: str = "msgvault_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+) -> SparkSession:
+    """Build (or fetch) the tuned SparkSession.
+
+    Scale notes (100 TB design, local[N] testing):
+      - AQE on: runtime partition coalescing + skew-join splitting replace any
+        hand-tuned static shuffle count on a real cluster.
+      - shuffle.partitions defaults to 2×cores locally; on a 1000-executor
+        cluster AQE's coalescing makes the initial number non-critical.
+      - Arrow on: every pandas_udf / mapInPandas boundary is Arrow-batched.
+      - session timezone pinned to UTC: the reference stores UTC timestamps
+        (FIXTURES.md), and oracle comparisons must not depend on host tz.
+      - maxPartitionBytes 128m: keeps scan partitions executor-memory-sized.
+    """
+    cpus = default_parallelism()
+    if master is None:
+        master = os.environ.get("SPARK_GRAFT_MASTER", f"local[{cpus}]")
+    if shuffle_partitions is None:
+        shuffle_partitions = int(
+            os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", max(32, cpus))
+        )
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.files.maxPartitionBytes", "134217728")
+        .config("spark.sql.parquet.compression.codec", "zstd")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.parquet.filterPushdown", "true")
+    )
+    return builder.getOrCreate()
