@@ -636,3 +636,8 @@ def ilike_part_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("p_partkey", "p_name", "p_brand")
         .orderBy("p_partkey")
     )
+
+
+# --- extension modules registering more entries (import order matters:
+# they import `register` from this module, so this sits at the tail) ---
+import msgvault_spark.catalog_search  # noqa: E402,F401

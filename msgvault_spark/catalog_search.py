@@ -1,0 +1,210 @@
+"""Search-layer catalog entries: Gmail-parser fast search (Q1/Q3), BM25 FTS
+(Q2), vector KNN (Q7), hybrid RRF (Q8). Imported by catalog.py for its side
+effects (registers entries)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from msgvault_spark.catalog import register
+from msgvault_spark.search.fast import search_fast
+from msgvault_spark.search.fts import bm25_oracle_sql, bm25_search
+from msgvault_spark.search.hybrid import hybrid_search
+from msgvault_spark.similarity.knn import knn_for_seed
+from msgvault_spark.sources.adapter import build_archive, oracle
+from msgvault_spark.sources.loader import load_table
+
+_MS_CTE = """
+ms AS (
+    SELECT mr.message_id,
+           MIN_BY(p.email_address, mr.participant_id) AS ms_email,
+           MIN_BY(COALESCE(NULLIF(TRIM(p.display_name), ''),
+                           NULLIF(p.phone_number, ''), p.email_address, ''),
+                  mr.participant_id) AS ms_name
+    FROM message_recipients mr
+    JOIN participants p ON p.id = mr.participant_id
+    WHERE mr.recipient_type = 'from'
+    GROUP BY mr.message_id
+)
+"""
+
+_EMAIL_ONLY = (
+    "(msg.message_type = 'email' OR msg.message_type IS NULL "
+    "OR msg.message_type = '')"
+)
+
+
+@register(
+    "search_fast_operators",
+    oracle(
+        f"""
+, {_MS_CTE}
+SELECT msg.id,
+       COALESCE(msg.subject, '') AS subject,
+       COALESCE(msg.snippet, '') AS snippet,
+       COALESCE(ms.ms_email, '') AS from_email,
+       COALESCE(ms.ms_name, '') AS from_name,
+       msg.sent_at,
+       COALESCE(msg.size_estimate, 0) AS size_estimate,
+       COALESCE(msg.has_attachments, false) AS has_attachments
+FROM messages msg
+LEFT JOIN ms ON ms.message_id = msg.id
+WHERE {_EMAIL_ONLY}
+  AND msg.has_attachments = true
+  AND msg.size_estimate > 102400
+  AND msg.subject ILIKE '%URGENT%' ESCAPE '\\'
+  AND (EXISTS (
+        SELECT 1 FROM message_recipients mr2
+        JOIN participants p2 ON p2.id = mr2.participant_id
+        WHERE mr2.message_id = msg.id AND mr2.recipient_type = 'from'
+          AND (p2.email_address ILIKE '%@nation_5.example.com%' ESCAPE '\\'
+               OR p2.phone_number ILIKE '%@nation_5.example.com%' ESCAPE '\\'
+               OR p2.display_name ILIKE '%@nation_5.example.com%' ESCAPE '\\'))
+       OR EXISTS (
+        SELECT 1 FROM participants p3
+        WHERE p3.id = msg.sender_id
+          AND (p3.email_address ILIKE '%@nation_5.example.com%' ESCAPE '\\'
+               OR p3.phone_number ILIKE '%@nation_5.example.com%' ESCAPE '\\'
+               OR p3.display_name ILIKE '%@nation_5.example.com%' ESCAPE '\\')))
+ORDER BY msg.sent_at DESC, msg.id DESC
+LIMIT 100
+"""
+    ),
+    headline=True,
+)
+def search_fast_operators(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gmail-style operator search: from:@domain subject: larger: has: (Q1→Q3)."""
+    return search_fast(
+        build_archive(spark, sf_dir),
+        "from:@nation_5.example.com subject:URGENT larger:100K has:attachment",
+    )
+
+
+@register(
+    "search_text_terms",
+    oracle(
+        f"""
+, {_MS_CTE}
+SELECT msg.id,
+       COALESCE(msg.subject, '') AS subject,
+       COALESCE(msg.snippet, '') AS snippet,
+       COALESCE(ms.ms_email, '') AS from_email,
+       COALESCE(ms.ms_name, '') AS from_name,
+       msg.sent_at,
+       COALESCE(msg.size_estimate, 0) AS size_estimate,
+       COALESCE(msg.has_attachments, false) AS has_attachments
+FROM messages msg
+LEFT JOIN ms ON ms.message_id = msg.id
+WHERE {_EMAIL_ONLY}
+  AND (msg.subject ILIKE '%status P%' ESCAPE '\\'
+       OR COALESCE(msg.snippet, '') ILIKE '%status P%' ESCAPE '\\'
+       OR COALESCE(ms.ms_email, '') ILIKE '%status P%' ESCAPE '\\'
+       OR COALESCE(ms.ms_name, '') ILIKE '%status P%' ESCAPE '\\')
+ORDER BY msg.sent_at DESC, msg.id DESC
+LIMIT 100
+"""
+    ),
+)
+def search_text_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quoted-phrase free-text search over subject/snippet/sender (Q3)."""
+    return search_fast(build_archive(spark, sf_dir), '"status P"')
+
+
+_BM25_TERMS = ["spark", "query"]
+
+
+@register(
+    "bm25_documents",
+    bm25_oracle_sql("documents", "doc_id", "text", _BM25_TERMS, k=20),
+    headline=True,
+)
+def bm25_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index BM25 over documents.text (Q2 rebuild)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return bm25_search(docs, "doc_id", "text", " ".join(_BM25_TERMS), k=20,
+                       round_to=6)
+
+
+_KNN_ORACLE = """
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+SELECT e.vec_id AS id,
+  round(
+    list_sum(list_transform(list_zip(e.embedding, q.qv),
+             x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+    / (sqrt(list_sum(list_transform(e.embedding,
+             v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))) *
+       sqrt(list_sum(list_transform(q.qv,
+             v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))), 6) AS score
+FROM embeddings e, q
+WHERE e.vec_id != 0
+ORDER BY score DESC, id ASC
+LIMIT 10
+"""
+
+
+@register("knn_cosine_seed0", _KNN_ORACLE, headline=True)
+def knn_cosine_seed0(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Find-similar: brute-force cosine top-10 for seed vec_id=0 (Q7/Q9)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return knn_for_seed(emb, 0, k=10, round_to=6)
+
+
+def _hybrid_oracle() -> str:
+    bm25_inner = bm25_oracle_sql(
+        "documents", "doc_id", "text", _BM25_TERMS, k=21
+    ).strip()
+    return f"""
+WITH bm25_top AS ({bm25_inner}),
+bm25_ranked AS (
+    SELECT doc_id AS id, score,
+           ROW_NUMBER() OVER (ORDER BY score DESC, doc_id ASC) AS rnk
+    FROM bm25_top
+),
+q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+vec_scored AS (
+    SELECT e.vec_id AS id,
+      round(
+        list_sum(list_transform(list_zip(e.embedding, q.qv),
+                 x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+        / (sqrt(list_sum(list_transform(e.embedding,
+                 v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))) *
+           sqrt(list_sum(list_transform(q.qv,
+                 v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))), 6) AS score
+    FROM embeddings e, q
+    ORDER BY score DESC, id ASC
+    LIMIT 21
+),
+vec_ranked AS (
+    SELECT id, score,
+           ROW_NUMBER() OVER (ORDER BY score DESC, id ASC) AS rnk
+    FROM vec_scored
+),
+b AS (SELECT id, score AS bm25_score, rnk AS b_rnk FROM bm25_ranked WHERE rnk <= 20),
+v AS (SELECT id AS v_id, score AS vector_score, rnk AS v_rnk FROM vec_ranked WHERE rnk <= 20)
+SELECT COALESCE(b.id, v.v_id) AS id,
+       COALESCE(1.0 / (60 + b.b_rnk), 0.0) +
+       COALESCE(1.0 / (60 + v.v_rnk), 0.0) AS rrf_score,
+       b.bm25_score,
+       v.vector_score
+FROM b FULL OUTER JOIN v ON b.id = v.v_id
+ORDER BY rrf_score DESC, id ASC
+LIMIT 20
+"""
+
+
+@register("hybrid_rrf", _hybrid_oracle(), headline=True)
+def hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 ∪ KNN fused via RRF 1/(60+rank), deterministic tie-break (Q8)."""
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    seed = emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
+    return hybrid_search(
+        docs,
+        emb,
+        " ".join(_BM25_TERMS),
+        list(seed),
+        k_per_signal=20,
+        limit=20,
+        round_scores=6,
+    )

@@ -1,0 +1,172 @@
+"""Full-text search: tokenized inverted index + explicit BM25 scoring.
+
+The reference uses SQLite FTS5 (BM25 rank, AND-of-terms, prefix match;
+internal/store/dialect_sqlite.go:31-57, internal/query/sqlite.go:1319-1346).
+Spark has no FTS builtin, so this is a from-scratch design (SURVEY.md §7
+phase 3): an inverted-index table built at ETL time —
+
+    postings(doc_id, term, tf)        one row per distinct (doc, term)
+    doc_stats(doc_id, dl)             tokens per doc
+    corpus: N (docs), avgdl, df(term)
+
+— and BM25 computed as a join + JVM-side score expression. At 100 TB the
+postings table is partitioned by term-hash; a query touches only its terms'
+postings (shuffle on doc_id of the candidate subset, never the corpus).
+
+Scoring: Okapi BM25 with the Lucene idf variant
+    idf  = ln(1 + (N - df + 0.5)/(df + 0.5))
+    tfc  = tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl))
+    score = Σ_terms idf*tfc          (k1=1.2, b=0.75)
+AND-of-terms semantics: docs must match every query term.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+K1 = 1.2
+B = 0.75
+
+# lowercase alphanumeric tokens; mirrors a simple unicode61-ish tokenizer
+TOKEN_SPLIT_RE = "[^a-z0-9]+"
+
+
+def tokenize_column(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, token) rows — lowercased, split on non-alphanumeric, empties
+    dropped. JVM-side only (split/explode), no Python UDF."""
+    return (
+        df.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(
+                F.split(F.lower(F.coalesce(F.col(text_col), F.lit(""))),
+                        TOKEN_SPLIT_RE)
+            ).alias("term"),
+        )
+        .filter(F.col("term") != "")
+    )
+
+
+def build_inverted_index(
+    df: DataFrame, id_col: str, text_col: str
+) -> tuple[DataFrame, DataFrame]:
+    """ETL: postings(doc_id, term, tf) + doc_stats(doc_id, dl)."""
+    tokens = tokenize_column(df, id_col, text_col)
+    postings = tokens.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    doc_stats = tokens.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    return postings, doc_stats
+
+
+def bm25_scores(
+    postings: DataFrame,
+    doc_stats: DataFrame,
+    terms: list[str],
+    *,
+    round_to: int | None = None,
+) -> DataFrame:
+    """Score docs matching ALL ``terms``; returns (doc_id, score) unbounded —
+    callers order/limit. Query terms are lowercased to match the index."""
+    terms = sorted({t.lower() for t in terms})
+    if not terms:
+        raise ValueError("bm25_scores needs at least one term")
+
+    # corpus constants: two tiny aggregates, broadcast into the score expr
+    n_docs_avgdl = doc_stats.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    term_df = (
+        postings.filter(F.col("term").isin(*terms))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+
+    matched = (
+        postings.filter(F.col("term").isin(*terms))
+        .join(F.broadcast(term_df), "term")
+        .join(doc_stats, "doc_id")
+        .crossJoin(F.broadcast(n_docs_avgdl))
+    )
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    )
+    tfc = (F.col("tf") * (K1 + 1)) / (
+        F.col("tf") + K1 * (1 - B + B * F.col("dl") / F.col("avgdl"))
+    )
+    per_term = matched.select(
+        "doc_id", "term", (idf * tfc).alias("contribution")
+    )
+    scored = per_term.groupBy("doc_id").agg(
+        F.sum("contribution").alias("score"),
+        F.count(F.lit(1)).alias("terms_matched"),
+    )
+    # AND-of-terms: every query term present
+    scored = scored.filter(F.col("terms_matched") == len(terms)).drop(
+        "terms_matched"
+    )
+    if round_to is not None:
+        scored = scored.withColumn("score", F.round(F.col("score"), round_to))
+    return scored
+
+
+def bm25_search(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    query: str,
+    k: int = 20,
+    *,
+    round_to: int | None = None,
+) -> DataFrame:
+    """One-shot convenience: build index + score + top-k with deterministic
+    tie-break. For repeated queries, build the index once at ETL time."""
+    postings, doc_stats = build_inverted_index(df, id_col, text_col)
+    terms = [t for t in query.lower().split() if t]
+    scored = bm25_scores(postings, doc_stats, terms, round_to=round_to)
+    return scored.orderBy(F.col("score").desc(), F.col("doc_id").asc()).limit(k)
+
+
+def bm25_oracle_sql(
+    table: str, id_col: str, text_col: str, terms: list[str], k: int = 20,
+    round_to: int = 6,
+) -> str:
+    """The same computation as DuckDB SQL (for the correctness gate)."""
+    terms = sorted({t.lower() for t in terms})
+    terms_list = ", ".join(f"'{t}'" for t in terms)
+    return f"""
+WITH tokens AS (
+    SELECT {id_col} AS doc_id,
+           unnest(string_split_regex(lower(COALESCE({text_col}, '')),
+                  '{TOKEN_SPLIT_RE}')) AS term
+    FROM {table}
+),
+tokens_clean AS (SELECT doc_id, term FROM tokens WHERE term != ''),
+postings AS (
+    SELECT doc_id, term, COUNT(*) AS tf FROM tokens_clean GROUP BY 1, 2
+),
+doc_stats AS (SELECT doc_id, COUNT(*) AS dl FROM tokens_clean GROUP BY 1),
+corpus AS (
+    SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl FROM doc_stats
+),
+term_df AS (
+    SELECT term, COUNT(*) AS df FROM postings
+    WHERE term IN ({terms_list}) GROUP BY 1
+),
+per_term AS (
+    SELECT p.doc_id,
+           ln(1.0 + (c.n_docs - t.df + 0.5) / (t.df + 0.5)) *
+           ((p.tf * ({K1} + 1)) /
+            (p.tf + {K1} * (1 - {B} + {B} * d.dl / c.avgdl))) AS contribution
+    FROM postings p
+    JOIN term_df t USING (term)
+    JOIN doc_stats d USING (doc_id)
+    CROSS JOIN corpus c
+    WHERE p.term IN ({terms_list})
+)
+SELECT doc_id, round(SUM(contribution), {round_to}) AS score
+FROM per_term
+GROUP BY doc_id
+HAVING COUNT(*) = {len(terms)}
+ORDER BY score DESC, doc_id ASC
+LIMIT {k}
+"""

@@ -1,0 +1,152 @@
+"""Hybrid BM25 + vector search fused via Reciprocal Rank Fusion.
+
+Rebuild of the reference's fused search (internal/vector/sqlitevec/
+fused.go:128-196) and Go-side fusion (internal/vector/hybrid/rrf.go:24-85):
+
+  - rank each signal independently (row_number over its own ordering);
+  - over-fetch K+1 per signal for pool-saturation detection;
+  - FULL OUTER JOIN on id, RRF score Σ 1/(rrf_k + rank);
+  - optional subject-boost multiplier when the subject contains any query
+    term (case-insensitive);
+  - deterministic ordering: score DESC, id ASC.
+
+Spark shape: two small ranked DataFrames (≤K+1 rows each — global
+row_number over K rows is not a scale concern) full-outer-joined, score as a
+column expression.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+DEFAULT_RRF_K = 60
+
+
+def rank_signal(scored: DataFrame, score_col: str, k: int,
+                ascending: bool = False) -> DataFrame:
+    """(id, signal score) → top-(k+1) with rank; rank 1 = best. Input must
+    contain an ``id`` column; ordering tie-breaks on id."""
+    order = (
+        [F.col(score_col).asc(), F.col("id").asc()]
+        if ascending
+        else [F.col(score_col).desc(), F.col("id").asc()]
+    )
+    w = Window.orderBy(*order)
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k + 1)  # K+1 for saturation detection
+    )
+
+
+def rrf_fuse(
+    bm25_ranked: DataFrame,
+    vec_ranked: DataFrame,
+    k_per_signal: int,
+    rrf_k: int = DEFAULT_RRF_K,
+    limit: int = 20,
+    *,
+    boost: float = 1.0,
+    subject_terms: list[str] | None = None,
+    subjects: DataFrame | None = None,
+) -> DataFrame:
+    """Fuse two rank_signal outputs. Returns
+    (id, rrf_score, bm25_score, vector_score) ordered score DESC, id ASC.
+
+    ``subjects``: optional (id, subject) frame for the boost lookup —
+    joined only against the ≤2(K+1) fused candidates (broadcast)."""
+    b = (
+        bm25_ranked.filter(F.col("rnk") <= k_per_signal)
+        .select(
+            F.col("id"),
+            F.col("score").alias("bm25_score"),
+            F.col("rnk").alias("b_rnk"),
+        )
+    )
+    v = (
+        vec_ranked.filter(F.col("rnk") <= k_per_signal)
+        .select(
+            F.col("id").alias("v_id"),
+            F.col("score").alias("vector_score"),
+            F.col("rnk").alias("v_rnk"),
+        )
+    )
+    fused = b.join(v, F.col("id") == F.col("v_id"), "full_outer").select(
+        F.coalesce(F.col("id"), F.col("v_id")).alias("id"),
+        (
+            F.coalesce(1.0 / (F.lit(rrf_k) + F.col("b_rnk")), F.lit(0.0))
+            + F.coalesce(1.0 / (F.lit(rrf_k) + F.col("v_rnk")), F.lit(0.0))
+        ).alias("rrf_score"),
+        F.col("bm25_score"),
+        F.col("vector_score"),
+    )
+
+    if boost > 1.0 and subject_terms and subjects is not None:
+        terms = [t.lower() for t in subject_terms]
+        subj = subjects.select(
+            F.col("id").alias("s_id"), F.lower(F.col("subject")).alias("_subj")
+        )
+        match = None
+        for t in terms:
+            cond = F.col("_subj").contains(t)
+            match = cond if match is None else (match | cond)
+        fused = (
+            fused.join(F.broadcast(subj), F.col("id") == F.col("s_id"), "left")
+            .withColumn(
+                "subject_boosted",
+                F.coalesce(match, F.lit(False)),
+            )
+            .withColumn(
+                "rrf_score",
+                F.when(F.col("subject_boosted"), F.col("rrf_score") * boost)
+                .otherwise(F.col("rrf_score")),
+            )
+            .drop("s_id", "_subj")
+        )
+
+    return fused.orderBy(F.col("rrf_score").desc(), F.col("id").asc()).limit(limit)
+
+
+def hybrid_search(
+    docs: DataFrame,
+    embeddings: DataFrame,
+    query_text: str,
+    query_vector: list[float],
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    emb_id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    k_per_signal: int = 20,
+    rrf_k: int = DEFAULT_RRF_K,
+    limit: int = 20,
+    boost: float = 1.0,
+    round_scores: int | None = None,
+) -> DataFrame:
+    """End-to-end hybrid search over a document corpus + embedding table."""
+    from msgvault_spark.search.fts import bm25_search
+    from msgvault_spark.similarity.knn import knn_bruteforce
+
+    bm25_top = bm25_search(
+        docs, id_col, text_col, query_text, k_per_signal + 1,
+        round_to=round_scores,
+    ).withColumnRenamed("doc_id", "id")
+    bm25_ranked = rank_signal(bm25_top, "score", k_per_signal)
+
+    vec_top = knn_bruteforce(
+        embeddings, query_vector, k_per_signal + 1, emb_id_col, emb_col,
+        round_to=round_scores,
+    )
+    vec_ranked = rank_signal(vec_top, "score", k_per_signal)
+
+    subjects = docs.select(F.col(id_col).alias("id"), F.col(text_col).alias("subject"))
+    return rrf_fuse(
+        bm25_ranked,
+        vec_ranked,
+        k_per_signal,
+        rrf_k,
+        limit,
+        boost=boost,
+        subject_terms=[t for t in query_text.lower().split() if t],
+        subjects=subjects if boost > 1.0 else None,
+    )
