@@ -1,0 +1,391 @@
+"""Dedup + text-analysis catalog entries (SURVEY §2.10 + LLM-pipeline
+extensions). Registered on import by catalog.py."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from msgvault_spark.catalog import register
+from msgvault_spark.dedup.embedding import allpairs_near_dups
+from msgvault_spark.dedup.exact import (
+    content_hash,
+    dedup_merge_plan,
+    exact_dup_groups,
+    select_survivors,
+)
+from msgvault_spark.dedup.minhash import lsh_candidate_pairs, minhash_oracle_sql
+from msgvault_spark.dedup.simhash import simhash, simhash_oracle_sql
+from msgvault_spark.sources.adapter import build_archive, oracle
+from msgvault_spark.sources.loader import load_table
+from msgvault_spark.textstats.analysis import text_profile
+
+
+# ---------------------------------------------------------------------------
+# D1+D3: exact-key grouping + survivor selection on the archive
+# ---------------------------------------------------------------------------
+
+_SRC_RANK_SQL = "CASE msg.source_id WHEN 2 THEN 0 WHEN 1 THEN 1 ELSE 2 END"
+_SENT_SQL = "CASE WHEN msg.source_id = 2 THEN 1 ELSE 0 END"
+
+
+@register(
+    "dedup_exact_survivors",
+    oracle(
+        f"""
+, lbl_counts AS (
+    SELECT message_id, COUNT(*) AS label_count
+    FROM message_labels GROUP BY message_id
+),
+grouped AS (
+    SELECT msg.*,
+           COALESCE(lc.label_count, 0) AS label_count,
+           {_SENT_SQL} AS is_sent,
+           {_SRC_RANK_SQL} AS src_rank,
+           'rfc-' || CAST(msg.id % 4000 AS VARCHAR) AS group_key,
+           COUNT(*) OVER (PARTITION BY msg.id % 4000) AS group_size,
+           MAX({_SENT_SQL}) OVER (PARTITION BY msg.id % 4000) AS has_sent
+    FROM messages msg
+    LEFT JOIN lbl_counts lc ON lc.message_id = msg.id
+),
+ranked AS (
+    SELECT *,
+           ROW_NUMBER() OVER (
+               PARTITION BY group_key
+               ORDER BY CASE WHEN has_sent = 1 AND is_sent = 1
+                             THEN 0 ELSE 1 END ASC,
+                        src_rank ASC,
+                        label_count DESC,
+                        sent_at ASC,
+                        id ASC
+           ) AS rn
+    FROM grouped
+    WHERE group_size >= 2
+)
+SELECT group_key, id AS survivor_id, group_size
+FROM ranked WHERE rn = 1
+ORDER BY group_key
+"""
+    ),
+)
+def dedup_exact_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D1 exact grouping (synthetic RFC822 id = id%4000) + D3 survivor
+    selection: sent-copy candidates first, source preference, label count,
+    earliest sent, lowest id (reference dedup.go:260-440,760-828)."""
+    arch = build_archive(spark, sf_dir)
+    msg = arch["messages"].withColumn(
+        "rfc_id", F.concat(F.lit("rfc-"), (F.col("id") % 4000).cast("string"))
+    )
+    lbl_counts = arch["message_labels"].groupBy("message_id").agg(
+        F.count(F.lit(1)).alias("label_count")
+    )
+    msg = msg.join(
+        lbl_counts, F.col("id") == F.col("message_id"), "left"
+    ).withColumn("label_count", F.coalesce(F.col("label_count"), F.lit(0))).drop(
+        "message_id"
+    )
+    groups = exact_dup_groups(msg, "rfc_id")
+    src_rank = (
+        F.when(F.col("source_id") == 2, 0)
+        .when(F.col("source_id") == 1, 1)
+        .otherwise(2)
+    )
+    marked = select_survivors(
+        groups,
+        priority=[src_rank.asc(), F.col("label_count").desc(),
+                  F.col("sent_at").asc()],
+        sent_copy=F.col("source_id") == 2,
+    )
+    return (
+        marked.filter("is_survivor")
+        .select(
+            F.col("group_key"),
+            F.col("id").alias("survivor_id"),
+            F.col("group_size").cast("long").alias("group_size"),
+        )
+        .orderBy("group_key")
+    )
+
+
+@register(
+    "dedup_merge_labels",
+    oracle(
+        f"""
+, grouped AS (
+    SELECT msg.id,
+           'rfc-' || CAST(msg.id % 4000 AS VARCHAR) AS group_key,
+           COUNT(*) OVER (PARTITION BY msg.id % 4000) AS group_size,
+           MAX({_SENT_SQL}) OVER (PARTITION BY msg.id % 4000) AS has_sent,
+           {_SENT_SQL} AS is_sent,
+           {_SRC_RANK_SQL} AS src_rank,
+           msg.sent_at
+    FROM messages msg
+),
+dups AS (SELECT * FROM grouped WHERE group_size >= 2),
+ranked AS (
+    SELECT *,
+           ROW_NUMBER() OVER (
+               PARTITION BY group_key
+               ORDER BY CASE WHEN has_sent = 1 AND is_sent = 1
+                             THEN 0 ELSE 1 END ASC,
+                        src_rank ASC, sent_at ASC, id ASC
+           ) AS rn
+    FROM dups
+),
+survivors AS (SELECT group_key, id AS survivor_id FROM ranked WHERE rn = 1),
+group_labels AS (
+    SELECT DISTINCT d.group_key, ml.label_id
+    FROM dups d JOIN message_labels ml ON ml.message_id = d.id
+)
+SELECT s.survivor_id, gl.label_id
+FROM survivors s JOIN group_labels gl ON gl.group_key = s.group_key
+ORDER BY survivor_id, label_id
+"""
+    ),
+)
+def dedup_merge_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D4 merge: survivor inherits the deduplicated union of every group
+    member's labels (reference dedup.go:834-916)."""
+    arch = build_archive(spark, sf_dir)
+    msg = arch["messages"].withColumn(
+        "rfc_id", F.concat(F.lit("rfc-"), (F.col("id") % 4000).cast("string"))
+    )
+    groups = exact_dup_groups(msg, "rfc_id")
+    src_rank = (
+        F.when(F.col("source_id") == 2, 0)
+        .when(F.col("source_id") == 1, 1)
+        .otherwise(2)
+    )
+    marked = select_survivors(
+        groups,
+        priority=[src_rank.asc(), F.col("sent_at").asc()],
+        sent_copy=F.col("source_id") == 2,
+    )
+    survivor_labels, _losers = dedup_merge_plan(marked, arch["message_labels"])
+    return survivor_labels.orderBy("survivor_id", "label_id")
+
+
+# ---------------------------------------------------------------------------
+# D2: content-hash dedup with normalization (documents + perturbed copies)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_content_hash",
+    """
+WITH all_docs AS (
+    SELECT doc_id, text FROM documents
+    UNION ALL
+    SELECT doc_id + 10000 AS doc_id, upper(text) || '   ' AS text
+    FROM documents WHERE doc_id % 3 = 0
+),
+hashed AS (
+    SELECT doc_id,
+           sha256(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+               AS content_hash
+    FROM all_docs
+)
+SELECT content_hash,
+       COUNT(*) AS group_size,
+       MIN(doc_id) AS survivor_id,
+       MAX(doc_id) AS dup_id
+FROM hashed
+GROUP BY content_hash
+HAVING COUNT(*) >= 2
+ORDER BY survivor_id
+""",
+)
+def dedup_content_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D2: normalization (casefold + whitespace collapse) + SHA-256 grouping
+    catches case/spacing-perturbed copies (reference dedup.go:501-671)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    copies = (
+        docs.filter(F.col("doc_id") % 3 == 0)
+        .select(
+            (F.col("doc_id") + 10000).alias("doc_id"),
+            F.concat(F.upper(F.col("text")), F.lit("   ")).alias("text"),
+        )
+    )
+    both = docs.unionByName(copies)
+    return (
+        both.withColumn("content_hash", content_hash(F.col("text")))
+        .groupBy("content_hash")
+        .agg(
+            F.count(F.lit(1)).alias("group_size"),
+            F.min("doc_id").alias("survivor_id"),
+            F.max("doc_id").alias("dup_id"),
+        )
+        .filter(F.col("group_size") >= 2)
+        .orderBy("survivor_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash-LSH near-dup (documents + truncated copies)
+# ---------------------------------------------------------------------------
+
+_NEARDUP_SOURCE_SQL = """
+SELECT doc_id, text FROM documents WHERE doc_id < 200
+UNION ALL
+SELECT doc_id + 10000 AS doc_id,
+       substr(text, 1, CAST(floor(length(text) * 0.8) AS INT)) AS text
+FROM documents WHERE doc_id < 200 AND doc_id % 2 = 0
+"""
+
+
+@register(
+    "minhash_lsh_near_dups",
+    minhash_oracle_sql(_NEARDUP_SOURCE_SQL, jaccard_threshold=0.4),
+    headline=True,
+)
+def minhash_lsh_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signatures → LSH band buckets → candidate pairs → exact
+    Jaccard verify (shingle→minhash→band→bucket-join pipeline)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    base = docs.filter(F.col("doc_id") < 200)
+    copies = base.filter(F.col("doc_id") % 2 == 0).select(
+        (F.col("doc_id") + 10000).alias("doc_id"),
+        F.substring(
+            F.col("text"), 1, F.floor(F.length("text") * 0.8).cast("int")
+        ).alias("text"),
+    )
+    both = base.unionByName(copies)
+    return lsh_candidate_pairs(both, "doc_id", "text", jaccard_threshold=0.4)
+
+
+# ---------------------------------------------------------------------------
+# SimHash fingerprints
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "simhash_fingerprints",
+    simhash_oracle_sql("SELECT doc_id, text FROM documents") + " ORDER BY doc_id",
+)
+def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit SimHash per document, engine-portable bit math."""
+    docs = load_table(spark, sf_dir, "documents")
+    return simhash(docs, "doc_id", "text").orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Embedding-cosine near-dup
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "embedding_near_dups",
+    """
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+  round(
+    list_sum(list_transform(list_zip(a.embedding, b.embedding),
+             x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+    / (sqrt(list_sum(list_transform(a.embedding,
+             v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))) *
+       sqrt(list_sum(list_transform(b.embedding,
+             v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))), 6) AS cos
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE round(
+    list_sum(list_transform(list_zip(a.embedding, b.embedding),
+             x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+    / (sqrt(list_sum(list_transform(a.embedding,
+             v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))) *
+       sqrt(list_sum(list_transform(b.embedding,
+             v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))), 6) >= 0.45
+ORDER BY id_a, id_b
+""",
+)
+def embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact all-pairs cosine ≥ 0.45 (near-dup baseline; LSH variant in
+    dedup/embedding.py is the scale path)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return allpairs_near_dups(emb, 0.45)
+
+
+# ---------------------------------------------------------------------------
+# Text analysis profile
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "text_profile_docs",
+    r"""
+WITH w AS (
+    SELECT doc_id, text,
+           list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                       x -> x != '') AS ws
+    FROM documents
+),
+feat AS (
+    SELECT doc_id, text, ws,
+           length(text) AS n_chars,
+           len(ws) AS n_words,
+           len(list_filter(ws, x -> x IN ('the','and','of','to','a','in',
+                                          'is','that'))) AS n_stop_en,
+           len(list_filter(ws, x -> x IN ('el','la','de','que','y','los',
+                                          'en','un'))) AS n_stop_es,
+           len(list_filter(ws, x -> x IN ('le','la','les','de','et','un',
+                                          'une','est'))) AS n_stop_fr,
+           len(list_filter(ws, x -> x IN ('der','die','das','und','ist',
+                                          'ein','nicht','mit'))) AS n_stop_de,
+           len(regexp_extract_all(text, '[!-/:-@\[-`{-~]')) AS n_punct,
+           len(regexp_extract_all(text, '[A-Z]')) AS n_upper,
+           list_sum(list_transform(ws, x -> length(x))) AS word_chars
+    FROM w
+),
+scored AS (
+    SELECT doc_id,
+           CAST(n_chars AS BIGINT) AS n_chars,
+           CAST(n_words AS BIGINT) AS n_words,
+           round(CASE WHEN n_words > 0
+                      THEN CAST(word_chars AS DOUBLE) / n_words
+                      ELSE 0.0 END, 6) AS mean_word_len,
+           round(CASE WHEN n_words > 0
+                      THEN CAST(n_stop_en AS DOUBLE) / n_words
+                      ELSE 0.0 END, 6) AS stopword_ratio,
+           round(CASE WHEN n_chars > 0
+                      THEN CAST(n_punct AS DOUBLE) / n_chars
+                      ELSE 0.0 END, 6) AS punct_ratio,
+           round(CASE WHEN n_chars > 0
+                      THEN CAST(n_upper AS DOUBLE) / n_chars
+                      ELSE 0.0 END, 6) AS upper_ratio,
+           len(list_filter(string_split_regex(text, '\s+'), x -> x != ''))
+               AS ws_tokens,
+           len(regexp_extract_all(lower(text), '[a-z]{1,6}|[0-9]|[^a-z0-9\s]'))
+               AS bpe_tokens,
+           CASE WHEN n_words > 0 THEN CAST(n_stop_de AS DOUBLE)/n_words
+                ELSE 0.0 END AS s_de,
+           CASE WHEN n_words > 0 THEN CAST(n_stop_en AS DOUBLE)/n_words
+                ELSE 0.0 END AS s_en,
+           CASE WHEN n_words > 0 THEN CAST(n_stop_es AS DOUBLE)/n_words
+                ELSE 0.0 END AS s_es,
+           CASE WHEN n_words > 0 THEN CAST(n_stop_fr AS DOUBLE)/n_words
+                ELSE 0.0 END AS s_fr,
+           md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))
+               AS fingerprint
+    FROM feat
+)
+SELECT doc_id, n_chars, n_words, mean_word_len, stopword_ratio, punct_ratio,
+       upper_ratio,
+       CAST(ws_tokens AS INT) AS ws_tokens,
+       CAST(bpe_tokens AS INT) AS bpe_tokens,
+       round(((CASE WHEN mean_word_len >= 2 AND mean_word_len <= 12
+                    THEN 1.0 ELSE 0.0 END) +
+              (CASE WHEN punct_ratio <= 0.2 THEN 1.0 ELSE 0.0 END) +
+              (CASE WHEN n_chars >= 100 THEN 1.0 ELSE 0.0 END)) / 3.0, 6)
+           AS quality,
+       CASE WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr AND s_de > 0
+                 THEN 'de'
+            WHEN s_en >= s_es AND s_en >= s_fr AND s_en > 0 THEN 'en'
+            WHEN s_es >= s_fr AND s_es > 0 THEN 'es'
+            WHEN s_fr > 0 THEN 'fr'
+            ELSE 'und' END AS lang_guess,
+       fingerprint
+FROM scored
+ORDER BY doc_id
+""",
+)
+def text_profile_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document quality/token/language/fingerprint profile."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text_profile(docs, "doc_id", "text").orderBy("doc_id")

@@ -1,0 +1,190 @@
+"""MinHash + LSH near-duplicate detection, fully JVM-side (no UDFs).
+
+LLM-data-pipeline extension (BASELINE.json north star). Design for 100 TB:
+  1. shingle: k-word shingles per doc (split + slice — one narrow map);
+  2. signature: n minhash values; hash_i(s) = md5(i ':' s) compared
+     LEXICOGRAPHICALLY — fixed-width hex means string-min ≡ numeric-min, so
+     the whole signature is array_min over a transform, no custom hasher and
+     bit-identical in any engine (the trick that makes the DuckDB oracle
+     exact);
+  3. band: signature split into b bands of r values; band key = md5 of the
+     concatenated band → groupBy bucket;
+  4. candidates: pairs sharing ≥1 bucket (self-join per band — shuffle is
+     bounded by bucket sizes, the classic LSH property);
+  5. verify: exact shingle-set Jaccard on candidates only.
+
+Probability a pair with Jaccard j becomes a candidate: 1-(1-j^r)^b.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def word_shingles(text: Column, k: int = 3) -> Column:
+    """Distinct k-word shingles (lowercased, non-alphanumeric splits)."""
+    words = F.filter(
+        F.split(F.lower(text), "[^a-z0-9]+"), lambda w: w != ""
+    )
+    return F.array_distinct(
+        F.when(
+            F.size(words) >= k,
+            F.transform(
+                F.sequence(F.lit(1), F.size(words) - (k - 1)),
+                lambda i: F.concat_ws(" ", F.slice(words, i, k)),
+            ),
+        ).otherwise(F.array(F.concat_ws(" ", words)))
+    )
+
+
+# alias used by docs/tests
+shingles = word_shingles
+
+
+def _seeded_min_hash(shingle_col: Column, seed: int) -> Column:
+    # factory keeps the transform lambda single-argument: a second (even
+    # defaulted) parameter would make PySpark pass the array index into it
+    prefix = f"{seed}:"
+    return F.array_min(
+        F.transform(shingle_col, lambda s: F.md5(F.concat(F.lit(prefix), s)))
+    )
+
+
+def minhash_signature(shingle_col: Column, n_hashes: int = 12) -> Column:
+    """Array of n lexicographic-min md5 hex digests (see module docstring)."""
+    return F.array(
+        *[_seeded_min_hash(shingle_col, i) for i in range(n_hashes)]
+    )
+
+
+def band_keys(sig_col: Column, bands: int, rows_per_band: int) -> Column:
+    """Array of band bucket keys: band index + md5 of its slice."""
+    return F.array(
+        *[
+            F.concat(
+                F.lit(f"{b}:"),
+                F.md5(
+                    F.concat_ws(
+                        "|", F.slice(sig_col, b * rows_per_band + 1, rows_per_band)
+                    )
+                ),
+            )
+            for b in range(bands)
+        ]
+    )
+
+
+def lsh_candidate_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    k_shingle: int = 3,
+    n_hashes: int = 12,
+    bands: int = 4,
+    jaccard_threshold: float = 0.5,
+    round_to: int = 6,
+) -> DataFrame:
+    """(id_a, id_b, jaccard) for near-duplicate pairs: LSH buckets propose,
+    exact shingle-set Jaccard disposes. id_a < id_b, deterministic."""
+    rows_per_band = n_hashes // bands
+    prepared = df.select(
+        F.col(id_col).alias("doc_id"),
+        word_shingles(F.col(text_col), k_shingle).alias("sh"),
+    ).withColumn("sig", minhash_signature(F.col("sh"), n_hashes))
+
+    buckets = prepared.select(
+        "doc_id",
+        "sh",
+        F.explode(band_keys(F.col("sig"), bands, rows_per_band)).alias("bucket"),
+    )
+
+    left = buckets.select(
+        F.col("bucket"),
+        F.col("doc_id").alias("id_a"),
+        F.col("sh").alias("sh_a"),
+    )
+    right = buckets.select(
+        F.col("bucket"),
+        F.col("doc_id").alias("id_b"),
+        F.col("sh").alias("sh_b"),
+    )
+    cands = (
+        left.join(right, "bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sh_a", "sh_b")
+        .distinct()
+    )
+
+    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+    union = F.size(F.array_union(F.col("sh_a"), F.col("sh_b")))
+    jac = inter.cast("double") / union.cast("double")
+    return (
+        cands.withColumn("jaccard", F.round(jac, round_to))
+        .filter(F.col("jaccard") >= jaccard_threshold)
+        .select("id_a", "id_b", "jaccard")
+        .orderBy("id_a", "id_b")
+    )
+
+
+def minhash_oracle_sql(
+    source_select: str,
+    *,
+    k_shingle: int = 3,
+    n_hashes: int = 12,
+    bands: int = 4,
+    jaccard_threshold: float = 0.5,
+    round_to: int = 6,
+) -> str:
+    """DuckDB replica of lsh_candidate_pairs over ``source_select``
+    (a subquery yielding doc_id, text)."""
+    rows_per_band = n_hashes // bands
+    sig_items = ", ".join(
+        f"list_min(list_transform(sh, s -> md5('{i}:' || s)))"
+        for i in range(n_hashes)
+    )
+    band_items = ", ".join(
+        f"'{b}:' || md5(list_aggregate(sig[{b * rows_per_band + 1}:"
+        f"{(b + 1) * rows_per_band}], 'string_agg', '|'))"
+        for b in range(bands)
+    )
+    return f"""
+WITH docs AS ({source_select}),
+words AS (
+    SELECT doc_id,
+           list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                       w -> w != '') AS w
+    FROM docs
+),
+shingled AS (
+    SELECT doc_id,
+           CASE WHEN len(w) >= {k_shingle}
+                THEN list_distinct(list_transform(
+                     generate_series(1, len(w) - {k_shingle - 1}),
+                     i -> list_aggregate(w[i:i+{k_shingle - 1}],
+                                         'string_agg', ' ')))
+                ELSE [list_aggregate(w, 'string_agg', ' ')]
+           END AS sh
+    FROM words
+),
+sigs AS (
+    SELECT doc_id, sh, [{sig_items}] AS sig FROM shingled
+),
+buckets AS (
+    SELECT doc_id, sh, unnest([{band_items}]) AS bucket FROM sigs
+),
+cands AS (
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, a.sh AS sh_a, b.sh AS sh_b
+    FROM buckets a JOIN buckets b USING (bucket)
+    WHERE a.doc_id < b.doc_id
+)
+SELECT id_a, id_b,
+       round(CAST(len(list_intersect(sh_a, sh_b)) AS DOUBLE) /
+             len(list_distinct(list_concat(sh_a, sh_b))), {round_to}) AS jaccard
+FROM cands
+WHERE round(CAST(len(list_intersect(sh_a, sh_b)) AS DOUBLE) /
+            len(list_distinct(list_concat(sh_a, sh_b))), {round_to})
+      >= {jaccard_threshold}
+ORDER BY id_a, id_b
+"""

@@ -1,0 +1,149 @@
+"""Text-analysis operators for LLM-data pipelines, all JVM-side.
+
+Quality scoring, token counting, language-ID heuristics, and document
+fingerprinting over a (id, text) corpus — the per-document feature pass a
+training-data pipeline runs before filtering. Each is a narrow projection
+or one aggregation: scales linearly, no shuffle except the stated groupBys.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# tiny per-language stopword marker sets for the n-gram/stopword-ratio
+# language heuristic (expandable; ASCII-only on purpose so the same
+# LIKE-matching runs anywhere)
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "a", "in", "is", "that"),
+    "es": ("el", "la", "de", "que", "y", "los", "en", "un"),
+    "fr": ("le", "la", "les", "de", "et", "un", "une", "est"),
+    "de": ("der", "die", "das", "und", "ist", "ein", "nicht", "mit"),
+}
+
+
+def words(text: Column) -> Column:
+    return F.filter(F.split(F.lower(text), "[^a-z0-9]+"), lambda w: w != "")
+
+
+def token_count_whitespace(text: Column) -> Column:
+    """Whitespace token count."""
+    return F.size(F.filter(F.split(text, r"\s+"), lambda w: w != ""))
+
+
+def token_count_bpe_ish(text: Column) -> Column:
+    """BPE-ish proxy: count word-pieces + digits + punctuation runs the way
+    a byte-pair tokenizer fragments text (regexp-extract-all, JVM-side)."""
+    return F.size(
+        F.regexp_extract_all(
+            F.lower(text), F.lit(r"[a-z]{1,6}|[0-9]|[^a-z0-9\s]"), F.lit(0)
+        )
+    )
+
+
+def quality_features(text: Column) -> dict[str, Column]:
+    """Length / punctuation / stopword / uppercase ratios (reference-style
+    quality gates for corpus filtering)."""
+    n_chars = F.length(text)
+    ws = words(text)
+    n_words = F.size(ws)
+    en_markers = list(LANG_MARKERS["en"])
+    n_stop = F.size(F.filter(ws, lambda w: w.isin(en_markers)))
+    n_punct = F.size(
+        F.regexp_extract_all(text, F.lit(r"[!-/:-@\[-`{-~]"), F.lit(0))
+    )
+    n_upper = F.size(F.regexp_extract_all(text, F.lit("[A-Z]"), F.lit(0)))
+    nc = n_chars.cast("double")
+    return {
+        "n_chars": n_chars.cast("long"),
+        "n_words": n_words.cast("long"),
+        "mean_word_len": F.round(
+            F.when(
+                n_words > 0,
+                F.aggregate(
+                    ws, F.lit(0.0), lambda acc, w: acc + F.length(w)
+                )
+                / n_words,
+            ).otherwise(F.lit(0.0)),
+            6,
+        ),
+        "stopword_ratio": F.round(
+            F.when(n_words > 0, n_stop / n_words.cast("double")).otherwise(0.0), 6
+        ),
+        "punct_ratio": F.round(
+            F.when(n_chars > 0, n_punct / nc).otherwise(0.0), 6
+        ),
+        "upper_ratio": F.round(
+            F.when(n_chars > 0, n_upper / nc).otherwise(0.0), 6
+        ),
+    }
+
+
+def quality_score(text: Column) -> Column:
+    """Composite 0..1 quality score: words present, sane word length,
+    punctuation not dominating. Deterministic integer/ratio math."""
+    f = quality_features(text)
+    word_ok = F.when(
+        (f["mean_word_len"] >= 2) & (f["mean_word_len"] <= 12), 1.0
+    ).otherwise(0.0)
+    punct_ok = F.when(f["punct_ratio"] <= 0.2, 1.0).otherwise(0.0)
+    length_ok = F.when(f["n_chars"] >= 100, 1.0).otherwise(0.0)
+    return F.round((word_ok + punct_ok + length_ok) / 3.0, 6)
+
+
+def lang_scores(text: Column) -> dict[str, Column]:
+    """Per-language stopword-hit ratio."""
+    ws = words(text)
+    n = F.size(ws)
+    out = {}
+    for lang, markers in LANG_MARKERS.items():
+        out[lang] = _marker_ratio(ws, n, list(markers))
+    return out
+
+
+def _marker_ratio(ws: Column, n: Column, markers: list[str]) -> Column:
+    # single-arg lambda on purpose: a second (even defaulted) parameter makes
+    # PySpark pass the array index as an argument
+    hits = F.size(F.filter(ws, lambda w: w.isin(markers)))
+    return F.when(n > 0, hits / n.cast("double")).otherwise(0.0)
+
+
+def detect_language(text: Column) -> Column:
+    """argmax over lang_scores, 'und' when nothing scores > 0. Fold keeps
+    the FIRST language on ties (strict >), so iteration order — sorted
+    language codes — is the deterministic tie-break."""
+    scores = lang_scores(text)
+    pairs = F.array(
+        *[
+            F.struct(score.alias("score"), F.lit(lang).alias("lang"))
+            for lang, score in sorted(scores.items())
+        ]
+    )
+    folded = F.aggregate(
+        pairs,
+        F.struct(F.lit(-1.0).alias("score"), F.lit("und").alias("lang")),
+        lambda acc, s: F.when(s["score"] > acc["score"], s).otherwise(acc),
+    )
+    return F.when(folded["score"] > 0, folded["lang"]).otherwise(F.lit("und"))
+
+
+def fingerprint(text: Column) -> Column:
+    """Normalized-content fingerprint: md5 of casefolded,
+    whitespace-collapsed text (rolling-hash analog, engine-portable)."""
+    return F.md5(F.trim(F.regexp_replace(F.lower(text), r"\s+", " ")))
+
+
+def text_profile(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Full per-document profile: features + language + fingerprint."""
+    t = F.col(text_col)
+    feats = quality_features(t)
+    cols = [F.col(id_col).alias("doc_id")]
+    cols += [c.alias(name) for name, c in feats.items()]
+    cols += [
+        token_count_whitespace(t).alias("ws_tokens"),
+        token_count_bpe_ish(t).alias("bpe_tokens"),
+        quality_score(t).alias("quality"),
+        detect_language(t).alias("lang_guess"),
+        fingerprint(t).alias("fingerprint"),
+    ]
+    return df.select(*cols)
