@@ -642,3 +642,4 @@ def ilike_part_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 # they import `register` from this module, so this sits at the tail) ---
 import msgvault_spark.catalog_search  # noqa: E402,F401
 import msgvault_spark.catalog_dedup  # noqa: E402,F401
+import msgvault_spark.catalog_multimodal  # noqa: E402,F401

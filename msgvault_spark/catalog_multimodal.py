@@ -1,0 +1,137 @@
+"""Multimodal + ANN catalog entries. Registered on import by catalog.py."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from msgvault_spark.catalog import register
+from msgvault_spark.multimodal.binary_ops import (
+    decode_media,
+    extract_features,
+    payload_stats,
+    synthesize_media,
+)
+from msgvault_spark.similarity.lsh import build_ann_index, ann_search, plane_coeff
+from msgvault_spark.sources.loader import load_table
+
+_DIM = 64
+_BANDS = 2
+_PLANES = 6
+
+
+def _bucket_sql(vec_expr: str, band: int) -> str:
+    """DuckDB band-key expression mirroring similarity.lsh.band_key: same
+    coefficients (literals), same left-to-right addition order."""
+    bits = []
+    for p in range(_PLANES):
+        terms = " + ".join(
+            f"({plane_coeff(band, p, d)!r} * CAST({vec_expr}[{d + 1}] AS DOUBLE))"
+            for d in range(_DIM)
+        )
+        bits.append(f"(CASE WHEN ({terms}) >= 0 THEN '1' ELSE '0' END)")
+    return f"'{band}:' || " + " || ".join(bits)
+
+
+def _ann_oracle() -> str:
+    keys_all = ", ".join(_bucket_sql("embedding", b) for b in range(_BANDS))
+    return f"""
+WITH keys AS (
+    SELECT vec_id, embedding, [{keys_all}] AS ks FROM embeddings
+),
+qk AS (SELECT ks AS qks, embedding AS qv FROM keys WHERE vec_id = 0),
+cand AS (
+    SELECT DISTINCT k.vec_id, k.embedding
+    FROM keys k, qk
+    WHERE len(list_intersect(k.ks, qk.qks)) > 0
+)
+SELECT c.vec_id AS id,
+  round(
+    list_sum(list_transform(list_zip(c.embedding, qk.qv),
+             x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+    / (sqrt(list_sum(list_transform(c.embedding,
+             v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))) *
+       sqrt(list_sum(list_transform(qk.qv,
+             v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))), 6) AS score
+FROM cand c, qk
+ORDER BY score DESC, id ASC
+LIMIT 10
+"""
+
+
+@register("ann_lsh_seed0", _ann_oracle())
+def ann_lsh_seed0(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-band hyperplane-LSH ANN: candidate buckets → exact rerank
+    (the scale path of Q7; deterministic md5-derived planes)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    seed = emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
+    index = build_ann_index(
+        emb, dim=_DIM, bands=_BANDS, planes_per_band=_PLANES
+    )
+    return ann_search(
+        index,
+        [float(x) for x in seed],
+        k=10,
+        bands=_BANDS,
+        planes_per_band=_PLANES,
+        round_to=6,
+    )
+
+
+_MEDIA_SQL = r"""
+media AS (
+    SELECT doc_id AS media_id,
+           CASE WHEN doc_id % 3 = 2 THEN 'audio' ELSE 'image' END AS kind,
+           (CASE WHEN doc_id % 3 = 0
+                 THEN '\x89\x50\x4E\x47\x0D\x0A\x1A\x0A'::BLOB
+                 WHEN doc_id % 3 = 1 THEN '\xFF\xD8\xFF\xE0'::BLOB
+                 ELSE '\x49\x44\x33\x04\x00\x00'::BLOB END)
+           || encode(text) AS payload
+    FROM documents
+)
+"""
+
+
+@register(
+    "media_payload_stats",
+    f"""
+WITH {_MEDIA_SQL}
+SELECT media_id, kind,
+       octet_length(payload) AS payload_bytes,
+       sha256(hex(payload)) AS content_hash,
+       CASE WHEN substring(hex(payload), 1, 8) = '89504E47' THEN 'image/png'
+            WHEN substring(hex(payload), 1, 6) = 'FFD8FF' THEN 'image/jpeg'
+            WHEN substring(hex(payload), 1, 8) = '47494638' THEN 'image/gif'
+            WHEN substring(hex(payload), 1, 6) = '494433' THEN 'audio/mpeg'
+            WHEN substring(hex(payload), 1, 8) = '1A45DFA3' THEN 'video/webm'
+            ELSE 'application/octet-stream' END AS mime_sniffed
+FROM media
+ORDER BY media_id
+""",
+)
+def media_payload_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column plumbing: payload length, content-addressing hash,
+    magic-byte MIME sniffing — all JVM-side over binary columns."""
+    docs = load_table(spark, sf_dir, "documents")
+    return payload_stats(synthesize_media(docs)).orderBy("media_id")
+
+
+@register("media_features_entropy", None)  # mapInPandas: rows-only check
+def media_features_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched binary feature extraction (byte entropy, ascii/null
+    ratios) via mapInPandas — the real decode-stage shape."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        extract_features(synthesize_media(docs))
+        .orderBy("media_id")
+    )
+
+
+@register("media_decode_fake", None)  # stubbed decode: rows-only check
+def media_decode_fake(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode stub driven through the deterministic-fake path: proves the
+    mapInPandas plumbing (schema, batching) without image libs."""
+    docs = load_table(spark, sf_dir, "documents")
+    return decode_media(
+        synthesize_media(docs), deterministic_fake=True
+    ).orderBy("media_id")

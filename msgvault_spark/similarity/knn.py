@@ -41,7 +41,9 @@ def l2_norm(a: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
-    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+    """NULL (not an ANSI divide-by-zero error) when either vector has zero
+    norm; NULL scores sort last under the desc ordering every caller uses."""
+    return F.try_divide(dot(a, b), l2_norm(a) * l2_norm(b))
 
 
 def knn_bruteforce(

@@ -1,0 +1,145 @@
+"""Dedup survivor rules, content hashing, MinHash/SimHash, text stats."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from msgvault_spark.dedup.exact import (
+    content_hash,
+    dedup_merge_plan,
+    exact_dup_groups,
+    select_survivors,
+)
+from msgvault_spark.dedup.minhash import lsh_candidate_pairs, word_shingles
+from msgvault_spark.dedup.simhash import hamming32, simhash
+from msgvault_spark.textstats.analysis import text_profile
+
+
+@pytest.fixture(scope="module")
+def dup_msgs(spark):
+    # two dup groups + one singleton; columns: id, rfc, source_type,
+    # label_count, is_sent, sent_at
+    rows = [
+        (1, "r1", "gmail", 2, False, "2024-01-02"),
+        (2, "r1", "imap", 5, False, "2024-01-01"),
+        (3, "r1", "mbox", 1, True, "2024-01-03"),  # sent copy wins despite all
+        (4, "r2", "imap", 1, False, "2024-01-01"),
+        (5, "r2", "gmail", 1, False, "2024-01-05"),  # gmail preferred
+        (6, "r3", "gmail", 0, False, "2024-01-01"),  # singleton: not a dup
+    ]
+    df = spark.createDataFrame(
+        rows, ["id", "rfc", "source_type", "label_count", "is_sent", "sent_at"]
+    )
+    return df.withColumn("sent_at", F.to_timestamp("sent_at"))
+
+
+def test_exact_groups_excludes_singletons(dup_msgs):
+    g = exact_dup_groups(dup_msgs, "rfc")
+    assert sorted(r["id"] for r in g.collect()) == [1, 2, 3, 4, 5]
+
+
+def test_survivor_priority_rules(dup_msgs):
+    src_rank = (
+        F.when(F.col("source_type") == "gmail", 0)
+        .when(F.col("source_type") == "imap", 1)
+        .otherwise(2)
+    )
+    marked = select_survivors(
+        exact_dup_groups(dup_msgs, "rfc"),
+        priority=[src_rank.asc(), F.col("label_count").desc(),
+                  F.col("sent_at").asc()],
+        sent_copy=F.col("is_sent"),
+    )
+    survivors = {
+        r["group_key"]: r["id"] for r in marked.filter("is_survivor").collect()
+    }
+    # r1: sent-copy signal overrides source preference → id 3
+    # r2: no sent copies → gmail preference → id 5
+    assert survivors == {"r1": 3, "r2": 5}
+
+
+def test_merge_plan_unions_labels(spark, dup_msgs):
+    marked = select_survivors(
+        exact_dup_groups(dup_msgs, "rfc"),
+        priority=[F.col("sent_at").asc()],
+    )
+    ml = spark.createDataFrame(
+        [(1, 100), (2, 200), (3, 100), (4, 300)], ["message_id", "label_id"]
+    )
+    survivor_labels, losers = dedup_merge_plan(marked, ml)
+    sl = {(r["survivor_id"], r["label_id"]) for r in survivor_labels.collect()}
+    # r1 survivor = 2 (earliest sent_at) inherits {100, 200}
+    assert sl == {(2, 100), (2, 200), (4, 300)}
+    loser_ids = sorted(r["id"] for r in losers.collect())
+    assert loser_ids == [1, 3, 5]
+    assert losers.collect()[0]["delete_batch_id"] == "dedup-batch-1"
+
+
+def test_content_hash_normalization(spark):
+    df = spark.createDataFrame(
+        [(1, "Hello   World"), (2, "hello world"), (3, "  HELLO\tWORLD \n"),
+         (4, "different")],
+        ["id", "text"],
+    )
+    hashed = df.withColumn("h", content_hash(F.col("text")))
+    hs = {r["id"]: r["h"] for r in hashed.collect()}
+    assert hs[1] == hs[2] == hs[3]
+    assert hs[4] != hs[1]
+
+
+def test_word_shingles(spark):
+    df = spark.createDataFrame([(1, "a b c d")], ["id", "t"])
+    out = df.select(word_shingles(F.col("t"), 3).alias("s")).collect()[0]["s"]
+    assert sorted(out) == ["a b c", "b c d"]
+    # short text degrades to a single whole-text shingle
+    df2 = spark.createDataFrame([(1, "a b")], ["id", "t"])
+    out2 = df2.select(word_shingles(F.col("t"), 3).alias("s")).collect()[0]["s"]
+    assert out2 == ["a b"]
+
+
+def test_minhash_lsh_finds_planted_dups(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again " * 3
+    rows = [
+        (1, base),
+        (2, base + " with a tiny suffix change"),
+        (3, "completely different content about spark engines and parquet "
+            "files with nothing shared at all whatsoever in any shingle"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    pairs = lsh_candidate_pairs(df, "doc_id", "text",
+                                jaccard_threshold=0.3).collect()
+    assert [(p["id_a"], p["id_b"]) for p in pairs] == [(1, 2)]
+    assert pairs[0]["jaccard"] > 0.5
+
+
+def test_simhash_similarity_property(spark):
+    base = "spark parquet shuffle partition broadcast join aggregate " * 4
+    df = spark.createDataFrame(
+        [(1, base), (2, base + " one extra token"),
+         (3, "entirely unrelated words about cooking pasta tomatoes basil")],
+        ["doc_id", "text"],
+    )
+    fp = {r["doc_id"]: r["simhash"] for r in simhash(df, "doc_id", "text").collect()}
+    d12 = bin(fp[1] ^ fp[2]).count("1")
+    d13 = bin(fp[1] ^ fp[3]).count("1")
+    assert d12 < d13  # near-dup closer in hamming space
+    assert d12 <= 6
+    # hamming32 column matches python popcount
+    hdf = spark.createDataFrame([(fp[1], fp[2])], ["a", "b"]).select(
+        hamming32(F.col("a"), F.col("b")).alias("h")
+    )
+    assert hdf.collect()[0]["h"] == d12
+
+
+def test_text_profile(spark):
+    df = spark.createDataFrame(
+        [(1, "The quick brown fox and the lazy dog!"),
+         (2, "el la de que y los en un " * 4)],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in text_profile(df, "doc_id", "text").collect()}
+    assert out[1]["n_words"] == 8
+    assert out[1]["lang_guess"] == "en"
+    assert out[2]["lang_guess"] == "es"
+    assert out[1]["ws_tokens"] == 8
+    assert 0 < out[1]["stopword_ratio"] < 1
+    assert out[1]["fingerprint"] != out[2]["fingerprint"]

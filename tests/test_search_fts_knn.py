@@ -1,0 +1,143 @@
+"""Fast search, BM25, KNN, hybrid RRF unit tests."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from msgvault_spark.search.fast import SearchWithStats, search_fast
+from msgvault_spark.search.fts import bm25_search, build_inverted_index
+from msgvault_spark.search.hybrid import rank_signal, rrf_fuse
+from msgvault_spark.similarity.knn import knn_bruteforce
+
+
+def ids(df):
+    return [r["id"] for r in df.collect()]
+
+
+def test_search_operators(archive):
+    assert ids(search_fast(archive, "from:a@x.com")) == [2, 1]
+    assert ids(search_fast(archive, "subject:hello")) == [3, 1]  # 'Re: Hello' matches too
+    assert ids(search_fast(archive, "larger:150")) == [3, 2]
+    assert ids(search_fast(archive, "has:attachment")) == [3, 1]
+    assert ids(search_fast(archive, "after:2024-02-01 before:2024-03-01")) == [3, 2]
+    assert ids(search_fast(archive, "label:work")) == [2]
+    # email-only: chat message 4 never matches the fast path
+    assert 4 not in ids(search_fast(archive, ""))
+
+
+def test_search_text_terms_cover_sender_fields(archive):
+    # term matches sender display name
+    assert ids(search_fast(archive, '"X Corp"')) == [2, 1]
+    # term matches subject
+    assert ids(search_fast(archive, "plan")) == [2]
+    # AND across terms
+    assert ids(search_fast(archive, "plan hello")) == []
+
+
+def test_search_with_stats_reuse(archive):
+    s = SearchWithStats(archive, "from:a@x.com")
+    assert s.count() == 2
+    st = s.stats().collect()[0]
+    assert st["message_count"] == 2 and st["total_size"] == 300
+    assert ids(s.page(1, 0)) == [2]
+    assert ids(s.page(1, 1)) == [1]
+    s.release()
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    return spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps"),
+            (2, "the quick quick dog"),
+            (3, "lazy dog sleeps all day"),
+            (4, "fox and dog play"),
+        ],
+        ["doc_id", "text"],
+    )
+
+
+def test_inverted_index(corpus):
+    postings, stats = build_inverted_index(corpus, "doc_id", "text")
+    p = {(r["doc_id"], r["term"]): r["tf"] for r in postings.collect()}
+    assert p[(2, "quick")] == 2
+    dl = {r["doc_id"]: r["dl"] for r in stats.collect()}
+    assert dl == {1: 5, 2: 4, 3: 5, 4: 4}
+
+
+def test_bm25_math(corpus):
+    out = bm25_search(corpus, "doc_id", "text", "quick", k=5).collect()
+    assert [r["doc_id"] for r in out] == [2, 1]  # tf=2 beats tf=1
+    # check the exact Okapi value for doc 2: N=4, df=2, dl=4, avgdl=4.5
+    idf = math.log(1 + (4 - 2 + 0.5) / (2 + 0.5))
+    tfc = (2 * 2.2) / (2 + 1.2 * (1 - 0.75 + 0.75 * 4 / 4.5))
+    assert out[0]["score"] == pytest.approx(idf * tfc, rel=1e-12)
+
+
+def test_bm25_and_of_terms(corpus):
+    out = bm25_search(corpus, "doc_id", "text", "quick dog", k=5).collect()
+    assert [r["doc_id"] for r in out] == [2]  # only doc 2 has both
+
+
+def test_knn_matches_numpy(spark):
+    import numpy as np
+
+    vecs = [(i, [float((i * 7 + j * 3) % 5) - 2.0 for j in range(8)]) for i in range(20)]
+    df = spark.createDataFrame(vecs, ["vec_id", "embedding"])
+    q = vecs[0][1]
+    out = knn_bruteforce(df, q, k=5, metric="cosine").collect()
+    a = np.array([v for _, v in vecs])
+    qv = np.array(q)
+    cos = (a @ qv) / (np.linalg.norm(a, axis=1) * np.linalg.norm(qv))
+    best = sorted(range(20), key=lambda i: (-cos[i], i))[:5]
+    assert [r["id"] for r in out] == best
+    for r in out:
+        assert r["score"] == pytest.approx(cos[r["id"]], rel=1e-9)
+
+
+def test_rrf_fusion_math(spark):
+    bm25 = spark.createDataFrame(
+        [(10, 5.0), (20, 4.0), (30, 3.0)], ["id", "score"]
+    )
+    vec = spark.createDataFrame(
+        [(20, 0.9), (40, 0.8)], ["id", "score"]
+    )
+    fused = rrf_fuse(
+        rank_signal(bm25, "score", 3),
+        rank_signal(vec, "score", 3),
+        k_per_signal=3,
+        rrf_k=60,
+        limit=10,
+    ).collect()
+    scores = {r["id"]: r["rrf_score"] for r in fused}
+    assert scores[20] == pytest.approx(1 / 62 + 1 / 61)
+    assert scores[10] == pytest.approx(1 / 61)
+    assert scores[40] == pytest.approx(1 / 62)
+    # doc in both signals wins
+    assert fused[0]["id"] == 20
+    # missing-signal scores are NULL
+    by_id = {r["id"]: r for r in fused}
+    assert by_id[10]["vector_score"] is None
+    assert by_id[40]["bm25_score"] is None
+
+
+def test_rrf_subject_boost(spark):
+    bm25 = spark.createDataFrame([(1, 2.0), (2, 1.0)], ["id", "score"])
+    vec = spark.createDataFrame([(2, 0.5)], ["id", "score"])
+    subjects = spark.createDataFrame(
+        [(1, "boring"), (2, "URGENT thing")], ["id", "subject"]
+    )
+    fused = rrf_fuse(
+        rank_signal(bm25, "score", 2),
+        rank_signal(vec, "score", 2),
+        k_per_signal=2,
+        boost=10.0,
+        subject_terms=["urgent"],
+        subjects=subjects,
+        limit=10,
+    ).collect()
+    by_id = {r["id"]: r for r in fused}
+    assert by_id[2]["subject_boosted"] is True
+    assert by_id[1]["subject_boosted"] is False
+    assert by_id[2]["rrf_score"] == pytest.approx((1 / 62 + 1 / 61) * 10)
