@@ -22,8 +22,9 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from msgvault_spark.sources.adapter import build_archive, oracle
-from msgvault_spark.sources.loader import load_table
+from msgvault_spark.sources.adapter import oracle
+from msgvault_spark.sources.cache import get_archive
+from msgvault_spark.sources.cache import get_table as load_table
 from msgvault_spark.plans.models import (
     AggregateOptions,
     MessageFilter,
@@ -126,34 +127,34 @@ _NAME_EXPR = (
 
 
 @register("agg_senders", _agg_oracle("p.email_address", _FROM_JOIN,
-                                     "p.email_address IS NOT NULL"), headline=True)
+                                     "p.email_address IS NOT NULL"), )
 def agg_senders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return agg.aggregate(build_archive(spark, sf_dir), ViewType.SENDERS)
+    return agg.aggregate(get_archive(spark, sf_dir), ViewType.SENDERS)
 
 
 @register("agg_sender_names", _agg_oracle(_NAME_EXPR, _FROM_JOIN,
                                           _NAME_EXPR + " IS NOT NULL"))
 def agg_sender_names(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return agg.aggregate(build_archive(spark, sf_dir), ViewType.SENDER_NAMES)
+    return agg.aggregate(get_archive(spark, sf_dir), ViewType.SENDER_NAMES)
 
 
 @register("agg_recipients", _agg_oracle("p.email_address", _RECIP_JOIN,
                                         "p.email_address IS NOT NULL"), headline=True)
 def agg_recipients(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return agg.aggregate(build_archive(spark, sf_dir), ViewType.RECIPIENTS)
+    return agg.aggregate(get_archive(spark, sf_dir), ViewType.RECIPIENTS)
 
 
 @register("agg_domains", _agg_oracle("p.domain", _FROM_JOIN,
                                      "p.domain IS NOT NULL AND p.domain != ''"),
-          headline=True)
+          )
 def agg_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return agg.aggregate(build_archive(spark, sf_dir), ViewType.DOMAINS)
+    return agg.aggregate(get_archive(spark, sf_dir), ViewType.DOMAINS)
 
 
 @register("agg_labels", _agg_oracle("lbl.name", _LABEL_JOIN,
                                     "lbl.name IS NOT NULL"))
 def agg_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return agg.aggregate(build_archive(spark, sf_dir), ViewType.LABELS)
+    return agg.aggregate(get_archive(spark, sf_dir), ViewType.LABELS)
 
 
 @register(
@@ -165,13 +166,12 @@ def agg_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
         order="key ASC",
         limit=1000,
     ),
-    headline=True,
 )
 def agg_time_month(spark: SparkSession, sf_dir: str) -> DataFrame:
     opts = AggregateOptions(
         sort_field=SortField.NAME, sort_direction=SortDirection.ASC, limit=1000
     )
-    return agg.aggregate(build_archive(spark, sf_dir), ViewType.TIME, opts)
+    return agg.aggregate(get_archive(spark, sf_dir), ViewType.TIME, opts)
 
 
 @register(
@@ -197,7 +197,7 @@ def agg_time_year_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
         before=datetime(1999, 1, 1),
         with_attachments_only=True,
     )
-    return agg.aggregate(build_archive(spark, sf_dir), ViewType.TIME, opts)
+    return agg.aggregate(get_archive(spark, sf_dir), ViewType.TIME, opts)
 
 
 @register(
@@ -234,11 +234,10 @@ SELECT key, count, total_size, attachment_size, attachment_count,
 FROM agg ORDER BY count DESC, key ASC LIMIT 100
 """
     ),
-    headline=True,
 )
 def sub_agg_domain_to_senders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.sub_aggregate(
-        build_archive(spark, sf_dir),
+        get_archive(spark, sf_dir),
         ViewType.SENDERS,
         MessageFilter(domain="nation_7.example.com"),
     )
@@ -282,7 +281,7 @@ def sub_agg_label_to_time(spark: SparkSession, sf_dir: str) -> DataFrame:
         time_granularity=TimeGranularity.YEAR,
     )
     return agg.sub_aggregate(
-        build_archive(spark, sf_dir),
+        get_archive(spark, sf_dir),
         ViewType.TIME,
         MessageFilter(label="1-URGENT"),
         opts,
@@ -313,7 +312,7 @@ FROM core
     headline=True,
 )
 def total_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return agg.total_stats(build_archive(spark, sf_dir))
+    return agg.total_stats(get_archive(spark, sf_dir))
 
 
 @register(
@@ -375,7 +374,6 @@ LEFT JOIN direct_sender ds ON ds.message_id = msg.id
 LEFT JOIN conversations c ON c.id = msg.conversation_id
 """
     ),
-    headline=True,
 )
 def list_messages_by_domain(spark: SparkSession, sf_dir: str) -> DataFrame:
     f = MessageFilter(
@@ -383,7 +381,7 @@ def list_messages_by_domain(spark: SparkSession, sf_dir: str) -> DataFrame:
         sorting=MessageSort(MessageSortField.DATE, SortDirection.DESC),
         pagination=Pagination(limit=50, offset=10),
     )
-    return list_messages(build_archive(spark, sf_dir), f)
+    return list_messages(get_archive(spark, sf_dir), f)
 
 
 # ---------------------------------------------------------------------------
@@ -395,8 +393,10 @@ def list_messages_by_domain(spark: SparkSession, sf_dir: str) -> DataFrame:
     "pricing_summary",
     """
 SELECT l_returnflag, l_linestatus,
-       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
-       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+       CAST(SUM(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) / 100.0
+           AS sum_qty,
+       CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) / 100.0
+           AS sum_base_price,
        COUNT(*) AS count_order
 FROM lineitem
 WHERE l_shipdate < TIMESTAMP '2000-09-01'
@@ -406,17 +406,18 @@ ORDER BY l_returnflag, l_linestatus
     headline=True,
 )
 def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q1 shape: scan + filter pushdown + hash aggregate (A1). Decimal
-    aggregation keeps Spark/DuckDB bit-identical; final cast to double."""
+    """TPC-H Q1 shape: scan + filter pushdown + hash aggregate (A1).
+    Money stays exact AND fast as scaled longs (cents): long sums run in
+    whole-stage codegen, unlike per-row BigDecimal, and /100.0 at the end is
+    bit-identical across engines for 2-decimal inputs."""
     li = load_table(spark, sf_dir, "lineitem")
+    cents = lambda c: F.round(F.col(c) * 100).cast("long")  # noqa: E731
     return (
         li.filter(F.col("l_shipdate") < F.lit("2000-09-01").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double").alias("sum_qty"),
-            F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
-            .cast("double")
-            .alias("sum_base_price"),
+            (F.sum(cents("l_quantity")) / 100.0).alias("sum_qty"),
+            (F.sum(cents("l_extendedprice")) / 100.0).alias("sum_base_price"),
             F.count(F.lit(1)).alias("count_order"),
         )
         .orderBy("l_returnflag", "l_linestatus")
@@ -643,3 +644,4 @@ def ilike_part_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 import msgvault_spark.catalog_search  # noqa: E402,F401
 import msgvault_spark.catalog_dedup  # noqa: E402,F401
 import msgvault_spark.catalog_multimodal  # noqa: E402,F401
+import msgvault_spark.catalog_wide  # noqa: E402,F401

@@ -16,8 +16,9 @@ from msgvault_spark.dedup.exact import (
 )
 from msgvault_spark.dedup.minhash import lsh_candidate_pairs, minhash_oracle_sql
 from msgvault_spark.dedup.simhash import simhash, simhash_oracle_sql
-from msgvault_spark.sources.adapter import build_archive, oracle
-from msgvault_spark.sources.loader import load_table
+from msgvault_spark.sources.adapter import oracle
+from msgvault_spark.sources.cache import get_archive
+from msgvault_spark.sources.cache import get_table as load_table
 from msgvault_spark.textstats.analysis import text_profile
 
 
@@ -72,7 +73,7 @@ def dedup_exact_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """D1 exact grouping (synthetic RFC822 id = id%4000) + D3 survivor
     selection: sent-copy candidates first, source preference, label count,
     earliest sent, lowest id (reference dedup.go:260-440,760-828)."""
-    arch = build_archive(spark, sf_dir)
+    arch = get_archive(spark, sf_dir)
     msg = arch["messages"].withColumn(
         "rfc_id", F.concat(F.lit("rfc-"), (F.col("id") % 4000).cast("string"))
     )
@@ -146,7 +147,7 @@ ORDER BY survivor_id, label_id
 def dedup_merge_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     """D4 merge: survivor inherits the deduplicated union of every group
     member's labels (reference dedup.go:834-916)."""
-    arch = build_archive(spark, sf_dir)
+    arch = get_archive(spark, sf_dir)
     msg = arch["messages"].withColumn(
         "rfc_id", F.concat(F.lit("rfc-"), (F.col("id") % 4000).cast("string"))
     )

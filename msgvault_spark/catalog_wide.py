@@ -1,0 +1,134 @@
+"""Wide-view (denormalized) fast-path catalog entries — same oracles as the
+join-path equivalents, proving the two paths agree. Registered on import."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from msgvault_spark.catalog import (
+    _FROM_JOIN,
+    _LABEL_JOIN,
+    _agg_oracle,
+    register,
+)
+from msgvault_spark.plans import aggregate as agg
+from msgvault_spark.plans.models import (
+    AggregateOptions,
+    SortDirection,
+    SortField,
+    ViewType,
+)
+from msgvault_spark.sources.cache import get_wide_messages
+
+
+@register(
+    "agg_senders_wide",
+    _agg_oracle("p.email_address", _FROM_JOIN, "p.email_address IS NOT NULL"),
+    headline=True,
+)
+def agg_senders_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Senders via the denormalized wide view: scan + hash-agg, zero joins."""
+    return agg.aggregate_wide(get_wide_messages(spark, sf_dir), ViewType.SENDERS)
+
+
+@register(
+    "agg_domains_wide",
+    _agg_oracle("p.domain", _FROM_JOIN, "p.domain IS NOT NULL AND p.domain != ''"),
+    headline=True,
+)
+def agg_domains_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return agg.aggregate_wide(get_wide_messages(spark, sf_dir), ViewType.DOMAINS)
+
+
+@register(
+    "agg_labels_wide",
+    _agg_oracle("lbl.name", _LABEL_JOIN, "lbl.name IS NOT NULL"),
+)
+def agg_labels_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Labels via explode over the wide view's sorted label array."""
+    return agg.aggregate_wide(get_wide_messages(spark, sf_dir), ViewType.LABELS)
+
+
+@register(
+    "agg_time_month_wide",
+    _agg_oracle(
+        "CAST(msg.year AS VARCHAR) || '-' || LPAD(CAST(msg.month AS VARCHAR), 2, '0')",
+        "",
+        "msg.sent_at IS NOT NULL",
+        order="key ASC",
+        limit=1000,
+    ),
+    headline=True,
+)
+def agg_time_month_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    opts = AggregateOptions(
+        sort_field=SortField.NAME, sort_direction=SortDirection.ASC, limit=1000
+    )
+    return agg.aggregate_wide(get_wide_messages(spark, sf_dir), ViewType.TIME, opts)
+
+
+# ---------------------------------------------------------------------------
+# wide-path search + listing (same oracles as the join-path entries)
+# ---------------------------------------------------------------------------
+
+from msgvault_spark.catalog import CATALOG  # noqa: E402
+from msgvault_spark.plans.models import (  # noqa: E402
+    MessageFilter,
+    MessageSort,
+    MessageSortField,
+    Pagination,
+)
+from msgvault_spark.search.fast_wide import (  # noqa: E402
+    list_messages_wide,
+    search_fast_wide,
+)
+from msgvault_spark.sources.cache import get_archive  # noqa: E402
+
+
+@register(
+    "search_fast_operators_wide",
+    CATALOG["search_fast_operators"].oracle_sql,
+    headline=True,
+)
+def search_fast_operators_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Operator search compiled against the wide view: one scan, zero joins."""
+    return search_fast_wide(
+        get_wide_messages(spark, sf_dir),
+        "from:@nation_5.example.com subject:URGENT larger:100K has:attachment",
+    )
+
+
+@register(
+    "list_messages_by_domain_wide",
+    CATALOG["list_messages_by_domain"].oracle_sql,
+    headline=True,
+)
+def list_messages_by_domain_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    f = MessageFilter(
+        domain="nation_3.example.com",
+        sorting=MessageSort(MessageSortField.DATE, SortDirection.DESC),
+        pagination=Pagination(limit=50, offset=10),
+    )
+    arch = get_archive(spark, sf_dir)
+    return list_messages_wide(
+        get_wide_messages(spark, sf_dir), arch["conversations"], f
+    )
+
+
+@register(
+    "sub_agg_domain_to_senders_wide",
+    CATALOG["sub_agg_domain_to_senders"].oracle_sql,
+    headline=True,
+)
+def sub_agg_domain_to_senders_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drill-down on the wide view: domain filter + senders group-by in one
+    scan (sub-aggregate = filter ∘ aggregate, zero joins)."""
+    wide = get_wide_messages(spark, sf_dir)
+    from pyspark.sql import functions as F
+
+    return agg.aggregate_wide(
+        wide.filter(
+            F.col("has_from_row") & (F.col("from_domain") == "nation_7.example.com")
+        ),
+        ViewType.SENDERS,
+    )

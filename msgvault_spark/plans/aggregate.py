@@ -198,6 +198,66 @@ def aggregate(
     return sort_and_limit(grouped, opts)
 
 
+def aggregate_wide(
+    wide: DataFrame,
+    view: ViewType,
+    opts: AggregateOptions | None = None,
+) -> DataFrame:
+    """Join-free aggregate over the denormalized wide view
+    (sources/cache.py): scan + hash-agg only — the 100 TB fast path. Sender
+    semantics = first-'from' per message (see cache.py note); identical to
+    the join path whenever messages carry a single sender row."""
+    opts = opts or AggregateOptions()
+    df = wide
+    for cond in _base_message_predicates(opts):
+        df = df.filter(cond)
+
+    # sender views gate on has_from_row so the wide path matches the join
+    # path's "must have a 'from' recipient row" semantics (the ds_* fallback
+    # columns serve search/listing, not these aggregates)
+    if view == ViewType.SENDERS:
+        key = F.col("from_email")
+        guard = F.col("has_from_row") & key.isNotNull()
+    elif view == ViewType.SENDER_NAMES:
+        key = F.col("from_name")
+        guard = F.col("has_from_row") & key.isNotNull()
+    elif view == ViewType.DOMAINS:
+        key = F.col("from_domain")
+        guard = F.col("has_from_row") & key.isNotNull() & (key != "")
+    elif view == ViewType.TIME:
+        key, guard = time_key(opts.time_granularity), F.col("sent_at").isNotNull()
+    elif view == ViewType.LABELS:
+        df = df.select(
+            F.explode("labels").alias("_lbl"),
+            F.col("size_estimate"),
+            F.col("att_size_sum"),
+            F.col("att_count_sum"),
+        )
+        key, guard = F.col("_lbl"), F.col("_lbl").isNotNull()
+    else:
+        raise ValueError(f"wide path does not support view {view}")
+
+    grouped = (
+        df.filter(guard)
+        .groupBy(key.alias("key"))
+        .agg(
+            F.count(F.lit(1)).alias("count"),
+            F.coalesce(F.sum(F.col("size_estimate").cast("long")), F.lit(0)).alias(
+                "total_size"
+            ),
+            F.coalesce(F.sum("att_size_sum"), F.lit(0)).cast("long").alias(
+                "attachment_size"
+            ),
+            F.coalesce(F.sum("att_count_sum"), F.lit(0)).cast("long").alias(
+                "attachment_count"
+            ),
+        )
+    )
+    total = grouped.agg(F.count(F.lit(1)).alias("total_unique"))
+    grouped = grouped.crossJoin(F.broadcast(total))
+    return sort_and_limit(grouped, opts)
+
+
 def sort_and_limit(grouped: DataFrame, opts: AggregateOptions) -> DataFrame:
     """Dynamic sort + top-k (O1/O2, reference sortClause duckdb.go:810-827)
     with a deterministic key tie-break (O6) so paging is reproducible."""

@@ -1,0 +1,201 @@
+"""Fast search + listing over the denormalized wide view.
+
+Same user-visible semantics as search/fast.py and plans/listing.py for the
+single-'from'-row case, but compiled against the wide view: every predicate
+— including from:/text-term/sender-field matches — is a column filter on ONE
+scan, no joins until the (tiny) page decoration. This is the 100 TB shape:
+the wide view is the columnar search index, filters push into parquet, and
+a query is scan → filter → top-k.
+
+Not expressible on the wide view (falls back to the join path): recipient
+(to/cc/bcc) filters — the wide view doesn't carry recipient arrays (yet).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from msgvault_spark.functions.text import email_only_predicate, escape_like, time_key
+from msgvault_spark.plans.models import (
+    MessageFilter,
+    MessageSortField,
+    SortDirection,
+    infer_time_granularity,
+)
+from msgvault_spark.search.parser import ParsedQuery, parse_query
+
+
+def _ilike(col: Column, term: str) -> Column:
+    return col.ilike("%" + escape_like(term) + "%")
+
+
+def compile_search_wide(
+    wide: DataFrame,
+    q: ParsedQuery,
+    filter_: MessageFilter | None = None,
+    email_only: bool = True,
+) -> DataFrame:
+    filter_ = filter_ or MessageFilter()
+    df = wide
+    if "deleted_at" in df.columns:
+        df = df.filter(F.col("deleted_at").isNull())
+    if filter_.hide_deleted_from_source:
+        df = df.filter(F.col("deleted_from_source_at").isNull())
+    if email_only:
+        df = df.filter(email_only_predicate())
+
+    source_ids = filter_.source_ids if filter_.source_ids is not None else (
+        q.account_ids or None
+    )
+    if source_ids is not None:
+        df = df.filter(
+            F.col("source_id").isin(*source_ids) if source_ids else F.lit(False)
+        )
+    for after in (filter_.after, q.after_date):
+        if after is not None:
+            df = df.filter(F.col("sent_at") >= F.lit(after))
+    for before in (filter_.before, q.before_date):
+        if before is not None:
+            df = df.filter(F.col("sent_at") < F.lit(before))
+    if filter_.with_attachments_only or q.has_attachment:
+        df = df.filter(F.col("has_attachments") == F.lit(True))
+    if q.larger_than is not None:
+        df = df.filter(F.col("size_estimate") > q.larger_than)
+    if q.smaller_than is not None:
+        df = df.filter(F.col("size_estimate") < q.smaller_than)
+    if filter_.time_period:
+        g = infer_time_granularity(filter_.time_granularity, filter_.time_period)
+        df = df.filter(time_key(g) == filter_.time_period)
+    for term in q.subject_terms:
+        df = df.filter(_ilike(F.col("subject"), term))
+    if filter_.sender:
+        df = df.filter(
+            (F.col("from_email") == filter_.sender)
+            | (F.col("from_phone") == filter_.sender)
+        )
+    if filter_.domain:
+        df = df.filter(
+            F.col("from_email").ilike("%@" + escape_like(filter_.domain))
+        )
+    for addr in q.from_addrs:
+        df = df.filter(
+            _ilike(F.col("from_email"), addr)
+            | _ilike(F.col("from_phone"), addr)
+            | _ilike(F.col("from_name"), addr)
+        )
+    if filter_.label:
+        pat = escape_like(filter_.label)
+        df = df.filter(F.exists("labels", lambda x: x.ilike(pat)))
+    for label in q.labels:
+        pat = "%" + escape_like(label) + "%"
+        df = df.filter(F.exists("labels", lambda x: x.ilike(pat)))
+    for term in q.text_terms:
+        df = df.filter(
+            _ilike(F.col("subject"), term)
+            | _ilike(F.coalesce(F.col("snippet"), F.lit("")), term)
+            | _ilike(F.col("from_email"), term)
+            | _ilike(F.col("from_name"), term)
+            | _ilike(F.col("from_phone"), term)
+        )
+    if q.to_addrs or q.cc_addrs or q.bcc_addrs or filter_.recipient:
+        raise ValueError(
+            "recipient filters need the join path (search/fast.py) — the "
+            "wide view carries no recipient arrays"
+        )
+    return df
+
+
+def search_fast_wide(
+    wide: DataFrame,
+    query: str | ParsedQuery,
+    filter_: MessageFilter | None = None,
+    limit: int = 100,
+) -> DataFrame:
+    q = parse_query(query) if isinstance(query, str) else query
+    df = compile_search_wide(wide, q, filter_)
+    return (
+        df.select(
+            "id",
+            F.coalesce(F.col("subject"), F.lit("")).alias("subject"),
+            F.coalesce(F.col("snippet"), F.lit("")).alias("snippet"),
+            F.coalesce(F.col("from_email"), F.lit("")).alias("from_email"),
+            F.coalesce(F.col("from_name"), F.lit("")).alias("from_name"),
+            "sent_at",
+            F.coalesce(F.col("size_estimate"), F.lit(0)).alias("size_estimate"),
+            F.coalesce(F.col("has_attachments"), F.lit(False)).alias(
+                "has_attachments"
+            ),
+        )
+        .orderBy(F.col("sent_at").desc(), F.col("id").desc())
+        .limit(limit)
+    )
+
+
+def list_messages_wide(
+    wide: DataFrame,
+    conversations: DataFrame,
+    filter_: MessageFilter,
+) -> DataFrame:
+    """Two-phase listing where phase 2 is a single broadcast join against
+    conversations — sender fields and labels already ride on the wide row."""
+    df = compile_search_wide(wide, ParsedQuery(), filter_, email_only=False)
+    field = {
+        MessageSortField.DATE: "sent_at",
+        MessageSortField.SIZE: "size_estimate",
+        MessageSortField.SUBJECT: "subject",
+    }[filter_.sorting.field]
+    primary = F.col(field)
+    order = (
+        [primary.desc(), F.col("id").desc()]
+        if filter_.sorting.direction == SortDirection.DESC
+        else [primary.asc(), F.col("id").asc()]
+    )
+    limit = filter_.pagination.limit or 500
+    offset = filter_.pagination.offset
+    if offset:
+        from pyspark.sql import Window
+
+        w = Window.orderBy(*order)
+        page = (
+            df.withColumn("_rn", F.row_number().over(w))
+            .filter((F.col("_rn") > offset) & (F.col("_rn") <= offset + limit))
+            .drop("_rn")
+        )
+    else:
+        page = df.orderBy(*order).limit(limit)
+
+    conv = conversations.select(
+        F.col("id").alias("conv_id"),
+        F.col("source_conversation_id").alias("c_source_conversation_id"),
+        F.col("title").alias("c_title"),
+    )
+    return (
+        page.join(F.broadcast(conv), F.col("conversation_id") == F.col("conv_id"), "left")
+        .select(
+            F.col("id"),
+            F.coalesce(F.col("source_message_id"), F.lit("")).alias(
+                "source_message_id"
+            ),
+            F.coalesce(F.col("conversation_id"), F.lit(0)).alias("conversation_id"),
+            F.coalesce(F.col("c_source_conversation_id"), F.lit("")).alias(
+                "source_conversation_id"
+            ),
+            F.coalesce(F.col("subject"), F.lit("")).alias("subject"),
+            F.coalesce(F.col("snippet"), F.lit("")).alias("snippet"),
+            F.coalesce(F.col("from_email"), F.lit("")).alias("from_email"),
+            F.coalesce(F.col("from_name"), F.lit("")).alias("from_name"),
+            F.coalesce(F.col("from_phone"), F.lit("")).alias("from_phone"),
+            F.col("sent_at"),
+            F.coalesce(F.col("size_estimate"), F.lit(0)).alias("size_estimate"),
+            F.coalesce(F.col("has_attachments"), F.lit(False)).alias(
+                "has_attachments"
+            ),
+            F.coalesce(F.col("attachment_count"), F.lit(0)).alias(
+                "attachment_count"
+            ),
+            F.coalesce(F.col("message_type"), F.lit("")).alias("message_type"),
+            F.coalesce(F.col("c_title"), F.lit("")).alias("conv_title"),
+        )
+        .orderBy(*order)
+    )

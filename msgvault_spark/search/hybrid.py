@@ -122,15 +122,27 @@ def hybrid_search(
     limit: int = 20,
     boost: float = 1.0,
     round_scores: int | None = None,
+    text_index: tuple[DataFrame, DataFrame] | None = None,
 ) -> DataFrame:
-    """End-to-end hybrid search over a document corpus + embedding table."""
-    from msgvault_spark.search.fts import bm25_search
+    """End-to-end hybrid search over a document corpus + embedding table.
+    Pass ``text_index`` (postings, doc_stats from build_inverted_index) to
+    reuse an ETL-time index instead of rebuilding per query."""
+    from msgvault_spark.search.fts import bm25_scores, bm25_search
     from msgvault_spark.similarity.knn import knn_bruteforce
 
-    bm25_top = bm25_search(
-        docs, id_col, text_col, query_text, k_per_signal + 1,
-        round_to=round_scores,
-    ).withColumnRenamed("doc_id", "id")
+    if text_index is not None:
+        postings, doc_stats = text_index
+        terms = [t for t in query_text.lower().split() if t]
+        bm25_top = (
+            bm25_scores(postings, doc_stats, terms, round_to=round_scores)
+            .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+            .limit(k_per_signal + 1)
+        ).withColumnRenamed("doc_id", "id")
+    else:
+        bm25_top = bm25_search(
+            docs, id_col, text_col, query_text, k_per_signal + 1,
+            round_to=round_scores,
+        ).withColumnRenamed("doc_id", "id")
     bm25_ranked = rank_signal(bm25_top, "score", k_per_signal)
 
     vec_top = knn_bruteforce(

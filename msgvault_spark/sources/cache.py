@@ -1,0 +1,221 @@
+"""Materialize-once archive cache + denormalized wide view.
+
+The reference's analytics speed comes from an ETL step (`build-cache`) that
+materializes query-shaped tables once and serves every query from them
+(cmd/msgvault/cmd/build_cache.go). Spark-first equivalents here:
+
+  - get_archive(): per-(session, sf_dir) memo of the adapter archive with
+    the two fact tables REPARTITIONED BY THEIR JOIN KEYS (messages by id,
+    message_recipients by message_id, same partition count) and persisted —
+    fact⋈fact joins then need no exchange (the in-memory relation's
+    outputPartitioning satisfies the join requirement). On a cluster this is
+    bucketed-table layout; in local mode it's MEMORY_AND_DISK persist.
+
+  - wide_messages(): the v_messages-style denormalized view
+    (reference internal/query/views.go:346-489): messages + resolved sender
+    (first-'from' per message, min_by-deterministic) + sorted label array +
+    attachment pre-agg. Sender/domain/time aggregates become scan+agg with
+    ZERO joins — the shape that wins at 100 TB, built once per ETL.
+
+NOTE wide-view semantics: sender columns hold the FIRST 'from' participant.
+For archives where a message can carry several 'from' rows the canonical
+join path (plans/aggregate.py) keeps per-row multiplicity; the wide path is
+the fast path for the (overwhelmingly common) single-sender case.
+"""
+
+from __future__ import annotations
+
+from pyspark import StorageLevel
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from msgvault_spark.sources.adapter import build_archive
+
+_ARCHIVE_MEMO: dict[tuple[str, str], dict[str, DataFrame]] = {}
+_WIDE_MEMO: dict[tuple[str, str], DataFrame] = {}
+
+FACT_PARTITIONS = 16
+
+
+def _key(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+    return (spark.sparkContext.applicationId, sf_dir)
+
+
+def get_archive(
+    spark: SparkSession, sf_dir: str, *, materialize: bool = True
+) -> dict[str, DataFrame]:
+    """Adapter archive, persisted + co-partitioned on first use."""
+    key = _key(spark, sf_dir)
+    if key in _ARCHIVE_MEMO:
+        return _ARCHIVE_MEMO[key]
+    arch = build_archive(spark, sf_dir)
+    if materialize:
+        arch = dict(arch)
+        arch["messages"] = arch["messages"].repartition(
+            FACT_PARTITIONS, "id"
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+        arch["message_recipients"] = arch["message_recipients"].repartition(
+            FACT_PARTITIONS, "message_id"
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+        arch["message_labels"] = arch["message_labels"].repartition(
+            FACT_PARTITIONS, "message_id"
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+        arch["attachments"] = arch["attachments"].repartition(
+            FACT_PARTITIONS, "message_id"
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+        for name in ("participants", "labels", "conversations"):
+            arch[name] = arch[name].persist(StorageLevel.MEMORY_AND_DISK)
+        # force materialization now so first query isn't charged for it
+        for df in arch.values():
+            df.count()
+    _ARCHIVE_MEMO[key] = arch
+    return arch
+
+
+def build_wide_messages(archive: dict[str, DataFrame]) -> DataFrame:
+    """Denormalized wide view: one row per live message with resolved
+    sender, sorted label-name array, and attachment sums."""
+    from msgvault_spark.plans.aggregate import _attachment_preagg, live_messages
+
+    msg = live_messages(archive["messages"])
+    mr = archive["message_recipients"]
+    p_ren = archive["participants"].select(
+        F.col("id").alias("p_id"),
+        F.col("email_address").alias("p_email"),
+        F.col("domain").alias("p_domain"),
+        F.col("display_name").alias("p_display"),
+        F.col("phone_number").alias("p_phone"),
+    )
+    name_expr = F.coalesce(
+        F.when(F.trim(F.col("p_display")) != "", F.trim(F.col("p_display"))),
+        F.when(F.col("p_phone") != "", F.col("p_phone")),
+        F.col("p_email"),
+    )
+    first_from = (
+        mr.filter(F.col("recipient_type") == "from")
+        .join(F.broadcast(p_ren), F.col("participant_id") == F.col("p_id"))
+        .select(
+            "message_id",
+            F.col("p_email").alias("_email"),
+            F.col("p_domain").alias("_domain"),
+            name_expr.alias("_name"),
+            F.coalesce(F.col("p_phone"), F.lit("")).alias("_phone"),
+            F.col("participant_id").alias("_pid"),
+        )
+        .groupBy("message_id")
+        .agg(
+            F.min_by("_email", "_pid").alias("ff_email"),
+            F.min_by("_domain", "_pid").alias("ff_domain"),
+            F.min_by("_name", "_pid").alias("ff_name"),
+            F.min_by("_phone", "_pid").alias("ff_phone"),
+        )
+    )
+    # direct-sender fallback (chat messages without a 'from' row — J6)
+    direct = (
+        msg.filter(F.col("sender_id").isNotNull())
+        .join(F.broadcast(p_ren), F.col("sender_id") == F.col("p_id"))
+        .select(
+            F.col("id").alias("d_message_id"),
+            F.coalesce(F.col("p_email"), F.lit("")).alias("ds_email"),
+            F.coalesce(F.col("p_domain"), F.lit("")).alias("ds_domain"),
+            F.coalesce(F.col("p_display"), F.lit("")).alias("ds_name"),
+            F.coalesce(F.col("p_phone"), F.lit("")).alias("ds_phone"),
+        )
+    )
+    labels_arr = (
+        archive["message_labels"]
+        .join(
+            F.broadcast(
+                archive["labels"].select(
+                    F.col("id").alias("lbl_id"), F.col("name").alias("lbl_name")
+                )
+            ),
+            F.col("label_id") == F.col("lbl_id"),
+        )
+        .groupBy("message_id")
+        .agg(F.array_sort(F.collect_list("lbl_name")).alias("labels"))
+    )
+    # rename pre-agg columns: messages itself has an attachment_count column
+    att = _attachment_preagg(archive["attachments"]).select(
+        "message_id",
+        F.col("attachment_size").alias("att_size_sum"),
+        F.col("attachment_count").alias("att_count_sum"),
+    )
+
+    wide = (
+        msg.join(first_from, F.col("id") == first_from["message_id"], "left")
+        .drop(first_from["message_id"])
+        .join(direct, F.col("id") == F.col("d_message_id"), "left")
+        .drop("d_message_id")
+        .join(labels_arr, F.col("id") == labels_arr["message_id"], "left")
+        .drop(labels_arr["message_id"])
+        .join(att, F.col("id") == att["message_id"], "left")
+        .drop(att["message_id"])
+        .withColumn("has_from_row", F.col("ff_email").isNotNull())
+        .withColumn("from_email", F.coalesce(F.col("ff_email"), F.col("ds_email")))
+        .withColumn("from_domain", F.coalesce(F.col("ff_domain"), F.col("ds_domain")))
+        .withColumn("from_name", F.coalesce(F.col("ff_name"), F.col("ds_name")))
+        .withColumn("from_phone", F.coalesce(F.col("ff_phone"), F.col("ds_phone")))
+        .drop("ff_email", "ff_domain", "ff_name", "ff_phone",
+              "ds_email", "ds_domain", "ds_name", "ds_phone")
+        .withColumn(
+            "labels", F.coalesce(F.col("labels"), F.array().cast("array<string>"))
+        )
+        .withColumn(
+            "att_size_sum", F.coalesce(F.col("att_size_sum"), F.lit(0)).cast("long")
+        )
+        .withColumn(
+            "att_count_sum", F.coalesce(F.col("att_count_sum"), F.lit(0)).cast("long")
+        )
+    )
+    return wide
+
+
+def get_wide_messages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Memoized, persisted wide view (partitioned by year at write time in a
+    real lake; persisted in-memory here)."""
+    key = _key(spark, sf_dir)
+    if key in _WIDE_MEMO:
+        return _WIDE_MEMO[key]
+    wide = build_wide_messages(get_archive(spark, sf_dir)).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    wide.count()
+    _WIDE_MEMO[key] = wide
+    return wide
+
+
+_TABLE_MEMO: dict[tuple[str, str, str], DataFrame] = {}
+_TEXT_INDEX_MEMO: dict[tuple[str, str, str, str, str], tuple[DataFrame, DataFrame]] = {}
+
+
+def get_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Memoized persisted testdata table (the raw-parquet analog of the
+    reference keeping its DuckDB connection's buffer pool warm)."""
+    from msgvault_spark.sources.loader import load_table
+
+    key = (spark.sparkContext.applicationId, sf_dir, name)
+    if key not in _TABLE_MEMO:
+        df = load_table(spark, sf_dir, name).persist(StorageLevel.MEMORY_AND_DISK)
+        df.count()
+        _TABLE_MEMO[key] = df
+    return _TABLE_MEMO[key]
+
+
+def get_text_index(
+    spark: SparkSession, sf_dir: str, table: str, id_col: str, text_col: str
+) -> tuple[DataFrame, DataFrame]:
+    """Memoized persisted inverted index (postings, doc_stats) — the ETL-time
+    FTS index the reference maintains as SQLite FTS5 tables."""
+    from msgvault_spark.search.fts import build_inverted_index
+
+    key = (spark.sparkContext.applicationId, sf_dir, table, id_col, text_col)
+    if key not in _TEXT_INDEX_MEMO:
+        postings, stats = build_inverted_index(
+            get_table(spark, sf_dir, table), id_col, text_col
+        )
+        postings = postings.persist(StorageLevel.MEMORY_AND_DISK)
+        stats = stats.persist(StorageLevel.MEMORY_AND_DISK)
+        postings.count(), stats.count()
+        _TEXT_INDEX_MEMO[key] = (postings, stats)
+    return _TEXT_INDEX_MEMO[key]
