@@ -1,0 +1,66 @@
+"""Raw-SQL API surface (reference: `msgvault query`, HTTP POST /api/v1/query,
+cmd/msgvault/cmd/query.go:20-45 + internal/query/views.go:11-16).
+
+The reference hands user SQL to in-memory DuckDB over registered views and
+returns a columnar ``QueryResult{columns, rows, row_count}``; serialization
+to JSON / CSV / aligned table lives in cmd/msgvault/cmd/query.go:128-263.
+Spark-first: ``spark.sql`` over the registered temp views is a strict
+superset of that surface.
+"""
+
+from __future__ import annotations
+
+import csv
+import io
+import json
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+@dataclass
+class QueryResult:
+    columns: list
+    rows: list
+    row_count: int
+
+    def to_json(self) -> str:
+        """Columnar JSON, the reference's wire shape (views.go:11-16)."""
+        return json.dumps(
+            {"columns": self.columns, "rows": self.rows, "row_count": self.row_count},
+            default=str,
+        )
+
+    def to_csv(self) -> str:
+        buf = io.StringIO()
+        w = csv.writer(buf)
+        w.writerow(self.columns)
+        w.writerows(self.rows)
+        return buf.getvalue()
+
+    def to_table(self) -> str:
+        """Aligned text table (query.go:212-263)."""
+        widths = [len(str(c)) for c in self.columns]
+        srows = [[("" if v is None else str(v)) for v in r] for r in self.rows]
+        for r in srows:
+            for i, v in enumerate(r):
+                widths[i] = max(widths[i], len(v))
+        fmt = "  ".join(f"{{:<{w}}}" for w in widths)
+        lines = [fmt.format(*[str(c) for c in self.columns])]
+        lines.append("  ".join("-" * w for w in widths))
+        lines.extend(fmt.format(*r) for r in srows)
+        return "\n".join(lines)
+
+
+def collect_result(df: DataFrame, limit: int | None = None) -> QueryResult:
+    if limit is not None:
+        df = df.limit(limit)
+    rows = [list(r) for r in df.collect()]
+    return QueryResult(columns=list(df.columns), rows=rows, row_count=len(rows))
+
+
+def query_sql(spark: SparkSession, sql: str, limit: int | None = None) -> QueryResult:
+    """Execute raw SQL over the registered views (QuerySQL parity,
+    internal/query/duckdb.go:188-224). The caller is responsible for having
+    registered views (sources.loader.register_views / engine setup)."""
+    return collect_result(spark.sql(sql), limit=limit)
