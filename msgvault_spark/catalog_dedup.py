@@ -390,3 +390,33 @@ def text_profile_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document quality/token/language/fingerprint profile."""
     docs = load_table(spark, sf_dir, "documents")
     return text_profile(docs, "doc_id", "text").orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard exact near-dup (prefix-filtered)
+# ---------------------------------------------------------------------------
+
+from msgvault_spark.dedup.ngram import (  # noqa: E402
+    ngram_jaccard_oracle_sql,
+    ngram_jaccard_pairs,
+)
+
+
+@register(
+    "ngram_jaccard_pairs",
+    ngram_jaccard_oracle_sql(_NEARDUP_SOURCE_SQL, n=2, threshold=0.35),
+)
+def ngram_jaccard_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact word-bigram Jaccard pairs with PPJoin prefix filtering; the
+    oracle runs the naive all-pairs postings join, so hash-equality verifies
+    the prefix filter is exactness-preserving (dedup/ngram.py)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    base = docs.filter(F.col("doc_id") < 200)
+    copies = base.filter(F.col("doc_id") % 2 == 0).select(
+        (F.col("doc_id") + 10000).alias("doc_id"),
+        F.substring(
+            F.col("text"), 1, F.floor(F.length("text") * 0.8).cast("int")
+        ).alias("text"),
+    )
+    both = base.unionByName(copies)
+    return ngram_jaccard_pairs(both, "doc_id", "text", n=2, threshold=0.35)

@@ -220,3 +220,28 @@ def hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         round_scores=6,
         text_index=get_text_index(spark, sf_dir, "documents", "doc_id", "text"),
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF ANN (second scale path next to LSH)
+# ---------------------------------------------------------------------------
+
+from msgvault_spark.similarity.ivf import (  # noqa: E402
+    build_ivf_index,
+    ivf_oracle_sql,
+    ivf_search,
+)
+
+
+@register("ann_ivf_seed0", ivf_oracle_sql(0, k=10, n_cells=8, nprobe=2))
+def ann_ivf_seed0(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF find-similar: assign corpus to 8 deterministic cells, probe the
+    2 cells nearest the seed's vector, exact-rerank members (similarity/
+    ivf.py). Approximate by construction; the oracle replays the same index,
+    so results are still hash-exact."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    index = build_ivf_index(emb, n_cells=8)
+    seed = emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
+    return ivf_search(
+        index, emb, list(seed), k=10, n_cells=8, nprobe=2, exclude_id=0
+    )

@@ -1,0 +1,149 @@
+"""IVF (inverted-file) approximate nearest-neighbor search.
+
+The second scale path for Q7 next to random-hyperplane LSH (lsh.py):
+
+  - coarse quantizer: K centroid vectors. Production would k-means them; here
+    they are K deterministic data points (the lowest ids) — a valid IVF-flat
+    initialization that keeps the whole index reproducible in any engine,
+    which is what lets the DuckDB oracle replay it exactly.
+  - build: every vector is assigned to its nearest centroid (argmax cosine,
+    ties → lowest centroid id). With K centroids broadcast, assignment is one
+    map stage over the corpus — no shuffle; the index is the corpus
+    repartitioned/bucketed by cell id.
+  - search: score query ↔ centroids, probe the top ``nprobe`` cells, exact
+    cosine rerank only those cells' members. Scan cost drops from O(N·d) to
+    O(N·nprobe/K·d) at the recall cost standard for IVF.
+
+Scores are rounded BEFORE every argmax/top-k comparison so Spark's
+sequential JVM fold and DuckDB's list_sum agree on orderings bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from msgvault_spark.similarity.knn import _as_double, cosine
+
+
+def build_ivf_index(
+    embeddings: DataFrame,
+    *,
+    n_cells: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int = 6,
+) -> DataFrame:
+    """(id, vec, cell) — the corpus with cell assignments. Persist/bucket by
+    ``cell`` at ETL time; centroids are rows with id < n_cells."""
+    cents = embeddings.filter(F.col(id_col) < n_cells).select(
+        F.col(id_col).alias("cid"), _as_double(F.col(vec_col)).alias("cvec")
+    )
+    scored = (
+        embeddings.select(
+            F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("vec")
+        )
+        .join(F.broadcast(cents))
+        .withColumn(
+            "cscore", F.round(cosine(F.col("vec"), F.col("cvec")), round_to)
+        )
+    )
+    w = Window.partitionBy("id").orderBy(F.col("cscore").desc(), F.col("cid").asc())
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("id", "vec", F.col("cid").alias("cell"))
+    )
+
+
+def ivf_search(
+    index: DataFrame,
+    embeddings: DataFrame,
+    query_vector: list[float],
+    k: int = 10,
+    *,
+    n_cells: int = 8,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int = 6,
+    exclude_id: int | None = None,
+) -> DataFrame:
+    """Top-k (id, score) probing the query's ``nprobe`` nearest cells."""
+    qcol = F.array(*[F.lit(float(x)) for x in query_vector])
+    probe = (
+        embeddings.filter(F.col(id_col) < n_cells)
+        .select(
+            F.col(id_col).alias("cell"),
+            F.round(
+                cosine(_as_double(F.col(vec_col)), qcol), round_to
+            ).alias("qscore"),
+        )
+        .orderBy(F.col("qscore").desc(), F.col("cell").asc())
+        .limit(nprobe)
+        .select("cell")
+    )
+    out = (
+        index.join(F.broadcast(probe), "cell")
+        .select(
+            "id", F.round(cosine(F.col("vec"), qcol), round_to).alias("score")
+        )
+    )
+    if exclude_id is not None:
+        out = out.filter(F.col("id") != exclude_id)
+    return out.orderBy(F.col("score").desc(), F.col("id").asc()).limit(k)
+
+
+def _cos_sql(a: str, b: str) -> str:
+    return (
+        f"round(list_sum(list_transform(list_zip({a}, {b}), "
+        "x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) / "
+        f"(sqrt(list_sum(list_transform({a}, v -> CAST(v AS DOUBLE) * "
+        "CAST(v AS DOUBLE)))) * "
+        f"sqrt(list_sum(list_transform({b}, v -> CAST(v AS DOUBLE) * "
+        "CAST(v AS DOUBLE))))), 6)"
+    )
+
+
+def ivf_oracle_sql(
+    seed_id: int,
+    k: int = 10,
+    *,
+    n_cells: int = 8,
+    nprobe: int = 2,
+) -> str:
+    """DuckDB replica of build_ivf_index + ivf_search with a stored row's
+    embedding as the query (find-similar shape, Q9)."""
+    return f"""
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = {seed_id}),
+cents AS (
+    SELECT vec_id AS cid, embedding AS cvec FROM embeddings
+    WHERE vec_id < {n_cells}
+),
+assigned AS (
+    SELECT vec_id, embedding, cid FROM (
+        SELECT e.vec_id, e.embedding, c.cid,
+               ROW_NUMBER() OVER (
+                   PARTITION BY e.vec_id
+                   ORDER BY {_cos_sql('e.embedding', 'c.cvec')} DESC, c.cid ASC
+               ) AS rn
+        FROM embeddings e CROSS JOIN cents c
+    ) WHERE rn = 1
+),
+probes AS (
+    SELECT cid AS cell FROM (
+        SELECT c.cid,
+               ROW_NUMBER() OVER (
+                   ORDER BY {_cos_sql('c.cvec', 'q.qv')} DESC, c.cid ASC
+               ) AS rn
+        FROM cents c CROSS JOIN q
+    ) WHERE rn <= {nprobe}
+)
+SELECT a.vec_id AS id, {_cos_sql('a.embedding', 'q.qv')} AS score
+FROM assigned a
+JOIN probes p ON p.cell = a.cid
+CROSS JOIN q
+WHERE a.vec_id != {seed_id}
+ORDER BY score DESC, id ASC
+LIMIT {k}
+"""

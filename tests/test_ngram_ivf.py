@@ -1,0 +1,72 @@
+"""n-gram Jaccard dedup (prefix filtering) + IVF ANN."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from msgvault_spark.dedup.ngram import ngram_jaccard_pairs
+from msgvault_spark.similarity.ivf import build_ivf_index, ivf_search
+from msgvault_spark.similarity.knn import knn_bruteforce
+
+
+def _docs(spark):
+    return spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "the quick brown fox jumps over the lazy cat"),
+            (3, "completely different text about spark engines"),
+            (4, "the quick brown fox jumps over the lazy dog"),
+        ],
+        ["doc_id", "text"],
+    )
+
+
+def test_ngram_exact_dup_and_near_dup(spark):
+    pairs = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(
+            _docs(spark), "doc_id", "text", n=2, threshold=0.5
+        ).collect()
+    }
+    assert pairs[(1, 4)] == 1.0  # exact duplicate
+    assert 0.5 <= pairs[(1, 2)] < 1.0  # one word differs
+    assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+def test_ngram_prefix_filter_matches_naive(spark):
+    docs = _docs(spark)
+    with_f = ngram_jaccard_pairs(docs, "doc_id", "text", threshold=0.3).collect()
+    without = ngram_jaccard_pairs(
+        docs, "doc_id", "text", threshold=0.3, prefix_filter=False
+    ).collect()
+    assert [tuple(r) for r in with_f] == [tuple(r) for r in without]
+
+
+def _vectors(spark):
+    # two well-separated clusters around (1,0) and (0,1)
+    rows = [
+        (0, [1.0, 0.05]), (1, [0.05, 1.0]),  # the 2 cells' centroids
+        (2, [0.9, 0.1]), (3, [0.95, 0.0]), (4, [0.1, 0.9]), (5, [0.0, 0.95]),
+    ]
+    return spark.createDataFrame(rows, ["vec_id", "embedding"]).withColumn(
+        "embedding", F.col("embedding").cast("array<float>")
+    )
+
+
+def test_ivf_assignment_and_search(spark):
+    emb = _vectors(spark)
+    index = build_ivf_index(emb, n_cells=2)
+    cells = {r["id"]: r["cell"] for r in index.collect()}
+    assert cells[2] == 0 and cells[3] == 0 and cells[4] == 1 and cells[5] == 1
+
+    # nprobe=1 restricts the scan to the seed's own cluster
+    seed = [1.0, 0.05]
+    got = ivf_search(
+        index, emb, seed, k=3, n_cells=2, nprobe=1, exclude_id=0
+    ).collect()
+    assert [r["id"] for r in got] == [3, 2]
+
+    # nprobe = n_cells degenerates to exact brute-force
+    full = ivf_search(index, emb, seed, k=5, n_cells=2, nprobe=2, exclude_id=0)
+    brute = knn_bruteforce(emb, seed, k=5, round_to=6, exclude_id=0)
+    assert [r["id"] for r in full.collect()] == [r["id"] for r in brute.collect()]
