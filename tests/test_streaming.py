@@ -1,0 +1,105 @@
+"""Structured Streaming: AvailableNow incremental contract, windowed
+rollup, streaming dedup, custom stateful operator."""
+
+from __future__ import annotations
+
+import datetime as dt
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from msgvault_spark.streaming.incremental import (
+    EVENTS_SCHEMA,
+    read_events_stream,
+    run_available_now,
+    stream_dedup,
+    windowed_rollup,
+)
+
+
+def _write_events(spark, path, rows):
+    spark.createDataFrame(rows, schema=EVENTS_SCHEMA).write.mode(
+        "append"
+    ).parquet(path)
+
+
+def _us(s: str) -> int:
+    return int(
+        dt.datetime.fromisoformat(s).replace(tzinfo=dt.timezone.utc).timestamp()
+        * 1_000_000
+    ) * 1000  # ns, matching the nanosAsLong read path
+
+
+_ROWS_BATCH1 = [
+    (1, _us("2024-01-01T10:00:00"), 100, "click", 1.5, "{}"),
+    (2, _us("2024-01-01T11:00:00"), 100, "click", 2.5, "{}"),
+    (3, _us("2024-01-02T09:00:00"), 200, "view", 1.0, "{}"),
+]
+_ROWS_BATCH2 = [
+    (4, _us("2024-01-02T10:00:00"), 200, "view", 4.0, "{}"),
+    (2, _us("2024-01-01T11:00:00"), 100, "click", 2.5, "{}"),  # dup of #2
+]
+
+
+def test_available_now_incremental(spark, tmp_path):
+    src = str(tmp_path / "events_src")
+    ckpt = str(tmp_path / "ckpt")
+    _write_events(spark, src, _ROWS_BATCH1)
+
+    rollup = windowed_rollup(read_events_stream(spark, src))
+    got = run_available_now(
+        rollup, checkpoint_dir=ckpt, queryName="rollup1", output_mode="complete"
+    )
+    by_key = {(r["day"], r["event_type"]): r["events"] for r in got.collect()}
+    assert by_key == {("2024-01-01", "click"): 2, ("2024-01-02", "view"): 1}
+
+    # second run with the same checkpoint sees ONLY the new file (the
+    # reference's watermark-incremental build contract, build_cache.go:125-143)
+    _write_events(spark, src, _ROWS_BATCH2)
+    got2 = run_available_now(
+        windowed_rollup(read_events_stream(spark, src)),
+        checkpoint_dir=ckpt,
+        queryName="rollup2",
+        output_mode="complete",
+    )
+    by_key2 = {(r["day"], r["event_type"]): r["events"] for r in got2.collect()}
+    # complete-mode state carried in the checkpoint accumulates both batches
+    assert by_key2[("2024-01-02", "view")] == 2
+    assert by_key2[("2024-01-01", "click")] == 3  # dup not dropped here
+
+
+def test_stream_dedup(spark, tmp_path):
+    src = str(tmp_path / "dedup_src")
+    _write_events(spark, src, _ROWS_BATCH1 + _ROWS_BATCH2)
+    deduped = run_available_now(
+        stream_dedup(read_events_stream(spark, src)),
+        queryName="dedup1",
+    )
+    ids = sorted(r["event_id"] for r in deduped.collect())
+    assert ids == [1, 2, 3, 4]
+
+
+def test_stateful_session_tracker(spark, tmp_path):
+    from msgvault_spark.streaming.stateful import user_session_stats
+
+    src = str(tmp_path / "state_src")
+    rows = [
+        # user 100: two events 5 min apart (1 session), one 2h later (2nd)
+        (1, _us("2024-01-01T10:00:00"), 100, "click", 1.0, "{}"),
+        (2, _us("2024-01-01T10:05:00"), 100, "click", 2.0, "{}"),
+        (3, _us("2024-01-01T12:30:00"), 100, "click", 3.0, "{}"),
+        # user 200: single event
+        (4, _us("2024-01-01T09:00:00"), 200, "view", 5.0, "{}"),
+    ]
+    _write_events(spark, src, rows)
+    got = run_available_now(
+        user_session_stats(read_events_stream(spark, src)),
+        queryName="sessions1",
+        output_mode="update",
+    )
+    by_user = {r["user_id"]: r for r in got.collect()}
+    assert by_user[100]["events"] == 3
+    assert by_user[100]["sessions"] == 2
+    assert by_user[100]["total_value"] == pytest.approx(6.0)
+    assert by_user[200]["sessions"] == 1
