@@ -647,3 +647,4 @@ import msgvault_spark.catalog_multimodal  # noqa: E402,F401
 import msgvault_spark.catalog_wide  # noqa: E402,F401
 import msgvault_spark.catalog_etl  # noqa: E402,F401
 import msgvault_spark.catalog_streaming  # noqa: E402,F401
+import msgvault_spark.catalog_search2  # noqa: E402,F401

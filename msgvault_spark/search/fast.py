@@ -271,3 +271,37 @@ class SearchWithStats:
 
     def release(self) -> None:
         self.matches.unpersist()
+
+
+def search_by_domains(
+    archive: dict[str, DataFrame],
+    domains: list[str],
+    limit: int = 100,
+) -> DataFrame:
+    """Domain search across ALL roles — from/to/cc/bcc (Q6, reference
+    SearchByDomains sqlite.go:1149-1193): a single semi-join against
+    participants restricted to the domain list, no per-role scans."""
+    msg = archive["messages"]
+    mr = archive["message_recipients"]
+    p = archive["participants"]
+    dom_ids = (
+        mr.join(
+            F.broadcast(
+                p.filter(F.col("domain").isin(*domains)).select(
+                    F.col("id").alias("p_id")
+                )
+            ),
+            F.col("participant_id") == F.col("p_id"),
+        )
+        .select(F.col("message_id").alias("id"))
+    )
+    return (
+        msg.join(dom_ids, "id", "left_semi")
+        .select(
+            "id",
+            F.coalesce(F.col("subject"), F.lit("")).alias("subject"),
+            "sent_at",
+        )
+        .orderBy(F.col("sent_at").desc(), F.col("id").desc())
+        .limit(limit)
+    )
