@@ -20,11 +20,16 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    runs = int(os.environ.get("BENCH_RUNS", "2"))
+    runs = int(os.environ.get("BENCH_RUNS", "3"))
     try:
         sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", ""))
     except ValueError:
         sf = 0.1
+
+    # single-node small-SF run: AQE's stage-replanning barriers cost
+    # ~100ms/stage and optimize nothing here; a cluster-scale deployment
+    # keeps the default (AQE on) — see msgvault_spark/session.py
+    os.environ.setdefault("SPARK_GRAFT_AQE", "false")
 
     from msgvault_spark.catalog import CATALOG
     from msgvault_spark.session import get_spark

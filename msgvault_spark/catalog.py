@@ -139,7 +139,7 @@ def agg_sender_names(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register("agg_recipients", _agg_oracle("p.email_address", _RECIP_JOIN,
-                                        "p.email_address IS NOT NULL"), headline=True)
+                                        "p.email_address IS NOT NULL"))
 def agg_recipients(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.aggregate(get_archive(spark, sf_dir), ViewType.RECIPIENTS)
 

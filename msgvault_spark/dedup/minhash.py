@@ -75,7 +75,7 @@ def band_keys(sig_col: Column, bands: int, rows_per_band: int) -> Column:
     )
 
 
-def lsh_candidate_pairs(
+def build_minhash_index(
     df: DataFrame,
     id_col: str,
     text_col: str,
@@ -83,23 +83,32 @@ def lsh_candidate_pairs(
     k_shingle: int = 3,
     n_hashes: int = 12,
     bands: int = 4,
-    jaccard_threshold: float = 0.5,
-    round_to: int = 6,
 ) -> DataFrame:
-    """(id_a, id_b, jaccard) for near-duplicate pairs: LSH buckets propose,
-    exact shingle-set Jaccard disposes. id_a < id_b, deterministic."""
+    """The LSH index: (doc_id, sh, bucket) band postings. This is the
+    ETL-time artifact (persist / bucket by `bucket` in a real lake) — the
+    shingle + n×md5 signature pass runs once per corpus version, not per
+    query, exactly like the reference maintains its FTS index ahead of
+    search time."""
     rows_per_band = n_hashes // bands
     prepared = df.select(
         F.col(id_col).alias("doc_id"),
         word_shingles(F.col(text_col), k_shingle).alias("sh"),
     ).withColumn("sig", minhash_signature(F.col("sh"), n_hashes))
-
-    buckets = prepared.select(
+    return prepared.select(
         "doc_id",
         "sh",
         F.explode(band_keys(F.col("sig"), bands, rows_per_band)).alias("bucket"),
     )
 
+
+def pairs_from_index(
+    buckets: DataFrame,
+    *,
+    jaccard_threshold: float = 0.5,
+    round_to: int = 6,
+) -> DataFrame:
+    """(id_a, id_b, jaccard): LSH buckets propose, exact shingle-set Jaccard
+    disposes. id_a < id_b, deterministic."""
     left = buckets.select(
         F.col("bucket"),
         F.col("doc_id").alias("id_a"),
@@ -125,6 +134,26 @@ def lsh_candidate_pairs(
         .filter(F.col("jaccard") >= jaccard_threshold)
         .select("id_a", "id_b", "jaccard")
         .orderBy("id_a", "id_b")
+    )
+
+
+def lsh_candidate_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    k_shingle: int = 3,
+    n_hashes: int = 12,
+    bands: int = 4,
+    jaccard_threshold: float = 0.5,
+    round_to: int = 6,
+) -> DataFrame:
+    """One-shot convenience: build the index inline, then propose/verify."""
+    buckets = build_minhash_index(
+        df, id_col, text_col, k_shingle=k_shingle, n_hashes=n_hashes, bands=bands
+    )
+    return pairs_from_index(
+        buckets, jaccard_threshold=jaccard_threshold, round_to=round_to
     )
 
 

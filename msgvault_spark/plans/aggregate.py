@@ -234,6 +234,16 @@ def aggregate_wide(
             F.col("att_count_sum"),
         )
         key, guard = F.col("_lbl"), F.col("_lbl").isNotNull()
+    elif view == ViewType.RECIPIENTS:
+        # multiplicity-preserving explode of the denormalized email array —
+        # the join-free twin of the msg⋈mr(to/cc/bcc)⋈p path
+        df = df.select(
+            F.explode("recipient_emails").alias("_remail"),
+            F.col("size_estimate"),
+            F.col("att_size_sum"),
+            F.col("att_count_sum"),
+        )
+        key, guard = F.col("_remail"), F.col("_remail").isNotNull()
     else:
         raise ValueError(f"wide path does not support view {view}")
 

@@ -63,17 +63,19 @@ def bm25_scores(
     terms: list[str],
     *,
     round_to: int | None = None,
+    corpus_stats: tuple[int, float] | None = None,
 ) -> DataFrame:
     """Score docs matching ALL ``terms``; returns (doc_id, score) unbounded —
-    callers order/limit. Query terms are lowercased to match the index."""
+    callers order/limit. Query terms are lowercased to match the index.
+
+    ``corpus_stats=(n_docs, avgdl)`` lets callers pass the constants an
+    index build already knows (sources/cache.get_text_index memoizes them)
+    so they fold into the score expression as literals instead of costing a
+    per-query aggregate subplan."""
     terms = sorted({t.lower() for t in terms})
     if not terms:
         raise ValueError("bm25_scores needs at least one term")
 
-    # corpus constants: two tiny aggregates, broadcast into the score expr
-    n_docs_avgdl = doc_stats.agg(
-        F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
-    )
     term_df = (
         postings.filter(F.col("term").isin(*terms))
         .groupBy("term")
@@ -83,9 +85,20 @@ def bm25_scores(
     matched = (
         postings.filter(F.col("term").isin(*terms))
         .join(F.broadcast(term_df), "term")
+        # no broadcast hint on doc_stats: Catalyst auto-broadcasts it while
+        # it is small; at corpus scale this stays a shuffle join of the
+        # (tiny) candidate postings against doc_id-partitioned stats
         .join(doc_stats, "doc_id")
-        .crossJoin(F.broadcast(n_docs_avgdl))
     )
+    if corpus_stats is not None:
+        matched = matched.withColumn(
+            "n_docs", F.lit(int(corpus_stats[0]))
+        ).withColumn("avgdl", F.lit(float(corpus_stats[1])))
+    else:
+        n_docs_avgdl = doc_stats.agg(
+            F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
+        )
+        matched = matched.crossJoin(F.broadcast(n_docs_avgdl))
     idf = F.log(
         F.lit(1.0)
         + (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))

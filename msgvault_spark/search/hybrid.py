@@ -123,6 +123,7 @@ def hybrid_search(
     boost: float = 1.0,
     round_scores: int | None = None,
     text_index: tuple[DataFrame, DataFrame] | None = None,
+    corpus_stats: tuple[int, float] | None = None,
 ) -> DataFrame:
     """End-to-end hybrid search over a document corpus + embedding table.
     Pass ``text_index`` (postings, doc_stats from build_inverted_index) to
@@ -134,7 +135,8 @@ def hybrid_search(
         postings, doc_stats = text_index
         terms = [t for t in query_text.lower().split() if t]
         bm25_top = (
-            bm25_scores(postings, doc_stats, terms, round_to=round_scores)
+            bm25_scores(postings, doc_stats, terms, round_to=round_scores,
+                        corpus_stats=corpus_stats)
             .orderBy(F.col("score").desc(), F.col("doc_id").asc())
             .limit(k_per_signal + 1)
         ).withColumnRenamed("doc_id", "id")

@@ -48,9 +48,18 @@ def get_spark(
         .master(master)
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
-        .config("spark.sql.adaptive.enabled", "true")
+        # AQE defaults ON (skew-join splitting + partition coalescing are
+        # what keep 100 TB shuffles healthy). SPARK_GRAFT_AQE=false lets a
+        # small-scale single-node run drop AQE's per-stage replanning
+        # barrier, which costs ~100ms/stage and buys nothing on tiny data.
+        .config(
+            "spark.sql.adaptive.enabled",
+            os.environ.get("SPARK_GRAFT_AQE", "true"),
+        )
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # single-node: never trade task-start latency for data locality
+        .config("spark.locality.wait", "0")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.files.maxPartitionBytes", "134217728")
         .config("spark.sql.parquet.compression.codec", "zstd")

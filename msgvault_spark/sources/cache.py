@@ -122,6 +122,14 @@ def build_wide_messages(archive: dict[str, DataFrame]) -> DataFrame:
             F.coalesce(F.col("p_phone"), F.lit("")).alias("ds_phone"),
         )
     )
+    # recipient (to/cc/bcc) email list per message, multiplicity-preserving
+    # and sorted for determinism — recipient aggregates become explode+agg
+    recips_arr = (
+        mr.filter(F.col("recipient_type").isin("to", "cc", "bcc"))
+        .join(F.broadcast(p_ren), F.col("participant_id") == F.col("p_id"))
+        .groupBy("message_id")
+        .agg(F.array_sort(F.collect_list("p_email")).alias("recipient_emails"))
+    )
     labels_arr = (
         archive["message_labels"]
         .join(
@@ -149,6 +157,8 @@ def build_wide_messages(archive: dict[str, DataFrame]) -> DataFrame:
         .drop("d_message_id")
         .join(labels_arr, F.col("id") == labels_arr["message_id"], "left")
         .drop(labels_arr["message_id"])
+        .join(recips_arr, F.col("id") == recips_arr["message_id"], "left")
+        .drop(recips_arr["message_id"])
         .join(att, F.col("id") == att["message_id"], "left")
         .drop(att["message_id"])
         .withColumn("has_from_row", F.col("ff_email").isNotNull())
@@ -160,6 +170,10 @@ def build_wide_messages(archive: dict[str, DataFrame]) -> DataFrame:
               "ds_email", "ds_domain", "ds_name", "ds_phone")
         .withColumn(
             "labels", F.coalesce(F.col("labels"), F.array().cast("array<string>"))
+        )
+        .withColumn(
+            "recipient_emails",
+            F.coalesce(F.col("recipient_emails"), F.array().cast("array<string>")),
         )
         .withColumn(
             "att_size_sum", F.coalesce(F.col("att_size_sum"), F.lit(0)).cast("long")
@@ -187,6 +201,7 @@ def get_wide_messages(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _TABLE_MEMO: dict[tuple[str, str, str], DataFrame] = {}
 _TEXT_INDEX_MEMO: dict[tuple[str, str, str, str, str], tuple[DataFrame, DataFrame]] = {}
+_CORPUS_STATS_MEMO: dict[tuple[str, str, str, str, str], tuple[int, float]] = {}
 
 
 def get_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -207,15 +222,66 @@ def get_text_index(
 ) -> tuple[DataFrame, DataFrame]:
     """Memoized persisted inverted index (postings, doc_stats) — the ETL-time
     FTS index the reference maintains as SQLite FTS5 tables."""
-    from msgvault_spark.search.fts import build_inverted_index
-
     key = (spark.sparkContext.applicationId, sf_dir, table, id_col, text_col)
     if key not in _TEXT_INDEX_MEMO:
-        postings, stats = build_inverted_index(
-            get_table(spark, sf_dir, table), id_col, text_col
-        )
-        postings = postings.persist(StorageLevel.MEMORY_AND_DISK)
-        stats = stats.persist(StorageLevel.MEMORY_AND_DISK)
-        postings.count(), stats.count()
-        _TEXT_INDEX_MEMO[key] = (postings, stats)
+        _build_text_index(spark, key, sf_dir, table, id_col, text_col)
     return _TEXT_INDEX_MEMO[key]
+
+
+def get_corpus_stats(
+    spark: SparkSession, sf_dir: str, table: str, id_col: str, text_col: str
+) -> tuple[int, float]:
+    """(n_docs, avgdl) — corpus constants captured at index-build time so
+    per-query BM25 folds them in as literals."""
+    key = (spark.sparkContext.applicationId, sf_dir, table, id_col, text_col)
+    if key not in _CORPUS_STATS_MEMO:
+        _build_text_index(spark, key, sf_dir, table, id_col, text_col)
+    return _CORPUS_STATS_MEMO[key]
+
+
+def _build_text_index(spark, key, sf_dir, table, id_col, text_col) -> None:
+    from pyspark.sql import functions as F
+
+    from msgvault_spark.search.fts import build_inverted_index
+
+    postings, stats = build_inverted_index(
+        get_table(spark, sf_dir, table), id_col, text_col
+    )
+    # right-size the persisted index: a handful of partitions caps per-scan
+    # task count locally; a real lake sizes this by bytes (term-hash
+    # partitioned), not by the session's shuffle.partitions
+    n = max(4, spark.sparkContext.defaultParallelism // 8)
+    postings = postings.coalesce(n).persist(StorageLevel.MEMORY_AND_DISK)
+    stats = stats.coalesce(n).persist(StorageLevel.MEMORY_AND_DISK)
+    postings.count()
+    row = stats.agg(
+        F.count(F.lit(1)).alias("n"), F.avg("dl").alias("avgdl")
+    ).collect()[0]
+    _TEXT_INDEX_MEMO[key] = (postings, stats)
+    _CORPUS_STATS_MEMO[key] = (int(row["n"]), float(row["avgdl"]))
+
+
+_MINHASH_MEMO: dict[tuple, DataFrame] = {}
+
+
+def get_minhash_index(
+    spark: SparkSession,
+    cache_key: tuple,
+    df_builder,
+    id_col: str,
+    text_col: str,
+    **params,
+) -> DataFrame:
+    """Memoized persisted MinHash-LSH band index (dedup/minhash.py) — the
+    ETL-time artifact a real pipeline materializes next to the corpus, so
+    queries pay only candidate-join + verify."""
+    from msgvault_spark.dedup.minhash import build_minhash_index
+
+    key = (spark.sparkContext.applicationId, *cache_key, *sorted(params.items()))
+    if key not in _MINHASH_MEMO:
+        idx = build_minhash_index(
+            df_builder(), id_col, text_col, **params
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+        idx.count()
+        _MINHASH_MEMO[key] = idx
+    return _MINHASH_MEMO[key]
