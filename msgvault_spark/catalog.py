@@ -648,3 +648,4 @@ import msgvault_spark.catalog_wide  # noqa: E402,F401
 import msgvault_spark.catalog_etl  # noqa: E402,F401
 import msgvault_spark.catalog_streaming  # noqa: E402,F401
 import msgvault_spark.catalog_search2  # noqa: E402,F401
+import msgvault_spark.catalog_mime  # noqa: E402,F401

@@ -1,0 +1,167 @@
+"""Embedding pipeline: generation lifecycle + pending queue + batch embed.
+
+Reference parity (Q11): sqlite-vec generations move building→active with a
+per-generation dimension check; a pending queue feeds batch HTTP calls to an
+embedding server with adaptive batch downshift (internal/sqlitevec/
+schema.sql:8-64, internal/vector/embed/worker.go:93-706, embed/queue.go).
+
+Spark-first rebuild — a generation is a dataset version:
+
+    <base>/gen=<n>/vectors/*.parquet     (id, embedding)
+    <base>/gen=<n>/_generation.json      {"dim": d, "status": ..., "model": m}
+
+  - pending queue = anti-join (corpus minus already-embedded ids) — no
+    mutable queue table; re-running converges, claim/reclaim comes free from
+    Spark task retry semantics;
+  - batch embed = mapInPandas (one Arrow batch ≈ one model/HTTP batch). The
+    container has no embedding model, so the default embedder is a
+    DETERMINISTIC FAKE (seeded per-text hash → unit vector); swap
+    ``embed_fn`` for a real client in production;
+  - promote = dimension-check the written vectors, then flip status to
+    active — readers only ever see active generations.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import math
+import os
+from collections.abc import Callable, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def fake_embed(texts: list[str], dim: int) -> list[list[float]]:
+    """Deterministic stand-in for an embedding model: md5-seeded unit
+    vector per text. STUB — replace with a real model/HTTP client."""
+    out = []
+    for t in texts:
+        h = hashlib.md5((t or "").encode()).digest()
+        vals = []
+        for i in range(dim):
+            b = hashlib.md5(h + i.to_bytes(2, "big")).digest()
+            vals.append(int.from_bytes(b[:4], "big") / 2**31 - 1.0)
+        norm = math.sqrt(sum(v * v for v in vals)) or 1.0
+        out.append([v / norm for v in vals])
+    return out
+
+
+def generation_dir(base: str, gen: int) -> str:
+    return os.path.join(base, f"gen={gen}")
+
+
+def generation_meta(base: str, gen: int) -> dict | None:
+    path = os.path.join(generation_dir(base, gen), "_generation.json")
+    if not os.path.exists(path):
+        return None
+    with open(path) as f:
+        return json.load(f)
+
+
+def _write_meta(base: str, gen: int, meta: dict) -> None:
+    os.makedirs(generation_dir(base, gen), exist_ok=True)
+    with open(os.path.join(generation_dir(base, gen), "_generation.json"), "w") as f:
+        json.dump(meta, f)
+
+
+def active_generation(base: str) -> int | None:
+    """Highest generation whose status is active (readers' view)."""
+    best = None
+    if not os.path.isdir(base):
+        return None
+    for name in os.listdir(base):
+        if not name.startswith("gen="):
+            continue
+        gen = int(name.split("=", 1)[1])
+        meta = generation_meta(base, gen)
+        if meta and meta.get("status") == "active":
+            best = gen if best is None else max(best, gen)
+    return best
+
+
+def pending_queue(
+    corpus: DataFrame, base: str, gen: int, id_col: str = "doc_id"
+) -> DataFrame:
+    """Docs not yet embedded in this generation — anti-join against the
+    vectors written so far (embed/queue.go's claim table, stateless)."""
+    spark = corpus.sparkSession
+    vec_path = os.path.join(generation_dir(base, gen), "vectors")
+    try:
+        done = spark.read.parquet(vec_path).select(F.col("id").alias(id_col))
+    except Exception:  # no vectors yet
+        return corpus
+    return corpus.join(done, id_col, "left_anti")
+
+
+def embed_pending(
+    corpus: DataFrame,
+    base: str,
+    gen: int,
+    *,
+    dim: int = 16,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    model: str = "fake-md5",
+    embed_fn: Callable[[list[str], int], list[list[float]]] = fake_embed,
+    batch_rows: int = 256,
+) -> int:
+    """One worker pass: embed everything pending into generation ``gen``
+    (status building). Returns rows written. Arrow batch size bounds the
+    per-call batch — the adaptive-downshift analogue is retrying with a
+    smaller ``batch_rows``."""
+    spark = corpus.sparkSession
+    meta = generation_meta(base, gen) or {
+        "dim": dim, "status": "building", "model": model,
+    }
+    if meta["dim"] != dim:
+        raise ValueError(f"generation {gen} has dim {meta['dim']}, got {dim}")
+    _write_meta(base, gen, meta)
+
+    pending = pending_queue(corpus, base, gen, id_col).select(
+        F.col(id_col).alias("id"), F.col(text_col).alias("text")
+    )
+
+    out_schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.FloatType())),
+        ]
+    )
+
+    def _embed(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for start in range(0, len(pdf), batch_rows):
+                chunk = pdf.iloc[start : start + batch_rows]
+                vecs = embed_fn(chunk["text"].tolist(), dim)
+                yield pd.DataFrame({"id": chunk["id"].values, "embedding": vecs})
+
+    result = pending.mapInPandas(_embed, schema=out_schema)
+    vec_path = os.path.join(generation_dir(base, gen), "vectors")
+    result.write.mode("append").parquet(vec_path)
+    return spark.read.parquet(vec_path).count()
+
+
+def promote_generation(spark: SparkSession, base: str, gen: int) -> dict:
+    """building → active after the dimension check (fused.go:36-48): every
+    vector must have exactly the generation's dim."""
+    meta = generation_meta(base, gen)
+    if meta is None:
+        raise FileNotFoundError(f"generation {gen} has no metadata")
+    vec = spark.read.parquet(os.path.join(generation_dir(base, gen), "vectors"))
+    bad = vec.filter(F.size("embedding") != meta["dim"]).count()
+    if bad:
+        raise ValueError(f"{bad} vectors violate dim={meta['dim']}")
+    meta["status"] = "active"
+    _write_meta(base, gen, meta)
+    return meta
+
+
+def load_active_vectors(spark: SparkSession, base: str) -> DataFrame:
+    gen = active_generation(base)
+    if gen is None:
+        raise FileNotFoundError(f"no active generation under {base}")
+    return spark.read.parquet(os.path.join(generation_dir(base, gen), "vectors"))

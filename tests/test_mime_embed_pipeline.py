@@ -1,0 +1,140 @@
+"""MIME functions (F14-F17, D6) + embedding generation pipeline (Q11)."""
+
+from __future__ import annotations
+
+import zlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from msgvault_spark.embeddings_pipeline import (
+    active_generation,
+    embed_pending,
+    fake_embed,
+    load_active_vectors,
+    pending_queue,
+    promote_generation,
+)
+from msgvault_spark.functions.mime import (
+    mime_content_hash,
+    normalize_mime,
+    preprocess_for_embedding,
+    repair_encoding,
+    rfc822_message_id,
+    zlib_decompress,
+)
+
+RAW_A = (
+    "Received: from mx.example.com\r\n"
+    "DKIM-Signature: v=1; a=rsa-sha256\r\n"
+    "Message-ID: <abc@example.com>\r\n"
+    "Subject: Hello\r\n"
+    "From: a@x.com\r\n"
+    "\r\n"
+    "Body text here.\r\n"
+)
+# same logical message via another mailbox: different trace headers, folded
+# subject, different header order
+RAW_B = (
+    "Return-Path: <a@x.com>\r\n"
+    "From: a@x.com\r\n"
+    "Subject: Hello\r\n"
+    "Message-ID: <abc@example.com>\r\n"
+    "Received: from other.example.net\r\n"
+    "\r\n"
+    "Body text here.\r\n"
+)
+
+
+def test_zlib_and_normalize_and_hash(spark):
+    df = spark.createDataFrame(
+        [(1, zlib.compress(RAW_A.encode())), (2, zlib.compress(RAW_B.encode())),
+         (3, b"not compressed")],
+        ["id", "raw"],
+    )
+    decoded = df.select(
+        "id", zlib_decompress("raw").cast("string").alias("text")
+    )
+    rows = {r["id"]: r["text"] for r in decoded.collect()}
+    assert rows[1] == RAW_A and rows[3] == "not compressed"
+
+    hashed = decoded.select("id", mime_content_hash(F.col("text")).alias("h"))
+    h = {r["id"]: r["h"] for r in hashed.collect()}
+    # transport headers differ but the content hash agrees (D2/F15)
+    assert h[1] == h[2] != h[3]
+
+    norm = decoded.filter(F.col("id") == 1).select(
+        normalize_mime(F.col("text")).alias("n")
+    ).head()["n"]
+    assert "Received" not in norm and "DKIM" not in norm
+    assert norm.splitlines() == sorted(norm.splitlines()[:3]) + ["", "Body text here."]
+
+
+def test_rfc822_id_and_encoding(spark):
+    df = spark.createDataFrame([(1, RAW_A)], ["id", "text"])
+    got = df.select(rfc822_message_id(F.col("text")).alias("mid")).head()["mid"]
+    assert got == "abc@example.com"
+
+    bad = spark.createDataFrame(
+        [(1, "caf\xe9 \x07text".encode("latin-1")), (2, "plain".encode())],
+        ["id", "raw"],
+    )
+    fixed = {r["id"]: r["t"] for r in bad.select(
+        "id", repair_encoding("raw").alias("t")).collect()}
+    assert fixed[1] == "café text"  # latin-1 fallback + control strip
+    assert fixed[2] == "plain"
+
+
+def test_preprocess_for_embedding(spark):
+    body = (
+        "Thanks!\n"
+        "On Mon, Jan 1, 2024 Bob wrote:\n"
+        "> old quoted line\n"
+        "> more quote\n"
+        "New content.\n"
+        "-- \n"
+        "Alice\nSignature Corp\n"
+    )
+    df = spark.createDataFrame([(1, body, "Re: Hi")], ["id", "body", "subject"])
+    out = df.select(
+        preprocess_for_embedding(F.col("body"), F.col("subject"), 200).alias("t")
+    ).head()["t"]
+    assert out.startswith("Subject: Re: Hi\n")
+    assert "quoted" not in out and "Signature Corp" not in out
+    assert "Thanks!" in out and "New content." in out
+
+
+def test_embedding_generation_lifecycle(spark, tmp_path):
+    base = str(tmp_path / "emb")
+    corpus = spark.createDataFrame(
+        [(i, f"document number {i}") for i in range(10)], ["doc_id", "text"]
+    )
+
+    n = embed_pending(corpus, base, 1, dim=8)
+    assert n == 10
+    assert active_generation(base) is None  # still building
+
+    # converged: nothing pending, re-run writes nothing new
+    assert pending_queue(corpus, base, 1).count() == 0
+    assert embed_pending(corpus, base, 1, dim=8) == 10
+
+    # dim mismatch against existing generation metadata is rejected
+    with pytest.raises(ValueError, match="dim"):
+        embed_pending(corpus, base, 1, dim=16)
+
+    meta = promote_generation(spark, base, 1)
+    assert meta["status"] == "active"
+    vec = load_active_vectors(spark, base)
+    assert vec.count() == 10
+    assert vec.select(F.size("embedding").alias("d")).distinct().head()["d"] == 8
+
+    # determinism: same text → same vector
+    assert fake_embed(["x"], 4) == fake_embed(["x"], 4)
+
+    # incremental: corpus grows, only the delta is pending in a NEW build
+    bigger = corpus.unionByName(
+        spark.createDataFrame([(10, "new doc")], ["doc_id", "text"])
+    )
+    assert pending_queue(bigger, base, 1).count() == 1
+    embed_pending(bigger, base, 1, dim=8)
+    assert spark.read.parquet(f"{base}/gen=1/vectors").count() == 11
