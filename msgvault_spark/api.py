@@ -64,3 +64,45 @@ def query_sql(spark: SparkSession, sql: str, limit: int | None = None) -> QueryR
     internal/query/duckdb.go:188-224). The caller is responsible for having
     registered views (sources.loader.register_views / engine setup)."""
     return collect_result(spark.sql(sql), limit=limit)
+
+
+def export_eml(rows: list[dict]) -> list[str]:
+    """S11: render collected message rows as RFC822 .eml texts (reference
+    cmd/msgvault/cmd/export_eml.go). Driver-side over an already-paged
+    result — the reference also renders from fetched rows, not in-engine."""
+    out = []
+    for r in rows:
+        headers = [
+            f"From: {r.get('from_email', '')}",
+            f"To: {r.get('to_email', '')}",
+            f"Subject: {r.get('subject', '')}",
+            f"Date: {r.get('sent_at', '')}",
+            f"Message-ID: <{r.get('id', '')}@msgvault.export>",
+        ]
+        body = r.get("body", r.get("snippet", "")) or ""
+        out.append("\r\n".join(headers) + "\r\n\r\n" + body + "\r\n")
+    return out
+
+
+CSV_NULL = "\\N"
+
+
+def write_csv_export(df: DataFrame, path: str) -> None:
+    """S7: CSV sink with the reference's '\\N' null sentinel and headers
+    (build_cache.go:649-797 — its Windows fallback cache format)."""
+    (
+        df.write.mode("overwrite")
+        .option("header", "true")
+        .option("nullValue", CSV_NULL)
+        .csv(path)
+    )
+
+
+def read_csv_export(spark: SparkSession, path: str, schema) -> DataFrame:
+    """S7: the matching reader; schema is explicit (CSV carries no types)."""
+    return (
+        spark.read.schema(schema)
+        .option("header", "true")
+        .option("nullValue", CSV_NULL)
+        .csv(path)
+    )

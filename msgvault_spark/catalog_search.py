@@ -275,3 +275,75 @@ def ann_ivf_seed0(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_search(
         index, emb, list(seed), k=10, n_cells=8, nprobe=2, exclude_id=0
     )
+
+
+def _hybrid_filtered_oracle() -> str:
+    """The filtered-hybrid oracle: both signals constrained to id < 2500
+    (the shared `filtered` CTE shape), BM25 stats global."""
+    bm25_inner = bm25_oracle_sql(
+        "documents", "doc_id", "text", _BM25_TERMS, k=21,
+        candidate_where="p.doc_id < 2500",
+    ).strip()
+    return f"""
+WITH bm25_top AS ({bm25_inner}),
+bm25_ranked AS (
+    SELECT doc_id AS id, score,
+           ROW_NUMBER() OVER (ORDER BY score DESC, doc_id ASC) AS rnk
+    FROM bm25_top
+),
+q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+vec_scored AS (
+    SELECT e.vec_id AS id,
+      round(
+        list_sum(list_transform(list_zip(e.embedding, q.qv),
+                 x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+        / (sqrt(list_sum(list_transform(e.embedding,
+                 v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))) *
+           sqrt(list_sum(list_transform(q.qv,
+                 v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))), 6) AS score
+    FROM embeddings e, q
+    WHERE e.vec_id < 2500
+    ORDER BY score DESC, id ASC
+    LIMIT 21
+),
+vec_ranked AS (
+    SELECT id, score,
+           ROW_NUMBER() OVER (ORDER BY score DESC, id ASC) AS rnk
+    FROM vec_scored
+),
+b AS (SELECT id, score AS bm25_score, rnk AS b_rnk FROM bm25_ranked WHERE rnk <= 20),
+v AS (SELECT id AS v_id, score AS vector_score, rnk AS v_rnk FROM vec_ranked WHERE rnk <= 20)
+SELECT COALESCE(b.id, v.v_id) AS id,
+       COALESCE(1.0 / (60 + b.b_rnk), 0.0) +
+       COALESCE(1.0 / (60 + v.v_rnk), 0.0) AS rrf_score,
+       b.bm25_score,
+       v.vector_score
+FROM b FULL OUTER JOIN v ON b.id = v.v_id
+ORDER BY rrf_score DESC, id ASC
+LIMIT 20
+"""
+
+
+@register("hybrid_rrf_filtered", _hybrid_filtered_oracle())
+def hybrid_rrf_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid search with a drill-down filter pushed into BOTH signals
+    (Q10): candidates restricted to id < 2500, BM25 corpus stats global —
+    FTS5 semantics under the reference's shared `filtered` CTE."""
+    from msgvault_spark.sources.cache import get_corpus_stats, get_text_index
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    seed = _seed_vector(spark, sf_dir, 0)
+    return hybrid_search(
+        docs,
+        emb,
+        " ".join(_BM25_TERMS),
+        seed,
+        k_per_signal=20,
+        limit=20,
+        round_scores=6,
+        text_index=get_text_index(spark, sf_dir, "documents", "doc_id", "text"),
+        corpus_stats=get_corpus_stats(spark, sf_dir, "documents", "doc_id", "text"),
+        doc_filter=F.col("doc_id") < 2500,
+        vec_filter=F.col("vec_id") < 2500,
+    )

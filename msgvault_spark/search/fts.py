@@ -64,6 +64,7 @@ def bm25_scores(
     *,
     round_to: int | None = None,
     corpus_stats: tuple[int, float] | None = None,
+    candidate_filter=None,
 ) -> DataFrame:
     """Score docs matching ALL ``terms``; returns (doc_id, score) unbounded —
     callers order/limit. Query terms are lowercased to match the index.
@@ -71,7 +72,12 @@ def bm25_scores(
     ``corpus_stats=(n_docs, avgdl)`` lets callers pass the constants an
     index build already knows (sources/cache.get_text_index memoizes them)
     so they fold into the score expression as literals instead of costing a
-    per-query aggregate subplan."""
+    per-query aggregate subplan.
+
+    ``candidate_filter`` (a Column predicate on doc_id) restricts WHICH docs
+    may score while idf/df/avgdl stay GLOBAL — FTS5's behavior when the
+    reference's `filtered` CTE constrains MATCH results (Q10,
+    sqlitevec/fused.go:128-147)."""
     terms = sorted({t.lower() for t in terms})
     if not terms:
         raise ValueError("bm25_scores needs at least one term")
@@ -90,6 +96,8 @@ def bm25_scores(
         # (tiny) candidate postings against doc_id-partitioned stats
         .join(doc_stats, "doc_id")
     )
+    if candidate_filter is not None:
+        matched = matched.filter(candidate_filter)
     if corpus_stats is not None:
         matched = matched.withColumn(
             "n_docs", F.lit(int(corpus_stats[0]))
@@ -141,7 +149,7 @@ def bm25_search(
 
 def bm25_oracle_sql(
     table: str, id_col: str, text_col: str, terms: list[str], k: int = 20,
-    round_to: int = 6,
+    round_to: int = 6, candidate_where: str = "1=1",
 ) -> str:
     """The same computation as DuckDB SQL (for the correctness gate)."""
     terms = sorted({t.lower() for t in terms})
@@ -174,7 +182,7 @@ per_term AS (
     JOIN term_df t USING (term)
     JOIN doc_stats d USING (doc_id)
     CROSS JOIN corpus c
-    WHERE p.term IN ({terms_list})
+    WHERE p.term IN ({terms_list}) AND ({candidate_where})
 )
 SELECT doc_id, round(SUM(contribution), {round_to}) AS score
 FROM per_term

@@ -124,10 +124,17 @@ def hybrid_search(
     round_scores: int | None = None,
     text_index: tuple[DataFrame, DataFrame] | None = None,
     corpus_stats: tuple[int, float] | None = None,
+    doc_filter=None,
+    vec_filter=None,
 ) -> DataFrame:
     """End-to-end hybrid search over a document corpus + embedding table.
     Pass ``text_index`` (postings, doc_stats from build_inverted_index) to
-    reuse an ETL-time index instead of rebuilding per query."""
+    reuse an ETL-time index instead of rebuilding per query.
+
+    ``doc_filter`` / ``vec_filter`` are Column predicates pushed into BOTH
+    signals — the reference's shared `filtered` CTE constraining FTS and
+    ANN alike (Q10, sqlitevec/fused.go:128-147). BM25 keeps global corpus
+    stats; only candidacy is restricted."""
     from msgvault_spark.search.fts import bm25_scores, bm25_search
     from msgvault_spark.similarity.knn import knn_bruteforce
 
@@ -136,19 +143,21 @@ def hybrid_search(
         terms = [t for t in query_text.lower().split() if t]
         bm25_top = (
             bm25_scores(postings, doc_stats, terms, round_to=round_scores,
-                        corpus_stats=corpus_stats)
+                        corpus_stats=corpus_stats, candidate_filter=doc_filter)
             .orderBy(F.col("score").desc(), F.col("doc_id").asc())
             .limit(k_per_signal + 1)
         ).withColumnRenamed("doc_id", "id")
     else:
+        src = docs if doc_filter is None else docs.filter(doc_filter)
         bm25_top = bm25_search(
-            docs, id_col, text_col, query_text, k_per_signal + 1,
+            src, id_col, text_col, query_text, k_per_signal + 1,
             round_to=round_scores,
         ).withColumnRenamed("doc_id", "id")
     bm25_ranked = rank_signal(bm25_top, "score", k_per_signal)
 
+    emb_src = embeddings if vec_filter is None else embeddings.filter(vec_filter)
     vec_top = knn_bruteforce(
-        embeddings, query_vector, k_per_signal + 1, emb_id_col, emb_col,
+        emb_src, query_vector, k_per_signal + 1, emb_id_col, emb_col,
         round_to=round_scores,
     )
     vec_ranked = rank_signal(vec_top, "score", k_per_signal)

@@ -111,3 +111,25 @@ def test_query_sql_result_shapes(spark, archive):
 
     limited = collect_result(spark.sql("SELECT * FROM t_messages ORDER BY id"), 3)
     assert limited.row_count == 3
+
+
+def test_eml_export_and_csv_roundtrip(spark, archive, tmp_path):
+    from msgvault_spark.api import export_eml, read_csv_export, write_csv_export
+
+    emls = export_eml(
+        [
+            {"id": 1, "from_email": "a@x.com", "to_email": "b@y.com",
+             "subject": "Hello", "sent_at": "2024-01-15 10:00:00",
+             "snippet": "hi"},
+        ]
+    )
+    assert emls[0].startswith("From: a@x.com\r\n")
+    assert "\r\n\r\nhi\r\n" in emls[0]
+
+    path = str(tmp_path / "csv_export")
+    write_csv_export(archive["messages"], path)
+    back = read_csv_export(spark, path, archive["messages"].schema)
+    assert back.count() == archive["messages"].count()
+    # NULL round-trips through the \N sentinel (subject of message 4 is null)
+    row4 = back.filter("id = 4").head()
+    assert row4["subject"] is None and row4["snippet"] == "yo"
