@@ -203,3 +203,57 @@ def empty_cc_by_year(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("count"))
         .orderBy("year")
     )
+
+
+@register(
+    "raw_sql_v_domains",
+    oracle(
+        """
+, live AS (SELECT * FROM messages WHERE sent_at IS NOT NULL)
+, ms AS (
+    SELECT mr.message_id,
+           MIN_BY(p.email_address, mr.participant_id) AS from_email,
+           MIN_BY(p.domain, mr.participant_id) AS from_domain
+    FROM message_recipients mr
+    JOIN participants p ON p.id = mr.participant_id
+    WHERE mr.recipient_type = 'from'
+    GROUP BY mr.message_id
+), ds AS (
+    SELECT m.id AS message_id, p.email_address AS from_email,
+           p.domain AS from_domain
+    FROM live m JOIN participants p ON p.id = m.sender_id
+), vm AS (
+    SELECT m.size_estimate,
+           COALESCE(ms.from_email, ds.from_email, '') AS from_email,
+           COALESCE(ms.from_domain, ds.from_domain, '') AS from_domain
+    FROM live m
+    LEFT JOIN ms ON ms.message_id = m.id
+    LEFT JOIN ds ON ds.message_id = m.id
+)
+SELECT from_domain AS domain,
+       COUNT(*) AS message_count,
+       COUNT(DISTINCT from_email) AS sender_count,
+       CAST(SUM(size_estimate) AS BIGINT) AS total_size
+FROM vm
+WHERE from_domain != ''
+GROUP BY from_domain
+ORDER BY message_count DESC, domain ASC
+LIMIT 50
+"""
+    ),
+)
+def raw_sql_v_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw-SQL surface (§3.3): user SQL over the registered convenience
+    views (views.py, reference views.go:346-489) — here querying v_domains
+    directly with spark.sql."""
+    from msgvault_spark.views import register_archive_views
+
+    register_archive_views(spark, get_archive(spark, sf_dir))
+    return spark.sql(
+        """
+        SELECT domain, message_count, sender_count, total_size
+        FROM v_domains
+        ORDER BY message_count DESC, domain ASC
+        LIMIT 50
+        """
+    )
