@@ -9,7 +9,11 @@ from pyspark.sql import functions as F
 
 from msgvault_spark.catalog import register
 from msgvault_spark.search.fast import search_fast
-from msgvault_spark.search.fts import bm25_oracle_sql, bm25_search
+from msgvault_spark.search.fts import (
+    bm25_oracle_sql,
+    bm25_prefix_oracle_sql,
+    bm25_search,
+)
 from msgvault_spark.search.hybrid import hybrid_search
 from msgvault_spark.similarity.knn import knn_for_seed
 from msgvault_spark.sources.adapter import oracle
@@ -346,4 +350,27 @@ def hybrid_rrf_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
         corpus_stats=get_corpus_stats(spark, sf_dir, "documents", "doc_id", "text"),
         doc_filter=F.col("doc_id") < 2500,
         vec_filter=F.col("vec_id") < 2500,
+    )
+
+
+@register(
+    "bm25_prefix_documents",
+    bm25_prefix_oracle_sql("documents", "doc_id", "text", ["st*", "join"], k=20),
+)
+def bm25_prefix_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FTS5-style prefix match (`st*` AND `join`) over the ETL-time index —
+    the `term*` quoting path of Q2 (reference sqlite.go:1325-1335)."""
+    from pyspark.sql import functions as FF
+
+    from msgvault_spark.search.fts import bm25_scores_prefix
+    from msgvault_spark.sources.cache import get_corpus_stats, get_text_index
+
+    postings, stats = get_text_index(spark, sf_dir, "documents", "doc_id", "text")
+    cstats = get_corpus_stats(spark, sf_dir, "documents", "doc_id", "text")
+    return (
+        bm25_scores_prefix(
+            postings, stats, ["st*", "join"], round_to=6, corpus_stats=cstats
+        )
+        .orderBy(FF.col("score").desc(), FF.col("doc_id").asc())
+        .limit(20)
     )

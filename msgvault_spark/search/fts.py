@@ -191,3 +191,134 @@ HAVING COUNT(*) = {len(terms)}
 ORDER BY score DESC, doc_id ASC
 LIMIT {k}
 """
+
+
+def bm25_scores_prefix(
+    postings: DataFrame,
+    doc_stats: DataFrame,
+    tokens: list[str],
+    *,
+    round_to: int | None = None,
+    corpus_stats: tuple[int, float] | None = None,
+) -> DataFrame:
+    """BM25 with FTS5-style prefix tokens: a trailing ``*`` makes the token
+    match every indexed term sharing the prefix (reference term quoting
+    sqlite.go:1325-1335; FTS5 `term*`).
+
+    Prefix semantics (documented contract): each prefix token is ONE
+    virtual query term — per doc its tf is the SUM of matching terms' tfs,
+    its df the count of docs with ≥1 match. AND-of-terms counts each query
+    token once. Exact tokens behave exactly as bm25_scores."""
+    tokens = sorted({t.lower() for t in tokens})
+    if not tokens:
+        raise ValueError("bm25_scores_prefix needs at least one token")
+    exacts = [t for t in tokens if not t.endswith("*")]
+    prefixes = [t[:-1] for t in tokens if t.endswith("*") and len(t) > 1]
+
+    parts = []
+    if exacts:
+        parts.append(
+            postings.filter(F.col("term").isin(*exacts)).select(
+                "doc_id", F.col("term").alias("qterm"), "tf"
+            )
+        )
+    for p in prefixes:
+        parts.append(
+            postings.filter(F.col("term").startswith(p))
+            .groupBy("doc_id")
+            .agg(F.sum("tf").alias("tf"))
+            .select("doc_id", F.lit(p + "*").alias("qterm"), "tf")
+        )
+    matched = parts[0]
+    for extra in parts[1:]:
+        matched = matched.unionByName(extra)
+
+    term_df = matched.groupBy("qterm").agg(F.count(F.lit(1)).alias("df"))
+    matched = matched.join(F.broadcast(term_df), "qterm").join(
+        doc_stats, "doc_id"
+    )
+    if corpus_stats is not None:
+        matched = matched.withColumn(
+            "n_docs", F.lit(int(corpus_stats[0]))
+        ).withColumn("avgdl", F.lit(float(corpus_stats[1])))
+    else:
+        n_docs_avgdl = doc_stats.agg(
+            F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
+        )
+        matched = matched.crossJoin(F.broadcast(n_docs_avgdl))
+
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    )
+    tfc = (F.col("tf") * (K1 + 1)) / (
+        F.col("tf") + K1 * (1 - B + B * F.col("dl") / F.col("avgdl"))
+    )
+    scored = (
+        matched.select("doc_id", "qterm", (idf * tfc).alias("contribution"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("contribution").alias("score"),
+            F.count(F.lit(1)).alias("terms_matched"),
+        )
+        .filter(F.col("terms_matched") == len(tokens))
+        .drop("terms_matched")
+    )
+    if round_to is not None:
+        scored = scored.withColumn("score", F.round(F.col("score"), round_to))
+    return scored
+
+
+def bm25_prefix_oracle_sql(
+    table: str, id_col: str, text_col: str, tokens: list[str], k: int = 20,
+    round_to: int = 6,
+) -> str:
+    """DuckDB replica of bm25_scores_prefix."""
+    tokens = sorted({t.lower() for t in tokens})
+    exacts = [t for t in tokens if not t.endswith("*")]
+    prefixes = [t[:-1] for t in tokens if t.endswith("*") and len(t) > 1]
+    branches = []
+    if exacts:
+        in_list = ", ".join(f"'{t}'" for t in exacts)
+        branches.append(
+            f"SELECT doc_id, term AS qterm, tf FROM postings "
+            f"WHERE term IN ({in_list})"
+        )
+    for p in prefixes:
+        branches.append(
+            f"SELECT doc_id, '{p}*' AS qterm, SUM(tf) AS tf FROM postings "
+            f"WHERE term LIKE '{p}%' GROUP BY doc_id"
+        )
+    matched_sql = " UNION ALL ".join(branches)
+    return f"""
+WITH tokens AS (
+    SELECT {id_col} AS doc_id,
+           unnest(string_split_regex(lower(COALESCE({text_col}, '')),
+                  '{TOKEN_SPLIT_RE}')) AS term
+    FROM {table}
+),
+tokens_clean AS (SELECT doc_id, term FROM tokens WHERE term != ''),
+postings AS (
+    SELECT doc_id, term, COUNT(*) AS tf FROM tokens_clean GROUP BY 1, 2
+),
+doc_stats AS (SELECT doc_id, COUNT(*) AS dl FROM tokens_clean GROUP BY 1),
+corpus AS (SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl FROM doc_stats),
+matched AS ({matched_sql}),
+term_df AS (SELECT qterm, COUNT(*) AS df FROM matched GROUP BY 1),
+per_term AS (
+    SELECT m.doc_id,
+           ln(1.0 + (c.n_docs - t.df + 0.5) / (t.df + 0.5)) *
+           ((m.tf * ({K1} + 1)) /
+            (m.tf + {K1} * (1 - {B} + {B} * d.dl / c.avgdl))) AS contribution
+    FROM matched m
+    JOIN term_df t USING (qterm)
+    JOIN doc_stats d USING (doc_id)
+    CROSS JOIN corpus c
+)
+SELECT doc_id, round(SUM(contribution), {round_to}) AS score
+FROM per_term
+GROUP BY doc_id
+HAVING COUNT(*) = {len(tokens)}
+ORDER BY score DESC, doc_id ASC
+LIMIT {k}
+"""

@@ -141,3 +141,26 @@ def test_rrf_subject_boost(spark):
     assert by_id[2]["subject_boosted"] is True
     assert by_id[1]["subject_boosted"] is False
     assert by_id[2]["rrf_score"] == pytest.approx((1 / 62 + 1 / 61) * 10)
+
+
+def test_bm25_prefix_semantics(spark):
+    from msgvault_spark.search.fts import bm25_scores_prefix, build_inverted_index
+
+    docs = spark.createDataFrame(
+        [
+            (1, "stream stage join"),   # two st-terms + join
+            (2, "stream join"),         # one st-term + join
+            (3, "join only here"),      # no st-term → excluded by AND
+            (4, "stream stage stamp"),  # no join → excluded by AND
+        ],
+        ["doc_id", "text"],
+    )
+    postings, stats = build_inverted_index(docs, "doc_id", "text")
+    got = {
+        r["doc_id"]: r["score"]
+        for r in bm25_scores_prefix(postings, stats, ["st*", "join"]).collect()
+    }
+    assert set(got) == {1, 2}
+    # doc 1 has prefix-tf 2 (stream+stage) vs doc 2's 1 → higher prefix
+    # contribution despite equal dl handling; both share the join term
+    assert got[1] > got[2]
