@@ -649,3 +649,52 @@ import msgvault_spark.catalog_etl  # noqa: E402,F401
 import msgvault_spark.catalog_streaming  # noqa: E402,F401
 import msgvault_spark.catalog_search2  # noqa: E402,F401
 import msgvault_spark.catalog_mime  # noqa: E402,F401
+
+
+# ---------------------------------------------------------------------------
+# skew-resistant salted aggregation (scale path for hot keys)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "salted_priority_rollup",
+    """
+SELECT o_orderpriority AS key,
+       CAST(COUNT(*) AS BIGINT) AS orders,
+       CAST(SUM(CAST(floor(o_totalprice) AS BIGINT)) AS BIGINT) AS total,
+       CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS customers
+FROM orders
+GROUP BY o_orderpriority
+ORDER BY key
+""",
+)
+def salted_priority_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase salted aggregate over a 5-value (maximally skewed) key:
+    phase 1 fans each hot key across 16 salts, phase 2 merges partials;
+    the distinct count salts by the DISTINCT value so partial distincts
+    stay disjoint and their sum is exact (operators/salted.py)."""
+    from msgvault_spark.operators.salted import salted_agg, salted_count_distinct
+
+    orders = load_table(spark, sf_dir, "orders")
+    base = orders.select(
+        "o_orderpriority",
+        F.floor("o_totalprice").cast("long").alias("price_l"),
+        "o_custkey",
+    )
+    core = salted_agg(
+        base,
+        "o_orderpriority",
+        {"orders": ("1", "count"), "total": ("price_l", "sum")},
+        n_salts=16,
+    )
+    dist = salted_count_distinct(base, "o_orderpriority", "o_custkey", n_salts=16)
+    return (
+        core.join(dist, "key")
+        .select(
+            "key",
+            F.col("orders").cast("long").alias("orders"),
+            F.col("total").cast("long").alias("total"),
+            F.col("distinct_count").alias("customers"),
+        )
+        .orderBy("key")
+    )

@@ -187,3 +187,31 @@ def build_cache(
     )
     new_state.save(base_dir)
     return new_state
+
+
+def build_wide_cache(
+    spark: SparkSession, archive: dict[str, DataFrame], base_dir: str
+) -> str:
+    """Materialize the denormalized wide message view into the lake —
+    `wide_messages/year=*/...` zstd. This IS the reference's core design
+    (query-shaped tables built by ETL, served by every query); the
+    session-level memo in sources/cache.py is the warm-cache twin. At
+    100 TB this table is what aggregate/search scans read instead of
+    re-joining junctions per query."""
+    from msgvault_spark.sources.cache import build_wide_messages
+
+    wide = build_wide_messages(archive)
+    path = os.path.join(base_dir, "wide_messages")
+    (
+        wide.withColumn("year", F.coalesce(F.col("year"), F.year("sent_at")))
+        .repartition("year")
+        .write.mode("overwrite")
+        .option("compression", "zstd")
+        .partitionBy("year")
+        .parquet(path)
+    )
+    return path
+
+
+def load_wide_cache(spark: SparkSession, base_dir: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(base_dir, "wide_messages"))

@@ -133,3 +133,21 @@ def test_eml_export_and_csv_roundtrip(spark, archive, tmp_path):
     # NULL round-trips through the \N sentinel (subject of message 4 is null)
     row4 = back.filter("id = 4").head()
     assert row4["subject"] is None and row4["snippet"] == "yo"
+
+
+def test_wide_cache_roundtrip(spark, archive, tmp_path):
+    from msgvault_spark.plans.aggregate import aggregate_wide
+    from msgvault_spark.plans.models import ViewType
+    from msgvault_spark.sources.build_cache import build_wide_cache, load_wide_cache
+    from msgvault_spark.sources.cache import build_wide_messages
+
+    base = str(tmp_path / "lake_wide")
+    build_wide_cache(spark, archive, base)
+    lake_wide = load_wide_cache(spark, base)
+
+    mem = aggregate_wide(build_wide_messages(archive), ViewType.SENDERS)
+    disk = aggregate_wide(lake_wide, ViewType.SENDERS)
+    assert sorted(map(tuple, mem.collect())) == sorted(map(tuple, disk.collect()))
+    # hive partitioning materialized
+    years = {r["year"] for r in lake_wide.select("year").distinct().collect()}
+    assert years == {2024}
