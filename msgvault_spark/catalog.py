@@ -698,3 +698,97 @@ def salted_priority_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("key")
     )
+
+
+# ---------------------------------------------------------------------------
+# zero-filled time series (dense bucket spine)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "time_series_zero_fill",
+    """
+WITH f AS (
+    SELECT date_trunc('month', o_orderdate) AS bucket
+    FROM orders
+    WHERE o_orderpriority = '1-URGENT' AND o_totalprice > 400000
+),
+b AS (SELECT bucket, COUNT(*) AS orders FROM f GROUP BY bucket),
+r AS (SELECT MIN(bucket) AS lo, MAX(bucket) AS hi FROM b),
+spine AS (
+    SELECT unnest(generate_series(lo, hi, INTERVAL 1 MONTH)) AS bucket
+    FROM r WHERE lo IS NOT NULL
+)
+SELECT strftime(spine.bucket, '%Y-%m') AS key,
+       CAST(COALESCE(b.orders, 0) AS BIGINT) AS orders
+FROM spine LEFT JOIN b USING (bucket)
+ORDER BY key
+""",
+)
+def time_series_zero_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense monthly series over a sparse filtered aggregate: months inside
+    the observed range with no rows appear with orders=0 (the reference's
+    time view emits only non-empty buckets; operators/timeseries.py)."""
+    from msgvault_spark.operators.timeseries import zero_fill
+
+    orders = load_table(spark, sf_dir, "orders")
+    sparse = (
+        orders.filter(
+            (F.col("o_orderpriority") == "1-URGENT")
+            & (F.col("o_totalprice") > 400000)
+        )
+        .groupBy(F.date_trunc("month", "o_orderdate").alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("orders"))
+    )
+    return zero_fill(sparse, "bucket", "month")
+
+
+# ---------------------------------------------------------------------------
+# mergeable HLL sketch rollup (approx distinct at scale)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "hll_distinct_rollup",
+    """
+SELECT o_orderpriority AS key,
+       CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS exact_customers,
+       CAST(CASE WHEN abs(approx_count_distinct(o_custkey)
+                          - COUNT(DISTINCT o_custkey))
+                      <= 0.10 * COUNT(DISTINCT o_custkey)
+                 THEN 1 ELSE 0 END AS BIGINT) AS approx_ok
+FROM orders
+GROUP BY o_orderpriority
+ORDER BY key
+""",
+)
+def hll_distinct_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-level sketch rollup: per-(priority, year) DataSketches HLL
+    sketches unioned up to priority (operators/sketch.py). The comparable
+    output is engine-neutral: the exact distinct plus a flag that THIS
+    engine's sketch estimate lands within 10% of it — both engines assert
+    their own sketch accuracy, hashes agree iff both hold."""
+    from msgvault_spark.operators.sketch import hll_merge_estimate, hll_sketch_rollup
+
+    base = load_table(spark, sf_dir, "orders").select(
+        "o_orderpriority", F.year("o_orderdate").alias("y"), "o_custkey"
+    )
+    sk = hll_sketch_rollup(base, ["o_orderpriority"], ["y"], "o_custkey")
+    est = hll_merge_estimate(sk, ["o_orderpriority"], out="approx")
+    exact = base.groupBy("o_orderpriority").agg(
+        F.count_distinct("o_custkey").alias("exact_customers")
+    )
+    return (
+        exact.join(est, "o_orderpriority")
+        .select(
+            F.col("o_orderpriority").alias("key"),
+            F.col("exact_customers").cast("long").alias("exact_customers"),
+            (
+                F.abs(F.col("approx") - F.col("exact_customers"))
+                <= 0.10 * F.col("exact_customers")
+            )
+            .cast("long")
+            .alias("approx_ok"),
+        )
+        .orderBy("key")
+    )

@@ -429,3 +429,66 @@ def ngram_jaccard_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     both = base.unionByName(copies)
     return ngram_jaccard_pairs(both, "doc_id", "text", n=2, threshold=0.35)
+
+
+# ---------------------------------------------------------------------------
+# deletion vectors: merge-on-read dedup (dedup/deletion_vectors.py)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dv_survivor_counts",
+    r"""
+WITH all_docs AS (
+    SELECT doc_id, text, lang FROM documents
+    UNION ALL
+    SELECT doc_id + 10000 AS doc_id, upper(text) || '   ' AS text, lang
+    FROM documents WHERE doc_id % 3 = 0
+),
+hashed AS (
+    SELECT doc_id, lang,
+           sha256(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS h
+    FROM all_docs
+),
+g AS (
+    SELECT doc_id,
+           COUNT(*) OVER (PARTITION BY h) AS gs,
+           ROW_NUMBER() OVER (PARTITION BY h ORDER BY doc_id ASC) AS rn
+    FROM hashed
+),
+dv AS (SELECT doc_id FROM g WHERE gs >= 2 AND rn > 1)
+SELECT lang AS key,
+       CAST(COUNT(*) AS BIGINT) AS docs
+FROM hashed
+WHERE doc_id NOT IN (SELECT doc_id FROM dv)
+GROUP BY lang
+ORDER BY key
+""",
+)
+def dv_survivor_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deletion-vector merge-on-read: content-hash dup groups → loser-id
+    vector → broadcast anti-join at read; base data never rewritten
+    (reference soft-delete dedup.go:834-916 re-expressed lakehouse-style).
+    Survivor = lowest doc_id per content hash."""
+    from msgvault_spark.dedup.deletion_vectors import (
+        apply_deletion_vector,
+        build_deletion_vector,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    copies = docs.filter(F.col("doc_id") % 3 == 0).select(
+        (F.col("doc_id") + 10000).alias("doc_id"),
+        F.concat(F.upper("text"), F.lit("   ")).alias("text"),
+        "lang",
+    )
+    universe = docs.unionByName(copies)
+    hashed = universe.withColumn("h", content_hash(F.col("text")))
+    groups = exact_dup_groups(hashed, "h", id_col="doc_id")
+    marked = select_survivors(groups, priority=[], id_col="doc_id")
+    dv = build_deletion_vector(marked, id_col="doc_id")
+    remaining = apply_deletion_vector(universe, dv, id_col="doc_id")
+    return (
+        remaining.groupBy(F.col("lang").alias("key"))
+        .agg(F.count(F.lit(1)).cast("long").alias("docs"))
+        .orderBy("key")
+    )

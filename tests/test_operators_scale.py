@@ -1,0 +1,191 @@
+"""Scale-path operators: salted aggregation, zero-fill series, HLL sketch
+rollup, deletion vectors. Synthetic micro-frames assert exact semantics;
+plan assertions pin the intended physical shape (broadcasts, no base
+shuffle for merge-on-read)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from msgvault_spark.dedup.deletion_vectors import (
+    apply_deletion_vector,
+    build_deletion_vector,
+    load_deletion_vector,
+    undo_batch,
+    write_deletion_vector,
+)
+from msgvault_spark.dedup.exact import exact_dup_groups, select_survivors
+from msgvault_spark.operators.salted import salted_agg, salted_count_distinct
+from msgvault_spark.operators.sketch import hll_merge_estimate, hll_sketch_rollup
+from msgvault_spark.operators.timeseries import zero_fill
+
+
+# ---------------------------------------------------------------------------
+# salted aggregation
+# ---------------------------------------------------------------------------
+
+
+def test_salted_agg_matches_plain(spark):
+    df = spark.range(10_000).select(
+        (F.col("id") % 3).alias("k"),
+        (F.col("id") % 100).alias("v"),
+    )
+    got = {
+        r["key"]: (r["n"], r["s"], r["mn"], r["mx"])
+        for r in salted_agg(
+            df, "k",
+            {"n": ("1", "count"), "s": ("v", "sum"),
+             "mn": ("v", "min"), "mx": ("v", "max")},
+            n_salts=8,
+        ).collect()
+    }
+    want = {
+        r["k"]: (r["n"], r["s"], r["mn"], r["mx"])
+        for r in df.groupBy("k")
+        .agg(F.count("*").alias("n"), F.sum("v").alias("s"),
+             F.min("v").alias("mn"), F.max("v").alias("mx"))
+        .collect()
+    }
+    assert got == want
+
+
+def test_salted_count_distinct_exact(spark):
+    # skew: key 0 holds 90% of rows; distinct values overlap across salts
+    df = spark.range(5_000).select(
+        F.when(F.col("id") % 10 < 9, 0).otherwise(1).alias("k"),
+        (F.col("id") % 137).alias("v"),
+    )
+    got = {
+        r["key"]: r["distinct_count"]
+        for r in salted_count_distinct(df, "k", "v", n_salts=16).collect()
+    }
+    want = {
+        r["k"]: r["d"]
+        for r in df.groupBy("k").agg(F.count_distinct("v").alias("d")).collect()
+    }
+    assert got == want
+
+
+# ---------------------------------------------------------------------------
+# zero-fill time series
+# ---------------------------------------------------------------------------
+
+
+def test_zero_fill_fills_gaps(spark):
+    rows = [
+        (dt.datetime(2024, 1, 1), 5),
+        (dt.datetime(2024, 4, 1), 2),  # feb+mar missing
+    ]
+    aggd = spark.createDataFrame(rows, "bucket timestamp, orders long")
+    out = zero_fill(aggd, "bucket", "month").collect()
+    assert [(r["key"], r["orders"]) for r in out] == [
+        ("2024-01", 5), ("2024-02", 0), ("2024-03", 0), ("2024-04", 2),
+    ]
+
+
+def test_zero_fill_empty_input(spark):
+    aggd = spark.createDataFrame([], "bucket timestamp, orders long")
+    assert zero_fill(aggd, "bucket", "month").count() == 0
+
+
+def test_zero_fill_day_granularity_and_custom_fill(spark):
+    rows = [(dt.datetime(2024, 1, 1), 1.5), (dt.datetime(2024, 1, 3), 2.5)]
+    aggd = spark.createDataFrame(rows, "bucket timestamp, avg_v double")
+    out = zero_fill(
+        aggd, "bucket", "day", fill={"avg_v": F.lit(None).cast("double")}
+    ).collect()
+    assert [(r["key"], r["avg_v"]) for r in out] == [
+        ("2024-01-01", 1.5), ("2024-01-02", None), ("2024-01-03", 2.5),
+    ]
+
+
+# ---------------------------------------------------------------------------
+# HLL sketch rollup
+# ---------------------------------------------------------------------------
+
+
+def test_hll_rollup_merge_accuracy(spark):
+    # 3 grains per key with overlapping value ranges: union must dedup
+    df = spark.range(30_000).select(
+        (F.col("id") % 2).alias("k"),
+        (F.col("id") % 3).alias("grain"),
+        (F.col("id") % 5_000).alias("v"),
+    )
+    sk = hll_sketch_rollup(df, ["k"], ["grain"], "v")
+    assert sk.count() == 6  # 2 keys × 3 grains
+    est = {
+        r["k"]: r["approx_distinct"]
+        for r in hll_merge_estimate(sk, ["k"]).collect()
+    }
+    exact = {
+        r["k"]: r["d"]
+        for r in df.groupBy("k").agg(F.count_distinct("v").alias("d")).collect()
+    }
+    for k, e in exact.items():
+        assert abs(est[k] - e) <= 0.05 * e, (k, est[k], e)
+
+
+def test_hll_subset_union(spark):
+    # the same sketch table answers a grain-filtered question
+    df = spark.range(9_000).select(
+        F.lit(0).alias("k"), (F.col("id") % 3).alias("grain"),
+        (F.col("id") % 1_000).alias("v"),
+    )
+    sk = hll_sketch_rollup(df, ["k"], ["grain"], "v")
+    sub = hll_merge_estimate(sk.filter(F.col("grain") < 2), ["k"]).head()
+    exact = (
+        df.filter(F.col("grain") < 2)
+        .agg(F.count_distinct("v").alias("d")).head()["d"]
+    )
+    assert abs(sub["approx_distinct"] - exact) <= 0.05 * exact
+
+
+# ---------------------------------------------------------------------------
+# deletion vectors
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture()
+def marked_docs(spark):
+    rows = [
+        (1, "aaa"), (2, "aaa"), (3, "bbb"), (4, "bbb"), (5, "ccc"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, h string")
+    groups = exact_dup_groups(df, "h", id_col="doc_id")
+    return df, select_survivors(groups, priority=[], id_col="doc_id")
+
+
+def test_dv_build_apply_undo(spark, marked_docs):
+    df, marked = marked_docs
+    dv = build_deletion_vector(marked, id_col="doc_id", batch_id="b1")
+    assert {r["id"] for r in dv.collect()} == {2, 4}  # min-id survives
+    alive = apply_deletion_vector(df, dv, id_col="doc_id")
+    assert {r["doc_id"] for r in alive.collect()} == {1, 3, 5}
+    # undo restores everything
+    restored = apply_deletion_vector(df, undo_batch(dv, "b1"), id_col="doc_id")
+    assert restored.count() == 5
+
+
+def test_dv_persistence_roundtrip(spark, marked_docs, tmp_path):
+    df, marked = marked_docs
+    base = str(tmp_path / "lake")
+    write_deletion_vector(
+        build_deletion_vector(marked, id_col="doc_id", batch_id="b1"), base
+    )
+    # second batch appends (incremental dedup runs accumulate)
+    extra = spark.createDataFrame([(5, "b2")], "id long, delete_batch_id string")
+    write_deletion_vector(extra, base)
+    dv = load_deletion_vector(spark, base)
+    assert dv.count() == 3
+    alive = apply_deletion_vector(df, dv, id_col="doc_id")
+    assert {r["doc_id"] for r in alive.collect()} == {1, 3}
+
+
+def test_dv_apply_is_broadcast_anti(spark, marked_docs):
+    df, marked = marked_docs
+    dv = build_deletion_vector(marked, id_col="doc_id")
+    plan = apply_deletion_vector(df, dv, id_col="doc_id")._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
