@@ -41,6 +41,7 @@ FROM events
 GROUP BY 1, 2
 ORDER BY day ASC, event_type ASC
 """,
+    memoize_plan=False,  # runs a streaming query per invocation
 )
 def stream_rollup_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling 1-day windowed aggregate with event-time watermark, run via
@@ -59,6 +60,7 @@ def stream_rollup_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
 SELECT COUNT(DISTINCT event_id) AS unique_events FROM events
 """,
+    memoize_plan=False,  # runs a streaming query per invocation
 )
 def stream_dedup_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming exact dedup on event_id within the watermark horizon; the
