@@ -1,0 +1,204 @@
+"""Training-data-pipeline catalog entries: sessionization, deterministic /
+stratified sampling, dataset mixing, dedup connected components.
+Registered on import by catalog.py."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from msgvault_spark.catalog import register
+from msgvault_spark.sources.cache import get_table as load_table
+
+
+# ---------------------------------------------------------------------------
+# batch sessionization (operators/sessionize.py)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "sessionize_events",
+    """
+WITH s AS (
+    SELECT user_id, ts,
+           CASE WHEN epoch(ts) - LAG(epoch(ts)) OVER w > 1800
+                THEN 1 ELSE 0 END AS new_s
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+s2 AS (
+    SELECT user_id,
+           SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                            ROWS UNBOUNDED PRECEDING) AS session_id
+    FROM s
+),
+roll AS (
+    SELECT user_id, session_id, COUNT(*) AS events
+    FROM s2 GROUP BY 1, 2
+)
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_sessions,
+       CAST(SUM(events) AS BIGINT) AS total_events,
+       CAST(MAX(events) AS BIGINT) AS max_session_events
+FROM roll
+GROUP BY user_id
+ORDER BY n_sessions DESC, user_id ASC
+LIMIT 100
+""",
+)
+def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """30-min-gap sessionization of the events stream (batch/backfill twin
+    of streaming/stateful.py): per-user session count / volume, heaviest
+    sessionizers first (operators/sessionize.py)."""
+    from msgvault_spark.operators.sessionize import session_rollup
+
+    events = load_table(spark, sf_dir, "events").select("user_id", "ts")
+    roll = session_rollup(events, timeout_s=1800)
+    return (
+        roll.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            F.sum("events").cast("long").alias("total_events"),
+            F.max("events").cast("long").alias("max_session_events"),
+        )
+        .orderBy(F.col("n_sessions").desc(), F.col("user_id").asc())
+        .limit(100)
+    )
+
+
+# ---------------------------------------------------------------------------
+# deterministic sampling / stratified quotas / dataset mixing
+# ---------------------------------------------------------------------------
+
+_HASH_SQL = "((doc_id % 2147483647) * 1327217885) % 2147483647"
+
+
+@register(
+    "stratified_sample_docs",
+    f"""
+WITH ranked AS (
+    SELECT doc_id, lang,
+           ROW_NUMBER() OVER (
+               PARTITION BY lang
+               ORDER BY {_HASH_SQL} ASC, doc_id ASC
+           ) AS rn
+    FROM documents
+)
+SELECT lang AS key,
+       CAST(COUNT(*) AS BIGINT) AS sampled,
+       CAST(SUM(doc_id) AS BIGINT) AS id_sum
+FROM ranked WHERE rn <= 7
+GROUP BY lang
+ORDER BY key
+""",
+)
+def stratified_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language quota sampling (7 docs/lang) by deterministic hash
+    order — rerun-stable, engine-portable (operators/sampling.py). id_sum
+    pins the exact membership, not just the count."""
+    from msgvault_spark.operators.sampling import stratified_sample
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    picked = stratified_sample(docs, ["lang"], "doc_id", quota=7)
+    return (
+        picked.groupBy(F.col("lang").alias("key"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("sampled"),
+            F.sum("doc_id").cast("long").alias("id_sum"),
+        )
+        .orderBy("key")
+    )
+
+
+@register(
+    "weighted_mix_sources",
+    f"""
+SELECT source AS key,
+       CAST(COUNT(*) AS BIGINT) AS kept,
+       CAST(SUM(doc_id) AS BIGINT) AS id_sum
+FROM documents
+WHERE {_HASH_SQL} < CASE source
+    WHEN 'src0' THEN CAST(1.00 * 2147483647 AS BIGINT)
+    WHEN 'src1' THEN CAST(0.25 * 2147483647 AS BIGINT)
+    WHEN 'src2' THEN CAST(0.50 * 2147483647 AS BIGINT)
+    ELSE 0 END
+GROUP BY source
+ORDER BY key
+""",
+)
+def weighted_mix_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset mixing: per-source keep rates applied as a pure map-side
+    hash filter (operators/sampling.py:weighted_source_mix)."""
+    from msgvault_spark.operators.sampling import weighted_source_mix
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    kept = weighted_source_mix(
+        docs, "source", "doc_id",
+        {"src0": 1.00, "src1": 0.25, "src2": 0.50},
+    )
+    return (
+        kept.groupBy(F.col("source").alias("key"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("kept"),
+            F.sum("doc_id").cast("long").alias("id_sum"),
+        )
+        .orderBy("key")
+    )
+
+
+# ---------------------------------------------------------------------------
+# dedup connected components (dedup/components.py)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_component_sizes",
+    """
+WITH RECURSIVE base AS (SELECT doc_id FROM documents),
+e AS (
+    SELECT doc_id AS a, doc_id + 10000 AS b FROM base WHERE doc_id % 3 = 0
+    UNION ALL
+    SELECT doc_id + 10000 AS a, doc_id + 20000 AS b
+    FROM base WHERE doc_id % 6 = 0
+),
+sym AS (
+    SELECT a, b FROM e UNION SELECT b, a FROM e
+),
+nodes AS (SELECT DISTINCT a AS node FROM sym),
+cc AS (
+    SELECT node, node AS label FROM nodes
+    UNION
+    SELECT s.b AS node, cc.label
+    FROM cc JOIN sym s ON s.a = cc.node
+),
+comp AS (SELECT node, MIN(label) AS component FROM cc GROUP BY node),
+sizes AS (
+    SELECT component, COUNT(*) AS size FROM comp GROUP BY component
+)
+SELECT size, CAST(COUNT(*) AS BIGINT) AS n_components
+FROM sizes GROUP BY size ORDER BY size
+""",
+)
+def dedup_component_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive closure of a near-dup pair graph (chains doc→copyA→copyB,
+    so A~C is never an input edge): component-size histogram from iterative
+    min-label propagation (dedup/components.py). The DuckDB oracle walks the
+    same graph with a recursive CTE — viable at oracle scale only; the
+    Spark path is the one that works at 100 TB."""
+    from msgvault_spark.dedup.components import (
+        component_sizes,
+        connected_components,
+    )
+
+    base = load_table(spark, sf_dir, "documents").select("doc_id")
+    e1 = base.filter(F.col("doc_id") % 3 == 0).select(
+        F.col("doc_id").alias("src"), (F.col("doc_id") + 10000).alias("dst")
+    )
+    e2 = base.filter(F.col("doc_id") % 6 == 0).select(
+        (F.col("doc_id") + 10000).alias("src"),
+        (F.col("doc_id") + 20000).alias("dst"),
+    )
+    comp = connected_components(e1.unionByName(e2))
+    return component_sizes(comp).select(
+        "size", F.col("n_components").cast("long").alias("n_components")
+    )

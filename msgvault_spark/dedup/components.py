@@ -1,0 +1,95 @@
+"""Connected components over a near-dup pair graph.
+
+Pairwise dedup (MinHash-LSH, n-gram Jaccard, embedding cosine) emits EDGES;
+merge policy needs CLUSTERS — A~B, B~C must collapse A,B,C together even
+when A~C was never emitted. That's connected components, the step between
+candidate pairs and survivor selection in every at-scale dedup pipeline.
+
+Algorithm: iterative min-label propagation (the Spark-native core of
+small-star/large-star, Kiveris et al. "Connected Components in MapReduce
+and Beyond", SOCC'14): every node repeatedly adopts the smallest label in
+its closed neighborhood; fixpoint in O(component diameter) rounds — near-dup
+clusters are shallow (dozens of hops at worst), so rounds stay single
+digits. Each round is one shuffle join + one aggregate, all JVM-side;
+frames are persisted per round and lineage cut so plans don't grow.
+
+DataFrame-only by design: no GraphX/graphframes dependency (GraphX is
+RDD-based and JVM-package-gated; this stays in the DataFrame planner with
+AQE + whole-stage codegen).
+"""
+
+from __future__ import annotations
+
+from pyspark import StorageLevel
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    *,
+    max_iter: int = 25,
+) -> DataFrame:
+    """(node, component) for every node in ``edges``; component = smallest
+    node id reachable. Edges are undirected (either orientation works) and
+    may contain duplicates/self-loops."""
+    sym = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    labels = (
+        sym.select(F.col("a").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    labels.count()
+
+    for _ in range(max_iter):
+        # smallest label among neighbors, per node
+        neigh_min = (
+            sym.join(labels, sym["b"] == labels["node"])
+            .groupBy(F.col("a").alias("node2"))
+            .agg(F.min("label").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(neigh_min, labels["node"] == F.col("node2"), "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))
+                ).alias("label"),
+            )
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    else:
+        raise RuntimeError(f"connected_components: no fixpoint in {max_iter} rounds")
+
+    sym.unpersist()
+    return labels.select("node", F.col("label").alias("component"))
+
+
+def component_sizes(components: DataFrame) -> DataFrame:
+    """Histogram: (size, n_components), size ascending."""
+    return (
+        components.groupBy("component")
+        .agg(F.count(F.lit(1)).alias("size"))
+        .groupBy("size")
+        .agg(F.count(F.lit(1)).alias("n_components"))
+        .orderBy("size")
+    )

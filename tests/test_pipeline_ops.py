@@ -1,0 +1,116 @@
+"""Training-pipeline operators: sessionization, deterministic sampling,
+connected components — exact semantics on synthetic micro-data."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from msgvault_spark.dedup.components import component_sizes, connected_components
+from msgvault_spark.operators.sampling import (
+    deterministic_sample,
+    rowhash,
+    stratified_sample,
+    weighted_source_mix,
+)
+from msgvault_spark.operators.sessionize import session_rollup, sessionize
+
+
+def _t(m):
+    return dt.datetime(2024, 1, 1, 10, 0, 0) + dt.timedelta(minutes=m)
+
+
+def test_sessionize_gap_splits(spark):
+    # u1: events at 0,10,20 | 60,65 | 200  -> 3 sessions (30-min timeout)
+    rows = [(1, _t(m)) for m in (0, 10, 20, 60, 65, 200)] + [(2, _t(0))]
+    ev = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    s = sessionize(ev, timeout_s=1800)
+    got = {
+        (r["user_id"], r["ts"].minute + 60 * (r["ts"].hour - 10)): r["session_id"]
+        for r in s.collect()
+    }
+    assert got == {
+        (1, 0): 0, (1, 10): 0, (1, 20): 0,
+        (1, 60): 1, (1, 65): 1,
+        (1, 200): 2,
+        (2, 0): 0,
+    }
+    roll = session_rollup(ev, timeout_s=1800)
+    by = {(r["user_id"], r["session_id"]): (r["events"], r["duration_s"])
+          for r in roll.collect()}
+    assert by[(1, 0)] == (3, 1200) and by[(1, 1)] == (2, 300)
+    assert by[(1, 2)] == (1, 0) and by[(2, 0)] == (1, 0)
+
+
+def test_sessionize_equal_timestamps_one_session(spark):
+    ev = spark.createDataFrame(
+        [(1, _t(0)), (1, _t(0)), (1, _t(0))], "user_id long, ts timestamp"
+    )
+    assert session_rollup(ev, timeout_s=60).count() == 1
+
+
+def test_deterministic_sample_is_pure_and_unbiased(spark):
+    df = spark.range(20_000).withColumnRenamed("id", "k")
+    s1 = deterministic_sample(df, "k", 0.25)
+    n = s1.count()
+    assert abs(n - 5_000) < 300  # hash uniformity
+    # pure function of key: repartition changes nothing
+    ids1 = {r["k"] for r in s1.collect()}
+    ids2 = {r["k"] for r in deterministic_sample(df.repartition(13), "k", 0.25).collect()}
+    assert ids1 == ids2
+    # nested rates: 10% sample is a subset of the 25% sample
+    ids3 = {r["k"] for r in deterministic_sample(df, "k", 0.10).collect()}
+    assert ids3 < ids1
+
+
+def test_stratified_sample_quota_and_stability(spark):
+    df = spark.range(1_000).select(
+        F.col("id").alias("k"), (F.col("id") % 3).cast("string").alias("g")
+    )
+    out = stratified_sample(df, ["g"], "k", quota=10)
+    per = {r["g"]: r["n"] for r in out.groupBy("g").agg(F.count("*").alias("n")).collect()}
+    assert per == {"0": 10, "1": 10, "2": 10}
+    a = sorted(r["k"] for r in out.collect())
+    b = sorted(r["k"] for r in stratified_sample(df.repartition(7), ["g"], "k", 10).collect())
+    assert a == b
+
+
+def test_weighted_mix_rates(spark):
+    df = spark.range(30_000).select(
+        F.col("id").alias("k"), (F.col("id") % 3).cast("string").alias("src")
+    )
+    kept = weighted_source_mix(df, "src", "k", {"0": 1.0, "1": 0.2})
+    per = {r["src"]: r["n"] for r in kept.groupBy("src").agg(F.count("*").alias("n")).collect()}
+    assert per["0"] == 10_000          # rate 1.0 keeps everything
+    assert abs(per["1"] - 2_000) < 300  # ~20%
+    assert "2" not in per               # unlisted source drops
+
+
+def test_rowhash_matches_sql_formula(spark):
+    df = spark.range(100).select(F.col("id").alias("k"), rowhash("k").alias("h"))
+    for r in df.collect():
+        assert r["h"] == ((r["k"] % 2147483647) * 1327217885) % 2147483647
+
+
+def test_connected_components_chain_and_clique(spark):
+    # chain 1-2-3-4 (diameter 3), clique 10-11-12, isolated edge 20-21
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (10, 12), (20, 21)],
+        "src long, dst long",
+    )
+    comp = {r["node"]: r["component"] for r in connected_components(edges).collect()}
+    assert comp[1] == comp[2] == comp[3] == comp[4] == 1
+    assert comp[10] == comp[11] == comp[12] == 10
+    assert comp[20] == comp[21] == 20
+    sizes = {r["size"]: r["n_components"]
+             for r in component_sizes(connected_components(edges)).collect()}
+    assert sizes == {4: 1, 3: 1, 2: 1}
+
+
+def test_connected_components_self_loop_and_dupes(spark):
+    edges = spark.createDataFrame(
+        [(5, 5), (5, 6), (6, 5), (5, 6)], "src long, dst long"
+    )
+    comp = {r["node"]: r["component"] for r in connected_components(edges).collect()}
+    assert comp == {5: 5, 6: 5}
