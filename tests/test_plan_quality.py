@@ -117,3 +117,77 @@ def test_partition_pruning_on_cache_lake(spark, tmp_path, archive):
     assert "PartitionFilters" in plan
     pf = plan.split("PartitionFilters:")[1].splitlines()[0]
     assert "year" in pf
+
+
+def test_sessionize_single_exchange(spark):
+    """Both windows (lag, running sum) and the rollup groupBy key on
+    user_id: Catalyst must reuse ONE hash partitioning for all three —
+    a second exchange would double-shuffle 100 TB of events."""
+    import datetime as dt
+
+    from msgvault_spark.operators.sessionize import session_rollup
+
+    ev = spark.createDataFrame(
+        [(1, dt.datetime(2024, 1, 1, 10, 0, 0))], "user_id long, ts timestamp"
+    )
+    plan = _plan(session_rollup(ev))
+    # count real exchanges (every "Exchange" occurrence that is not a reuse)
+    assert plan.count("Exchange") - plan.count("ReusedExchange") <= 1
+
+
+def test_deterministic_sample_is_pure_filter(spark):
+    """Hash sampling must stay a map-side filter: no exchange, no window,
+    and the predicate reaches the scan."""
+    from msgvault_spark.operators.sampling import deterministic_sample
+    from msgvault_spark.sources.loader import load_table
+
+    df = deterministic_sample(
+        load_table(spark, SF_DIR, "documents").select("doc_id"), "doc_id", 0.1
+    )
+    plan = _plan(df)
+    assert "Exchange" not in plan and "Window" not in plan
+    assert "pmod" in plan  # the hash predicate is in the scan filter
+
+
+def test_deletion_vector_apply_broadcasts(spark):
+    """Merge-on-read delete = broadcast hash LEFT ANTI; a shuffled anti-join
+    would re-shuffle the full base table per delete batch."""
+    from pyspark.sql import functions as F
+
+    from msgvault_spark.dedup.deletion_vectors import apply_deletion_vector
+
+    base = spark.range(100).select(F.col("id"))
+    dv = spark.range(5).select(F.col("id"), F.lit("b1").alias("delete_batch_id"))
+    plan = _plan(apply_deletion_vector(base, dv))
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_zero_fill_broadcasts_metric_side(spark):
+    """The dense-spine left join must broadcast the (small, post-agg)
+    metric side — never shuffle either input."""
+    import datetime as dt
+
+    from msgvault_spark.operators.timeseries import zero_fill
+
+    aggd = spark.createDataFrame(
+        [(dt.datetime(2024, 1, 1), 1)], "bucket timestamp, orders long"
+    )
+    plan = _plan(zero_fill(aggd, "bucket", "month"))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_hll_rollup_is_two_phase_agg(spark):
+    """Sketch rollup: level-1 sketches then union-merge — both hash
+    aggregates, no sort aggregate, single exchange between levels."""
+    from pyspark.sql import functions as F
+
+    from msgvault_spark.operators.sketch import hll_merge_estimate, hll_sketch_rollup
+
+    df = spark.range(100).select(
+        (F.col("id") % 2).alias("k"), (F.col("id") % 3).alias("g"),
+        F.col("id").alias("v"),
+    )
+    plan = _plan(hll_merge_estimate(hll_sketch_rollup(df, ["k"], ["g"], "v"), ["k"]))
+    assert "SortAggregate" not in plan  # datasketches aggs stay hash-based
