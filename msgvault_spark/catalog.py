@@ -701,6 +701,7 @@ FROM orders
 GROUP BY o_orderpriority
 ORDER BY key
 """,
+    headline=True,
 )
 def salted_priority_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-phase salted aggregate over a 5-value (maximally skewed) key:
@@ -758,6 +759,7 @@ SELECT strftime(spine.bucket, '%Y-%m') AS key,
 FROM spine LEFT JOIN b USING (bucket)
 ORDER BY key
 """,
+    headline=True,
 )
 def time_series_zero_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dense monthly series over a sparse filtered aggregate: months inside
@@ -795,6 +797,7 @@ FROM orders
 GROUP BY o_orderpriority
 ORDER BY key
 """,
+    headline=True,
 )
 def hll_distinct_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-level sketch rollup: per-(priority, year) DataSketches HLL

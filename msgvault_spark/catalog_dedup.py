@@ -464,6 +464,7 @@ WHERE doc_id NOT IN (SELECT doc_id FROM dv)
 GROUP BY lang
 ORDER BY key
 """,
+    headline=True,
 )
 def dv_survivor_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deletion-vector merge-on-read: content-hash dup groups → loser-id

@@ -45,6 +45,7 @@ GROUP BY user_id
 ORDER BY n_sessions DESC, user_id ASC
 LIMIT 100
 """,
+    headline=True,
 )
 def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """30-min-gap sessionization of the events stream (batch/backfill twin
@@ -91,6 +92,7 @@ FROM ranked WHERE rn <= 7
 GROUP BY lang
 ORDER BY key
 """,
+    headline=True,
 )
 def stratified_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-language quota sampling (7 docs/lang) by deterministic hash
@@ -178,6 +180,7 @@ sizes AS (
 SELECT size, CAST(COUNT(*) AS BIGINT) AS n_components
 FROM sizes GROUP BY size ORDER BY size
 """,
+    headline=True,
 )
 def dedup_component_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Transitive closure of a near-dup pair graph (chains doc→copyA→copyB,
