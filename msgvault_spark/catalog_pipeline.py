@@ -205,3 +205,61 @@ def dedup_component_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return component_sizes(comp).select(
         "size", F.col("n_components").cast("long").alias("n_components")
     )
+
+
+# ---------------------------------------------------------------------------
+# as-of (point-in-time) join (operators/asof.py)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "asof_events_orders",
+    """
+WITH r AS (
+    SELECT o_custkey AS user_id, o_orderdate,
+           MAX(o_orderkey) AS last_order
+    FROM orders GROUP BY 1, 2
+)
+SELECT e.event_type AS key,
+       CAST(COUNT(*) AS BIGINT) AS events,
+       CAST(COUNT(r.last_order) AS BIGINT) AS matched,
+       CAST(COALESCE(SUM(r.last_order), 0) AS BIGINT) AS order_ref_sum
+FROM events e
+ASOF LEFT JOIN r ON e.user_id = r.user_id AND e.ts >= r.o_orderdate
+GROUP BY key
+ORDER BY key
+""",
+    headline=True,
+)
+def asof_events_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time join: each event picks the user's most recent order at
+    or before it (operators/asof.py union-and-carry-forward — one shuffle,
+    no row explosion). Right side pre-deduped per (user, ts) so ties are
+    deterministic; oracle is DuckDB's native ASOF LEFT JOIN."""
+    from msgvault_spark.operators.asof import asof_join
+
+    events = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_type"
+    )
+    right = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(
+            F.col("o_custkey").alias("user_id"),
+            F.col("o_orderdate"),
+        )
+        .agg(F.max("o_orderkey").alias("last_order"))
+    )
+    joined = asof_join(
+        events, right, on="user_id", left_ts="ts", right_ts="o_orderdate"
+    )
+    return (
+        joined.groupBy(F.col("event_type").alias("key"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("events"),
+            F.count("last_order").cast("long").alias("matched"),
+            F.coalesce(F.sum("last_order"), F.lit(0))
+            .cast("long")
+            .alias("order_ref_sum"),
+        )
+        .orderBy("key")
+    )

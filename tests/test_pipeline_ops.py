@@ -114,3 +114,49 @@ def test_connected_components_self_loop_and_dupes(spark):
     )
     comp = {r["node"]: r["component"] for r in connected_components(edges).collect()}
     assert comp == {5: 5, 6: 5}
+
+
+# ---------------------------------------------------------------------------
+# as-of join
+# ---------------------------------------------------------------------------
+
+
+def test_asof_join_backward_inclusive(spark):
+    from msgvault_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(1, _t(10), "e1"), (1, _t(30), "e2"), (2, _t(5), "e3")],
+        "k long, ts timestamp, ev string",
+    )
+    right = spark.createDataFrame(
+        [(1, _t(0), 100), (1, _t(10), 200), (1, _t(25), 300), (3, _t(0), 999)],
+        "k long, ts timestamp, v long",
+    )
+    out = {r["ev"]: (r["v"], r["matched_ts"])
+           for r in asof_join(left, right, on="k").collect()}
+    assert out["e1"] == (200, _t(10))   # inclusive: equal ts matches
+    assert out["e2"] == (300, _t(25))   # latest at-or-before
+    assert out["e3"] == (None, None)    # key 2 has no right rows
+
+
+def test_asof_join_tolerance(spark):
+    from msgvault_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame([(1, _t(60), "e")], "k long, ts timestamp, ev string")
+    right = spark.createDataFrame([(1, _t(0), 7)], "k long, ts timestamp, v long")
+    with_tol = asof_join(left, right, on="k", tolerance_s=1800).head()
+    assert with_tol["v"] is None        # 60 min gap > 30 min horizon
+    no_tol = asof_join(left, right, on="k").head()
+    assert no_tol["v"] == 7
+
+
+def test_asof_join_single_exchange_no_join_node(spark):
+    """The union-and-carry-forward shape must not contain a physical join
+    and must shuffle exactly once (on the key)."""
+    from msgvault_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame([(1, _t(0), "e")], "k long, ts timestamp, ev string")
+    right = spark.createDataFrame([(1, _t(0), 7)], "k long, ts timestamp, v long")
+    plan = asof_join(left, right, on="k")._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan
+    assert plan.count("Exchange") - plan.count("ReusedExchange") <= 1
