@@ -263,3 +263,87 @@ def asof_events_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("key")
     )
+
+
+# ---------------------------------------------------------------------------
+# pivot + rollup (reshaping aggregates)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "pivot_events_weekly",
+    """
+SELECT strftime(date_trunc('week', ts), '%Y-%m-%d') AS week,
+       CAST(COALESCE(SUM(CASE WHEN event_type = 'click'    THEN 1 END), 0) AS BIGINT) AS click,
+       CAST(COALESCE(SUM(CASE WHEN event_type = 'error'    THEN 1 END), 0) AS BIGINT) AS error,
+       CAST(COALESCE(SUM(CASE WHEN event_type = 'purchase' THEN 1 END), 0) AS BIGINT) AS purchase,
+       CAST(COALESCE(SUM(CASE WHEN event_type = 'signup'   THEN 1 END), 0) AS BIGINT) AS signup,
+       CAST(COALESCE(SUM(CASE WHEN event_type = 'view'     THEN 1 END), 0) AS BIGINT) AS view
+FROM events
+GROUP BY 1
+ORDER BY week
+""",
+)
+def pivot_events_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Long→wide reshape: weekly event counts, one column per event type.
+    Explicit pivot values skip Spark's values-discovery job and keep the
+    output schema static (a must for a 100 TB pivot — never let the key
+    domain drive the schema at runtime)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        F.date_format(F.date_trunc("week", "ts"), "yyyy-MM-dd").alias("week"),
+        "event_type",
+    )
+    types = ["click", "error", "purchase", "signup", "view"]
+    out = (
+        ev.groupBy("week")
+        .pivot("event_type", types)
+        .agg(F.count(F.lit(1)))
+    )
+    return out.select(
+        "week", *[F.coalesce(F.col(t), F.lit(0)).cast("long").alias(t) for t in types]
+    ).orderBy("week")
+
+
+@register(
+    "rollup_priority_status",
+    """
+SELECT COALESCE(o_orderpriority, 'ALL') AS priority,
+       COALESCE(o_orderstatus, 'ALL') AS status,
+       CAST(GROUPING(o_orderpriority) * 2 + GROUPING(o_orderstatus) AS BIGINT)
+           AS grouping_level,
+       CAST(COUNT(*) AS BIGINT) AS orders,
+       CAST(SUM(CAST(floor(o_totalprice) AS BIGINT)) AS BIGINT) AS total
+FROM orders
+GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
+ORDER BY grouping_level ASC, priority ASC, status ASC
+""",
+)
+def rollup_priority_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical subtotals in ONE pass: (priority, status), per-priority,
+    and grand total via ROLLUP — Spark's Expand operator emits all three
+    grouping sets map-side, so the cube costs one shuffle, not three
+    queries. GROUPING() disambiguates real NULLs from subtotal rows."""
+    orders = load_table(spark, sf_dir, "orders")
+    base = orders.select(
+        "o_orderpriority",
+        "o_orderstatus",
+        F.floor("o_totalprice").cast("long").alias("price_l"),
+    )
+    return (
+        base.rollup("o_orderpriority", "o_orderstatus")
+        .agg(
+            (
+                F.grouping("o_orderpriority") * 2 + F.grouping("o_orderstatus")
+            ).cast("long").alias("grouping_level"),
+            F.count(F.lit(1)).cast("long").alias("orders"),
+            F.sum("price_l").cast("long").alias("total"),
+        )
+        .select(
+            F.coalesce(F.col("o_orderpriority"), F.lit("ALL")).alias("priority"),
+            F.coalesce(F.col("o_orderstatus"), F.lit("ALL")).alias("status"),
+            "grouping_level",
+            "orders",
+            "total",
+        )
+        .orderBy("grouping_level", "priority", "status")
+    )
