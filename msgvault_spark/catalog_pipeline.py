@@ -347,3 +347,130 @@ def rollup_priority_status(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("grouping_level", "priority", "status")
     )
+
+
+# ---------------------------------------------------------------------------
+# repetition / boilerplate quality filters (textstats/analysis.py)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "repetition_filter_docs",
+    """
+WITH feats AS (
+    SELECT lang,
+           list_filter(list_transform(string_split(text, chr(10)),
+                                      s -> trim(s)), s -> s != '') AS lines,
+           list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                       w -> w != '') AS ws
+    FROM documents
+),
+bg AS (
+    SELECT lang, lines, ws,
+           CASE WHEN len(ws) >= 2
+                THEN list_transform(range(1, len(ws)),
+                                    i -> ws[i] || ' ' || ws[i + 1])
+                END AS bigrams
+    FROM feats
+),
+ppm AS (
+    SELECT lang,
+           CASE WHEN len(lines) > 0
+                THEN CAST(floor((len(lines) - len(list_distinct(lines)))
+                                * 1000000.0 / len(lines)) AS BIGINT)
+                ELSE 0 END AS dup_line_ppm,
+           CASE WHEN len(ws) > 0
+                THEN CAST(floor((len(ws) - len(list_distinct(ws)))
+                                * 1000000.0 / len(ws)) AS BIGINT)
+                ELSE 0 END AS dup_word_ppm,
+           CASE WHEN len(ws) >= 2
+                THEN CAST(floor(list_max(list_transform(list_distinct(bigrams),
+                               x -> len(list_filter(bigrams, y -> y = x))))
+                                * 1000000.0 / (len(ws) - 1)) AS BIGINT)
+                ELSE 0 END AS top_bigram_ppm
+    FROM bg
+)
+SELECT lang AS key,
+       CAST(COUNT(*) AS BIGINT) AS docs,
+       CAST(SUM(CASE WHEN dup_line_ppm < 300000 AND dup_word_ppm < 400000
+                      AND top_bigram_ppm < 400000 THEN 1 ELSE 0 END)
+            AS BIGINT) AS kept,
+       CAST(SUM(dup_word_ppm) AS BIGINT) AS dup_word_ppm_sum,
+       CAST(SUM(top_bigram_ppm) AS BIGINT) AS top_bigram_ppm_sum
+FROM ppm
+GROUP BY lang
+ORDER BY key
+""",
+)
+def repetition_filter_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-family repetition filters (duplicate-line/word fraction, top
+    word-bigram share; Rae et al. 2021 §A1.1) as ppm integers so both
+    engines' float paths are bit-identical (same (count*1e6)/n op order).
+    All array ops, no explode, no shuffle until the final per-lang rollup
+    (textstats/analysis.py repetition family)."""
+    docs = load_table(spark, sf_dir, "documents").select("lang", "text")
+
+    lines = F.filter(
+        F.transform(F.split(F.col("text"), "\n"), lambda s: F.trim(s)),
+        lambda s: s != "",
+    )
+    ws = F.filter(
+        F.split(F.lower(F.col("text")), "[^a-z0-9]+"), lambda w: w != ""
+    )
+    base = docs.select(
+        "lang", lines.alias("lines"), ws.alias("ws")
+    ).withColumn(
+        "bigrams",
+        F.when(
+            F.size("ws") >= 2,
+            F.transform(
+                F.sequence(F.lit(0), F.size("ws") - 2),
+                lambda i: F.concat_ws(
+                    " ",
+                    F.element_at("ws", i + 1),
+                    F.element_at("ws", i + 2),
+                ),
+            ),
+        ),
+    )
+    nl, nw = F.size("lines"), F.size("ws")
+    dup_line_ppm = F.when(
+        nl > 0,
+        F.floor((nl - F.size(F.array_distinct("lines"))) * 1000000.0 / nl),
+    ).otherwise(0).cast("long")
+    dup_word_ppm = F.when(
+        nw > 0,
+        F.floor((nw - F.size(F.array_distinct("ws"))) * 1000000.0 / nw),
+    ).otherwise(0).cast("long")
+    top_count = F.aggregate(
+        F.array_distinct("bigrams"),
+        F.lit(0),
+        lambda acc, b: F.greatest(
+            acc, F.size(F.filter(F.col("bigrams"), lambda y: y == b))
+        ),
+    )
+    top_bigram_ppm = F.when(
+        nw >= 2, F.floor(top_count * 1000000.0 / (nw - 1))
+    ).otherwise(0).cast("long")
+
+    ppm = base.select(
+        "lang",
+        dup_line_ppm.alias("dup_line_ppm"),
+        dup_word_ppm.alias("dup_word_ppm"),
+        top_bigram_ppm.alias("top_bigram_ppm"),
+    )
+    keep = (
+        (F.col("dup_line_ppm") < 300000)
+        & (F.col("dup_word_ppm") < 400000)
+        & (F.col("top_bigram_ppm") < 400000)
+    )
+    return (
+        ppm.groupBy(F.col("lang").alias("key"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("docs"),
+            F.sum(keep.cast("int")).cast("long").alias("kept"),
+            F.sum("dup_word_ppm").cast("long").alias("dup_word_ppm_sum"),
+            F.sum("top_bigram_ppm").cast("long").alias("top_bigram_ppm_sum"),
+        )
+        .orderBy("key")
+    )

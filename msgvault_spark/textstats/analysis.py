@@ -147,3 +147,69 @@ def text_profile(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         fingerprint(t).alias("fingerprint"),
     ]
     return df.select(*cols)
+
+
+# ---------------------------------------------------------------------------
+# repetition / boilerplate filters (Gopher-rule family, Rae et al. 2021)
+# ---------------------------------------------------------------------------
+
+
+def duplicate_line_fraction(text: Column) -> Column:
+    """Fraction of lines that are repeats of an earlier line — the
+    boilerplate signal (nav bars, cookie banners repeat; prose doesn't).
+    JVM-side: split → dedup → size arithmetic, no shuffle."""
+    lines = F.filter(
+        F.transform(F.split(text, "\n"), lambda s: F.trim(s)),
+        lambda s: s != "",
+    )
+    n = F.size(lines)
+    return F.when(n > 0, (n - F.size(F.array_distinct(lines))) / n).otherwise(0.0)
+
+
+def duplicate_word_fraction(text: Column) -> Column:
+    """Fraction of word occurrences beyond each word's first — high for
+    keyword-stuffed / template text."""
+    ws = words(text)
+    n = F.size(ws)
+    return F.when(n > 0, (n - F.size(F.array_distinct(ws))) / n).otherwise(0.0)
+
+
+def top_bigram_fraction(text: Column) -> Column:
+    """Share of the text's word-bigram occurrences taken by its single most
+    frequent bigram (Gopher caps this at 0.18 for 2-grams). Built from
+    array ops + one aggregate expression — no explode, no shuffle."""
+    ws = words(text)
+    n = F.size(ws)
+    bigrams = F.when(
+        n >= 2,
+        F.transform(
+            F.sequence(F.lit(0), n - 2),
+            lambda i: F.concat_ws(" ", F.element_at(ws, i + 1), F.element_at(ws, i + 2)),
+        ),
+    )
+    top_count = F.aggregate(
+        F.array_distinct(bigrams),
+        F.lit(0),
+        lambda acc, bg: F.greatest(
+            acc, F.size(F.filter(bigrams, lambda x: x == bg))
+        ),
+    )
+    return F.when(n >= 2, top_count / (n - 1)).otherwise(0.0)
+
+
+def repetition_profile(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Per-document repetition features + a Gopher-style keep flag
+    (dup-line < 0.30, dup-word < 0.40, top-bigram < 0.40 — permissive
+    variants of the paper's thresholds)."""
+    t = F.col(text_col)
+    return df.select(
+        F.col(id_col),
+        F.round(duplicate_line_fraction(t), 6).alias("dup_line_frac"),
+        F.round(duplicate_word_fraction(t), 6).alias("dup_word_frac"),
+        F.round(top_bigram_fraction(t), 6).alias("top_bigram_frac"),
+    ).withColumn(
+        "keep",
+        (F.col("dup_line_frac") < 0.30)
+        & (F.col("dup_word_frac") < 0.40)
+        & (F.col("top_bigram_frac") < 0.40),
+    )

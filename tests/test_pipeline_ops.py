@@ -160,3 +160,27 @@ def test_asof_join_single_exchange_no_join_node(spark):
     plan = asof_join(left, right, on="k")._jdf.queryExecution().executedPlan().toString()
     assert "Join" not in plan
     assert plan.count("Exchange") - plan.count("ReusedExchange") <= 1
+
+
+# ---------------------------------------------------------------------------
+# repetition quality filters
+# ---------------------------------------------------------------------------
+
+
+def test_repetition_profile_flags_boilerplate(spark):
+    from msgvault_spark.textstats.analysis import repetition_profile
+
+    df = spark.createDataFrame(
+        [
+            (1, "menu\nhome\nabout\nmenu\nhome\nmenu"),       # dup lines
+            (2, "buy now buy now buy now buy now"),           # stuffed bigram
+            (3, "a perfectly normal sentence with varied words here"),
+            (4, ""),                                          # empty-safe
+        ],
+        "id long, text string",
+    )
+    out = {r["id"]: r for r in repetition_profile(df, "id", "text").collect()}
+    assert out[1]["dup_line_frac"] == 0.5 and not out[1]["keep"]
+    assert out[2]["top_bigram_frac"] > 0.5 and not out[2]["keep"]
+    assert out[3]["keep"]
+    assert out[4]["dup_line_frac"] == 0.0 and out[4]["keep"]
