@@ -474,3 +474,44 @@ def repetition_filter_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("key")
     )
+
+
+# ---------------------------------------------------------------------------
+# semi-structured JSON expansion (F11 at event scale)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_json_props",
+    """
+SELECT event_type AS key,
+       CAST(COUNT(*) AS BIGINT) AS events,
+       CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum,
+       CAST(MAX(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS k_max,
+       CAST(SUM(CASE WHEN CAST(json_extract(props, '$.k') AS BIGINT) >= 50
+                     THEN 1 ELSE 0 END) AS BIGINT) AS k_high
+FROM events
+GROUP BY key
+ORDER BY key
+""",
+)
+def events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed extraction from a JSON string column with an explicit schema
+    (from_json, JVM-side) — no schema inference pass over 100 TB, malformed
+    rows become NULLs not failures."""
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    ev = load_table(spark, sf_dir, "events").select("event_type", "props")
+    schema = StructType([StructField("k", LongType())])
+    k = F.from_json(F.col("props"), schema)["k"]
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy(F.col("event_type").alias("key"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("events"),
+            F.sum("k").cast("long").alias("k_sum"),
+            F.max("k").cast("long").alias("k_max"),
+            F.sum((F.col("k") >= 50).cast("int")).cast("long").alias("k_high"),
+        )
+        .orderBy("key")
+    )

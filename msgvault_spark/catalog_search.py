@@ -374,3 +374,46 @@ def bm25_prefix_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(FF.col("score").desc(), FF.col("doc_id").asc())
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# int8 scalar-quantized KNN (similarity/quantize.py)
+# ---------------------------------------------------------------------------
+
+_SQ8 = (
+    "CASE WHEN m > 0 THEN list_transform(embedding, "
+    "x -> CAST(floor(CAST(x AS DOUBLE) * 127.0 / m + 0.5) AS BIGINT)) "
+    "ELSE list_transform(embedding, x -> CAST(0 AS BIGINT)) END"
+)
+
+
+@register(
+    "quantized_knn_seed0",
+    f"""
+WITH codes AS (
+    SELECT vec_id, {_SQ8} AS c
+    FROM (SELECT vec_id, embedding,
+                 list_max(list_transform(embedding,
+                          x -> abs(CAST(x AS DOUBLE)))) AS m
+          FROM embeddings)
+),
+q AS (SELECT c AS qv FROM codes WHERE vec_id = 0)
+SELECT codes.vec_id AS id,
+       CAST(list_sum(list_transform(list_zip(codes.c, q.qv),
+            p -> p[1] * p[2])) AS BIGINT) AS qscore
+FROM codes, q
+WHERE codes.vec_id != 0
+ORDER BY qscore DESC, id ASC
+LIMIT 10
+""",
+)
+def quantized_knn_seed0(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQ8 candidate generation: per-vector max-abs int8 codes, exact
+    integer dot-product ranking (similarity/quantize.py). Integer scores
+    make the approximate path itself hash-verifiable cross-engine — both
+    engines must produce byte-identical codes."""
+    from msgvault_spark.similarity.quantize import quantized_knn
+
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") != 0)
+    seed = _seed_vector(spark, sf_dir, 0)
+    return quantized_knn(emb, seed, k=10).withColumnRenamed("vec_id", "id")

@@ -215,3 +215,26 @@ def build_wide_cache(
 
 def load_wide_cache(spark: SparkSession, base_dir: str) -> DataFrame:
     return spark.read.parquet(os.path.join(base_dir, "wide_messages"))
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_col: str,
+    *,
+    num_buckets: int = 32,
+    sort: bool = True,
+) -> None:
+    """Bucketed managed table: pre-shuffles ONCE at write so every future
+    equi-join/aggregate on ``bucket_col`` between co-bucketed tables runs
+    exchange-free — the lakehouse answer to the reference's SQLite covering
+    indexes. At 100 TB, junction⋈fact joins (message_recipients.message_id
+    = messages.id) are the recurring shuffle; co-bucketing both sides by
+    the join key amortizes it into the ETL write. Sorted buckets also drop
+    the SortMergeJoin's per-query sort."""
+    w = df.write.format("parquet").mode("overwrite").bucketBy(
+        num_buckets, bucket_col
+    )
+    if sort:
+        w = w.sortBy(bucket_col)
+    w.saveAsTable(table)

@@ -184,3 +184,44 @@ def test_repetition_profile_flags_boilerplate(spark):
     assert out[2]["top_bigram_frac"] > 0.5 and not out[2]["keep"]
     assert out[3]["keep"]
     assert out[4]["dup_line_frac"] == 0.0 and out[4]["keep"]
+
+
+# ---------------------------------------------------------------------------
+# int8 scalar quantization
+# ---------------------------------------------------------------------------
+
+
+def test_quantize_codes_and_recall(spark):
+    import math
+    import random
+
+    from msgvault_spark.similarity.knn import knn_bruteforce
+    from msgvault_spark.similarity.quantize import quantize_vector, quantized_knn
+
+    rnd = random.Random(7)
+    rows = [(i, [rnd.uniform(-1, 1) for _ in range(16)]) for i in range(200)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    # codes stay in int8 range and match the reference formula
+    got = emb.select("embedding", quantize_vector(F.col("embedding")).alias("c")).head()
+    mx = max(abs(v) for v in got["embedding"])
+    want = [int(math.floor(v * 127.0 / mx + 0.5)) for v in got["embedding"]]
+    assert got["c"] == want
+    assert all(-128 <= c <= 127 for c in got["c"])
+
+    # retrieve-rerank recall: quantized top-20 must contain most of exact top-10
+    seed = rows[0][1]
+    exact = {r["id"] for r in knn_bruteforce(
+        emb, seed, k=10, id_col="vec_id", vec_col="embedding").collect()}
+    quant = {r["vec_id"] for r in quantized_knn(emb, seed, 20).collect()}
+    assert len(exact & quant) >= 8
+
+
+def test_quantize_zero_vector_safe(spark):
+    from msgvault_spark.similarity.quantize import quantize_vector
+
+    emb = spark.createDataFrame(
+        [(1, [0.0, 0.0, 0.0])], "vec_id long, embedding array<float>"
+    )
+    row = emb.select(quantize_vector(F.col("embedding")).alias("c")).head()
+    assert row["c"] == [0, 0, 0]
