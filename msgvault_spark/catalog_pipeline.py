@@ -515,3 +515,62 @@ def events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("key")
     )
+
+
+# ---------------------------------------------------------------------------
+# range (interval) join (operators/rangejoin.py)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "range_join_error_context",
+    """
+SELECT c.event_type AS key,
+       CAST(COUNT(*) AS BIGINT) AS pairs,
+       CAST(COUNT(DISTINCT e.event_id) AS BIGINT) AS errors_matched,
+       CAST(SUM(c.event_id) AS BIGINT) AS ctx_ref_sum
+FROM events e
+JOIN events c
+  ON e.user_id = c.user_id
+ AND c.event_type IN ('click', 'view')
+ AND CAST(floor(epoch(c.ts)) AS BIGINT) <= CAST(floor(epoch(e.ts)) AS BIGINT)
+ AND CAST(floor(epoch(c.ts)) AS BIGINT)
+     >= CAST(floor(epoch(e.ts)) AS BIGINT) - 600
+WHERE e.event_type = 'error'
+GROUP BY key
+ORDER BY key
+""",
+)
+def range_join_error_context(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval self-join without per-key cross products: each error event
+    paired with the same user's click/view events from the preceding 10
+    minutes (the "what led to the error" funnel query) via window-sized
+    bucket equi-join + exact predicate (operators/rangejoin.py). The oracle
+    runs the naive inequality join — hash-equality proves the bucketization
+    is exactness-preserving."""
+    from msgvault_spark.operators.rangejoin import range_join
+
+    ev = load_table(spark, sf_dir, "events")
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts"
+    )
+    context = ev.filter(F.col("event_type").isin("click", "view")).select(
+        "user_id",
+        "ts",
+        F.col("event_id").alias("ctx_id"),
+        F.col("event_type").alias("ctx_type"),
+    )
+    pairs = range_join(
+        errors, context,
+        on="user_id", left_ts="ts", right_ts="ts",
+        window_s=600, direction="backward",
+    )
+    return (
+        pairs.groupBy(F.col("ctx_type").alias("key"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("pairs"),
+            F.count_distinct("event_id").cast("long").alias("errors_matched"),
+            F.sum("ctx_id").cast("long").alias("ctx_ref_sum"),
+        )
+        .orderBy("key")
+    )

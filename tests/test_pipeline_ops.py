@@ -225,3 +225,51 @@ def test_quantize_zero_vector_safe(spark):
     )
     row = emb.select(quantize_vector(F.col("embedding")).alias("c")).head()
     assert row["c"] == [0, 0, 0]
+
+
+# ---------------------------------------------------------------------------
+# range (interval) join
+# ---------------------------------------------------------------------------
+
+
+def test_range_join_matches_naive(spark):
+    import random
+
+    from msgvault_spark.operators.rangejoin import range_join
+
+    rnd = random.Random(3)
+    lrows = [(rnd.randrange(5), _t(rnd.randrange(300)), i) for i in range(80)]
+    rrows = [(rnd.randrange(5), _t(rnd.randrange(300)), 1000 + i) for i in range(80)]
+    left = spark.createDataFrame(lrows, "k long, ts timestamp, lid long")
+    right = spark.createDataFrame(rrows, "k long, ts timestamp, rid long")
+
+    for direction in ("both", "backward", "forward"):
+        got = {
+            (r["lid"], r["rid"])
+            for r in range_join(
+                left, right, on="k", window_s=1200, direction=direction
+            ).collect()
+        }
+        naive = set()
+        for lk, lt, lid in lrows:
+            for rk, rt, rid in rrows:
+                if lk != rk:
+                    continue
+                d = (rt - lt).total_seconds()
+                ok = (
+                    abs(d) <= 1200 if direction == "both"
+                    else (-1200 <= d <= 0) if direction == "backward"
+                    else (0 <= d <= 1200)
+                )
+                if ok:
+                    naive.add((lid, rid))
+        assert got == naive, direction
+
+
+def test_range_join_no_duplicate_pairs(spark):
+    from msgvault_spark.operators.rangejoin import range_join
+
+    left = spark.createDataFrame([(1, _t(0), 1)], "k long, ts timestamp, lid long")
+    right = spark.createDataFrame([(1, _t(1), 2)], "k long, ts timestamp, rid long")
+    out = range_join(left, right, on="k", window_s=600).collect()
+    assert len(out) == 1
