@@ -829,3 +829,49 @@ def hll_distinct_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("key")
     )
+
+
+@register(
+    "salted_join_priority_dim",
+    """
+WITH dim AS (
+    SELECT DISTINCT o_orderpriority AS pri,
+           CAST(substr(o_orderpriority, 1, 1) AS BIGINT) AS urgency_rank
+    FROM orders
+)
+SELECT d.urgency_rank AS key,
+       CAST(COUNT(*) AS BIGINT) AS orders,
+       CAST(SUM(CAST(floor(o.o_totalprice) AS BIGINT)) AS BIGINT) AS total
+FROM orders o
+JOIN dim d ON d.pri = o.o_orderpriority
+GROUP BY key
+ORDER BY key
+""",
+)
+def salted_join_priority_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-resistant salted join on a 5-value (maximally skewed) key: big
+    side fans each hot key across 16 salts, dim side replicated per salt
+    (operators/salted.py:salted_join). At this dim size Catalyst would
+    broadcast anyway — the entry pins the salting's exactness; the salted
+    shape is for dim tables past broadcast size."""
+    from msgvault_spark.operators.salted import salted_join
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderpriority", F.floor("o_totalprice").cast("long").alias("price_l")
+    )
+    dim = (
+        orders.select("o_orderpriority").distinct()
+        .select(
+            F.col("o_orderpriority"),
+            F.substring("o_orderpriority", 1, 1).cast("long").alias("urgency_rank"),
+        )
+    )
+    joined = salted_join(orders, dim, "o_orderpriority", n_salts=16)
+    return (
+        joined.groupBy(F.col("urgency_rank").alias("key"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("orders"),
+            F.sum("price_l").cast("long").alias("total"),
+        )
+        .orderBy("key")
+    )

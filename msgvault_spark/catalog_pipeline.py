@@ -574,3 +574,88 @@ def range_join_error_context(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("key")
     )
+
+
+# ---------------------------------------------------------------------------
+# analytic window-function family (W-family breadth)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "window_family_orders",
+    """
+WITH w AS (
+    SELECT o_orderpriority AS pri,
+           o_orderkey,
+           CAST(floor(o_totalprice) AS BIGINT) AS price_l,
+           LAG(o_orderkey) OVER win AS prev_key,
+           LEAD(o_orderkey) OVER win AS next_key,
+           NTILE(4) OVER win AS quartile,
+           CAST(floor(PERCENT_RANK() OVER win * 1000000) AS BIGINT)
+               AS pct_rank_ppm,
+           CAST(floor(CUME_DIST() OVER win * 1000000) AS BIGINT)
+               AS cume_ppm,
+           FIRST_VALUE(o_orderkey) OVER win AS cheapest_key,
+           CAST(SUM(CAST(floor(o_totalprice) AS BIGINT)) OVER (
+               PARTITION BY o_orderpriority ORDER BY o_totalprice ASC,
+               o_orderkey ASC ROWS UNBOUNDED PRECEDING) AS BIGINT)
+               AS running_total
+    FROM orders
+    WINDOW win AS (PARTITION BY o_orderpriority
+                   ORDER BY o_totalprice ASC, o_orderkey ASC)
+)
+SELECT pri AS key,
+       CAST(SUM(quartile) AS BIGINT) AS quartile_sum,
+       CAST(SUM(pct_rank_ppm) AS BIGINT) AS pct_rank_sum,
+       CAST(SUM(cume_ppm) AS BIGINT) AS cume_sum,
+       CAST(COUNT(prev_key) AS BIGINT) AS with_prev,
+       CAST(COUNT(next_key) AS BIGINT) AS with_next,
+       CAST(MIN(cheapest_key) AS BIGINT) AS cheapest_key,
+       CAST(MAX(running_total) AS BIGINT) AS grand_total
+FROM w
+GROUP BY pri
+ORDER BY key
+""",
+)
+def window_family_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whole analytic-window family over one shared (partition, order)
+    spec — lag/lead/ntile/percent_rank/cume_dist/first_value/running sum
+    all reuse a single sort+exchange (checked by the shared WINDOW clause
+    on the oracle side too)."""
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("pri"),
+        "o_orderkey",
+        F.floor("o_totalprice").cast("long").alias("price_l"),
+        "o_totalprice",
+    )
+    win = Window.partitionBy("pri").orderBy(
+        F.col("o_totalprice").asc(), F.col("o_orderkey").asc()
+    )
+    run = win.rowsBetween(Window.unboundedPreceding, 0)
+    w = orders.select(
+        "pri",
+        F.lag("o_orderkey").over(win).alias("prev_key"),
+        F.lead("o_orderkey").over(win).alias("next_key"),
+        F.ntile(4).over(win).alias("quartile"),
+        F.floor(F.percent_rank().over(win) * 1000000).cast("long").alias(
+            "pct_rank_ppm"
+        ),
+        F.floor(F.cume_dist().over(win) * 1000000).cast("long").alias("cume_ppm"),
+        F.first("o_orderkey").over(win).alias("cheapest_key"),
+        F.sum("price_l").over(run).alias("running_total"),
+    )
+    return (
+        w.groupBy(F.col("pri").alias("key"))
+        .agg(
+            F.sum("quartile").cast("long").alias("quartile_sum"),
+            F.sum("pct_rank_ppm").cast("long").alias("pct_rank_sum"),
+            F.sum("cume_ppm").cast("long").alias("cume_sum"),
+            F.count("prev_key").cast("long").alias("with_prev"),
+            F.count("next_key").cast("long").alias("with_next"),
+            F.min("cheapest_key").cast("long").alias("cheapest_key"),
+            F.max("running_total").cast("long").alias("grand_total"),
+        )
+        .orderBy("key")
+    )

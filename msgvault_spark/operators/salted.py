@@ -94,3 +94,34 @@ def salted_count_distinct(
     return partials.groupBy("key").agg(
         F.sum("__pd").cast("long").alias("distinct_count")
     )
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    on: str,
+    *,
+    n_salts: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-resistant equi-join: when the small side is too large to
+    broadcast and the big side's join key is power-law (one label/domain
+    holding half the rows lands a whole shuffle partition on one reducer),
+    salt the big side ``n_salts`` ways and replicate the small side once
+    per salt — every hot key fans across ``n_salts`` reducers.
+
+    AQE's skew-join split handles moderate skew after the fact; explicit
+    salting is the planned-for version (and composes with ``how='left'``).
+    Cost: ``n_salts``× duplication of the small side — choose n_salts ≈
+    hot-key concentration, not cores."""
+    salt = F.pmod(F.xxhash64(*[F.col(c) for c in big.columns]), F.lit(n_salts))
+    big_s = big.withColumn("__salt", salt)
+    small_s = small.withColumn(
+        "__salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
+    ).withColumnRenamed(on, "__rk")
+    joined = big_s.join(
+        small_s,
+        (F.col(on) == F.col("__rk")) & (big_s["__salt"] == small_s["__salt"]),
+        how,
+    )
+    return joined.drop("__salt", "__rk")

@@ -189,3 +189,24 @@ def test_dv_apply_is_broadcast_anti(spark, marked_docs):
     dv = build_deletion_vector(marked, id_col="doc_id")
     plan = apply_deletion_vector(df, dv, id_col="doc_id")._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+
+
+def test_salted_join_matches_plain(spark):
+    from msgvault_spark.operators.salted import salted_join
+
+    big = spark.range(5_000).select(
+        (F.col("id") % 4).alias("k"), F.col("id").alias("v")
+    )
+    small = spark.createDataFrame(
+        [(0, "a"), (1, "b"), (2, "c"), (9, "z")], "k long, name string"
+    )
+    for how in ("inner", "left"):
+        got = sorted(
+            (r["k"], r["v"], r["name"])
+            for r in salted_join(big, small, "k", n_salts=8, how=how).collect()
+        )
+        want = sorted(
+            (r["k"], r["v"], r["name"])
+            for r in big.join(small, "k", how).collect()
+        )
+        assert got == want, how
