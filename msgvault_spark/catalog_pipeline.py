@@ -659,3 +659,47 @@ def window_family_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("key")
     )
+
+
+# ---------------------------------------------------------------------------
+# incrementally-maintained aggregate state (operators/incremental_agg.py)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "incremental_agg_orders",
+    """
+SELECT o_orderpriority AS key,
+       CAST(COUNT(o_totalprice) AS BIGINT) AS price_cnt,
+       CAST(SUM(CAST(floor(o_totalprice) AS BIGINT)) AS BIGINT) AS price_sum,
+       CAST(MIN(CAST(floor(o_totalprice) AS BIGINT)) AS BIGINT) AS price_min,
+       CAST(MAX(CAST(floor(o_totalprice) AS BIGINT)) AS BIGINT) AS price_max
+FROM orders
+GROUP BY key
+ORDER BY key
+""",
+)
+def incremental_agg_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregate served from per-year partial-state rows merged at query
+    time (operators/incremental_agg.py) — ingest aggregates only its slice,
+    history is never re-scanned. The oracle aggregates the raw table
+    directly; hash-equality proves state-merge == full recompute."""
+    from msgvault_spark.operators.incremental_agg import (
+        build_agg_state,
+        merge_agg_state,
+    )
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderpriority",
+        F.year("o_orderdate").alias("y"),
+        F.floor("o_totalprice").cast("long").alias("price"),
+    )
+    state = build_agg_state(orders, ["o_orderpriority"], ["y"], {"price": "price"})
+    merged = merge_agg_state(state.drop("y"), ["o_orderpriority"])
+    return merged.select(
+        F.col("o_orderpriority").alias("key"),
+        F.col("price_cnt").cast("long").alias("price_cnt"),
+        F.col("price_sum").cast("long").alias("price_sum"),
+        F.col("price_min").cast("long").alias("price_min"),
+        F.col("price_max").cast("long").alias("price_max"),
+    ).orderBy("key")

@@ -210,3 +210,62 @@ def test_salted_join_matches_plain(spark):
             for r in big.join(small, "k", how).collect()
         )
         assert got == want, how
+
+
+def test_incremental_agg_state_upsert(spark):
+    """State built per day, merged == direct agg; re-ingesting a day is
+    idempotent; a corrected day replaces its old state."""
+    from msgvault_spark.operators.incremental_agg import (
+        build_agg_state,
+        merge_agg_state,
+        upsert_agg_state,
+    )
+
+    df = spark.range(1_000).select(
+        (F.col("id") % 5).alias("day"),
+        (F.col("id") % 3).alias("k"),
+        (F.col("id") % 97).alias("v"),
+    )
+    # ingest day-by-day, accumulating state
+    state = build_agg_state(df.filter("day = 0"), ["k"], ["day"], {"v": "v"})
+    for d in range(1, 5):
+        fresh = build_agg_state(df.filter(f"day = {d}"), ["k"], ["day"], {"v": "v"})
+        state = upsert_agg_state(state, fresh, ["day"])
+
+    merged = {
+        r["k"]: (r["v_cnt"], r["v_sum"], r["v_min"], r["v_max"])
+        for r in merge_agg_state(state.drop("day"), ["k"]).collect()
+    }
+    direct = {
+        r["k"]: (r["cnt"], r["s"], r["mn"], r["mx"])
+        for r in df.groupBy("k").agg(
+            F.count("v").alias("cnt"), F.sum("v").alias("s"),
+            F.min("v").alias("mn"), F.max("v").alias("mx")).collect()
+    }
+    assert merged == direct
+
+    # idempotent re-ingest of day 3
+    again = build_agg_state(df.filter("day = 3"), ["k"], ["day"], {"v": "v"})
+    state2 = upsert_agg_state(state, again, ["day"])
+    assert state2.count() == state.count()
+    merged2 = {
+        r["k"]: (r["v_cnt"], r["v_sum"], r["v_min"], r["v_max"])
+        for r in merge_agg_state(state2.drop("day"), ["k"]).collect()
+    }
+    assert merged2 == direct
+
+    # corrected day 4: drop half the rows -> merge reflects the correction
+    fixed = build_agg_state(
+        df.filter("day = 4 AND v < 50"), ["k"], ["day"], {"v": "v"}
+    )
+    state3 = upsert_agg_state(state, fixed, ["day"])
+    direct3 = {
+        r["k"]: r["cnt"]
+        for r in df.filter("day != 4 OR v < 50").groupBy("k")
+        .agg(F.count("v").alias("cnt")).collect()
+    }
+    merged3 = {
+        r["k"]: r["v_cnt"]
+        for r in merge_agg_state(state3.drop("day"), ["k"]).collect()
+    }
+    assert merged3 == direct3
