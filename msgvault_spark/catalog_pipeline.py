@@ -703,3 +703,45 @@ def incremental_agg_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("price_min").cast("long").alias("price_min"),
         F.col("price_max").cast("long").alias("price_max"),
     ).orderBy("key")
+
+
+# ---------------------------------------------------------------------------
+# exact interpolated percentiles
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "percentiles_order_price",
+    """
+SELECT o_orderpriority AS key,
+       CAST(floor(quantile_cont(CAST(floor(o_totalprice) AS BIGINT), 0.50)
+                  * 100 + 0.5) AS BIGINT) AS p50_c,
+       CAST(floor(quantile_cont(CAST(floor(o_totalprice) AS BIGINT), 0.95)
+                  * 100 + 0.5) AS BIGINT) AS p95_c,
+       CAST(floor(quantile_cont(CAST(floor(o_totalprice) AS BIGINT), 0.99)
+                  * 100 + 0.5) AS BIGINT) AS p99_c
+FROM orders
+GROUP BY key
+ORDER BY key
+""",
+)
+def percentiles_order_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact linear-interpolated percentiles (Spark `percentile` ==
+    DuckDB `quantile_cont`, both (n-1)·p over the sorted values), scaled to
+    cents and half-up rounded so the float interpolation is hash-stable.
+    The scale path for p50/p95/p99 dashboards is `percentile_approx`
+    (t-digest, mergeable) — exact here so the oracle can verify."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderpriority",
+        F.floor("o_totalprice").cast("long").alias("price_l"),
+    )
+    def pct(p, name):
+        return F.floor(
+            F.percentile("price_l", F.lit(p)) * 100 + F.lit(0.5)
+        ).cast("long").alias(name)
+
+    return (
+        orders.groupBy(F.col("o_orderpriority").alias("key"))
+        .agg(pct(0.50, "p50_c"), pct(0.95, "p95_c"), pct(0.99, "p99_c"))
+        .orderBy("key")
+    )

@@ -70,3 +70,28 @@ def stream_dedup_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         stream_dedup(stream), queryName=f"dedup_{uuid.uuid4().hex[:8]}"
     )
     return deduped.agg(F.countDistinct("event_id").alias("unique_events"))
+
+
+@register(
+    "stream_user_sessions",
+    # no oracle: applyInPandasWithState session tracking is not
+    # SQL-expressible (custom per-group state machine); driver records the
+    # rows-only check, exact semantics pinned by
+    # tests/test_streaming.py::test_stateful_session_tracker and the batch
+    # twin's oracle (sessionize_events)
+    None,
+    memoize_plan=False,  # runs a streaming query per invocation
+)
+def stream_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator over the events file stream:
+    per-user session counts/volumes via applyInPandasWithState
+    (streaming/stateful.py), Trigger.AvailableNow one-shot."""
+    from msgvault_spark.streaming.stateful import user_session_stats
+
+    stream = read_events_stream(spark, _events_glob(sf_dir))
+    got = run_available_now(
+        user_session_stats(stream),
+        queryName=f"sessions_{uuid.uuid4().hex[:8]}",
+        output_mode="update",
+    )
+    return got.orderBy(F.col("user_id").asc())
