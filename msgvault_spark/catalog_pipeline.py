@@ -745,3 +745,41 @@ def percentiles_order_price(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(pct(0.50, "p50_c"), pct(0.95, "p95_c"), pct(0.99, "p99_c"))
         .orderBy("key")
     )
+
+
+@register(
+    "approx_percentile_check",
+    """
+SELECT o_orderpriority AS key,
+       CAST(floor(quantile_cont(CAST(floor(o_totalprice) AS BIGINT), 0.5))
+            AS BIGINT) AS exact_p50,
+       CAST(CASE WHEN abs(approx_quantile(CAST(floor(o_totalprice) AS BIGINT), 0.5)
+                          - quantile_cont(CAST(floor(o_totalprice) AS BIGINT), 0.5))
+                      <= 0.02 * quantile_cont(CAST(floor(o_totalprice) AS BIGINT), 0.5)
+                 THEN 1 ELSE 0 END AS BIGINT) AS approx_ok
+FROM orders
+GROUP BY key
+ORDER BY key
+""",
+)
+def approx_percentile_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable approximate quantiles (Spark KLL-style percentile_approx /
+    DuckDB t-digest) — the 100 TB p50 path. Engine-neutral comparable
+    output, same contract as hll_distinct_rollup: exact median + a flag
+    that THIS engine's sketch lands within 2%."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderpriority",
+        F.floor("o_totalprice").cast("long").alias("price_l"),
+    )
+    exact = F.floor(F.percentile("price_l", F.lit(0.5))).cast("long")
+    approx = F.percentile_approx("price_l", F.lit(0.5), F.lit(10000))
+    return (
+        orders.groupBy(F.col("o_orderpriority").alias("key"))
+        .agg(
+            exact.alias("exact_p50"),
+            (
+                F.abs(approx - exact) <= 0.02 * exact
+            ).cast("long").alias("approx_ok"),
+        )
+        .orderBy("key")
+    )

@@ -57,6 +57,10 @@ def connected_components(
             .groupBy(F.col("a").alias("node2"))
             .agg(F.min("label").alias("nmin"))
         )
+        # localCheckpoint (not just persist): truncates lineage so the
+        # logical plan stays constant-size across rounds — chained
+        # iteration plans otherwise grow until Catalyst itself chokes
+        # (see similarity/ivf.py:train_centroids_kmeans note)
         new_labels = (
             labels.join(neigh_min, labels["node"] == F.col("node2"), "left")
             .select(
@@ -65,7 +69,7 @@ def connected_components(
                     F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))
                 ).alias("label"),
             )
-            .persist(StorageLevel.MEMORY_AND_DISK)
+            .localCheckpoint(eager=True)
         )
         changed = (
             new_labels.alias("n")

@@ -147,3 +147,81 @@ WHERE a.vec_id != {seed_id}
 ORDER BY score DESC, id ASC
 LIMIT {k}
 """
+
+
+def train_centroids_kmeans(
+    embeddings: DataFrame,
+    *,
+    n_cells: int = 8,
+    n_iter: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Lloyd's k-means over DataFrames — the production coarse quantizer
+    (build_ivf_index's lowest-id init is the reproducible-oracle variant;
+    k-means cells balance real clusters, cutting probe fan-out for a given
+    recall).
+
+    Each round: broadcast the K centroids, assign every vector to its
+    nearest (one map stage, no shuffle), then re-average per cell — one
+    narrow shuffle of d-dim partial sums, map-side combined. Deterministic:
+    init = lowest-id vectors, cosine ties break to lowest cell id, and the
+    elementwise mean is order-insensitive (sum of doubles per dimension via
+    aggregate over posexplode — associativity loss is below the argmax
+    rounding). Empty cells keep their previous centroid.
+
+    Returns (cid, cvec) like build_ivf_index's centroid frame.
+
+    Lineage discipline: K centroids are tiny (K·d doubles), so each round
+    collects them and rebuilds a literal frame. Chaining rounds as
+    DataFrame lineage instead makes the logical plan grow per iteration
+    until Catalyst's own plan handling OOMs — for iterative algorithms,
+    collect small state / checkpoint big state every round."""
+    spark = embeddings.sparkSession
+    corpus = embeddings.select(
+        F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("vec")
+    ).persist()
+    cent_rows = [
+        (int(r["id"]), list(r["vec"]))
+        for r in corpus.filter(F.col("id") < n_cells)
+        .select("id", "vec")
+        .collect()
+    ]
+
+    w = Window.partitionBy("id").orderBy(
+        F.col("cscore").desc(), F.col("cid").asc()
+    )
+    for _ in range(n_iter):
+        cents = spark.createDataFrame(
+            cent_rows, "cid long, cvec array<double>"
+        )
+        assigned = (
+            corpus.join(F.broadcast(cents))
+            .withColumn("cscore", F.round(cosine(F.col("vec"), F.col("cvec")), 6))
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("id", "vec", "cid")
+        )
+        # per-cell elementwise mean: posexplode -> (cell, pos) partial avgs
+        means = {
+            int(r["cid"]): [s["m"] for s in r["pm"]]
+            for r in assigned.select(
+                "cid", F.posexplode("vec").alias("pos", "x")
+            )
+            .groupBy("cid", "pos")
+            .agg(F.avg("x").alias("m"))
+            .groupBy("cid")
+            .agg(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("pos"), F.col("m")))
+                ).alias("pm")
+            )
+            .collect()
+        }
+        # empty cells keep their previous centroid
+        cent_rows = [
+            (cid, means.get(cid, old)) for cid, old in cent_rows
+        ]
+
+    corpus.unpersist()
+    return spark.createDataFrame(cent_rows, "cid long, cvec array<double>")

