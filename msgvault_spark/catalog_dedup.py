@@ -493,3 +493,87 @@ def dv_survivor_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("long").alias("docs"))
         .orderBy("key")
     )
+
+
+# ---------------------------------------------------------------------------
+# winnowing substring-overlap fingerprints (dedup/winnow.py)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "winnow_substring_pairs",
+    r"""
+WITH src AS (
+    SELECT doc_id, lower(text) AS raw FROM documents WHERE doc_id < 150
+    UNION ALL
+    SELECT doc_id + 10000,
+           substr(lower(text), 1, 200) ||
+           ' entirely new trailing content appended here'
+    FROM documents WHERE doc_id < 150 AND doc_id % 4 = 0
+),
+norm AS (
+    SELECT doc_id, regexp_replace(raw, '\s+', ' ', 'g') AS t FROM src
+),
+grams AS (
+    SELECT doc_id,
+           CASE WHEN len(t) >= 8
+                THEN list_transform(range(1, len(t) - 6),
+                     i -> CAST(concat('0x', substr(md5(substr(t, i, 8)), 1, 8))
+                               AS BIGINT))
+                ELSE [] END AS hs
+    FROM norm
+),
+fps AS (
+    SELECT doc_id,
+           list_distinct(
+               CASE WHEN len(hs) >= 4
+                    THEN list_transform(range(0, len(hs) - 3),
+                                        i -> list_min(hs[i+1:i+4]))
+                    WHEN len(hs) > 0 THEN [list_min(hs)]
+                    ELSE hs END) AS fp
+    FROM grams
+),
+posting AS (SELECT doc_id, unnest(fp) AS h FROM fps),
+pairs AS (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS shared
+    FROM posting a JOIN posting b ON a.h = b.h AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+    HAVING COUNT(*) >= 5
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS pairs,
+       CAST(COALESCE(SUM(shared), 0) AS BIGINT) AS shared_sum,
+       CAST(COALESCE(SUM(id_a + id_b), 0) AS BIGINT) AS id_sum
+FROM pairs
+""",
+)
+def winnow_substring_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing (MOSS, SIGMOD'03) substring-overlap candidates: docs whose
+    first-200-char copies share ≥5 selected k-gram fingerprints with their
+    originals (dedup/winnow.py, portable md5 hash path so the oracle
+    replays the identical fingerprint set). Catches paragraph-level copying
+    that whole-document MinHash/SimHash dilute away."""
+    from msgvault_spark.dedup.winnow import winnow_candidate_pairs
+
+    base = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 150)
+        .select("doc_id", F.lower("text").alias("text"))
+    )
+    copies = base.filter(F.col("doc_id") % 4 == 0).select(
+        (F.col("doc_id") + 10000).alias("doc_id"),
+        F.concat(
+            F.substring("text", 1, 200),
+            F.lit(" entirely new trailing content appended here"),
+        ).alias("text"),
+    )
+    universe = base.unionByName(copies)
+    pairs = winnow_candidate_pairs(
+        universe, "doc_id", "text", k=8, w=4, min_shared=5, portable=True
+    )
+    return pairs.agg(
+        F.count(F.lit(1)).cast("long").alias("pairs"),
+        F.coalesce(F.sum("shared"), F.lit(0)).cast("long").alias("shared_sum"),
+        F.coalesce(F.sum(F.col("id_a") + F.col("id_b")), F.lit(0))
+        .cast("long")
+        .alias("id_sum"),
+    )

@@ -143,3 +143,54 @@ def test_text_profile(spark):
     assert out[1]["ws_tokens"] == 8
     assert 0 < out[1]["stopword_ratio"] < 1
     assert out[1]["fingerprint"] != out[2]["fingerprint"]
+
+
+# ---------------------------------------------------------------------------
+# winnowing substring fingerprints
+# ---------------------------------------------------------------------------
+
+
+def test_winnow_detects_shared_paragraph(spark):
+    from pyspark.sql import functions as F
+
+    from msgvault_spark.dedup.winnow import winnow_candidate_pairs, winnow_fingerprints
+
+    shared = "the quick brown fox jumps over the lazy dog near the river bank"
+    docs = spark.createDataFrame(
+        [
+            (1, "intro alpha. " + shared + " outro omega text."),
+            (2, "different beginning here. " + shared + " and a new ending."),
+            (3, "nothing in common with the others, purely novel content."),
+            (4, "x"),  # shorter than k: empty fingerprint, no crash
+        ],
+        "doc_id long, text string",
+    )
+    pairs = winnow_candidate_pairs(docs, "doc_id", "text", min_shared=3).collect()
+    assert [(r["id_a"], r["id_b"]) for r in pairs] == [(1, 2)]
+
+    # guarantee property: w+k-1 window selects at least one gram of the
+    # shared run -> fingerprint sets intersect
+    f1 = set(docs.filter("doc_id=1").select(
+        F.explode(winnow_fingerprints(F.col("text"))).alias("h")).toPandas()["h"])
+    f2 = set(docs.filter("doc_id=2").select(
+        F.explode(winnow_fingerprints(F.col("text"))).alias("h")).toPandas()["h"])
+    f3 = set(docs.filter("doc_id=3").select(
+        F.explode(winnow_fingerprints(F.col("text"))).alias("h")).toPandas()["h"])
+    assert len(f1 & f2) >= 3 and not (f1 & f3)
+
+
+def test_winnow_portable_hash_matches_fast_structure(spark):
+    """Portable (md5) and fast (xxhash64) paths select the same POSITIONS
+    structurally — same density guarantees — even though hash values
+    differ. Check densities are in the winnowing ~2/(w+1) ballpark."""
+    from pyspark.sql import functions as F
+
+    from msgvault_spark.dedup.winnow import winnow_fingerprints
+
+    text = " ".join(f"word{i}" for i in range(200))
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    for portable in (False, True):
+        nfp = df.select(
+            F.size(winnow_fingerprints(F.col("text"), portable=portable)).alias("n")
+        ).head()["n"]
+        assert 0.1 * len(text) < nfp < 0.6 * len(text)
