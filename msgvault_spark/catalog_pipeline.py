@@ -783,3 +783,113 @@ def approx_percentile_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("key")
     )
+
+
+# ---------------------------------------------------------------------------
+# group-wise top-k + table profiling
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "topk_orders_per_priority",
+    """
+WITH ranked AS (
+    SELECT o_orderpriority, o_orderkey,
+           CAST(floor(o_totalprice) AS BIGINT) AS price_l,
+           ROW_NUMBER() OVER (
+               PARTITION BY o_orderpriority
+               ORDER BY o_totalprice DESC, o_orderkey ASC
+           ) AS rn
+    FROM orders
+)
+SELECT o_orderpriority AS key, rn,
+       CAST(o_orderkey AS BIGINT) AS o_orderkey, price_l
+FROM ranked WHERE rn <= 3
+ORDER BY key, rn
+""",
+)
+def topk_orders_per_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-wise top-k (3 priciest orders per priority): rank-filter
+    window. Spark pushes the k-limit into the sort via
+    WindowGroupLimit — each partition keeps a 3-row heap, never the full
+    sorted group."""
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        orders.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select(
+            F.col("o_orderpriority").alias("key"),
+            "rn",
+            F.col("o_orderkey").cast("long").alias("o_orderkey"),
+            F.floor("o_totalprice").cast("long").alias("price_l"),
+        )
+        .orderBy("key", "rn")
+    )
+
+
+@register(
+    "profile_orders_table",
+    """
+SELECT 'o_custkey' AS col,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COUNT(o_custkey) AS BIGINT) AS n_nonnull,
+       CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_distinct,
+       CAST(MIN(o_custkey) AS VARCHAR) AS min_v,
+       CAST(MAX(o_custkey) AS VARCHAR) AS max_v
+FROM orders
+UNION ALL
+SELECT 'o_orderpriority',
+       CAST(COUNT(*) AS BIGINT),
+       CAST(COUNT(o_orderpriority) AS BIGINT),
+       CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT),
+       CAST(MIN(o_orderpriority) AS VARCHAR),
+       CAST(MAX(o_orderpriority) AS VARCHAR)
+FROM orders
+ORDER BY col
+""",
+)
+def profile_orders_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column profiling (null counts, distincts, min/max as strings) — the
+    data-quality pass a pipeline runs before training ingestion. One row
+    per profiled column, one scan per profile set (Spark computes all
+    column profiles in a single aggregate; the UNION here is oracle-side
+    only)."""
+    orders = load_table(spark, sf_dir, "orders")
+
+    def profile(col):
+        return F.struct(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.count(col).cast("long").alias("n_nonnull"),
+            F.count_distinct(F.col(col)).cast("long").alias("n_distinct"),
+            F.min(col).cast("string").alias("min_v"),
+            F.max(col).cast("string").alias("max_v"),
+        ).alias(col)
+
+    row = orders.agg(profile("o_custkey"), profile("o_orderpriority"))
+    cols = ["o_custkey", "o_orderpriority"]
+    stacked = row.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("col"),
+                        F.col(c).alias("p"),
+                    )
+                    for c in cols
+                ]
+            )
+        ).alias("e")
+    )
+    return stacked.select(
+        F.col("e.col").alias("col"),
+        F.col("e.p.n_rows").alias("n_rows"),
+        F.col("e.p.n_nonnull").alias("n_nonnull"),
+        F.col("e.p.n_distinct").alias("n_distinct"),
+        F.col("e.p.min_v").alias("min_v"),
+        F.col("e.p.max_v").alias("max_v"),
+    ).orderBy("col")

@@ -151,3 +151,21 @@ def test_wide_cache_roundtrip(spark, archive, tmp_path):
     # hive partitioning materialized
     years = {r["year"] for r in lake_wide.select("year").distinct().collect()}
     assert years == {2024}
+
+
+def test_orc_sink_roundtrip(spark, archive, tmp_path):
+    """Second columnar sink format (ORC is Spark-native like parquet):
+    lake writes are format-parametric, values survive a roundtrip."""
+    from pyspark.sql import functions as F
+
+    path = str(tmp_path / "orc_messages")
+    msgs = archive["messages"]
+    (msgs.write.mode("overwrite").option("compression", "zstd").orc(path))
+    back = spark.read.orc(path)
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, msgs.collect()))
+    # predicate pushdown reaches the ORC scan too
+    plan = (
+        back.filter(F.col("id") == 3)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "PushedFilters" in plan and "orc" in plan.lower()

@@ -138,3 +138,47 @@ def test_embedding_generation_lifecycle(spark, tmp_path):
     assert pending_queue(bigger, base, 1).count() == 1
     embed_pending(bigger, base, 1, dim=8)
     assert spark.read.parquet(f"{base}/gen=1/vectors").count() == 11
+
+
+# ---------------------------------------------------------------------------
+# Python UDTF surface (functions/udtf_ops.py)
+# ---------------------------------------------------------------------------
+
+
+def test_udtf_sentence_split_matches_jvm_twin(spark):
+    from pyspark.sql import functions as F
+
+    from msgvault_spark.functions.udtf_ops import SentenceSplit, sentence_split_expr
+
+    docs = spark.createDataFrame(
+        [
+            (1, "First sentence. Second one!  Third?"),
+            (2, "no terminal punctuation here"),
+            (3, ""),
+            (4, None),
+        ],
+        "doc_id long, text string",
+    )
+    spark.udtf.register("sentence_split", SentenceSplit)
+    docs.createOrReplaceTempView("udtf_docs")
+    via_udtf = spark.sql(
+        """
+        SELECT d.doc_id, s.sent_idx, s.sentence, s.n_words
+        FROM udtf_docs d, LATERAL sentence_split(d.text) s
+        """
+    ).collect()
+    got = {(r["doc_id"], r["sent_idx"]): (r["sentence"], r["n_words"])
+           for r in via_udtf}
+    assert got[(1, 0)] == ("First sentence.", 2)
+    assert got[(1, 1)] == ("Second one!", 2)
+    assert got[(1, 2)] == ("Third?", 1)
+    assert got[(2, 0)] == ("no terminal punctuation here", 4)
+    assert len(got) == 4  # empty/null docs contribute nothing
+
+    # the JVM expression twin yields identical sentence sequences
+    via_expr = docs.select(
+        "doc_id",
+        F.posexplode(sentence_split_expr(F.col("text"))).alias("sent_idx", "sentence"),
+    ).collect()
+    expr_got = {(r["doc_id"], r["sent_idx"]): r["sentence"] for r in via_expr}
+    assert expr_got == {k: v[0] for k, v in got.items()}
