@@ -230,3 +230,34 @@ def test_bucketed_join_is_exchange_free(spark, tmp_path):
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
         spark.catalog.setCurrentDatabase(old_db)
+
+
+def test_every_catalog_plan_is_scale_safe(spark, catalog):
+    """Blanket audit: NO catalog query may contain a CartesianProduct, and
+    nested-loop joins are allowed only as broadcast 1-row cross joins (the
+    total_unique pattern and seed-literal attaches) — the two plan shapes
+    that sink a 100 TB run. Streaming entries (side-effectful fns) and
+    iterative drivers are skipped; everything else gets its executedPlan
+    string checked."""
+    SKIP = {
+        # run streaming queries / driver-side iteration on invocation
+        "stream_rollup_daily", "stream_dedup_count", "stream_user_sessions",
+        "dedup_component_sizes",
+    }
+    # cross joins that are 1-row broadcasts by construction
+    NLJ_ALLOWED = 2
+    failures = []
+    for name, spec in catalog.items():
+        if name in SKIP:
+            continue
+        try:
+            plan = _plan(spec.fn(spark, SF_DIR))
+        except Exception as e:  # noqa: BLE001
+            failures.append(f"{name}: plan build failed: {e}")
+            continue
+        if "CartesianProduct" in plan:
+            failures.append(f"{name}: CartesianProduct")
+        nlj = plan.count("BroadcastNestedLoopJoin")
+        if nlj > NLJ_ALLOWED:
+            failures.append(f"{name}: {nlj} BroadcastNestedLoopJoin")
+    assert not failures, failures
