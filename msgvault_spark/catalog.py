@@ -875,3 +875,114 @@ def salted_join_priority_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("key")
     )
+
+
+# ---------------------------------------------------------------------------
+# multi-join benchmark shapes (join ordering + broadcast chains at scale)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "shipping_priority_q3",
+    """
+SELECT l.l_orderkey AS orderkey,
+       CAST(SUM(CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 100)
+                 AS BIGINT)) AS BIGINT) AS revenue_c,
+       strftime(o.o_orderdate, '%Y-%m-%d') AS orderdate,
+       o.o_orderpriority AS priority
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE c.c_mktsegment = 'BUILDING'
+  AND o.o_orderdate < TIMESTAMP '1997-03-15'
+  AND l.l_shipdate > TIMESTAMP '1997-03-15'
+GROUP BY 1, 3, 4
+ORDER BY revenue_c DESC, orderkey ASC
+LIMIT 10
+""",
+    headline=True,
+)
+def shipping_priority_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: selective dim filter (customer segment) broadcast
+    into the fact chain, date filters pushed to both scans, one shuffle agg,
+    top-10 heap. Revenue in integer cents so both engines agree exactly."""
+    c = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    ).select("c_custkey")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < "1997-03-15"
+    ).select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+    l = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > "1997-03-15"
+    ).select("l_orderkey", "l_extendedprice", "l_discount")
+    revenue_c = F.floor(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+    ).cast("long")
+    return (
+        l.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy(
+            F.col("l_orderkey").alias("orderkey"),
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            F.col("o_orderpriority").alias("priority"),
+        )
+        .agg(F.sum(revenue_c).cast("long").alias("revenue_c"))
+        .select("orderkey", "revenue_c", "orderdate", "priority")
+        .orderBy(F.col("revenue_c").desc(), F.col("orderkey").asc())
+        .limit(10)
+    )
+
+
+@register(
+    "regional_volume_q5",
+    """
+SELECT n.n_name AS nation,
+       CAST(SUM(CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 100)
+                 AS BIGINT)) AS BIGINT) AS revenue_c
+FROM region r
+JOIN nation n ON n.n_regionkey = r.r_regionkey
+JOIN supplier s ON s.s_nationkey = n.n_nationkey
+JOIN lineitem l ON l.l_suppkey = s.s_suppkey
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey AND c.c_nationkey = s.s_nationkey
+WHERE r.r_name = 'ASIA'
+  AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o.o_orderdate < TIMESTAMP '1997-01-01'
+GROUP BY 1
+ORDER BY revenue_c DESC, nation ASC
+""",
+    headline=True,
+)
+def regional_volume_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: 6-table join — region→nation→supplier broadcast
+    chain narrowing the fact scan, customer-nation co-membership predicate,
+    single shuffle agg. The join-order stress test Catalyst must get right
+    at 100 TB (dims broadcast, facts never cartesian; pinned by the blanket
+    plan audit)."""
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n = load_table(spark, sf_dir, "nation").join(
+        F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey")
+    ).select("n_nationkey", "n_name")
+    s = load_table(spark, sf_dir, "supplier").join(
+        F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey")
+    ).select("s_suppkey", "s_nationkey", "n_name")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01")
+        & (F.col("o_orderdate") < "1997-01-01")
+    ).select("o_orderkey", "o_custkey")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    l = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    revenue_c = F.floor(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+    ).cast("long")
+    return (
+        l.join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .filter(F.col("c_nationkey") == F.col("s_nationkey"))
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(F.sum(revenue_c).cast("long").alias("revenue_c"))
+        .orderBy(F.col("revenue_c").desc(), F.col("nation").asc())
+    )
