@@ -35,20 +35,23 @@ def connected_components(
     """(node, component) for every node in ``edges``; component = smallest
     node id reachable. Edges are undirected (either orientation works) and
     may contain duplicates/self-loops."""
-    sym = (
-        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-        .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
-        .filter(F.col("a") != F.col("b"))
-        .distinct()
-        .persist(StorageLevel.MEMORY_AND_DISK)
+    both = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).union(
+        edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))
     )
+    # node universe BEFORE dropping self-loops: a node appearing only as
+    # (x, x) is still a (singleton) component per the contract
     labels = (
-        sym.select(F.col("a").alias("node"))
+        both.select(F.col("a").alias("node"))
         .distinct()
         .withColumn("label", F.col("node"))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     labels.count()
+    sym = (
+        both.filter(F.col("a") != F.col("b"))
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
 
     for _ in range(max_iter):
         # smallest label among neighbors, per node

@@ -87,7 +87,13 @@ def asof_join(
             F.col("__match")[right_ts].cast("long") >= horizon, F.col("__match")
         )
 
+    # right payload columns colliding with a left column come out suffixed
+    # `_right` (the merge_asof convention) so the result never carries
+    # ambiguous duplicate names
     out_cols = [F.col("__l")[c].alias(c) for c in left.columns]
-    out_cols += [match[c].alias(c) for c in rpayload]
+    out_cols += [
+        match[c].alias(f"{c}_right" if c in left.columns else c)
+        for c in rpayload
+    ]
     out_cols.append(match[right_ts].alias("matched_ts"))
     return carried.select(*out_cols)

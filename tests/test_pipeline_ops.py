@@ -273,3 +273,23 @@ def test_range_join_no_duplicate_pairs(spark):
     right = spark.createDataFrame([(1, _t(1), 2)], "k long, ts timestamp, rid long")
     out = range_join(left, right, on="k", window_s=600).collect()
     assert len(out) == 1
+
+
+def test_connected_components_selfloop_only_node(spark):
+    # node 9 appears ONLY in a self-loop: still a singleton component
+    edges = spark.createDataFrame([(9, 9), (1, 2)], "src long, dst long")
+    comp = {r["node"]: r["component"] for r in connected_components(edges).collect()}
+    assert comp == {9: 9, 1: 1, 2: 1}
+
+
+def test_asof_join_payload_name_collision(spark):
+    from msgvault_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(1, _t(10), "L")], "k long, ts timestamp, label string"
+    )
+    right = spark.createDataFrame(
+        [(1, _t(0), "R")], "k long, ts timestamp, label string"
+    )
+    row = asof_join(left, right, on="k").head()
+    assert row["label"] == "L" and row["label_right"] == "R"

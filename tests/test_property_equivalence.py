@@ -113,7 +113,7 @@ def test_connected_components_match_reference(spark, edges):
         ra, rb = find(a), find(b)
         if ra != rb:
             parent[max(ra, rb)] = min(ra, rb)
-    nodes = {n for e in edges for n in e if e[0] != e[1]}
+    nodes = {n for e in edges for n in e}  # self-loop-only nodes: singletons
     ref = {n: find(n) for n in nodes}
     assert got == ref
 
