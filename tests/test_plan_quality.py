@@ -261,3 +261,45 @@ def test_every_catalog_plan_is_scale_safe(spark, catalog):
         if nlj > NLJ_ALLOWED:
             failures.append(f"{name}: {nlj} BroadcastNestedLoopJoin")
     assert not failures, failures
+
+
+def test_aqe_splits_skewed_join(spark):
+    """Emergent-skew insurance: with AQE on (the production default), a
+    sort-merge join whose left side concentrates 95% of rows in one key
+    gets its skewed partition SPLIT at runtime (OptimizeSkewedJoin) —
+    thresholds scaled down to fire on test-sized data."""
+    from pyspark.sql import functions as F
+
+    confs = {
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "32k",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "16k",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        big = spark.range(200_000).select(
+            F.when(F.col("id") % 20 < 19, 0).otherwise(F.col("id") % 7).alias("k"),
+            F.concat(F.lit("payload-"), F.col("id")).alias("pad"),
+        )
+        right = spark.range(7).select(
+            F.col("id").alias("k"), (F.col("id") * 10).alias("rv")
+        )
+        joined = big.join(right, "k")
+        # execute THIS dataset's own QueryExecution (collect, not count —
+        # count plans a separate aggregate query and a write wraps the plan
+        # in a command; both leave joined's AQE plan isFinalPlan=false)
+        joined._jdf.collectToPython()
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan, plan[:800]
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

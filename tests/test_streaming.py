@@ -103,3 +103,33 @@ def test_stateful_session_tracker(spark, tmp_path):
     assert by_user[100]["sessions"] == 2
     assert by_user[100]["total_value"] == pytest.approx(6.0)
     assert by_user[200]["sessions"] == 1
+
+
+def test_stream_to_lake_exactly_once(spark, tmp_path):
+    """foreachBatch lake append: run → rows land; re-run same checkpoint →
+    NO duplicates; new source file → only its rows append."""
+    from msgvault_spark.streaming.incremental import stream_to_lake
+
+    src = str(tmp_path / "src")
+    lake = str(tmp_path / "lake")
+    ckpt = str(tmp_path / "ckpt")
+    rows1 = [
+        (1, _us("2024-01-01T10:00:00"), 100, "click", 1.0, "{}"),
+        (2, _us("2024-01-01T10:05:00"), 100, "view", 2.0, "{}"),
+    ]
+    _write_events(spark, src, rows1)
+    stream_to_lake(read_events_stream(spark, src), lake, ckpt)
+    assert spark.read.parquet(lake).count() == 2
+
+    # idempotent re-run: checkpoint says nothing new
+    stream_to_lake(read_events_stream(spark, src), lake, ckpt)
+    assert spark.read.parquet(lake).count() == 2
+
+    # a new shard appends only its own rows
+    _write_events(
+        spark, src, [(3, _us("2024-01-02T09:00:00"), 200, "click", 3.0, "{}")]
+    )
+    stream_to_lake(read_events_stream(spark, src), lake, ckpt)
+    got = spark.read.parquet(lake)
+    assert got.count() == 3
+    assert {r["event_id"] for r in got.collect()} == {1, 2, 3}
