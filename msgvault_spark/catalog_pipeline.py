@@ -893,3 +893,91 @@ def profile_orders_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("e.p.min_v").alias("min_v"),
         F.col("e.p.max_v").alias("max_v"),
     ).orderBy("col")
+
+
+# ---------------------------------------------------------------------------
+# SCD Type-2 versioned dimension merge (operators/scd.py)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "scd2_customer_priority",
+    """
+WITH dim AS (
+    SELECT o_custkey AS id,
+           min_by(o_orderpriority, o_orderdate || '-' || o_orderkey) AS pri,
+           MIN(o_orderdate) AS valid_from
+    FROM orders WHERE o_orderdate < TIMESTAMP '1997-01-01'
+    GROUP BY o_custkey
+),
+u AS (
+    SELECT o_custkey AS id,
+           max_by(o_orderpriority, o_orderdate || '-' || o_orderkey) AS pri,
+           MAX(o_orderdate) AS eff
+    FROM orders WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+    GROUP BY o_custkey
+),
+merged AS (
+    -- untouched + unchanged current rows
+    SELECT d.id, d.pri, 1 AS is_current FROM dim d
+    LEFT JOIN u ON u.id = d.id
+    WHERE u.id IS NULL OR u.pri = d.pri
+    UNION ALL
+    -- closed old versions
+    SELECT d.id, d.pri, 0 FROM dim d JOIN u ON u.id = d.id
+    WHERE u.pri != d.pri
+    UNION ALL
+    -- inserted new versions (changed or brand-new key)
+    SELECT u.id, u.pri, 1 FROM u LEFT JOIN dim d ON d.id = u.id
+    WHERE d.id IS NULL OR d.pri != u.pri
+)
+SELECT pri AS key,
+       CAST(COUNT(*) AS BIGINT) AS versions,
+       CAST(SUM(is_current) AS BIGINT) AS current_rows
+FROM merged
+GROUP BY pri
+ORDER BY key
+""",
+)
+def scd2_customer_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 merge (operators/scd.py): customer priority dimension
+    seeded from pre-1997 orders, updated with the 1997+ batch — changed
+    keys close their old version and insert a new current one, unchanged
+    keys don't churn, new keys insert. Version counts per priority; the
+    oracle replays the same merge relationally."""
+    from msgvault_spark.operators.scd import scd2_merge
+
+    orders = load_table(spark, sf_dir, "orders")
+    tiebreak = F.concat(
+        F.date_format("o_orderdate", "yyyy-MM-dd HH:mm:ss"),
+        F.lit("-"),
+        F.col("o_orderkey").cast("string"),
+    )
+    dim = (
+        orders.filter(F.col("o_orderdate") < "1997-01-01")
+        .groupBy(F.col("o_custkey").alias("id"))
+        .agg(
+            F.min_by("o_orderpriority", tiebreak).alias("pri"),
+            F.min("o_orderdate").alias("valid_from"),
+        )
+        .withColumn("valid_to", F.lit(None).cast("timestamp"))
+    )
+    updates = (
+        orders.filter(F.col("o_orderdate") >= "1997-01-01")
+        .groupBy(F.col("o_custkey").alias("id"))
+        .agg(
+            F.max_by("o_orderpriority", tiebreak).alias("pri"),
+            F.max("o_orderdate").alias("effective_ts"),
+        )
+    )
+    merged = scd2_merge(dim, updates, key="id", attrs=["pri"])
+    return (
+        merged.groupBy(F.col("pri").alias("key"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("versions"),
+            F.sum(F.col("valid_to").isNull().cast("int"))
+            .cast("long")
+            .alias("current_rows"),
+        )
+        .orderBy("key")
+    )

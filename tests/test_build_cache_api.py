@@ -169,3 +169,49 @@ def test_orc_sink_roundtrip(spark, archive, tmp_path):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "PushedFilters" in plan and "orc" in plan.lower()
+
+
+def test_manifest_data_skipping(spark, tmp_path):
+    """File-level skipping: year-sharded writes → manifest prunes to the
+    one file that can hold the key; results identical to the full scan."""
+    from pyspark.sql import functions as F
+
+    from msgvault_spark.sources.manifest import (
+        build_manifest,
+        load_manifest,
+        prune_files,
+        skipping_read,
+        write_manifest,
+    )
+
+    lake = str(tmp_path / "skiplake")
+    # three disjoint id ranges in three files
+    for lo in (0, 1000, 2000):
+        spark.range(lo, lo + 500).select(
+            F.col("id"), (F.col("id") % 7).alias("v")
+        ).coalesce(1).write.mode("append").parquet(lake)
+
+    man = build_manifest(spark, lake, ["id"])
+    write_manifest(man, lake)
+    man = load_manifest(spark, lake)
+    assert man.count() >= 3
+
+    # equality probe: exactly one file can hold id=1234
+    files = prune_files(man, eq={"id": 1234})
+    assert len(files) == 1
+    got = skipping_read(spark, man, eq={"id": 1234}).filter("id = 1234")
+    assert [r["id"] for r in got.collect()] == [1234]
+
+    # range probe spanning two shards
+    files2 = prune_files(man, ranges={"id": (400, 1100)})
+    assert len(files2) == 2
+    full = spark.read.parquet(lake).filter("id BETWEEN 400 AND 1100")
+    via_skip = skipping_read(spark, man, ranges={"id": (400, 1100)}).filter(
+        "id BETWEEN 400 AND 1100"
+    )
+    assert sorted(r["id"] for r in via_skip.collect()) == sorted(
+        r["id"] for r in full.collect()
+    )
+
+    # nothing matches: empty frame, correct schema
+    assert skipping_read(spark, man, eq={"id": 99999}).count() == 0

@@ -269,3 +269,80 @@ def test_incremental_agg_state_upsert(spark):
         for r in merge_agg_state(state3.drop("day"), ["k"]).collect()
     }
     assert merged3 == direct3
+
+
+def test_scd2_merge_lifecycle(spark):
+    from msgvault_spark.operators.scd import scd2_merge
+
+    T = dt.datetime
+    dim = spark.createDataFrame(
+        [
+            # key 1: one historical + one current version
+            (1, "alice@x.com", "Alice", T(2023, 1, 1), T(2024, 1, 1)),
+            (1, "alice@x.com", "Alice L", T(2024, 1, 1), None),
+            # key 2: current only
+            (2, "bob@y.com", "Bob", T(2023, 6, 1), None),
+            # key 3: untouched by the batch
+            (3, "carol@z.com", "Carol", T(2023, 1, 1), None),
+        ],
+        "id long, email string, name string, valid_from timestamp, valid_to timestamp",
+    )
+    updates = spark.createDataFrame(
+        [
+            (1, "alice@x.com", "Alice Liddell", T(2024, 6, 1)),  # changed
+            (2, "bob@y.com", "Bob", T(2024, 6, 1)),              # unchanged
+            (4, "dan@w.com", "Dan", T(2024, 6, 1)),              # new key
+        ],
+        "id long, email string, name string, effective_ts timestamp",
+    )
+    out = scd2_merge(dim, updates, key="id", attrs=["email", "name"])
+    rows = {(r["id"], r["valid_from"], r["valid_to"]): r["name"]
+            for r in out.collect()}
+    # key 1: history intact, old current closed at effective, new current
+    assert rows[(1, T(2023, 1, 1), T(2024, 1, 1))] == "Alice"
+    assert rows[(1, T(2024, 1, 1), T(2024, 6, 1))] == "Alice L"
+    assert rows[(1, T(2024, 6, 1), None)] == "Alice Liddell"
+    # key 2 unchanged: no new version
+    assert rows[(2, T(2023, 6, 1), None)] == "Bob"
+    # key 3 untouched; key 4 inserted current
+    assert rows[(3, T(2023, 1, 1), None)] == "Carol"
+    assert rows[(4, T(2024, 6, 1), None)] == "Dan"
+    assert len(rows) == 6
+    # exactly one current row per live key
+    cur = out.filter("valid_to IS NULL").groupBy("id").count().collect()
+    assert all(r["count"] == 1 for r in cur)
+
+
+def test_scd2_merge_idempotent(spark):
+    from msgvault_spark.operators.scd import scd2_merge
+
+    T = dt.datetime
+    dim = spark.createDataFrame(
+        [(1, "a@x", "A", T(2024, 1, 1), None)],
+        "id long, email string, name string, valid_from timestamp, valid_to timestamp",
+    )
+    updates = spark.createDataFrame(
+        [(1, "a@x", "A2", T(2024, 6, 1))],
+        "id long, email string, name string, effective_ts timestamp",
+    )
+    once = scd2_merge(dim, updates, key="id", attrs=["email", "name"])
+    twice = scd2_merge(once, updates, key="id", attrs=["email", "name"])
+    assert sorted(map(tuple, once.collect())) == sorted(map(tuple, twice.collect()))
+
+
+def test_compaction_preserves_rows(spark, tmp_path):
+    from msgvault_spark.sources.compact import compact_dir, dir_stats
+
+    lake = str(tmp_path / "frag")
+    for i in range(12):
+        spark.range(i * 100, (i + 1) * 100).coalesce(1).write.mode(
+            "append"
+        ).parquet(lake)
+    n_before, total = dir_stats(lake)
+    assert n_before >= 12
+    before = sorted(r["id"] for r in spark.read.parquet(lake).collect())
+
+    n_after = compact_dir(spark, lake, target_bytes=total)  # → 1 file
+    assert n_after < n_before
+    after = sorted(r["id"] for r in spark.read.parquet(lake).collect())
+    assert after == before
