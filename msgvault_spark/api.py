@@ -106,3 +106,58 @@ def read_csv_export(spark: SparkSession, path: str, schema) -> DataFrame:
         .option("nullValue", CSV_NULL)
         .csv(path)
     )
+
+
+# ---------------------------------------------------------------------------
+# reference API mirrors (SURVEY §3: MCP tool surface / HTTP routes)
+# ---------------------------------------------------------------------------
+
+
+def aggregate_view(
+    spark, sf_dir: str, view: str, limit: int = 100, **opts
+) -> QueryResult:
+    """`aggregate_messages` MCP tool / GET /api/v1/aggregate analog
+    (reference mcp/server.go:107-118, api/server.go:153-190): named view →
+    columnar result. opts forwards AggregateOptions fields."""
+    from msgvault_spark.plans import aggregate as agg
+    from msgvault_spark.plans.models import AggregateOptions, ViewType
+    from msgvault_spark.sources.cache import get_archive
+
+    options = AggregateOptions(limit=limit, **opts)
+    df = agg.aggregate(get_archive(spark, sf_dir), ViewType(view), options)
+    return collect_result(df)
+
+
+def search_messages(
+    spark, sf_dir: str, query: str, limit: int = 50
+) -> QueryResult:
+    """`search_messages` MCP tool analog: Gmail-style query string →
+    ranked metadata rows."""
+    from msgvault_spark.search.fast import search_fast
+    from msgvault_spark.sources.cache import get_archive
+
+    return collect_result(
+        search_fast(get_archive(spark, sf_dir), query, limit=limit)
+    )
+
+
+def list_view(
+    spark, sf_dir: str, *, limit: int = 50, offset: int = 0, **filter_opts
+) -> QueryResult:
+    """`list_messages` analog: filtered two-phase listing page."""
+    from msgvault_spark.plans.listing import list_messages
+    from msgvault_spark.plans.models import MessageFilter, Pagination
+    from msgvault_spark.sources.cache import get_archive
+
+    filt = MessageFilter(
+        pagination=Pagination(limit=limit, offset=offset), **filter_opts
+    )
+    return collect_result(list_messages(get_archive(spark, sf_dir), filt))
+
+
+def get_total_stats(spark, sf_dir: str) -> QueryResult:
+    """`get_stats` analog: global archive stats row."""
+    from msgvault_spark.plans import aggregate as agg
+    from msgvault_spark.sources.cache import get_archive
+
+    return collect_result(agg.total_stats(get_archive(spark, sf_dir)))

@@ -211,3 +211,45 @@ def decode_media(
     return media.select("media_id", "payload").mapInPandas(
         fake, schema=_DECODE_SCHEMA
     )
+
+
+def sample_frames(
+    decoded: DataFrame, *, n_samples: int = 4, id_col: str = "media_id"
+) -> DataFrame:
+    """Frame sampling plan: uniform-stride frame indexes per media item
+    from the decoded ``n_frames`` metadata — (media_id, frame_idx, frame_pos)
+    rows, ≤ n_samples per item. Pure JVM (sequence + explode); the frame
+    EXTRACTION at those indexes is part of the decode stub — this computes
+    WHICH frames, which is the plan-side half a real decoder consumes.
+    Deterministic: stride = max(1, n_frames // n_samples), from frame 0."""
+    stride = F.greatest(F.lit(1), (F.col("n_frames") / n_samples).cast("int"))
+    idxs = F.slice(
+        F.sequence(F.lit(0), F.greatest(F.col("n_frames") - 1, F.lit(0)), stride),
+        1,
+        n_samples,
+    )
+    return decoded.select(
+        F.col(id_col),
+        F.col("n_frames"),
+        F.posexplode(idxs).alias("frame_pos", "frame_idx"),
+    )
+
+
+def resize_plan(
+    decoded: DataFrame, *, max_side: int = 224, id_col: str = "media_id"
+) -> DataFrame:
+    """Resize planning: target dims preserving aspect ratio with the long
+    side clamped to ``max_side`` (the preprocessing contract of most vision
+    encoders). Pure arithmetic on decode metadata; the pixel work belongs
+    to the stubbed decoder. Emits (media_id, width, height, target_w,
+    target_h, scale_ppm) — scale as ppm so the plan is hash-comparable."""
+    long_side = F.greatest("width", "height")
+    scale = F.when(long_side > max_side, max_side / long_side).otherwise(F.lit(1.0))
+    return decoded.select(
+        F.col(id_col),
+        "width",
+        "height",
+        F.floor(F.col("width") * scale + 0.5).cast("int").alias("target_w"),
+        F.floor(F.col("height") * scale + 0.5).cast("int").alias("target_h"),
+        F.floor(scale * 1_000_000).cast("long").alias("scale_ppm"),
+    )

@@ -215,3 +215,25 @@ def test_manifest_data_skipping(spark, tmp_path):
 
     # nothing matches: empty frame, correct schema
     assert skipping_read(spark, man, eq={"id": 99999}).count() == 0
+
+
+def test_reference_api_mirrors(spark):
+    """§3 API surface: MCP-tool / HTTP-route analogs return columnar
+    QueryResults over the testdata adapter archive."""
+    from msgvault_spark import api
+
+    sf = "/root/testdata/sf0.001"
+    agg = api.aggregate_view(spark, sf, "senders", limit=5)
+    assert agg.row_count == 5
+    assert agg.columns[:2] == ["key", "count"]
+
+    stats = api.get_total_stats(spark, sf)
+    assert stats.row_count == 1 and stats.rows[0][0] > 0
+
+    page = api.list_view(spark, sf, limit=5)
+    assert page.row_count == 5
+
+    found = api.search_messages(spark, sf, "is:starred OR has:attachment", limit=5)
+    assert found.row_count >= 0  # shape contract; matching is data-dependent
+    # serializers round-trip
+    assert agg.to_json() and agg.to_csv() and agg.to_table()

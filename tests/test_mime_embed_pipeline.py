@@ -182,3 +182,33 @@ def test_udtf_sentence_split_matches_jvm_twin(spark):
     ).collect()
     expr_got = {(r["doc_id"], r["sent_idx"]): r["sentence"] for r in via_expr}
     assert expr_got == {k: v[0] for k, v in got.items()}
+
+
+def test_frame_sampling_and_resize_plan(spark):
+    from pyspark.sql import functions as F
+
+    from msgvault_spark.multimodal.binary_ops import resize_plan, sample_frames
+
+    decoded = spark.createDataFrame(
+        [
+            ("m1", 640, 480, 10, "x"),
+            ("m2", 100, 224, 1, "y"),   # single frame, no upscale
+            ("m3", 224, 448, 3, "z"),
+        ],
+        "media_id string, width int, height int, n_frames int, pixels_sha string",
+    )
+    frames = sample_frames(decoded, n_samples=4).collect()
+    by_media = {}
+    for r in frames:
+        by_media.setdefault(r["media_id"], []).append(r["frame_idx"])
+    assert by_media["m1"] == [0, 2, 4, 6]   # stride 10//4=2, 4 samples
+    assert by_media["m2"] == [0]
+    assert by_media["m3"] == [0, 1, 2]
+    # every sampled index is a valid frame
+    assert all(r["frame_idx"] < r["n_frames"] for r in frames)
+
+    rp = {r["media_id"]: (r["target_w"], r["target_h"]) for r in
+          resize_plan(decoded, max_side=224).collect()}
+    assert rp["m1"] == (224, 168)   # 640x480 -> long side 224, aspect kept
+    assert rp["m2"] == (100, 224)   # already within bounds: untouched
+    assert rp["m3"] == (112, 224)
