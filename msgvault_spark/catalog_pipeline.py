@@ -981,3 +981,66 @@ def scd2_customer_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("key")
     )
+
+
+@register(
+    "top_bigrams_corpus",
+    r"""
+WITH ws AS (
+    SELECT doc_id,
+           list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                       w -> w != '') AS w
+    FROM documents
+),
+bg AS (
+    SELECT doc_id,
+           unnest(CASE WHEN len(w) >= 2
+                  THEN list_transform(range(1, len(w)),
+                                      i -> w[i] || ' ' || w[i + 1])
+                  ELSE [] END) AS bigram
+    FROM ws
+)
+SELECT bigram AS key,
+       CAST(COUNT(*) AS BIGINT) AS occurrences,
+       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS doc_freq
+FROM bg
+GROUP BY bigram
+ORDER BY occurrences DESC, key ASC
+LIMIT 25
+""",
+)
+def top_bigrams_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus heavy hitters: top word-bigrams by occurrence with document
+    frequency — the phrase-stats pass behind boilerplate detection and
+    tokenizer vocab audits. Map-side: per-doc bigram arrays (no shuffle
+    until the count), top-25 via TakeOrdered heap."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    ws = docs.select(
+        "doc_id",
+        F.filter(
+            F.split(F.lower("text"), "[^a-z0-9]+"), lambda w: w != ""
+        ).alias("w"),
+    )
+    bg = ws.select(
+        "doc_id",
+        F.explode(
+            F.when(
+                F.size("w") >= 2,
+                F.transform(
+                    F.sequence(F.lit(0), F.size("w") - 2),
+                    lambda i: F.concat_ws(
+                        " ", F.element_at("w", i + 1), F.element_at("w", i + 2)
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("bigram"),
+    )
+    return (
+        bg.groupBy(F.col("bigram").alias("key"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("occurrences"),
+            F.count_distinct("doc_id").cast("long").alias("doc_freq"),
+        )
+        .orderBy(F.col("occurrences").desc(), F.col("key").asc())
+        .limit(25)
+    )
