@@ -194,3 +194,29 @@ def test_winnow_portable_hash_matches_fast_structure(spark):
             F.size(winnow_fingerprints(F.col("text"), portable=portable)).alias("n")
         ).head()["n"]
         assert 0.1 * len(text) < nfp < 0.6 * len(text)
+
+
+def test_calibration_pandas_matches_jvm(spark):
+    """applyInPandas group calibration ≡ the JVM window twin (1e-9)."""
+    from pyspark.sql import functions as F
+
+    from msgvault_spark.textstats.calibrate import calibrate_expr, calibrate_pandas
+
+    rows = [
+        ("en", 1.0), ("en", 2.0), ("en", 3.0), ("en", 10.0),
+        ("de", 5.0), ("de", 5.0),          # zero variance -> z = 0
+        ("fr", 7.5),                        # singleton -> z = 0
+    ]
+    df = spark.createDataFrame(
+        [(i, g, s) for i, (g, s) in enumerate(rows)],
+        "id long, lang string, score double",
+    )
+    a = {r["id"]: r["z"] for r in calibrate_expr(df, "lang", "score").collect()}
+    b = {r["id"]: r["z"] for r in calibrate_pandas(df, "lang", "score").collect()}
+    assert set(a) == set(b)
+    for k in a:
+        assert abs(a[k] - b[k]) < 1e-9, (k, a[k], b[k])
+    # zero-variance + singleton groups pinned to 0
+    assert a[4] == a[5] == a[6] == 0.0
+    # en z-scores: mean 4, centered ordering preserved
+    assert a[0] < a[1] < a[2] < a[3] and abs(sum(a[i] for i in range(4))) < 1e-9
