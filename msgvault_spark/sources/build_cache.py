@@ -238,3 +238,51 @@ def write_bucketed(
     if sort:
         w = w.sortBy(bucket_col)
     w.saveAsTable(table)
+
+
+def build_text_index_cache(
+    spark: SparkSession,
+    docs: DataFrame,
+    base_dir: str,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    """Persist the FTS inverted index into the lake: ``text_index/postings``
+    (bucketed-by-term-shaped: sorted + partitioned on term prefix via
+    repartition) + ``doc_stats`` + ``corpus_stats`` (n_docs, avgdl, one
+    row). The durable twin of the session memo in sources/cache.py —
+    the reference maintains exactly this as SQLite FTS5 shadow tables
+    (sqlite.go FTS index DDL); at 100 TB the index builds once per ingest
+    batch and every BM25 query reads postings pruned to its terms."""
+    from msgvault_spark.search.fts import build_inverted_index
+
+    postings, doc_stats = build_inverted_index(docs, id_col, text_col)
+    root = os.path.join(base_dir, "text_index")
+    (
+        postings.repartition("term")
+        .sortWithinPartitions("term", "doc_id")
+        .write.mode("overwrite")
+        .option("compression", "zstd")
+        .parquet(os.path.join(root, "postings"))
+    )
+    doc_stats.coalesce(4).write.mode("overwrite").option(
+        "compression", "zstd"
+    ).parquet(os.path.join(root, "doc_stats"))
+    corpus = doc_stats.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    corpus.coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(root, "corpus_stats")
+    )
+    return root
+
+
+def load_text_index_cache(
+    spark: SparkSession, base_dir: str
+) -> tuple[DataFrame, DataFrame, tuple[int, float]]:
+    root = os.path.join(base_dir, "text_index")
+    postings = spark.read.parquet(os.path.join(root, "postings"))
+    doc_stats = spark.read.parquet(os.path.join(root, "doc_stats"))
+    row = spark.read.parquet(os.path.join(root, "corpus_stats")).head()
+    return postings, doc_stats, (int(row["n_docs"]), float(row["avgdl"]))

@@ -237,3 +237,41 @@ def test_reference_api_mirrors(spark):
     assert found.row_count >= 0  # shape contract; matching is data-dependent
     # serializers round-trip
     assert agg.to_json() and agg.to_csv() and agg.to_table()
+
+
+def test_text_index_lake_roundtrip(spark, tmp_path):
+    """BM25 served from the lake-persisted index == BM25 from the in-memory
+    build: postings/doc_stats/corpus constants survive the roundtrip."""
+    from msgvault_spark.search.fts import bm25_scores, build_inverted_index
+    from msgvault_spark.sources.build_cache import (
+        build_text_index_cache,
+        load_text_index_cache,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spark shuffles data across executors"),
+            (2, "spark broadcasts small tables"),
+            (3, "duckdb vectorizes over a single node"),
+            (4, "shuffle and broadcast joins in spark"),
+        ],
+        "doc_id long, text string",
+    )
+    base = str(tmp_path / "lake_fts")
+    build_text_index_cache(spark, docs, base)
+    postings, doc_stats, (n_docs, avgdl) = load_text_index_cache(spark, base)
+    assert n_docs == 4
+
+    mem_postings, mem_stats = build_inverted_index(docs, "doc_id", "text")
+    terms = ["spark", "shuffle"]
+    from_disk = sorted(
+        map(tuple, bm25_scores(
+            postings, doc_stats, terms, round_to=6,
+            corpus_stats=(n_docs, avgdl)).collect())
+    )
+    from_mem = sorted(
+        map(tuple, bm25_scores(
+            mem_postings, mem_stats, terms, round_to=6,
+            corpus_stats=(4, float(avgdl))).collect())
+    )
+    assert from_disk == from_mem and len(from_disk) > 0
