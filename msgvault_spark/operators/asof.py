@@ -41,9 +41,12 @@ def asof_join(
     before it). Right payload = every right column except key + ts, plus
     ``matched_ts`` (the matched right row's timestamp).
 
-    Right-side ties (same key, same ts) resolve to the LAST in right's
-    column order after sorting by all payload columns — pass a pre-deduped
-    right frame when exact tie policy matters."""
+    Right-side ties (same key, same ts) resolve deterministically to the
+    GREATEST payload struct (lexicographic across payload columns in
+    right's column order) — the window orders by the payload struct, so the
+    winner is stable across runs and partitionings. Payload columns must be
+    orderable for this (no map columns); pre-dedupe the right frame if they
+    aren't, or when a different tie policy matters."""
     rpayload = [c for c in right.columns if c not in (on, right_ts)]
 
     lt = left.select(
@@ -69,9 +72,18 @@ def asof_join(
         ).alias("__r"),
     )
 
+    # __r asc_nulls_first: among right rows tied on (key, ts) the greatest
+    # payload struct sorts last, so last(ignorenulls) picks it — the
+    # deterministic tie-break the docstring promises. Left rows (__r NULL)
+    # are unaffected: their relative order within a tie never changes which
+    # non-null __r is carried.
     w = (
         Window.partitionBy("__k")
-        .orderBy(F.col("__ts").asc(), F.col("__side").asc())
+        .orderBy(
+            F.col("__ts").asc(),
+            F.col("__side").asc(),
+            F.col("__r").asc_nulls_first(),
+        )
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     carried = (

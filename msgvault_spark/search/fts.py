@@ -214,6 +214,17 @@ def bm25_scores_prefix(
         raise ValueError("bm25_scores_prefix needs at least one token")
     exacts = [t for t in tokens if not t.endswith("*")]
     prefixes = [t[:-1] for t in tokens if t.endswith("*") and len(t) > 1]
+    # degenerate tokens (bare '*', empty) match nothing and must not count
+    # toward the AND gate — otherwise terms_matched == len(tokens) can never
+    # pass and results silently vanish (FTS5 rejects bare '*' as a syntax
+    # error; mirror that)
+    exacts = [t for t in exacts if t]
+    n_usable = len(exacts) + len(prefixes)
+    if n_usable == 0:
+        raise ValueError(
+            f"bm25_scores_prefix: no usable terms in {tokens!r} "
+            "(bare '*' and empty tokens are not valid FTS terms)"
+        )
 
     parts = []
     if exacts:
@@ -261,7 +272,7 @@ def bm25_scores_prefix(
             F.sum("contribution").alias("score"),
             F.count(F.lit(1)).alias("terms_matched"),
         )
-        .filter(F.col("terms_matched") == len(tokens))
+        .filter(F.col("terms_matched") == n_usable)
         .drop("terms_matched")
     )
     if round_to is not None:

@@ -15,15 +15,52 @@ this module is that design for a plain parquet lake:
             touches skipped files.
 
 Conservative by construction: a file is read unless its stats PROVE no row
-matches. Stats go stale only additively (new files unknown → read them:
-union the manifest-missing files into the plan)."""
+matches. Stats go stale only additively when ``skipping_read`` is given the
+lake location (``lake_glob``): files present in the lake but absent from
+the manifest have unknown stats, so they are unioned into the read set.
+Without ``lake_glob`` the read covers manifest-listed files only — rebuild
+the manifest after appends in that mode."""
 
 from __future__ import annotations
 
+import glob as _glob
 import os
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+
+def _local_path(uri: str) -> str:
+    """input_file_name() yields file: URIs locally; normalize for set
+    comparison against os-level listings."""
+    if uri.startswith("file://"):
+        return uri[len("file://"):]
+    if uri.startswith("file:"):
+        return uri[len("file:"):]
+    return uri
+
+
+def _list_lake_files(lake_glob: str) -> list[str]:
+    """Data files currently in the lake. Local-FS listing; on an object
+    store swap in the FS client's list call — the manifest protocol is
+    identical."""
+    if any(ch in lake_glob for ch in "*?["):
+        paths = _glob.glob(lake_glob)
+    elif os.path.isdir(lake_glob):
+        paths = []
+        for root, dirs, files in os.walk(lake_glob):
+            # hidden/metadata dirs (_staging, _batches, _manifest) are not
+            # data — prune, matching Spark's own listing rules
+            dirs[:] = [d for d in dirs if not d.startswith((".", "_"))]
+            paths += [os.path.join(root, f) for f in files]
+    else:
+        paths = [lake_glob] if os.path.exists(lake_glob) else []
+    return [
+        p
+        for p in paths
+        if p.endswith(".parquet")
+        and not os.path.basename(p).startswith((".", "_"))
+    ]
 
 
 def build_manifest(
@@ -80,13 +117,38 @@ def skipping_read(
     *,
     eq: dict[str, object] | None = None,
     ranges: dict[str, tuple[object, object]] | None = None,
+    lake_glob: str | None = None,
 ) -> DataFrame:
     """Read only the files the manifest cannot rule out. The caller still
-    applies the actual predicate — skipping is a superset guarantee."""
+    applies the actual predicate — skipping is a superset guarantee.
+
+    ``lake_glob`` (the lake dir or glob the manifest was built from) makes
+    stale manifests additively safe: files in the lake but missing from the
+    manifest have unknown stats and are always read. Omit it only when the
+    manifest is known current (rebuilt with every append)."""
     files = prune_files(manifest, eq=eq, ranges=ranges)
+    if lake_glob is not None:
+        known = {
+            _local_path(r["file"])
+            for r in manifest.select("file").collect()
+        }
+        unknown = [
+            f for f in _list_lake_files(lake_glob)
+            if os.path.abspath(f) not in {os.path.abspath(k) for k in known}
+        ]
+        files = files + unknown
     if not files:
-        # empty frame with the lake schema: read zero rows via the manifest
-        # file list being empty is not expressible — use limit(0) on any file
+        # empty pruned set: emit an explicit empty frame with the lake
+        # schema (from any known file); a fully empty lake has no schema to
+        # offer, so say so instead of letting spark.read.parquet() throw on
+        # zero paths
         any_file = [r["file"] for r in manifest.select("file").limit(1).collect()]
+        if lake_glob is not None and not any_file:
+            any_file = _list_lake_files(lake_glob)[:1]
+        if not any_file:
+            raise ValueError(
+                "skipping_read: manifest and lake are both empty — no "
+                "schema source; build the manifest after the first append"
+            )
         return spark.read.parquet(*any_file).limit(0)
     return spark.read.parquet(*files)

@@ -120,21 +120,58 @@ def stream_to_lake(
     *,
     timeout_s: int = 300,
 ) -> None:
-    """Incremental lake maintenance as a stream: foreachBatch appends each
-    micro-batch to partitioned parquet, the checkpoint records which source
-    files are done. Re-running with the same checkpoint is a no-op until
-    new files land — the reference's build-cache incremental contract
-    (build_cache.go staleness decision) with exactly-once effects for free.
-    At 100 TB this IS the ETL driver: AvailableNow on a cron beats a
-    hand-rolled watermark file because source-file tracking, retries, and
-    batch atomicity come from the checkpoint."""
+    """Incremental lake maintenance as a stream: foreachBatch lands each
+    micro-batch in the lake, the checkpoint records which source files are
+    done. Re-running with the same checkpoint is a no-op until new files
+    land — the reference's build-cache incremental contract
+    (build_cache.go staleness decision).
+
+    Effectively-once, not just at-least-once: foreachBatch alone is
+    at-least-once (a crash between a blind append and the checkpoint commit
+    would re-append the batch on retry), so the sink is made idempotent per
+    ``batch_id`` — each batch writes to a staging dir (overwrite =
+    idempotent), then moves files into the lake under deterministic
+    ``batch-<id>-<n>.parquet`` names, then commits a
+    ``_batches/<id>.done`` marker. A retry of a committed batch is a no-op;
+    a retry of a half-moved batch first clears that batch's lake files and
+    re-moves, converging to exactly one copy. ``_``-prefixed subdirs are
+    invisible to parquet readers, so ``spark.read.parquet(lake_dir)`` works
+    unchanged. At 100 TB this IS the ETL driver: AvailableNow on a cron
+    gets source-file tracking and retries from the checkpoint, and batch
+    idempotency from this sink."""
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        marker_dir = os.path.join(lake_dir, "_batches")
+        marker = os.path.join(marker_dir, f"{batch_id}.done")
+        if os.path.exists(marker):  # batch fully committed earlier: no-op
+            return
+        staging = os.path.join(lake_dir, "_staging", f"batch-{batch_id}")
         (
-            batch_df.write.mode("append")
+            batch_df.write.mode("overwrite")
             .option("compression", "zstd")
-            .parquet(lake_dir)
+            .parquet(staging)
         )
+        # clear any half-moved files from a previous attempt (the retry may
+        # split rows across a different file count), then move the fresh set
+        os.makedirs(lake_dir, exist_ok=True)
+        for f in os.listdir(lake_dir):
+            if f.startswith(f"batch-{batch_id}-") and f.endswith(".parquet"):
+                os.remove(os.path.join(lake_dir, f))
+        moved = sorted(
+            f for f in os.listdir(staging)
+            if f.endswith(".parquet") and not f.startswith((".", "_"))
+        )
+        for i, f in enumerate(moved):
+            os.replace(
+                os.path.join(staging, f),
+                os.path.join(lake_dir, f"batch-{batch_id}-{i:05d}.parquet"),
+            )
+        os.makedirs(marker_dir, exist_ok=True)
+        with open(marker, "w") as fh:
+            fh.write(str(len(moved)))
+        import shutil
+
+        shutil.rmtree(staging, ignore_errors=True)
 
     q = (
         stream_df.writeStream.foreachBatch(write_batch)

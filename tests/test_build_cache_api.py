@@ -216,6 +216,18 @@ def test_manifest_data_skipping(spark, tmp_path):
     # nothing matches: empty frame, correct schema
     assert skipping_read(spark, man, eq={"id": 99999}).count() == 0
 
+    # --- stale-manifest additive safety: a file appended AFTER the manifest
+    # build has unknown stats → read it regardless of the predicate
+    spark.range(9000, 9010).select(
+        F.col("id"), (F.col("id") % 7).alias("v")
+    ).coalesce(1).write.mode("append").parquet(lake)
+    stale = skipping_read(spark, man, eq={"id": 9005}, lake_glob=lake).filter(
+        "id = 9005"
+    )
+    assert [r["id"] for r in stale.collect()] == [9005]
+    # without lake_glob the stale manifest silently misses it (documented)
+    assert skipping_read(spark, man, eq={"id": 9005}).filter("id = 9005").count() == 0
+
 
 def test_reference_api_mirrors(spark):
     """§3 API surface: MCP-tool / HTTP-route analogs return columnar

@@ -346,3 +346,42 @@ def test_compaction_preserves_rows(spark, tmp_path):
     assert n_after < n_before
     after = sorted(r["id"] for r in spark.read.parquet(lake).collect())
     assert after == before
+
+
+def test_compaction_crash_recovery(spark, tmp_path):
+    """Every crash point of the rewrite-then-swap heals via recover_dir:
+    (a) crash between the two renames with a COMPLETE staging → staging
+    promoted; (b) crash with a TORN staging (no _SUCCESS) → old restored;
+    (c) leftovers beside a live dir → discarded."""
+    import os
+    import shutil
+
+    from msgvault_spark.sources.compact import recover_dir
+
+    lake = str(tmp_path / "lake")
+    spark.range(100).coalesce(1).write.parquet(lake)
+    rows = sorted(r["id"] for r in spark.read.parquet(lake).collect())
+    staging, old = lake + ".__compact__", lake + ".__old__"
+
+    # (a) complete staging, live path missing
+    spark.range(100).coalesce(1).write.parquet(staging)
+    os.rename(lake, old)
+    recover_dir(lake)
+    assert os.path.exists(lake) and not os.path.exists(old)
+    assert sorted(r["id"] for r in spark.read.parquet(lake).collect()) == rows
+
+    # (b) torn staging (no _SUCCESS), live path missing
+    os.rename(lake, old)
+    os.makedirs(staging)
+    with open(os.path.join(staging, "part-torn.parquet"), "wb") as fh:
+        fh.write(b"not parquet")
+    recover_dir(lake)
+    assert os.path.exists(lake) and not os.path.exists(staging)
+    assert sorted(r["id"] for r in spark.read.parquet(lake).collect()) == rows
+
+    # (c) stale leftovers beside a live dir
+    os.makedirs(staging)
+    shutil.copytree(lake, old)
+    recover_dir(lake)
+    assert not os.path.exists(staging) and not os.path.exists(old)
+    assert sorted(r["id"] for r in spark.read.parquet(lake).collect()) == rows

@@ -150,6 +150,23 @@ def test_asof_join_tolerance(spark):
     assert no_tol["v"] == 7
 
 
+def test_asof_join_tie_break_deterministic(spark):
+    """Right rows tied on (key, ts): the greatest payload struct wins, on
+    every run and under adversarial input order."""
+    from msgvault_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(1, _t(10), "e")], "k long, ts timestamp, ev string"
+    )
+    dup_rows = [(1, _t(10), v) for v in (300, 100, 200)]
+    for perm in (dup_rows, dup_rows[::-1]):
+        right = spark.createDataFrame(
+            perm, "k long, ts timestamp, v long"
+        ).repartition(4)
+        for _ in range(2):
+            assert asof_join(left, right, on="k").head()["v"] == 300
+
+
 def test_asof_join_single_exchange_no_join_node(spark):
     """The union-and-carry-forward shape must not contain a physical join
     and must shuffle exactly once (on the key)."""

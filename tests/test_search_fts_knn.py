@@ -164,3 +164,23 @@ def test_bm25_prefix_semantics(spark):
     # doc 1 has prefix-tf 2 (stream+stage) vs doc 2's 1 → higher prefix
     # contribution despite equal dl handling; both share the join term
     assert got[1] > got[2]
+
+
+def test_bm25_prefix_degenerate_tokens(spark):
+    """Bare '*' / empty tokens must not poison the AND gate: dropped when
+    usable terms remain, ValueError when nothing usable is left."""
+    import pytest
+
+    from msgvault_spark.search.fts import bm25_scores_prefix, build_inverted_index
+
+    docs = spark.createDataFrame(
+        [(1, "stream join"), (2, "join only")], ["doc_id", "text"]
+    )
+    postings, stats = build_inverted_index(docs, "doc_id", "text")
+    got = {
+        r["doc_id"]
+        for r in bm25_scores_prefix(postings, stats, ["*", "join", ""]).collect()
+    }
+    assert got == {1, 2}  # '*' and '' dropped; AND gate = {join} only
+    with pytest.raises(ValueError):
+        bm25_scores_prefix(postings, stats, ["*"])

@@ -133,3 +133,24 @@ def test_stream_to_lake_exactly_once(spark, tmp_path):
     got = spark.read.parquet(lake)
     assert got.count() == 3
     assert {r["event_id"] for r in got.collect()} == {1, 2, 3}
+
+
+def test_stream_to_lake_batch_redelivery_idempotent(spark, tmp_path):
+    """The at-least-once hole: a batch re-delivered after the lake write but
+    before the checkpoint commit must not duplicate rows. Simulated by
+    wiping the checkpoint (batch 0 replays wholesale) — the per-batch_id
+    done-marker makes the replay a no-op."""
+    import shutil
+
+    from msgvault_spark.streaming.incremental import stream_to_lake
+
+    src = str(tmp_path / "src")
+    lake = str(tmp_path / "lake")
+    ckpt = str(tmp_path / "ckpt")
+    _write_events(spark, src, [(1, _us("2024-01-01T10:00:00"), 1, "c", 1.0, "{}")])
+    stream_to_lake(read_events_stream(spark, src), lake, ckpt)
+    assert spark.read.parquet(lake).count() == 1
+
+    shutil.rmtree(ckpt)  # forget progress → same batch_id=0 re-delivered
+    stream_to_lake(read_events_stream(spark, src), lake, ckpt)
+    assert spark.read.parquet(lake).count() == 1  # marker skipped the dup
