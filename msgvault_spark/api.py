@@ -161,3 +161,32 @@ def get_total_stats(spark, sf_dir: str) -> QueryResult:
     from msgvault_spark.sources.cache import get_archive
 
     return collect_result(agg.total_stats(get_archive(spark, sf_dir)))
+
+
+def get_message_summaries(spark, sf_dir: str, ids: list[int]) -> QueryResult:
+    """GetMessageSummariesByIDs analog (engine.go:36-43): hit ids →
+    rank-ordered summaries; the hydration stage after any search."""
+    from msgvault_spark.plans.lookup import get_message_summaries_by_ids
+    from msgvault_spark.sources.cache import get_archive
+
+    return collect_result(
+        get_message_summaries_by_ids(get_archive(spark, sf_dir), ids)
+    )
+
+
+def get_messages(spark, sf_dir: str, ids: list[int]) -> QueryResult:
+    """Batch GetMessage/GetAttachment analog (engine.go:26-33): full detail
+    (sender, recipients, labels, attachment rollup) per id, batch-latency
+    by design (SURVEY §7 — ms point lookup is a non-goal)."""
+    from msgvault_spark.plans.lookup import get_messages as _gm
+    from msgvault_spark.sources.cache import get_archive
+
+    return collect_result(_gm(get_archive(spark, sf_dir), ids))
+
+
+def list_accounts(spark, sf_dir: str) -> QueryResult:
+    """ListAccounts analog (engine.go:77-78)."""
+    from msgvault_spark.plans.lookup import list_accounts as _la
+    from msgvault_spark.sources.cache import get_archive
+
+    return collect_result(_la(get_archive(spark, sf_dir)))

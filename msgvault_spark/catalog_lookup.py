@@ -1,0 +1,222 @@
+"""Catalog entries for the point-lookup / hydration surface
+(plans/lookup.py): rank-preserving search-hit hydration, batch detail
+fetch, and the accounts dim — the reference Engine interface rows
+(engine.go:26-43, 77-78) the round-1 verdict flagged as missing.
+
+The id lists are produced by a DETERMINISTIC ranking collected once at
+plan-construction time (memoized with the plan, like the KNN seed
+vectors) so the entry exercises the real list-of-ids API shape; the
+oracle recomputes the identical list in SQL. ``rank`` is part of the
+compared output, so the order-insensitive hash still pins the
+rank↔id assignment — i.e. order preservation is verified by value.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from msgvault_spark.catalog import register
+from msgvault_spark.plans import lookup
+from msgvault_spark.sources.adapter import oracle
+from msgvault_spark.sources.cache import get_archive
+
+_MS_CTE = """
+, ms AS (
+    SELECT mr.message_id,
+           MIN_BY(p.email_address, mr.participant_id) AS ms_email,
+           MIN_BY(COALESCE(NULLIF(TRIM(p.display_name), ''),
+                           NULLIF(p.phone_number, ''), p.email_address, ''),
+                  mr.participant_id) AS ms_name
+    FROM message_recipients mr
+    JOIN participants p ON p.id = mr.participant_id
+    WHERE mr.recipient_type = 'from'
+    GROUP BY mr.message_id
+)
+"""
+
+
+def _hit_ids(spark: SparkSession, sf_dir: str, k: int = 20) -> list[int]:
+    """The deterministic 'search ranking' hydrated by the entry: largest
+    attachment-bearing messages. Deliberately NOT date order, so rank
+    preservation is distinguishable from the natural sort."""
+    msg = get_archive(spark, sf_dir)["messages"]
+    return [
+        r["id"]
+        for r in msg.filter(F.col("has_attachments"))
+        .orderBy(F.col("size_estimate").desc(), F.col("id").asc())
+        .select("id")
+        .limit(k)
+        .collect()
+    ]
+
+
+@register(
+    "hydrate_search_hits",
+    oracle(
+        _MS_CTE
+        + """
+, hits AS (
+    SELECT id, CAST(ROW_NUMBER() OVER (ORDER BY size_estimate DESC, id ASC)
+                AS INTEGER) AS rank
+    FROM messages WHERE has_attachments
+    ORDER BY size_estimate DESC, id ASC LIMIT 20
+)
+SELECT h.rank, msg.id,
+       COALESCE(msg.subject, '') AS subject,
+       COALESCE(msg.snippet, '') AS snippet,
+       COALESCE(ms.ms_email, '') AS from_email,
+       COALESCE(ms.ms_name, '') AS from_name,
+       msg.sent_at,
+       COALESCE(msg.size_estimate, 0) AS size_estimate,
+       COALESCE(msg.has_attachments, false) AS has_attachments
+FROM hits h
+JOIN messages msg ON msg.id = h.id
+LEFT JOIN ms ON ms.message_id = msg.id
+ORDER BY h.rank
+"""
+    ),
+)
+def hydrate_search_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GetMessageSummariesByIDs analog (engine.go:36-43, sqlite.go:715-806):
+    hit ids → rank-ordered summaries, the anti-N+1 stage every search
+    handler runs. The id list is collected once (plan-memoized) and fed
+    through the real list-of-ids API."""
+    ids = _hit_ids(spark, sf_dir)
+    return lookup.get_message_summaries_by_ids(get_archive(spark, sf_dir), ids)
+
+
+@register(
+    "get_messages_by_ids",
+    oracle(
+        _MS_CTE
+        + """
+, hits AS (
+    SELECT id, CAST(ROW_NUMBER() OVER (ORDER BY id ASC) AS INTEGER) AS rank
+    FROM messages WHERE has_attachments
+    ORDER BY id ASC LIMIT 25
+),
+recips AS (
+    SELECT mr.message_id,
+           string_agg(mr.recipient_type || ':' || p.email_address, ','
+                      ORDER BY mr.recipient_type || ':' || p.email_address)
+               AS recipients
+    FROM message_recipients mr
+    JOIN participants p ON p.id = mr.participant_id
+    WHERE mr.recipient_type IN ('to', 'cc', 'bcc')
+      AND mr.message_id IN (SELECT id FROM hits)
+    GROUP BY mr.message_id
+),
+labs AS (
+    SELECT ml.message_id,
+           string_agg(lbl.name, ',' ORDER BY lbl.name) AS labels
+    FROM message_labels ml
+    JOIN labels lbl ON lbl.id = ml.label_id
+    WHERE ml.message_id IN (SELECT id FROM hits)
+    GROUP BY ml.message_id
+),
+atts AS (
+    SELECT message_id,
+           CAST(COUNT(*) AS BIGINT) AS attachment_count,
+           CAST(SUM(size) AS BIGINT) AS attachment_size,
+           string_agg(filename, ',' ORDER BY filename) AS attachment_names
+    FROM attachments
+    WHERE message_id IN (SELECT id FROM hits)
+    GROUP BY message_id
+)
+SELECT h.rank, msg.id,
+       COALESCE(msg.subject, '') AS subject,
+       COALESCE(msg.snippet, '') AS snippet,
+       COALESCE(ms.ms_email, '') AS from_email,
+       COALESCE(ms.ms_name, '') AS from_name,
+       msg.sent_at,
+       COALESCE(msg.size_estimate, 0) AS size_estimate,
+       COALESCE(msg.message_type, '') AS message_type,
+       COALESCE(r.recipients, '') AS recipients,
+       COALESCE(l.labels, '') AS labels,
+       CAST(COALESCE(a.attachment_count, 0) AS BIGINT) AS attachment_count,
+       CAST(COALESCE(a.attachment_size, 0) AS BIGINT) AS attachment_size,
+       COALESCE(a.attachment_names, '') AS attachment_names
+FROM hits h
+JOIN messages msg ON msg.id = h.id
+LEFT JOIN ms ON ms.message_id = msg.id
+LEFT JOIN recips r ON r.message_id = msg.id
+LEFT JOIN labs l ON l.message_id = msg.id
+LEFT JOIN atts a ON a.message_id = msg.id
+ORDER BY h.rank
+"""
+    ),
+)
+def get_messages_by_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch GetMessage/GetAttachment analog (engine.go:26-33): full detail
+    rows — sender, recipients, labels, attachment rollup — for an id list,
+    each decoration pre-aggregated per message before its left join."""
+    archive = get_archive(spark, sf_dir)
+    ids = [
+        r["id"]
+        for r in archive["messages"]
+        .filter(F.col("has_attachments"))
+        .orderBy(F.col("id").asc())
+        .select("id")
+        .limit(25)
+        .collect()
+    ]
+    return lookup.get_messages(archive, ids)
+
+
+@register(
+    "hybrid_rrf_hydrated",
+    None,  # set below — wraps catalog_search's hybrid oracle
+)
+def hybrid_rrf_hydrated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid search returning SUMMARIES, not bare ids: the fused RRF
+    top-20 hydrated from the documents corpus (lang/source/n_chars) via
+    the broadcast hydration stage (search/hybrid.py:hydrate_hits) — the
+    reference's search-handler shape (score, then
+    GetMessageSummariesByIDs; engine.go:36-43)."""
+    from msgvault_spark.catalog import CATALOG
+    from msgvault_spark.search.hybrid import hydrate_hits
+    from msgvault_spark.sources.cache import get_table
+
+    hits = CATALOG["hybrid_rrf"].fn(spark, sf_dir)
+    docs = get_table(spark, sf_dir, "documents")
+    return hydrate_hits(
+        hits, docs, id_col="doc_id", cols=["lang", "source", "n_chars"]
+    )
+
+
+def _install_hydrated_oracle() -> None:
+    from msgvault_spark.catalog import CATALOG
+    from msgvault_spark.catalog_search import _hybrid_oracle
+
+    inner = _hybrid_oracle().strip()
+    CATALOG["hybrid_rrf_hydrated"].oracle_sql = f"""
+WITH hits AS ({inner})
+SELECT h.*, d.lang, d.source, d.n_chars
+FROM hits h JOIN documents d ON d.doc_id = h.id
+ORDER BY h.rrf_score DESC, h.id ASC
+"""
+
+
+_install_hydrated_oracle()
+
+
+@register(
+    "list_accounts",
+    oracle(
+        """
+SELECT source_id AS account_id,
+       CAST(COUNT(*) AS BIGINT) AS message_count,
+       MIN(sent_at) AS first_message_at,
+       MAX(sent_at) AS last_message_at,
+       CAST(COUNT(DISTINCT conversation_id) AS BIGINT) AS conversation_count
+FROM messages
+GROUP BY 1
+ORDER BY 1
+"""
+    ),
+)
+def list_accounts_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ListAccounts analog (engine.go:77-78): account dim with per-account
+    stats from one hash-agg over messages."""
+    return lookup.list_accounts(get_archive(spark, sf_dir))

@@ -1,0 +1,185 @@
+"""Point-lookup / hydration surface: the reference Engine's id-addressed
+reads, batch-shaped for Spark.
+
+Reference surface (internal/query/engine.go:26-43, 77-78):
+  - ``GetMessageSummariesByIDs`` (sqlite.go:715-806): bulk summaries for a
+    hit-id list PRESERVING RANK ORDER — the anti-N+1 path every search
+    handler takes after scoring;
+  - ``GetMessage`` / ``GetAttachment``: full detail for one id (bodies,
+    recipients, labels, attachments);
+  - ``ListAccounts``: the account dim with per-account stats.
+
+Spark-first shape: the id list becomes (a) a pushed-down ``IN`` predicate
+on the message scan — Catalyst turns it into parquet row-group pruning, and
+a sorted/bucketed lake prunes most files — and (b) a tiny broadcast
+``(id, rank)`` frame joined back to restore the caller's ranking (the
+reference preserves order via ORDER BY array_position(ids, id); the rank
+column is the engine-portable spelling). ms-latency single-id serving stays
+a non-goal (SURVEY §7): the batch shape amortizes one pruned scan over a
+whole page of ids, which is what the search handlers need.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from msgvault_spark.search.fast import _sender_resolution
+
+
+def _ids_frame(archive: dict[str, DataFrame], ids: list[int]) -> DataFrame:
+    spark = archive["messages"].sparkSession
+    return spark.createDataFrame(
+        [(int(i), r + 1) for r, i in enumerate(ids)], "id long, rank int"
+    )
+
+
+def get_message_summaries_by_ids(
+    archive: dict[str, DataFrame], ids: list[int]
+) -> DataFrame:
+    """Rank-preserving bulk summary fetch (GetMessageSummariesByIDs,
+    engine.go:36-43). Output carries ``rank`` (1-based position in ``ids``)
+    so the ranking survives any downstream re-partitioning; rows whose id
+    is absent from the archive are dropped, matching the reference."""
+    if not ids:
+        raise ValueError("get_message_summaries_by_ids: empty id list")
+    msg = archive["messages"].filter(F.col("id").isin(*[int(i) for i in ids]))
+    decorated = _sender_resolution(
+        msg, archive["message_recipients"], archive["participants"]
+    )
+    return (
+        decorated.join(F.broadcast(_ids_frame(archive, ids)), "id")
+        .select(
+            "rank",
+            "id",
+            F.coalesce(F.col("subject"), F.lit("")).alias("subject"),
+            F.coalesce(F.col("snippet"), F.lit("")).alias("snippet"),
+            "from_email",
+            "from_name",
+            "sent_at",
+            F.coalesce(F.col("size_estimate"), F.lit(0)).alias("size_estimate"),
+            F.coalesce(F.col("has_attachments"), F.lit(False)).alias(
+                "has_attachments"
+            ),
+        )
+        .orderBy("rank")
+    )
+
+
+def get_messages(archive: dict[str, DataFrame], ids: list[int]) -> DataFrame:
+    """Batch detail fetch — the GetMessage / GetAttachment surface
+    (engine.go:26-33) closed honestly as a batch call: summaries plus
+    recipients, labels, and attachments, one row per id. List-valued
+    fields come out as sorted comma-joined strings (engine-portable, and
+    deterministic for the oracle hash); counts/sizes as longs.
+
+    Each decoration is a pre-aggregated-per-message left join (A4 shape:
+    aggregate BEFORE the join, so junction fan-out never multiplies
+    message rows)."""
+    if not ids:
+        raise ValueError("get_messages: empty id list")
+    idset = [int(i) for i in ids]
+    msg = archive["messages"].filter(F.col("id").isin(*idset))
+    mr = archive["message_recipients"]
+    p = archive["participants"]
+
+    recips = (
+        mr.filter(
+            F.col("recipient_type").isin("to", "cc", "bcc")
+            & F.col("message_id").isin(*idset)
+        )
+        .join(
+            F.broadcast(
+                p.select(F.col("id").alias("p_id"), "email_address")
+            ),
+            F.col("participant_id") == F.col("p_id"),
+        )
+        .select(
+            "message_id",
+            F.concat_ws(":", "recipient_type", "email_address").alias("r"),
+        )
+        .groupBy("message_id")
+        .agg(
+            F.concat_ws(",", F.array_sort(F.collect_list("r"))).alias(
+                "recipients"
+            )
+        )
+    )
+    labels = (
+        archive["message_labels"]
+        .filter(F.col("message_id").isin(*idset))
+        .join(
+            F.broadcast(
+                archive["labels"].select(F.col("id").alias("lbl_id"), "name")
+            ),
+            F.col("label_id") == F.col("lbl_id"),
+        )
+        .groupBy("message_id")
+        .agg(F.concat_ws(",", F.array_sort(F.collect_list("name"))).alias("labels"))
+    )
+    atts = (
+        archive["attachments"]
+        .filter(F.col("message_id").isin(*idset))
+        .groupBy("message_id")
+        .agg(
+            # att_-prefixed: `messages` itself carries an attachment_count
+            # column, and the final select must not be ambiguous
+            F.count(F.lit(1)).cast("long").alias("att_count"),
+            F.sum("size").cast("long").alias("att_size"),
+            F.concat_ws(",", F.array_sort(F.collect_list("filename"))).alias(
+                "att_names"
+            ),
+        )
+    )
+
+    decorated = _sender_resolution(msg, mr, p)
+    out = (
+        decorated.join(F.broadcast(_ids_frame(archive, idset)), "id")
+        .join(recips, F.col("id") == recips["message_id"], "left")
+        .drop(recips["message_id"])
+        .join(labels, F.col("id") == labels["message_id"], "left")
+        .drop(labels["message_id"])
+        .join(atts, F.col("id") == atts["message_id"], "left")
+        .drop(atts["message_id"])
+    )
+    return out.select(
+        "rank",
+        "id",
+        F.coalesce(F.col("subject"), F.lit("")).alias("subject"),
+        F.coalesce(F.col("snippet"), F.lit("")).alias("snippet"),
+        "from_email",
+        "from_name",
+        "sent_at",
+        F.coalesce(F.col("size_estimate"), F.lit(0)).alias("size_estimate"),
+        F.coalesce(F.col("message_type"), F.lit("")).alias("message_type"),
+        F.coalesce(F.col("recipients"), F.lit("")).alias("recipients"),
+        F.coalesce(F.col("labels"), F.lit("")).alias("labels"),
+        F.coalesce(F.col("att_count"), F.lit(0)).cast("long").alias(
+            "attachment_count"
+        ),
+        F.coalesce(F.col("att_size"), F.lit(0)).cast("long").alias(
+            "attachment_size"
+        ),
+        F.coalesce(F.col("att_names"), F.lit("")).alias(
+            "attachment_names"
+        ),
+    ).orderBy("rank")
+
+
+def list_accounts(archive: dict[str, DataFrame]) -> DataFrame:
+    """Account dim with per-account stats (ListAccounts, engine.go:77-78).
+    One hash-agg over messages — the account table the reference keeps
+    materialized falls out of a groupBy here."""
+    return (
+        archive["messages"]
+        .groupBy(F.col("source_id").alias("account_id"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("message_count"),
+            F.min("sent_at").alias("first_message_at"),
+            F.max("sent_at").alias("last_message_at"),
+            F.count_distinct("conversation_id").cast("long").alias(
+                "conversation_count"
+            ),
+        )
+        .orderBy("account_id")
+    )

@@ -107,6 +107,30 @@ def rrf_fuse(
     return fused.orderBy(F.col("rrf_score").desc(), F.col("id").asc()).limit(limit)
 
 
+def hydrate_hits(
+    hits: DataFrame,
+    corpus: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    cols: list[str] | None = None,
+) -> DataFrame:
+    """Final hydration stage of any ranked search: join the fused top-k
+    (id, scores) back to the corpus for display columns — the
+    GetMessageSummariesByIDs pattern (reference engine.go:36-43) at the
+    corpus level, so search returns summaries, not bare ids.
+
+    ``hits`` is ≤limit rows → it is the broadcast side; the corpus scan
+    prunes to ``id`` + requested columns (column pruning reaches the
+    parquet ReadSchema). All hit columns (scores, ranks) pass through."""
+    cols = cols if cols is not None else [
+        c for c in corpus.columns if c != id_col
+    ]
+    slim = corpus.select(F.col(id_col).alias("id"), *cols)
+    return slim.join(F.broadcast(hits), "id").select(
+        *hits.columns, *cols
+    )
+
+
 def hybrid_search(
     docs: DataFrame,
     embeddings: DataFrame,

@@ -251,6 +251,36 @@ def test_reference_api_mirrors(spark):
     assert agg.to_json() and agg.to_csv() and agg.to_table()
 
 
+def test_lookup_hydration_api(spark):
+    """Point-lookup surface: summaries preserve the GIVEN rank order (not id
+    or date order), detail fetch decorates without fan-out, accounts dim."""
+    import pytest
+
+    from msgvault_spark import api
+    from msgvault_spark.plans.lookup import get_message_summaries_by_ids
+
+    sf = "/root/testdata/sf0.001"
+    from msgvault_spark.sources.cache import get_archive
+
+    archive = get_archive(spark, sf)
+    some = [r["id"] for r in archive["messages"].select("id").limit(6).collect()]
+    ids = [some[3], some[0], some[5]]  # deliberately shuffled
+    got = get_message_summaries_by_ids(archive, ids).collect()
+    assert [r["id"] for r in got] == ids
+    assert [r["rank"] for r in got] == [1, 2, 3]
+    with pytest.raises(ValueError):
+        get_message_summaries_by_ids(archive, [])
+
+    detail = api.get_messages(spark, sf, ids)
+    assert detail.row_count == 3  # one row per id — no junction fan-out
+    cols = set(detail.columns)
+    assert {"recipients", "labels", "attachment_names", "rank"} <= cols
+
+    accounts = api.list_accounts(spark, sf)
+    assert accounts.row_count == 3  # adapter: source_id ∈ {1,2,3}
+    assert all(r[1] > 0 for r in accounts.rows)
+
+
 def test_text_index_lake_roundtrip(spark, tmp_path):
     """BM25 served from the lake-persisted index == BM25 from the in-memory
     build: postings/doc_stats/corpus constants survive the roundtrip."""
