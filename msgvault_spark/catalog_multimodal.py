@@ -116,21 +116,74 @@ def media_payload_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return payload_stats(synthesize_media(docs)).orderBy("media_id")
 
 
-@register("media_features_entropy", None)  # mapInPandas: rows-only check
+@register(
+    "media_features_entropy",
+    f"""
+WITH {_MEDIA_SQL},
+bytes AS (
+    SELECT media_id,
+           unnest(list_transform(range(octet_length(payload)),
+                  i -> substring(hex(payload), i * 2 + 1, 2))) AS byte_hex
+    FROM media
+)
+SELECT media_id,
+       CAST(COUNT(*) AS BIGINT) AS payload_bytes,
+       round(entropy(byte_hex), 6) AS byte_entropy,
+       round(SUM(CASE WHEN byte_hex >= '20' AND byte_hex <= '7E'
+                      THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 6) AS ascii_ratio,
+       round(SUM(CASE WHEN byte_hex = '00' THEN 1 ELSE 0 END) * 1.0
+             / COUNT(*), 6) AS null_ratio
+FROM bytes
+GROUP BY media_id
+ORDER BY media_id
+""",
+)
 def media_features_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arrow-batched binary feature extraction (byte entropy, ascii/null
-    ratios) via mapInPandas — the real decode-stage shape."""
+    ratios) via mapInPandas — the real decode-stage shape. Oracle: DuckDB
+    unnests the hex encoding into per-byte rows; its ``entropy()``
+    aggregate IS log2 Shannon entropy (bit-identical to the numpy
+    histogram formulation — verified); fixed-width uppercase hex compares
+    lexicographically == numerically, so the ascii range test stays a
+    string compare. Floats rounded to 6 on both sides (sum-order ulp
+    noise sits ~3 orders of magnitude below the rounding grain)."""
     docs = load_table(spark, sf_dir, "documents")
-    return (
-        extract_features(synthesize_media(docs))
-        .orderBy("media_id")
-    )
+    feats = extract_features(synthesize_media(docs))
+    return feats.select(
+        "media_id",
+        "payload_bytes",
+        F.round("byte_entropy", 6).alias("byte_entropy"),
+        F.round("ascii_ratio", 6).alias("ascii_ratio"),
+        F.round("null_ratio", 6).alias("null_ratio"),
+    ).orderBy("media_id")
 
 
-@register("media_decode_fake", None)  # stubbed decode: rows-only check
+_HEXVAL = "(strpos('0123456789abcdef', substring(h, {i}, 1)) - 1)"
+
+
+@register(
+    "media_decode_fake",
+    f"""
+WITH {_MEDIA_SQL},
+hashed AS (
+    SELECT media_id, sha256(hex(payload)) AS h FROM media
+)
+SELECT media_id,
+       CAST(64 + {_HEXVAL.format(i=1)} * 16 + {_HEXVAL.format(i=2)} AS INTEGER)
+           AS width,
+       CAST(64 + {_HEXVAL.format(i=3)} * 16 + {_HEXVAL.format(i=4)} AS INTEGER)
+           AS height,
+       CAST(1 + {_HEXVAL.format(i=5)} AS INTEGER) AS n_frames,
+       substring(h, 1, 16) AS pixels_sha
+FROM hashed
+ORDER BY media_id
+""",
+)
 def media_decode_fake(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Decode stub driven through the deterministic-fake path: proves the
-    mapInPandas plumbing (schema, batching) without image libs."""
+    mapInPandas plumbing (schema, batching) without image libs. The fake
+    derives dims from sha256 of the payload's hex encoding, so DuckDB
+    replays it exactly — no more rows-only check on this entry."""
     docs = load_table(spark, sf_dir, "documents")
     return decode_media(
         synthesize_media(docs), deterministic_fake=True

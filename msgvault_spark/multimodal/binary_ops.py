@@ -165,20 +165,33 @@ _DECODE_SCHEMA = T.StructType(
 )
 
 
+def _pil_available() -> bool:
+    try:
+        import PIL  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
 def decode_media(
     media: DataFrame, *, deterministic_fake: bool = False
 ) -> DataFrame:
-    """Decode stage STUB. Real decode needs image/audio libraries not present
-    in this environment; ``deterministic_fake=True`` emits schema-correct
-    fake decodes (dims derived from payload hash) so downstream stages are
-    testable. The mapInPandas plumbing (Arrow batches, schema, partition
-    parallelism) is exactly what a real decoder drops into."""
-    if not deterministic_fake:
+    """Decode stage. Three paths, in order:
+      - ``deterministic_fake=True``: schema-correct fake decodes (dims from
+        the payload's hex-sha256) so downstream stages are testable anywhere;
+      - PIL importable on the workers: REAL image decode — width/height from
+        ``Image.open``, pixels_sha over the decoded RGB bytes; non-image or
+        undecodable payloads yield NULL dims (kept, not dropped);
+      - neither: NotImplementedError naming the missing dependency.
+    The mapInPandas plumbing (Arrow batches, schema, partition parallelism)
+    is identical in all three — the fake is a drop-in for the real decoder."""
+    if not deterministic_fake and not _pil_available():
 
         def no_decoder(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             raise NotImplementedError(
-                "media decoding requires image/audio libraries not present in "
-                "this environment; pass deterministic_fake=True for the "
+                "media decoding requires PIL (pillow), not present in this "
+                "environment; pass deterministic_fake=True for the "
                 "schema-correct fake path"
             )
             yield  # pragma: no cover
@@ -187,13 +200,48 @@ def decode_media(
             no_decoder, schema=_DECODE_SCHEMA
         )
 
+    if not deterministic_fake:
+
+        def pil_decode(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            import hashlib as hl
+            import io
+
+            from PIL import Image
+
+            for pdf in it:
+                rows = []
+                for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                    try:
+                        img = Image.open(io.BytesIO(bytes(payload)))
+                        img = img.convert("RGB")
+                        w, h = img.size
+                        sha = hl.sha256(img.tobytes()).hexdigest()[:16]
+                        n_frames = int(getattr(img, "n_frames", 1))
+                        rows.append((mid, w, h, n_frames, sha))
+                    except Exception:
+                        rows.append((mid, None, None, None, None))
+                yield pd.DataFrame(
+                    rows,
+                    columns=[
+                        "media_id", "width", "height", "n_frames", "pixels_sha",
+                    ],
+                )
+
+        return media.select("media_id", "payload").mapInPandas(
+            pil_decode, schema=_DECODE_SCHEMA
+        )
+
     def fake(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib as hl
 
         for pdf in it:
             rows = []
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
-                h = hl.sha256(payload).hexdigest()
+                # hash of the UPPERCASE-HEX encoding (not raw bytes):
+                # bijective, so still content-derived, and computable in
+                # engines whose sha functions only take strings (the
+                # payload_stats convention)
+                h = hl.sha256(bytes(payload).hex().upper().encode()).hexdigest()
                 rows.append(
                     (
                         mid,

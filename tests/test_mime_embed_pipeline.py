@@ -184,6 +184,54 @@ def test_udtf_sentence_split_matches_jvm_twin(spark):
     assert expr_got == {k: v[0] for k, v in got.items()}
 
 
+def test_media_decode_real_path_with_pil(spark):
+    """Real decode behind the import guard: when pillow is installed the
+    stub becomes a real image decoder (dims + pixel hash from PIL).
+    Skipped where PIL is absent — the guard itself is tested below."""
+    import pytest
+
+    pytest.importorskip("PIL")
+    import io
+
+    from PIL import Image
+
+    from msgvault_spark.multimodal.binary_ops import decode_media
+
+    buf = io.BytesIO()
+    Image.new("RGB", (12, 7), (255, 0, 0)).save(buf, format="PNG")
+    media = spark.createDataFrame(
+        [(1, "image", bytearray(buf.getvalue()), None),
+         (2, "blob", bytearray(b"not an image"), None)],
+        "media_id long, kind string, payload binary, meta string",
+    )
+    got = {r["media_id"]: r for r in decode_media(media).collect()}
+    assert (got[1]["width"], got[1]["height"]) == (12, 7)
+    assert got[1]["pixels_sha"] is not None
+    assert got[2]["width"] is None  # undecodable → NULL dims, row kept
+
+
+def test_media_decode_guard_without_pil(spark):
+    """Without pillow the non-fake path must fail loudly (naming the
+    missing dependency), never silently emit garbage."""
+    import pytest
+
+    try:
+        import PIL  # noqa: F401
+
+        pytest.skip("PIL present; guard path not reachable")
+    except ImportError:
+        pass
+
+    from msgvault_spark.multimodal.binary_ops import decode_media
+
+    media = spark.createDataFrame(
+        [(1, "image", bytearray(b"x"), None)],
+        "media_id long, kind string, payload binary, meta string",
+    )
+    with pytest.raises(Exception, match="PIL|pillow"):
+        decode_media(media).collect()
+
+
 def test_frame_sampling_and_resize_plan(spark):
     from pyspark.sql import functions as F
 
