@@ -50,6 +50,53 @@ def fake_embed(texts: list[str], dim: int) -> list[list[float]]:
     return out
 
 
+def adaptive_embed(
+    ids: list,
+    texts: list[str],
+    dim: int,
+    embed_fn: Callable[[list[str], int], list[list[float]]],
+    *,
+    initial_batch: int = 256,
+    min_batch: int = 1,
+    grow_after: int = 4,
+    on_batch: Callable[[int, bool], None] | None = None,
+):
+    """The reference embed worker's batching contract (embed/worker.go:93-706)
+    around an injectable ``embed_fn``: submit in batches; on a failure,
+    HALVE the batch and retry the same items (down to ``min_batch``, where
+    the error finally propagates); after ``grow_after`` consecutive
+    successes, double back toward ``initial_batch``. Yields (ids_chunk,
+    vectors) in input order — every item embedded exactly once.
+
+    Pure driver-free Python so the policy is unit-testable; ``on_batch``
+    (size, ok) observes each attempt for tests/metrics."""
+    if initial_batch < 1 or min_batch < 1:
+        raise ValueError("batch sizes must be >= 1")
+    batch = initial_batch
+    streak = 0
+    pos = 0
+    while pos < len(texts):
+        chunk_texts = texts[pos : pos + batch]
+        try:
+            vecs = embed_fn(chunk_texts, dim)
+            if on_batch:
+                on_batch(len(chunk_texts), True)
+        except Exception:
+            if on_batch:
+                on_batch(len(chunk_texts), False)
+            if batch <= min_batch:
+                raise
+            batch = max(min_batch, batch // 2)
+            streak = 0
+            continue  # retry the SAME position at the smaller batch
+        yield ids[pos : pos + len(chunk_texts)], vecs
+        pos += len(chunk_texts)
+        streak += 1
+        if batch < initial_batch and streak >= grow_after:
+            batch = min(initial_batch, batch * 2)
+            streak = 0
+
+
 def generation_dir(base: str, gen: int) -> str:
     return os.path.join(base, f"gen={gen}")
 
@@ -110,9 +157,11 @@ def embed_pending(
     batch_rows: int = 256,
 ) -> int:
     """One worker pass: embed everything pending into generation ``gen``
-    (status building). Returns rows written. Arrow batch size bounds the
-    per-call batch — the adaptive-downshift analogue is retrying with a
-    smaller ``batch_rows``."""
+    (status building). Returns rows written. ``embed_fn`` is the injected
+    client (the deterministic fake by default; a real HTTP client is a
+    drop-in with the same (texts, dim) -> vectors signature); each Arrow
+    batch runs through ``adaptive_embed``, so a flaky client downshifts
+    its call size instead of failing the task (worker.go:93-706)."""
     spark = corpus.sparkSession
     meta = generation_meta(base, gen) or {
         "dim": dim, "status": "building", "model": model,
@@ -134,10 +183,14 @@ def embed_pending(
 
     def _embed(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            for start in range(0, len(pdf), batch_rows):
-                chunk = pdf.iloc[start : start + batch_rows]
-                vecs = embed_fn(chunk["text"].tolist(), dim)
-                yield pd.DataFrame({"id": chunk["id"].values, "embedding": vecs})
+            for chunk_ids, vecs in adaptive_embed(
+                pdf["id"].tolist(),
+                pdf["text"].tolist(),
+                dim,
+                embed_fn,
+                initial_batch=batch_rows,
+            ):
+                yield pd.DataFrame({"id": chunk_ids, "embedding": vecs})
 
     result = pending.mapInPandas(_embed, schema=out_schema)
     vec_path = os.path.join(generation_dir(base, gen), "vectors")

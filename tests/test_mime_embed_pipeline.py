@@ -145,6 +145,69 @@ def test_embedding_generation_lifecycle(spark, tmp_path):
 # ---------------------------------------------------------------------------
 
 
+def test_adaptive_embed_downshift_on_flaky_client():
+    """The worker.go batching contract on a flaky client: batches over the
+    server's capacity fail → halve and retry the same items; sustained
+    success grows back; every item embedded exactly once, in order."""
+    import pytest
+
+    from msgvault_spark.embeddings_pipeline import adaptive_embed
+
+    attempts = []
+
+    def flaky(texts, dim):
+        if len(texts) > 8:  # server chokes past 8
+            raise RuntimeError("batch too large")
+        return [[float(len(t))] * dim for t in texts]
+
+    ids = list(range(40))
+    texts = [f"t{i}" for i in ids]
+    got_ids = []
+    for chunk_ids, vecs in adaptive_embed(
+        ids, texts, 2, flaky, initial_batch=64, grow_after=2,
+        on_batch=lambda size, ok: attempts.append((size, ok)),
+    ):
+        assert len(chunk_ids) == len(vecs)
+        got_ids += chunk_ids
+    assert got_ids == ids  # exactly once, input order
+    # downshift path: 40 (all remaining) fail → 32 fail → 16 fail → 8 ok
+    assert attempts[:4] == [(40, False), (32, False), (16, False), (8, True)]
+    # growth retried 16 after 2 successes and failed again → back to 8
+    assert (16, False) in attempts[4:]
+
+    # a client that always fails propagates once the floor is reached
+    def dead(texts, dim):
+        raise RuntimeError("down")
+
+    with pytest.raises(RuntimeError):
+        list(adaptive_embed([1], ["x"], 2, dead, initial_batch=4, min_batch=1))
+
+
+def test_embed_pending_with_flaky_client(spark, tmp_path):
+    """End-to-end: embed_pending completes through a flaky injected client
+    (downshift inside mapInPandas), and the generation promotes."""
+    from msgvault_spark.embeddings_pipeline import (
+        embed_pending,
+        fake_embed,
+        promote_generation,
+    )
+
+    def flaky(texts, dim):
+        if len(texts) > 4:
+            raise RuntimeError("batch too large")
+        return fake_embed(texts, dim)
+
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(30)], "doc_id long, text string"
+    )
+    base = str(tmp_path / "gens")
+    n = embed_pending(
+        docs, base, 1, dim=4, embed_fn=flaky, batch_rows=16
+    )
+    assert n == 30
+    assert promote_generation(spark, base, 1)["status"] == "active"
+
+
 def test_udtf_sentence_split_matches_jvm_twin(spark):
     from pyspark.sql import functions as F
 
