@@ -108,6 +108,17 @@ def test_connected_components_chain_and_clique(spark):
     assert sizes == {4: 1, 3: 1, 2: 1}
 
 
+def test_connected_components_chain_converges_in_log_rounds(spark):
+    """Adversarial shape: a 1000-node path. Pure min-label propagation
+    would need ~1000 rounds; pointer jumping must land it within 12."""
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(999)], "src long, dst long"
+    )
+    comp = connected_components(edges, max_iter=12).collect()
+    assert len(comp) == 1000
+    assert {r["component"] for r in comp} == {0}
+
+
 def test_connected_components_self_loop_and_dupes(spark):
     edges = spark.createDataFrame(
         [(5, 5), (5, 6), (6, 5), (5, 6)], "src long, dst long"
