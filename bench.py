@@ -27,9 +27,11 @@ def main() -> None:
         sf = 0.1
 
     # single-node small-SF run: AQE's stage-replanning barriers cost
-    # ~100ms/stage and optimize nothing here; a cluster-scale deployment
-    # keeps the default (AQE on) — see msgvault_spark/session.py
+    # ~100ms/stage and optimize nothing here; constraint propagation only
+    # burns optimizer time at this scale. A cluster-scale deployment keeps
+    # both defaults (on) — see msgvault_spark/session.py
     os.environ.setdefault("SPARK_GRAFT_AQE", "false")
+    os.environ.setdefault("SPARK_GRAFT_CONSTRAINTS", "false")
 
     from msgvault_spark.catalog import CATALOG
     from msgvault_spark.session import get_spark
@@ -55,11 +57,37 @@ def main() -> None:
             best = min(best, time.perf_counter() - t0)
         times[name] = round(best, 3)
 
+    # cold path: same queries with the prepared-plan memo dropped each run,
+    # so plan construction (Py4J expression building + Catalyst analysis/
+    # optimization + whole-stage codegen compile) is INSIDE the measurement
+    # — the number the plan cache cannot mask. ETL artifacts (persisted
+    # archive/wide/index caches) stay warm: they are build-cache products,
+    # not per-query work. Honest floor: a freshly built plan never hits
+    # Spark's codegen cache (new expr-ids → new generated source), so each
+    # cold query pays ~0.5-0.8s of one-time compile on this machine —
+    # that's the serving-engine argument FOR the prepared-plan cache, and
+    # it amortizes away in any real deployment (per-plan, not per-row:
+    # at 100 TB it is noise; only a 24-tiny-queries loop makes it visible).
+    from msgvault_spark import catalog as catmod
+
+    cold: dict[str, float] = {}
+    for name, spec in headline.items():
+        best = float("inf")
+        for _ in range(max(2, runs - 1)):
+            catmod._PLAN_MEMO.clear()
+            t0 = time.perf_counter()
+            spec.fn(spark, sf_dir).collect()
+            best = min(best, time.perf_counter() - t0)
+        cold[name] = round(best, 3)
+    catmod._PLAN_MEMO.clear()
+
     out = {
         "metric": "headline_queries_total_wall_clock",
         "value": round(sum(times.values()), 3),
         "unit": "sec",
         "queries": times,
+        "cold_value": round(sum(cold.values()), 3),
+        "cold_queries": cold,
         "sf": sf,
     }
     print(json.dumps(out))

