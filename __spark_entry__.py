@@ -67,6 +67,10 @@ _PRIORITY = [
     "get_messages_by_ids",
     "list_accounts",
     "hybrid_rrf_hydrated",
+    "decontaminate_docs",
+    "cms_frequency_orders",
+    "pack_training_sequences",
+    "hist_quantile_orders",
     # --- upgraded from rows-only to oracle-backed in round 2 ---
     "media_features_entropy",
     "media_decode_fake",

@@ -1,0 +1,170 @@
+"""Catalog entries for the round-2 LLM-pipeline additions: benchmark
+decontamination, relational count-min sketch, sequence packing, and the
+mergeable histogram-quantile sketch. Registered on import by catalog.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from msgvault_spark.catalog import register
+from msgvault_spark.sources.cache import get_table as load_table
+
+_DOCS_SQL = "SELECT doc_id, text FROM documents"
+_BENCH_SQL = "SELECT doc_id, text FROM documents WHERE doc_id % 50 = 0"
+
+
+def _decon_oracle() -> str:
+    from msgvault_spark.dedup.decontaminate import decontaminate_oracle_sql
+
+    return decontaminate_oracle_sql(
+        _DOCS_SQL, _BENCH_SQL, n=3, min_collisions=2
+    )
+
+
+@register("decontaminate_docs", _decon_oracle())
+def decontaminate_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (GPT-3 appendix C / Lee et al. 2022):
+    every (train doc, benchmark doc) pair sharing ≥2 distinct word
+    trigrams, benchmark = every 50th document standing in for an eval
+    set. Corpus grams stream through ONE broadcast join against the small
+    benchmark gram set — no self-join (dedup/decontaminate.py)."""
+    from msgvault_spark.dedup.decontaminate import contamination_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 50 == 0)
+    return contamination_pairs(docs, bench, n=3, min_collisions=2)
+
+
+def _cms_oracle() -> str:
+    from msgvault_spark.operators.cms import cms_oracle_sql
+
+    return (
+        """
+WITH est AS (
+"""
+        + cms_oracle_sql(
+            "SELECT o_custkey FROM orders",
+            "o_custkey",
+            "SELECT DISTINCT o_custkey AS key FROM orders WHERE o_custkey <= 30",
+            depth=4,
+            width=512,
+        )
+        + """
+),
+exact AS (
+    SELECT o_custkey AS key, CAST(COUNT(*) AS BIGINT) AS exact_count
+    FROM orders WHERE o_custkey <= 30 GROUP BY 1
+)
+SELECT e.key, x.exact_count, e.estimate,
+       CAST(CASE WHEN e.estimate >= x.exact_count THEN 1 ELSE 0 END AS BIGINT)
+           AS over_ok
+FROM est e JOIN exact x USING (key)
+ORDER BY key
+"""
+    )
+
+
+@register("cms_frequency_orders", _cms_oracle())
+def cms_frequency_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch as relational state (operators/cms.py): the d×w
+    counter grid from one groupBy, probed for the low-key customers.
+    Compared output carries exact count, sketch estimate (identical md5
+    bucketing on both engines → estimates match exactly), and the CMS
+    one-sided-error invariant estimate ≥ exact."""
+    from msgvault_spark.operators.cms import cms_build, cms_estimate
+
+    orders = load_table(spark, sf_dir, "orders")
+    sketch = cms_build(orders, "o_custkey", depth=4, width=512)
+    probes = (
+        orders.filter(F.col("o_custkey") <= 30)
+        .select(F.col("o_custkey").alias("key"))
+        .distinct()
+    )
+    est = cms_estimate(sketch, probes, "key", depth=4, width=512)
+    exact = (
+        orders.filter(F.col("o_custkey") <= 30)
+        .groupBy(F.col("o_custkey").alias("key"))
+        .agg(F.count(F.lit(1)).cast("long").alias("exact_count"))
+    )
+    return (
+        exact.join(est, "key")
+        .select(
+            "key",
+            "exact_count",
+            "estimate",
+            (F.col("estimate") >= F.col("exact_count"))
+            .cast("long")
+            .alias("over_ok"),
+        )
+        .orderBy("key")
+    )
+
+
+_TOKENS_SQL = (
+    "SELECT doc_id, CAST(len(list_filter(string_split_regex(lower(text), "
+    "'[^a-z0-9]+'), w -> w != '')) AS BIGINT) AS n_tokens FROM documents"
+)
+
+
+def _packing_oracle() -> str:
+    from msgvault_spark.operators.packing import packing_oracle_sql
+
+    return packing_oracle_sql(_TOKENS_SQL, budget=256, n_shards=8)
+
+
+@register("pack_training_sequences", _packing_oracle())
+def pack_training_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contiguous offset packing of documents into 256-token training bins
+    across 8 shards (operators/packing.py): per-shard window cumsum — no
+    global window — rolled up to (shard, bin, n_docs, bin_tokens)."""
+    from msgvault_spark.operators.packing import bin_stats, pack_sequences
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(
+            F.filter(
+                F.split(F.lower("text"), "[^a-z0-9]+"), lambda w: w != ""
+            )
+        ).alias("n_tokens"),
+    )
+    return bin_stats(
+        pack_sequences(docs, "doc_id", "n_tokens", budget=256, n_shards=8)
+    )
+
+
+def _hist_oracle() -> str:
+    from msgvault_spark.operators.histsketch import hist_quantile_oracle_sql
+
+    return hist_quantile_oracle_sql(
+        "SELECT o_orderpriority, o_totalprice FROM orders",
+        "o_orderpriority",
+        "o_totalprice",
+        [0.5, 0.9, 0.99],
+        lo=0,
+        hi=600_000,
+        bins=600,
+    )
+
+
+@register("hist_quantile_orders", _hist_oracle())
+def hist_quantile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable histogram-quantile sketch (operators/histsketch.py): the
+    t-digest role as flat (group, bin, count) state; p50/p90/p99 of order
+    totals per priority read from the 600-bin grid, exact to one bin
+    width, bit-identical across engines (integer arithmetic)."""
+    from msgvault_spark.operators.histsketch import hist_quantiles, hist_sketch
+
+    orders = load_table(spark, sf_dir, "orders")
+    state = hist_sketch(
+        orders, ["o_orderpriority"], "o_totalprice", lo=0, hi=600_000, bins=600
+    )
+    return (
+        hist_quantiles(
+            state, ["o_orderpriority"], [0.5, 0.9, 0.99],
+            lo=0, hi=600_000, bins=600,
+        )
+        .withColumnRenamed("o_orderpriority", "grp")
+        .orderBy("grp")
+    )

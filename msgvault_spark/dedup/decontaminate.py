@@ -1,0 +1,114 @@
+"""Benchmark decontamination: n-gram collision between a training corpus
+and an evaluation/benchmark set.
+
+The standard LLM-training hygiene step (the n-gram overlap check of
+GPT-3's appendix C and "Deduplicating Training Data Makes Language Models
+Better", Lee et al. 2022): a training document that shares enough word
+n-grams with a benchmark document leaks the benchmark — flag it before
+training, don't discover it in the eval numbers.
+
+Scale shape — deliberately NOT the near-dup self-join: the benchmark side
+is small (eval sets are thousands of docs, the corpus is billions), so its
+distinct gram set builds once and the corpus side streams through ONE
+broadcast-friendly equi-join on gram, then aggregates collisions per
+(train doc, benchmark doc). No corpus self-join, no candidate explosion;
+cost is linear in corpus grams. The gram shingler is shared with the
+near-dup family (dedup/minhash.py:word_shingles).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from msgvault_spark.dedup.minhash import word_shingles
+
+
+def contamination_pairs(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_id_col: str = "doc_id",
+    bench_text_col: str = "text",
+    n: int = 3,
+    min_collisions: int = 2,
+) -> DataFrame:
+    """(doc_id, bench_id, n_collisions) for every corpus/benchmark pair
+    sharing ≥ ``min_collisions`` DISTINCT word n-grams. Self-pairs (the
+    benchmark sampled from the corpus itself) are excluded by id."""
+    corpus_grams = corpus.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(word_shingles(F.col(text_col), n)).alias("gram"),
+    )
+    bench_grams = (
+        benchmark.select(
+            F.col(bench_id_col).alias("bench_id"),
+            F.explode(word_shingles(F.col(bench_text_col), n)).alias("gram"),
+        )
+        .distinct()
+    )
+    return (
+        corpus_grams.join(F.broadcast(bench_grams), "gram")
+        .filter(F.col("doc_id") != F.col("bench_id"))
+        .groupBy("doc_id", "bench_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_collisions"))
+        .filter(F.col("n_collisions") >= min_collisions)
+        .orderBy("doc_id", "bench_id")
+    )
+
+
+def contaminated_docs(pairs: DataFrame) -> DataFrame:
+    """Per-train-doc rollup of contamination_pairs: how many benchmark
+    docs it collides with and the total collision mass — the drop list."""
+    return (
+        pairs.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_bench_docs"),
+            F.sum("n_collisions").cast("long").alias("total_collisions"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def decontaminate_oracle_sql(
+    corpus_select: str,
+    benchmark_select: str,
+    *,
+    n: int = 3,
+    min_collisions: int = 2,
+) -> str:
+    """DuckDB replica: same shingler as ngram_jaccard_oracle_sql, naive
+    gram equi-join (the oracle has no broadcast to prove)."""
+    gram_cte = f"""
+    SELECT doc_id,
+           CASE WHEN len(w) >= {n}
+                THEN list_distinct(list_transform(
+                     generate_series(1, len(w) - {n - 1}),
+                     i -> list_aggregate(w[i:i+{n - 1}], 'string_agg', ' ')))
+                ELSE [list_aggregate(w, 'string_agg', ' ')]
+           END AS grams
+    FROM (SELECT doc_id,
+                 list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                             x -> x != '') AS w
+          FROM src)
+    """
+    return f"""
+WITH corpus_grams AS (
+    WITH src AS ({corpus_select})
+    SELECT doc_id, unnest(grams) AS gram FROM ({gram_cte})
+),
+bench_grams AS (
+    WITH src AS ({benchmark_select})
+    SELECT DISTINCT doc_id AS bench_id, unnest(grams) AS gram
+    FROM ({gram_cte})
+)
+SELECT c.doc_id, b.bench_id,
+       CAST(COUNT(*) AS BIGINT) AS n_collisions
+FROM corpus_grams c JOIN bench_grams b USING (gram)
+WHERE c.doc_id != b.bench_id
+GROUP BY 1, 2
+HAVING COUNT(*) >= {min_collisions}
+ORDER BY doc_id, bench_id
+"""

@@ -196,6 +196,35 @@ def test_winnow_portable_hash_matches_fast_structure(spark):
         assert 0.1 * len(text) < nfp < 0.6 * len(text)
 
 
+def test_decontamination_finds_planted_leak(spark):
+    """A training doc containing a benchmark passage collides on its
+    trigrams and is flagged; unrelated docs are not; the benchmark doc
+    itself (present in the corpus) is excluded as a self-pair."""
+    from msgvault_spark.dedup.decontaminate import (
+        contaminated_docs,
+        contamination_pairs,
+    )
+
+    bench_text = "the quick brown fox jumps over the lazy dog"
+    corpus = spark.createDataFrame(
+        [
+            (1, f"intro text then {bench_text} then more filler"),  # leak
+            (2, "completely unrelated content about spark shuffles"),
+            (3, "quick brown animals exist"),  # 1 shared trigram < min 2
+            (100, bench_text),  # the benchmark doc itself
+        ],
+        "doc_id long, text string",
+    )
+    bench = corpus.filter("doc_id = 100")
+    pairs = contamination_pairs(corpus, bench, n=3, min_collisions=2).collect()
+    assert [(r["doc_id"], r["bench_id"]) for r in pairs] == [(1, 100)]
+    assert pairs[0]["n_collisions"] >= 6  # the full passage's trigrams
+    rollup = contaminated_docs(
+        contamination_pairs(corpus, bench, n=3, min_collisions=2)
+    ).collect()
+    assert [r["doc_id"] for r in rollup] == [1]
+
+
 def test_calibration_pandas_matches_jvm(spark):
     """applyInPandas group calibration ≡ the JVM window twin (1e-9)."""
     from pyspark.sql import functions as F

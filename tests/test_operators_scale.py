@@ -330,6 +330,91 @@ def test_scd2_merge_idempotent(spark):
     assert sorted(map(tuple, once.collect())) == sorted(map(tuple, twice.collect()))
 
 
+def test_cms_invariants_and_merge(spark):
+    """CMS one-sided error: estimate ≥ exact for EVERY key; merging two
+    shard sketches equals the sketch of the union (mergeable-state
+    contract shared with HLL/incremental-agg)."""
+    from pyspark.sql import functions as F
+
+    from msgvault_spark.operators.cms import cms_build, cms_estimate, cms_merge
+
+    rows = [(i % 13,) for i in range(600)] + [(99,)] * 137  # heavy key 99
+    df = spark.createDataFrame(rows, "k long")
+    sketch = cms_build(df, "k", depth=4, width=64)
+    keys = df.select(F.col("k").alias("key")).distinct()
+    est = {
+        r["key"]: r["estimate"]
+        for r in cms_estimate(sketch, keys, "key", depth=4, width=64).collect()
+    }
+    exact = {
+        r["k"]: r["c"]
+        for r in df.groupBy("k").agg(F.count(F.lit(1)).alias("c")).collect()
+    }
+    assert all(est[k] >= exact[k] for k in exact)
+    assert est[99] >= 137  # heavy hitter visible
+
+    half_a = spark.createDataFrame(rows[:300], "k long")
+    half_b = spark.createDataFrame(rows[300:], "k long")
+    merged = cms_merge(
+        cms_build(half_a, "k", depth=4, width=64),
+        cms_build(half_b, "k", depth=4, width=64),
+    )
+    est_m = {
+        r["key"]: r["estimate"]
+        for r in cms_estimate(merged, keys, "key", depth=4, width=64).collect()
+    }
+    assert est_m == est  # merge-of-shards == sketch-of-union
+
+
+def test_packing_bin_contract(spark):
+    """Offset packing: every bin's total stays under budget + its largest
+    doc (the boundary-crossing doc is the only overrun source), and every
+    doc lands in exactly one bin."""
+    from pyspark.sql import functions as F
+
+    from msgvault_spark.operators.packing import bin_stats, pack_sequences
+
+    docs = spark.createDataFrame(
+        [(i, 10 + (i * 37) % 90) for i in range(200)], "doc_id long, n_tokens long"
+    )
+    packed = pack_sequences(docs, "doc_id", "n_tokens", budget=128, n_shards=4)
+    assert packed.count() == 200
+    max_doc = 99
+    over = bin_stats(packed).filter(F.col("bin_tokens") >= 128 + max_doc).count()
+    assert over == 0
+    # deterministic: same input → same assignment
+    again = pack_sequences(docs, "doc_id", "n_tokens", budget=128, n_shards=4)
+    assert sorted(map(tuple, packed.collect())) == sorted(map(tuple, again.collect()))
+
+
+def test_hist_quantile_accuracy_and_merge(spark):
+    """Histogram-sketch quantiles land within one bin width of the exact
+    percentile; merged shard states equal the full-data state."""
+    from pyspark.sql import functions as F
+
+    from msgvault_spark.operators.histsketch import (
+        hist_merge,
+        hist_quantiles,
+        hist_sketch,
+    )
+
+    rows = [("g", float(v)) for v in range(1, 1001)]
+    df = spark.createDataFrame(rows, "grp string, v double")
+    state = hist_sketch(df, ["grp"], "v", lo=0, hi=1000, bins=100)
+    got = hist_quantiles(
+        state, ["grp"], [0.5, 0.9], lo=0, hi=1000, bins=100
+    ).head()
+    # exact p50=500, p90=900; one-bin-width (10) tolerance, upper-edge bias
+    assert abs(got["p50"] - 500) <= 10
+    assert abs(got["p90"] - 900) <= 10
+
+    a = hist_sketch(df.filter(F.col("v") <= 500), ["grp"], "v", lo=0, hi=1000, bins=100)
+    b = hist_sketch(df.filter(F.col("v") > 500), ["grp"], "v", lo=0, hi=1000, bins=100)
+    merged = hist_merge(a, b)
+    m = hist_quantiles(merged, ["grp"], [0.5, 0.9], lo=0, hi=1000, bins=100).head()
+    assert (m["p50"], m["p90"]) == (got["p50"], got["p90"])
+
+
 def test_compaction_preserves_rows(spark, tmp_path):
     from msgvault_spark.sources.compact import compact_dir, dir_stats
 
