@@ -71,6 +71,8 @@ _PRIORITY = [
     "cms_frequency_orders",
     "pack_training_sequences",
     "hist_quantile_orders",
+    # --- new in round 2 (post-verdict build) ---
+    "pq_knn_seed0",
     # --- upgraded from rows-only to oracle-backed in round 2 ---
     "media_features_entropy",
     "media_decode_fake",

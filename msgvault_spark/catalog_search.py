@@ -281,6 +281,45 @@ def ann_ivf_seed0(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Product-quantization ANN (third scale path: memory-bandwidth compression)
+# ---------------------------------------------------------------------------
+
+from msgvault_spark.similarity.pq import (  # noqa: E402
+    adc_lut,
+    collect_codebooks,
+    encode_pq,
+    pq_oracle_sql,
+    pq_search,
+)
+
+_PQ_MEMO: dict[tuple, object] = {}
+
+
+@register("pq_knn_seed0", pq_oracle_sql(0, k=10, m=4, n_codes=16, dim=64))
+def pq_knn_seed0(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ find-similar (similarity/pq.py): 4 subspaces × 16 codewords,
+    asymmetric-distance scoring over the m-byte codes table only — the
+    float corpus is never scanned at query time. Codebooks + codes are
+    memoized ETL artifacts (kilobytes + pure-map encode); approximate by
+    construction, hash-exact because the oracle replays the identical
+    codebooks and integer LUT arithmetic."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _PQ_MEMO:
+        from pyspark import StorageLevel
+
+        emb = load_table(spark, sf_dir, "embeddings")
+        books = collect_codebooks(emb, m=4, n_codes=16)
+        codes = encode_pq(emb, books).coalesce(4).persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
+        codes.count()
+        _PQ_MEMO[key] = (books, codes)
+    books, codes = _PQ_MEMO[key]
+    lut = adc_lut(books, [float(v) for v in _seed_vector(spark, sf_dir, 0)])
+    return pq_search(codes, lut, k=10, exclude_id=0)
+
+
 def _hybrid_filtered_oracle() -> str:
     """The filtered-hybrid oracle: both signals constrained to id < 2500
     (the shared `filtered` CTE shape), BM25 stats global."""

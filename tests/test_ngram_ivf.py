@@ -98,3 +98,64 @@ def test_kmeans_centroids_converge_and_improve(spark):
         claimed.add(int(np.argmax(sims)))
         assert sims.max() > 0.99
     assert claimed == {0, 1, 2}
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (similarity/pq.py)
+# ---------------------------------------------------------------------------
+
+
+def _toy_vectors(spark, n=40, d=8):
+    rows = []
+    for i in range(n):
+        # two well-separated clusters so PQ recall is meaningful
+        base = 10.0 if i % 2 else -10.0
+        rows.append((i, [float(base + ((i * 7 + j * 3) % 5) - 2) for j in range(d)]))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_pq_encode_shape_and_determinism(spark):
+    from msgvault_spark.similarity.pq import collect_codebooks, encode_pq
+
+    emb = _toy_vectors(spark)
+    books = collect_codebooks(emb, m=2, n_codes=4)
+    assert len(books) == 2 and len(books[0]) == 4 and len(books[0][0]) == 4
+    codes = encode_pq(emb, books)
+    rows = {r["id"]: (r["code_0"], r["code_1"]) for r in codes.collect()}
+    assert len(rows) == 40
+    assert all(0 <= c < 4 for pair in rows.values() for c in pair)
+    # codewords encode to themselves (distance 0 to their own slice)
+    for i in range(4):
+        assert rows[i] == (i, i)
+    # deterministic across a re-plan
+    rows2 = {r["id"]: (r["code_0"], r["code_1"]) for r in encode_pq(emb, books).collect()}
+    assert rows == rows2
+
+
+def test_pq_adc_ranks_near_cluster_first(spark):
+    from msgvault_spark.similarity.pq import (
+        adc_lut,
+        collect_codebooks,
+        encode_pq,
+        pq_search,
+    )
+
+    emb = _toy_vectors(spark)
+    books = collect_codebooks(emb, m=2, n_codes=4)
+    codes = encode_pq(emb, books)
+    query = [10.0] * 8  # sits in the odd (positive) cluster
+    top = pq_search(codes, adc_lut(books, query), k=10).collect()
+    assert len(top) == 10
+    assert all(r["id"] % 2 == 1 for r in top), "ADC must rank the near cluster first"
+    # scores are exact integers, descending
+    scores = [r["qscore_scaled"] for r in top]
+    assert scores == sorted(scores, reverse=True)
+
+
+def test_pq_is_pure_map_no_shuffle(spark):
+    from msgvault_spark.similarity.pq import collect_codebooks, encode_pq
+
+    emb = _toy_vectors(spark)
+    books = collect_codebooks(emb, m=2, n_codes=4)
+    plan = encode_pq(emb, books)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, "PQ encode must not shuffle"
