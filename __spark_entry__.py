@@ -73,6 +73,8 @@ _PRIORITY = [
     "hist_quantile_orders",
     # --- new in round 2 (post-verdict build) ---
     "pq_knn_seed0",
+    "chunk_documents",
+    "redact_pii_docs",
     # --- upgraded from rows-only to oracle-backed in round 2 ---
     "media_features_entropy",
     "media_decode_fake",

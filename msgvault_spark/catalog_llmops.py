@@ -168,3 +168,75 @@ def hist_quantile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumnRenamed("o_orderpriority", "grp")
         .orderBy("grp")
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-2 post-verdict additions: chunking, PII redaction
+# ---------------------------------------------------------------------------
+
+
+def _chunk_oracle() -> str:
+    from msgvault_spark.operators.chunking import chunk_oracle_sql
+
+    return chunk_oracle_sql(size=64, overlap=16)
+
+
+@register("chunk_documents", _chunk_oracle())
+def chunk_documents_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window chunking: 64-token windows every 48 tokens (16
+    overlap), short tail kept. Pure map + explode — no shuffle, no UDF
+    (operators/chunking.py)."""
+    from msgvault_spark.operators.chunking import chunk_documents
+
+    return chunk_documents(
+        load_table(spark, sf_dir, "documents"), size=64, overlap=16
+    )
+
+
+# The synthetic corpus carries no PII, so the entry plants deterministic
+# PII in both engines with the same expression, then scrubs it — the regex
+# machinery (Java in Spark, RE2 in DuckDB) is what is under test.
+_PII_SPARK = (
+    "concat(text,"
+    " CASE WHEN doc_id % 3 = 0 THEN concat(' contact u', CAST(doc_id AS STRING),"
+    "      '@example.com') ELSE '' END,"
+    " CASE WHEN doc_id % 4 = 0 THEN concat(' call 415 555 ',"
+    "      lpad(CAST(doc_id % 10000 AS STRING), 4, '0')) ELSE '' END,"
+    " CASE WHEN doc_id % 5 = 0 THEN concat(' see https://ex.com/d/',"
+    "      CAST(doc_id AS STRING), '?x=1') ELSE '' END)"
+)
+_PII_DUCK = (
+    "concat(text,"
+    " CASE WHEN doc_id % 3 = 0 THEN concat(' contact u', CAST(doc_id AS VARCHAR),"
+    "      '@example.com') ELSE '' END,"
+    " CASE WHEN doc_id % 4 = 0 THEN concat(' call 415 555 ',"
+    "      lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')) ELSE '' END,"
+    " CASE WHEN doc_id % 5 = 0 THEN concat(' see https://ex.com/d/',"
+    "      CAST(doc_id AS VARCHAR), '?x=1') ELSE '' END)"
+)
+
+
+def _redact_oracle() -> str:
+    from msgvault_spark.functions.redact import redact_oracle_exprs
+
+    counts, redacted = redact_oracle_exprs(_PII_DUCK)
+    cols = ",\n       ".join(counts)
+    return f"""
+SELECT doc_id,
+       {cols},
+       {redacted} AS redacted_text
+FROM documents
+"""
+
+
+@register("redact_pii_docs", _redact_oracle())
+def redact_pii_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub (functions/redact.py): plant deterministic emails/phones/
+    URLs on a doc_id-keyed subset, then redact with the portable
+    Java∩RE2 pattern set; per-class counts from the pre-redaction text."""
+    from msgvault_spark.functions.redact import redact_pii
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.expr(_PII_SPARK).alias("text")
+    )
+    return redact_pii(docs)

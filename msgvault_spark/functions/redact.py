@@ -1,0 +1,71 @@
+"""PII redaction for text columns — the scrub pass every training-data
+pipeline runs before anything leaves the lake: emails, phone numbers, and
+URLs replaced with typed placeholder tokens, plus per-document match
+counts for audit rollups.
+
+All patterns are written to the Java-regex ∩ RE2 common subset (no
+lookarounds, no backrefs, explicit character classes) so Spark's
+``regexp_replace`` (Java) and DuckDB's (RE2) produce identical output —
+that is what makes the redaction oracle-checkable, and it is also the
+portability bar a real pipeline needs when the same scrub runs in
+Spark for batch and in a Go/Rust service for serving.
+
+JVM-side end to end: regexp_replace / regexp_extract_all inside
+whole-stage codegen, no UDFs, pure map — at 100 TB this runs at scan
+speed with column pruning (only the id and text columns are read).
+
+Reference parity: the reference has no redactor (SURVEY §2 extension
+surface); counts mirror its audit-rollup style (A-family aggregates).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Ordered: URLs first (an email-looking substring inside a URL path must
+# redact as part of the URL), then emails, then phones.
+PATTERNS: list[tuple[str, str, str]] = [
+    ("url", r"https?://[A-Za-z0-9./_%?=&@:-]+", "<URL>"),
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("phone", r"\b\d{3}[-. ]\d{3}[-. ]\d{4}\b", "<PHONE>"),
+]
+
+
+def redact_text(text: Column) -> Column:
+    """Text with all PII classes replaced by placeholder tokens."""
+    out = text
+    for _, pat, token in PATTERNS:
+        out = F.regexp_replace(out, pat, token)
+    return out
+
+
+def redact_pii(
+    df: DataFrame, *, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(id, n_url, n_email, n_phone, redacted_text) — pure map. Counts are
+    SEQUENTIAL: each class is counted on the text with earlier classes
+    already redacted, so Σ counts == placeholder tokens in the output
+    (an email inside a URL counts as URL, not both)."""
+    out = F.col(text_col)
+    counts = []
+    for name, pat, token in PATTERNS:
+        counts.append(
+            F.size(F.regexp_extract_all(out, F.lit(pat), 0)).alias(f"n_{name}")
+        )
+        out = F.regexp_replace(out, pat, token)
+    return df.select(F.col(id_col), *counts, out.alias("redacted_text"))
+
+
+def redact_oracle_exprs(text_sql: str) -> tuple[list[str], str]:
+    """(count SQL exprs, redacted SQL expr) over ``text_sql`` for DuckDB —
+    the same pattern list, same order, same sequential-count semantics."""
+    counts = []
+    redacted = text_sql
+    for name, pat, token in PATTERNS:
+        counts.append(
+            f"CAST(len(regexp_extract_all({redacted}, '{pat}')) AS INT)"
+            f" AS n_{name}"
+        )
+        redacted = f"regexp_replace({redacted}, '{pat}', '{token}', 'g')"
+    return counts, redacted

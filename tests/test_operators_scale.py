@@ -470,3 +470,78 @@ def test_compaction_crash_recovery(spark, tmp_path):
     recover_dir(lake)
     assert not os.path.exists(staging) and not os.path.exists(old)
     assert sorted(r["id"] for r in spark.read.parquet(lake).collect()) == rows
+
+
+# ---------------------------------------------------------------------------
+# chunking (operators/chunking.py)
+# ---------------------------------------------------------------------------
+
+
+def test_chunking_windows_cover_all_tokens(spark):
+    from msgvault_spark.operators.chunking import chunk_documents
+
+    docs = spark.createDataFrame(
+        [
+            (1, " ".join(f"t{i}" for i in range(10))),  # 10 toks: 1 chunk
+            (2, " ".join(f"t{i}" for i in range(100))),  # 100: 1+ceil(96/4)=25? size4 stride... see below
+            (3, "   "),  # whitespace only: no chunks
+            (4, "one"),
+        ],
+        "doc_id long, text string",
+    )
+    out = chunk_documents(docs, size=8, overlap=2).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert 3 not in by_doc
+    assert [r["n_tokens"] for r in by_doc[4]] == [1]
+    # doc 1: 10 tokens, size 8 stride 6 -> chunks at 0 and 6 (len 8, 4)
+    c1 = sorted(by_doc[1], key=lambda r: r["chunk_id"])
+    assert [r["n_tokens"] for r in c1] == [8, 4]
+    assert c1[0]["chunk_text"].split()[:2] == ["t0", "t1"]
+    assert c1[1]["chunk_text"].split()[0] == "t6"  # overlap of 2
+    # every token of doc 2 appears in at least one chunk
+    toks = set()
+    for r in by_doc[2]:
+        toks.update(r["chunk_text"].split())
+    assert toks == {f"t{i}" for i in range(100)}
+
+
+def test_chunking_is_shuffle_free(spark):
+    from msgvault_spark.operators.chunking import chunk_documents
+
+    docs = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    plan = (
+        chunk_documents(docs)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan
+
+
+# ---------------------------------------------------------------------------
+# PII redaction (functions/redact.py)
+# ---------------------------------------------------------------------------
+
+
+def test_redaction_classes_and_counts(spark):
+    from msgvault_spark.functions.redact import redact_pii
+
+    docs = spark.createDataFrame(
+        [
+            (1, "mail a.b+c@x-corp.io or b@y.org now"),
+            (2, "see https://ex.com/a_b?x=1&y=2. then call 415 555 1234"),
+            (3, "inside url http://h.com/path@notmail.com stays one URL"),
+            (4, "no pii here 123 45"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in redact_pii(docs).collect()}
+    assert rows[1]["n_email"] == 2 and rows[1]["redacted_text"] == (
+        "mail <EMAIL> or <EMAIL> now"
+    )
+    assert rows[2]["n_url"] == 1 and rows[2]["n_phone"] == 1
+    assert "<URL>" in rows[2]["redacted_text"]
+    assert "<PHONE>" in rows[2]["redacted_text"]
+    # the @ inside a URL is consumed by the URL pass, not double-redacted
+    assert rows[3]["redacted_text"] == "inside url <URL> stays one URL"
+    assert rows[4]["redacted_text"] == "no pii here 123 45"
+    assert rows[4]["n_email"] == rows[4]["n_phone"] == rows[4]["n_url"] == 0
