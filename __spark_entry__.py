@@ -75,6 +75,10 @@ _PRIORITY = [
     "pq_knn_seed0",
     "chunk_documents",
     "redact_pii_docs",
+    "dedup_line_segments",
+    "tfidf_top_terms",
+    "train_val_test_split",
+    "temperature_mix_sources",
     # --- upgraded from rows-only to oracle-backed in round 2 ---
     "media_features_entropy",
     "media_decode_fake",

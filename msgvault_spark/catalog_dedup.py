@@ -577,3 +577,50 @@ def winnow_substring_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("id_sum"),
     )
+
+
+# ---------------------------------------------------------------------------
+# C4-style exact segment dedup (round 2)
+# ---------------------------------------------------------------------------
+
+
+def _seg_dedup_oracle() -> str:
+    from msgvault_spark.dedup.lines import dedup_segments_oracle_sql
+
+    return dedup_segments_oracle_sql(size=8)
+
+
+@register("dedup_line_segments", _seg_dedup_oracle())
+def dedup_line_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-recipe exact span dedup (dedup/lines.py): drop every non-first
+    occurrence of each 8-token segment corpus-wide, rewrite docs from the
+    survivors. First-occurrence via groupBy(segment) min_by — partial
+    aggregation absorbs hot boilerplate segments map-side (the skew case
+    a row_number window would funnel onto one reducer)."""
+    from msgvault_spark.dedup.lines import dedup_exact_segments
+
+    return dedup_exact_segments(
+        load_table(spark, sf_dir, "documents"), size=8
+    )
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF top terms (round 2)
+# ---------------------------------------------------------------------------
+
+
+def _tfidf_oracle() -> str:
+    from msgvault_spark.textstats.tfidf import tfidf_oracle_sql
+
+    return tfidf_oracle_sql(k=5)
+
+
+@register("tfidf_top_terms", _tfidf_oracle())
+def tfidf_top_terms_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 characteristic terms per doc by rational-idf TF-IDF
+    (textstats/tfidf.py) — transcendental-free scoring so the ordering is
+    bit-exact in any engine; BM25 (search/fts.py) carries the log-shaped
+    variant for ranking."""
+    from msgvault_spark.textstats.tfidf import tfidf_top_terms
+
+    return tfidf_top_terms(load_table(spark, sf_dir, "documents"), k=5)

@@ -1044,3 +1044,89 @@ def top_bigrams_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("occurrences").desc(), F.col("key").asc())
         .limit(25)
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-2: deterministic train/val/test split + temperature mixing
+# ---------------------------------------------------------------------------
+
+_T1 = int(0.8 * 2147483647)
+_T2 = int(0.9 * 2147483647)
+
+
+@register(
+    "train_val_test_split",
+    f"""
+SELECT CASE WHEN {_HASH_SQL} < {_T1} THEN 'train'
+            WHEN {_HASH_SQL} < {_T2} THEN 'val'
+            ELSE 'test' END AS split,
+       source AS key,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(doc_id) AS BIGINT) AS id_sum
+FROM documents
+GROUP BY 1, 2
+ORDER BY split, key
+""",
+)
+def train_val_test_split_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """80/10/10 split as a pure function of the key hash (operators/
+    sampling.py:train_val_test_split): membership can never migrate
+    between train and eval across reruns/backfills/engines. id_sum pins
+    exact membership per (split, source) cell, not just counts."""
+    from msgvault_spark.operators.sampling import train_val_test_split
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    return (
+        train_val_test_split(docs, "doc_id", train=0.8, val=0.1)
+        .groupBy("split", F.col("source").alias("key"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("doc_id").cast("long").alias("id_sum"),
+        )
+        .orderBy("split", "key")
+    )
+
+
+@register(
+    "temperature_mix_sources",
+    f"""
+WITH counts AS (SELECT source, COUNT(*) AS n FROM documents GROUP BY source),
+w AS (SELECT source, n,
+             CAST(floor(sqrt(n) * 1000000) AS BIGINT) AS w
+      FROM counts),
+tot AS (SELECT CAST(SUM(n) AS BIGINT) AS tot_n, CAST(SUM(w) AS BIGINT) AS tot_w
+        FROM w),
+rates AS (
+    SELECT source,
+           CAST(floor(least(1.0,
+               (0.5 * CAST(tot_n AS DOUBLE) * CAST(w AS DOUBLE))
+               / (CAST(tot_w AS DOUBLE) * CAST(n AS DOUBLE))) * 2147483647)
+             AS BIGINT) AS thr
+    FROM w CROSS JOIN tot)
+SELECT d.source AS key,
+       CAST(COUNT(*) AS BIGINT) AS kept,
+       CAST(SUM(d.doc_id) AS BIGINT) AS id_sum
+FROM documents d JOIN rates r ON r.source = d.source
+WHERE {_HASH_SQL} < r.thr
+GROUP BY d.source
+ORDER BY key
+""",
+)
+def temperature_mix_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """√n temperature mixing (operators/sampling.py:temperature_mix):
+    keep rates derived in-plan from per-source counts (broadcast dim, no
+    collect), applied as a map-side hash filter targeting ~50% survival.
+    Fixed-point weights make the cross-source total an order-free integer
+    sum, so the thresholds are bit-identical in any engine."""
+    from msgvault_spark.operators.sampling import temperature_mix
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    return (
+        temperature_mix(docs, "source", "doc_id", target_frac=0.5)
+        .groupBy(F.col("source").alias("key"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("kept"),
+            F.sum("doc_id").cast("long").alias("id_sum"),
+        )
+        .orderBy("key")
+    )

@@ -78,3 +78,75 @@ def weighted_source_mix(
     for src, w in weights.items():
         rate = F.when(F.col(source_col) == src, F.lit(int(w * _M))).otherwise(rate)
     return df.filter(rowhash(key) < rate)
+
+
+def train_val_test_split(
+    df: DataFrame,
+    key: Column | str,
+    *,
+    train: float = 0.8,
+    val: float = 0.1,
+) -> DataFrame:
+    """Add a ``split`` column ('train'/'val'/'test') as a pure function of
+    the key hash — membership is stable across reruns, repartitions, and
+    engines, which is the whole point: a doc must never migrate between
+    train and eval when the pipeline is re-run or backfilled. Map-side
+    only; the test share is the remainder.
+
+    SQL twin: thresholds floor(train·M) and floor((train+val)·M) on the
+    same rowhash expression."""
+    if not (0 < train and 0 <= val and train + val < 1):
+        raise ValueError(f"bad split fractions train={train} val={val}")
+    h = rowhash(key)
+    t1 = int(train * _M)
+    t2 = int((train + val) * _M)
+    return df.withColumn(
+        "split",
+        F.when(h < t1, F.lit("train"))
+        .when(h < t2, F.lit("val"))
+        .otherwise(F.lit("test")),
+    )
+
+
+def temperature_mix(
+    df: DataFrame,
+    source_col: str,
+    key: Column | str,
+    *,
+    target_frac: float = 0.5,
+) -> DataFrame:
+    """Temperature-scaled source mixing (the multilingual-sampling rule of
+    Conneau & Lample 2019, T = 2): keep rate per source ∝ n_s^(1/2) / n_s,
+    scaled so ~``target_frac`` of the corpus survives — small sources are
+    up-weighted relative to their share, big ones down-weighted.
+
+    Derivation stays IN the plan (no collect): per-source counts are a
+    partial-agg'd broadcast dim; weights use √n (the one power that is
+    IEEE-correctly-rounded everywhere, which keeps the oracle exact) in
+    6-dp fixed point so the cross-source total is an order-free integer
+    sum. The corpus-side application is a pure map filter.
+
+    Keep rate: r_s = min(1, target_frac · N · w_s / (Σw · n_s)) with
+    w_s = floor(√n_s · 10^6); threshold floor(r_s · M) on rowhash(key)."""
+    counts = df.groupBy(source_col).agg(F.count(F.lit(1)).alias("__n"))
+    counts = counts.withColumn(
+        "__w", F.floor(F.sqrt(F.col("__n")) * 1_000_000).cast("long")
+    )
+    tot = counts.agg(
+        F.sum("__n").alias("__tot_n"), F.sum("__w").alias("__tot_w")
+    )
+    rates = counts.join(F.broadcast(tot)).select(
+        F.col(source_col),
+        F.floor(
+            F.least(
+                F.lit(1.0),
+                (F.lit(float(target_frac)) * F.col("__tot_n").cast("double")
+                 * F.col("__w").cast("double"))
+                / (F.col("__tot_w").cast("double") * F.col("__n").cast("double")),
+            )
+            * _M
+        ).cast("long").alias("__thr"),
+    )
+    return df.join(F.broadcast(rates), source_col).filter(
+        rowhash(key) < F.col("__thr")
+    ).drop("__thr")

@@ -249,3 +249,31 @@ def test_calibration_pandas_matches_jvm(spark):
     assert a[4] == a[5] == a[6] == 0.0
     # en z-scores: mean 4, centered ordering preserved
     assert a[0] < a[1] < a[2] < a[3] and abs(sum(a[i] for i in range(4))) < 1e-9
+
+
+def test_segment_dedup_drops_repeats_keeps_first(spark):
+    from msgvault_spark.dedup.lines import dedup_exact_segments
+
+    boiler = "one two three four"
+    docs = spark.createDataFrame(
+        [
+            (1, boiler + " alpha beta gamma delta"),
+            (2, boiler + " epsilon zeta eta theta"),  # repeats doc 1's segment
+            (3, "alpha beta gamma delta " + boiler),  # both segs seen before
+            (4, "fresh words only here now yes no maybe"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in dedup_exact_segments(docs, size=4).collect()}
+    assert rows[1]["n_kept"] == 2 and rows[1]["n_dropped"] == 0
+    assert rows[2]["n_kept"] == 1 and rows[2]["n_dropped"] == 1
+    assert rows[2]["dedup_text"] == "epsilon zeta eta theta"
+    assert rows[3]["n_kept"] == 0 and rows[3]["n_dropped"] == 2
+    assert rows[3]["dedup_text"] == ""
+    assert rows[4]["n_kept"] == 2
+    # within-doc duplicate: second copy dropped
+    docs2 = spark.createDataFrame(
+        [(9, "a b c d a b c d")], "doc_id long, text string"
+    )
+    r9 = dedup_exact_segments(docs2, size=4).collect()[0]
+    assert (r9["n_kept"], r9["n_dropped"], r9["dedup_text"]) == (1, 1, "a b c d")

@@ -545,3 +545,44 @@ def test_redaction_classes_and_counts(spark):
     assert rows[3]["redacted_text"] == "inside url <URL> stays one URL"
     assert rows[4]["redacted_text"] == "no pii here 123 45"
     assert rows[4]["n_email"] == rows[4]["n_phone"] == rows[4]["n_url"] == 0
+
+
+# ---------------------------------------------------------------------------
+# train/val/test split + temperature mixing (operators/sampling.py)
+# ---------------------------------------------------------------------------
+
+
+def test_split_is_total_disjoint_and_repartition_stable(spark):
+    from msgvault_spark.operators.sampling import train_val_test_split
+
+    df = spark.range(0, 5000).withColumnRenamed("id", "k")
+    out = train_val_test_split(df, "k", train=0.8, val=0.1)
+    counts = {r["split"]: r["count"] for r in out.groupBy("split").count().collect()}
+    assert sum(counts.values()) == 5000
+    assert 0.75 < counts["train"] / 5000 < 0.85
+    assert 0.06 < counts["val"] / 5000 < 0.14
+    # membership is a pure function of the key: survives repartition
+    a = {(r["k"], r["split"]) for r in out.collect()}
+    b = {(r["k"], r["split"]) for r in train_val_test_split(
+        df.repartition(17), "k").collect()}
+    assert a == b
+
+
+def test_temperature_mix_upweights_small_sources(spark):
+    from pyspark.sql import functions as F
+    from msgvault_spark.operators.sampling import temperature_mix
+
+    big = spark.range(0, 9000).select(
+        F.col("id").alias("k"), F.lit("big").alias("src"))
+    small = spark.range(9000, 10000).select(
+        F.col("id").alias("k"), F.lit("small").alias("src"))
+    df = big.union(small)
+    kept = temperature_mix(df, "src", "k", target_frac=0.5)
+    rates = {
+        r["src"]: r["n"]
+        for r in kept.groupBy("src").agg(F.count("*").alias("n")).collect()
+    }
+    # √n weighting: small's keep RATE must exceed big's
+    assert rates["small"] / 1000 > rates["big"] / 9000
+    # and overall survival lands near the 50% target
+    assert 0.4 < (rates["small"] + rates["big"]) / 10000 < 0.6
