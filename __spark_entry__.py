@@ -79,6 +79,9 @@ _PRIORITY = [
     "tfidf_top_terms",
     "train_val_test_split",
     "temperature_mix_sources",
+    "nation_volume_q7",
+    "market_share_q8",
+    "cube_priority_status",
     # --- upgraded from rows-only to oracle-backed in round 2 ---
     "media_features_entropy",
     "media_decode_fake",

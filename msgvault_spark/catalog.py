@@ -988,3 +988,185 @@ def regional_volume_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum(revenue_c).cast("long").alias("revenue_c"))
         .orderBy(F.col("revenue_c").desc(), F.col("nation").asc())
     )
+
+
+@register(
+    "nation_volume_q7",
+    """
+SELECT n1.n_name AS supp_nation,
+       n2.n_name AS cust_nation,
+       CAST(EXTRACT(year FROM l.l_shipdate) AS INT) AS yr,
+       CAST(SUM(CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 100)
+                 AS BIGINT)) AS BIGINT) AS revenue_c
+FROM lineitem l
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN nation n1 ON n1.n_nationkey = s.s_nationkey
+JOIN nation n2 ON n2.n_nationkey = c.c_nationkey
+WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+    OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+  AND l.l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l.l_shipdate < TIMESTAMP '1998-01-01'
+GROUP BY 1, 2, 3
+ORDER BY supp_nation, cust_nation, yr
+""",
+)
+def nation_volume_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape (volume shipping): bidirectional nation-pair trade
+    by year. Both nation dims broadcast; the pair predicate lands AFTER
+    the two broadcast joins but before the shuffle agg, so the fact rows
+    that survive are the only rows shuffled. Revenue in integer cents."""
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    s = (
+        load_table(spark, sf_dir, "supplier")
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    c = (
+        load_table(spark, sf_dir, "customer")
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("c_custkey", F.col("n_name").alias("cust_nation"))
+    )
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    l = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01")
+        & (F.col("l_shipdate") < "1998-01-01")
+    ).select("l_orderkey", "l_suppkey", "l_shipdate",
+             "l_extendedprice", "l_discount")
+    pair = (
+        ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
+        | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+    )
+    revenue_c = F.floor(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+    ).cast("long")
+    return (
+        l.join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .filter(pair)
+        .groupBy(
+            "supp_nation", "cust_nation",
+            F.year("l_shipdate").cast("int").alias("yr"),
+        )
+        .agg(F.sum(revenue_c).cast("long").alias("revenue_c"))
+        .orderBy("supp_nation", "cust_nation", "yr")
+    )
+
+
+@register(
+    "market_share_q8",
+    """
+SELECT CAST(EXTRACT(year FROM o.o_orderdate) AS INT) AS yr,
+       round(CAST(SUM(CASE WHEN n1.n_name = 'NATION_3'
+                 THEN CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 100)
+                      AS BIGINT) ELSE 0 END) AS DOUBLE)
+             / CAST(SUM(CAST(floor(l.l_extendedprice * (1 - l.l_discount)
+                       * 100) AS BIGINT)) AS DOUBLE), 6) AS mkt_share
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN nation n1 ON n1.n_nationkey = s.s_nationkey
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN nation n2 ON n2.n_nationkey = c.c_nationkey
+JOIN region r ON r.r_regionkey = n2.n_regionkey
+WHERE r.r_name = 'ASIA' AND p.p_type = 'PROMO'
+GROUP BY 1
+ORDER BY yr
+""",
+)
+def market_share_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape (national market share): conditional-aggregate ratio
+    — NATION_3-supplied share of PROMO revenue in the ASIA market per
+    order year. 8-table join with every dim broadcast; the one shuffle is
+    the final year agg. Integer-cent sums, single double division, one
+    rounding — exact in both engines."""
+    p = load_table(spark, sf_dir, "part").filter(
+        F.col("p_type") == "PROMO"
+    ).select("p_partkey")
+    n = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    r = load_table(spark, sf_dir, "region").filter(
+        F.col("r_name") == "ASIA"
+    ).select("r_regionkey")
+    s = (
+        load_table(spark, sf_dir, "supplier")
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    cn = n.select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_regionkey").alias("cn_region")
+    ).join(F.broadcast(r), F.col("cn_region") == F.col("r_regionkey"))
+    c = (
+        load_table(spark, sf_dir, "customer")
+        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn_key"))
+        .select("c_custkey")
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    )
+    l = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    revenue_c = F.floor(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+    ).cast("long")
+    nat = F.sum(
+        F.when(F.col("supp_nation") == "NATION_3", revenue_c).otherwise(F.lit(0))
+    ).cast("long")
+    tot = F.sum(revenue_c).cast("long")
+    return (
+        l.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy(F.year("o_orderdate").cast("int").alias("yr"))
+        .agg(
+            F.round(
+                nat.cast("double") / tot.cast("double"), 6
+            ).alias("mkt_share")
+        )
+        .orderBy("yr")
+    )
+
+
+@register(
+    "cube_priority_status",
+    """
+SELECT COALESCE(o_orderpriority, 'ALL') AS priority,
+       COALESCE(o_orderstatus, 'ALL') AS status,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS total_c
+FROM orders
+GROUP BY CUBE (o_orderpriority, o_orderstatus)
+ORDER BY priority, status
+""",
+)
+def cube_priority_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE grouping sets over orders — all four grouping levels in ONE
+    pass (Spark Expand: each input row fans to 4 grouping-set rows before
+    the single shuffle agg; never four separate scans). Rolled-up levels
+    surface as 'ALL' so the hash compare is null-safe. Completes the
+    grouping-set family next to rollup_priority_status."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderpriority", "o_orderstatus",
+        F.floor(F.col("o_totalprice") * 100).cast("long").alias("price_c"),
+    )
+    return (
+        o.cube("o_orderpriority", "o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("price_c").cast("long").alias("total_c"),
+        )
+        .select(
+            F.coalesce(F.col("o_orderpriority"), F.lit("ALL")).alias("priority"),
+            F.coalesce(F.col("o_orderstatus"), F.lit("ALL")).alias("status"),
+            "n",
+            "total_c",
+        )
+        .orderBy("priority", "status")
+    )
