@@ -82,6 +82,8 @@ _PRIORITY = [
     "nation_volume_q7",
     "market_share_q8",
     "cube_priority_status",
+    "knn_join_batch",
+    "bloom_join_orders",
     # --- upgraded from rows-only to oracle-backed in round 2 ---
     "media_features_entropy",
     "media_decode_fake",

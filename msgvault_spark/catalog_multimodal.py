@@ -188,3 +188,62 @@ def media_decode_fake(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_media(
         synthesize_media(docs), deterministic_fake=True
     ).orderBy("media_id")
+
+
+# ---------------------------------------------------------------------------
+# Batch KNN join (round 2): top-k neighbors for every query vector at once
+# ---------------------------------------------------------------------------
+
+_NQ = 20  # query set: vec_id < 20
+_KJ = 5
+
+
+def _knn_join_oracle() -> str:
+    keys_all = ", ".join(_bucket_sql("embedding", b) for b in range(_BANDS))
+    cos = (
+        "round(list_sum(list_transform(list_zip(c.embedding, c.qv), "
+        "x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) "
+        "/ (sqrt(list_sum(list_transform(c.embedding, "
+        "v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))) * "
+        "sqrt(list_sum(list_transform(c.qv, "
+        "v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))), 6)"
+    )
+    return f"""
+WITH keys AS (
+    SELECT vec_id, embedding, [{keys_all}] AS ks FROM embeddings
+),
+q AS (SELECT vec_id AS qid, embedding AS qv, ks AS qks
+      FROM keys WHERE vec_id < {_NQ}),
+cand AS (
+    SELECT DISTINCT q.qid, q.qv, k.vec_id AS id, k.embedding
+    FROM keys k, q
+    WHERE len(list_intersect(k.ks, q.qks)) > 0 AND k.vec_id != q.qid
+)
+SELECT qid, id, score FROM (
+    SELECT c.qid, c.id, {cos} AS score,
+           ROW_NUMBER() OVER (
+               PARTITION BY c.qid
+               ORDER BY {cos} DESC, c.id ASC
+           ) AS rn
+    FROM cand c
+) WHERE rn <= {_KJ}
+"""
+
+
+@register("knn_join_batch", _knn_join_oracle())
+def knn_join_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch KNN join (similarity/knnjoin.py): 5 nearest neighbors for
+    each of the 20 lowest-id vectors in ONE distributed job — broadcast
+    bucket join + exact rerank + per-query top-k window; never a
+    per-query driver loop."""
+    from msgvault_spark.similarity.knnjoin import knn_join
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return knn_join(
+        emb,
+        emb.filter(F.col("vec_id") < _NQ),
+        k=_KJ,
+        dim=_DIM,
+        bands=_BANDS,
+        planes_per_band=_PLANES,
+    )

@@ -1130,3 +1130,50 @@ def temperature_mix_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("key")
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-2: bloom-filter semi-join reduction
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "bloom_join_orders",
+    """
+SELECT o.o_orderpriority AS priority,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(floor(o.o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS total_c
+FROM orders o
+JOIN customer c ON c.c_custkey = o.o_custkey
+WHERE c.c_mktsegment = 'BUILDING' AND c.c_nationkey < 5
+GROUP BY 1
+ORDER BY priority
+""",
+)
+def bloom_join_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact orders⋈customer join with bloom semi-join reduction
+    (operators/bloomjoin.py): an 8 KiB relational bitset of the selective
+    customer subset filters the fact side map-side before the exchange.
+    Output equals the plain join (oracle), so false positives are
+    harmless; the bloom machinery itself is pinned by
+    tests/test_operators_scale.py (no false negatives, selectivity,
+    filter-below-exchange plan)."""
+    from msgvault_spark.operators.bloomjoin import bloom_join
+
+    dim = load_table(spark, sf_dir, "customer").filter(
+        (F.col("c_mktsegment") == "BUILDING") & (F.col("c_nationkey") < 5)
+    ).select(F.col("c_custkey").alias("o_custkey"))
+    fact = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderpriority",
+        F.floor(F.col("o_totalprice") * 100).cast("long").alias("price_c"),
+    )
+    return (
+        bloom_join(fact, dim, "o_custkey")
+        .groupBy(F.col("o_orderpriority").alias("priority"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("price_c").cast("long").alias("total_c"),
+        )
+        .orderBy("priority")
+    )

@@ -1,0 +1,75 @@
+"""Batch KNN join: top-k neighbors for EVERY query vector in a query set,
+via shared LSH buckets — the all-at-once sibling of the single-seed
+searches (knn.py exact, lsh.py/ivf.py/pq.py approximate).
+
+This is the shape batch retrieval jobs want (dedup candidate generation,
+eval-set neighbor dumps, clustering seeds): one distributed job computing
+`queries × k` neighbor edges, never a per-query driver loop — a loop of
+ann_search() calls would schedule Q jobs and re-scan the index Q times.
+
+Plan shape:
+  - both sides keyed by the SAME deterministic hyperplane bands
+    (lsh.py:build_ann_index — md5-derived coefficients, engine-portable);
+  - candidates = equi-join on bucket (query side broadcast: query sets
+    are small relative to the corpus; flip to a shuffle join when they
+    are not), deduped on (qid, id) because a pair can share >1 band;
+  - exact cosine rerank, then per-query top-k window — the window's
+    partition is a single query's candidate list (bucket-bounded), never
+    the corpus.
+
+At 100 TB the index is the lake-persisted artifact bucketed by `bucket`
+(sources/build_cache.py pattern) and the per-band fan-out is the only row
+multiplication; no stage touches all pairs. Skew bound: a hot bucket
+caps at its member count × the queries landing in it; band width
+(planes_per_band) is the knob that splits hot buckets.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from msgvault_spark.similarity.knn import cosine
+from msgvault_spark.similarity.lsh import build_ann_index
+
+
+def knn_join(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    k: int = 5,
+    dim: int,
+    bands: int = 4,
+    planes_per_band: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int = 6,
+) -> DataFrame:
+    """(qid, id, score): k nearest corpus neighbors per query row, scored
+    by exact cosine over LSH-bucket candidates; self-pairs excluded."""
+    idx = build_ann_index(
+        corpus, dim=dim, bands=bands, planes_per_band=planes_per_band,
+        id_col=id_col, vec_col=vec_col,
+    )
+    qidx = build_ann_index(
+        queries, dim=dim, bands=bands, planes_per_band=planes_per_band,
+        id_col=id_col, vec_col=vec_col,
+    ).select(
+        F.col("id").alias("qid"), F.col("vec").alias("qvec"), "bucket"
+    )
+    cands = (
+        idx.join(F.broadcast(qidx), "bucket")
+        .filter(F.col("id") != F.col("qid"))
+        .dropDuplicates(["qid", "id"])
+    )
+    scored = cands.select(
+        "qid",
+        "id",
+        F.round(cosine(F.col("vec"), F.col("qvec")), round_to).alias("score"),
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("score").desc(), F.col("id").asc())
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("qid", "id", "score")
+    )

@@ -586,3 +586,44 @@ def test_temperature_mix_upweights_small_sources(spark):
     assert rates["small"] / 1000 > rates["big"] / 9000
     # and overall survival lands near the 50% target
     assert 0.4 < (rates["small"] + rates["big"]) / 10000 < 0.6
+
+
+# ---------------------------------------------------------------------------
+# bloom semi-join reduction (operators/bloomjoin.py)
+# ---------------------------------------------------------------------------
+
+
+def test_bloom_prefilter_no_false_negatives_and_selective(spark):
+    from pyspark.sql import functions as F
+    from msgvault_spark.operators.bloomjoin import (
+        bloom_join,
+        bloom_prefilter,
+        build_bloom,
+    )
+
+    dim = spark.range(0, 200).select((F.col("id") * 37).alias("k"))
+    fact = spark.range(0, 20000).select(F.col("id").alias("k"))
+    bloom = build_bloom(dim, "k")
+    survivors = bloom_prefilter(fact, bloom, "k")
+    true_keys = {r["k"] for r in fact.join(dim, "k").collect()}
+    surv_keys = {r["k"] for r in survivors.collect()}
+    # every true member survives (bloom can't have false negatives)
+    assert true_keys <= surv_keys
+    # and the filter is actually selective (fp rate ~0.1% at this fill)
+    assert len(surv_keys) < 0.05 * 20000
+    # end-to-end join is EXACT despite false positives
+    got = sorted(r["k"] for r in bloom_join(fact, dim, "k").collect())
+    want = sorted(true_keys)
+    assert got == want
+
+
+def test_bloom_filter_runs_before_fact_exchange(spark):
+    from pyspark.sql import functions as F
+    from msgvault_spark.operators.bloomjoin import bloom_join
+
+    dim = spark.range(0, 50).select((F.col("id") * 11).alias("k"))
+    fact = spark.range(0, 5000).select(F.col("k") if False else F.col("id").alias("k"))
+    plan = bloom_join(fact, dim, "k")._jdf.queryExecution().executedPlan().toString()
+    # the probe filter (xxhash64 bit tests) must appear in the plan — i.e.
+    # the reduction happens map-side, not inside the join
+    assert "xxhash64" in plan
