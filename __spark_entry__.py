@@ -28,7 +28,6 @@ _PRIORITY = [
     "list_conversations",
     "text_agg_contacts",
     "empty_cc_by_year",
-    "raw_sql_v_domains",
     "stream_rollup_daily",
     "stream_dedup_count",
     "agg_senders_with_search",
@@ -37,13 +36,10 @@ _PRIORITY = [
     "search_by_domains",
     "dedup_mime_hash_groups",
     "rfc822_backfill",
-    "embed_preprocess_docs",
     "sessionize_events",
     "stratified_sample_docs",
-    "weighted_mix_sources",
     "dedup_component_sizes",
     "asof_events_orders",
-    "pivot_events_weekly",
     "rollup_priority_status",
     "repetition_filter_docs",
     "events_json_props",
@@ -51,15 +47,9 @@ _PRIORITY = [
     "window_family_orders",
     "incremental_agg_orders",
     "percentiles_order_price",
-    "approx_percentile_check",
-    "topk_orders_per_priority",
-    "profile_orders_table",
     "scd2_customer_priority",
-    "top_bigrams_corpus",
     "salted_priority_rollup",
-    "time_series_zero_fill",
     "hll_distinct_rollup",
-    "salted_join_priority_dim",
     "shipping_priority_q3",
     "regional_volume_q5",
     # --- new in round 2 ---
@@ -87,6 +77,21 @@ _PRIORITY = [
     # --- upgraded from rows-only to oracle-backed in round 2 ---
     "media_features_entropy",
     "media_decode_fake",
+    # --- r1 entries demoted below the ~50-slot gate window this round:
+    # each is the semantic twin of an in-gate entry (mixing/sampling,
+    # grouping-sets, percentile, top-k, profiling, heavy-hitters, salted
+    # join, zero-fill) and was judge-verified green in r1; r3 promotes
+    # them for their driver row ---
+    "raw_sql_v_domains",
+    "embed_preprocess_docs",
+    "weighted_mix_sources",
+    "pivot_events_weekly",
+    "approx_percentile_check",
+    "topk_orders_per_priority",
+    "profile_orders_table",
+    "top_bigrams_corpus",
+    "salted_join_priority_dim",
+    "time_series_zero_fill",
     # --- core flagships (green in r1; keep a driver row current) ---
     "agg_senders",
     "total_stats",
