@@ -29,7 +29,6 @@ _PRIORITY = [
     "text_agg_contacts",
     "empty_cc_by_year",
     "stream_rollup_daily",
-    "stream_dedup_count",
     "agg_senders_with_search",
     "search_with_stats",
     "search_page2",
@@ -74,6 +73,7 @@ _PRIORITY = [
     "cube_priority_status",
     "knn_join_batch",
     "bloom_join_orders",
+    "phrase_search_docs",
     # --- upgraded from rows-only to oracle-backed in round 2 ---
     "media_features_entropy",
     "media_decode_fake",
@@ -82,6 +82,7 @@ _PRIORITY = [
     # grouping-sets, percentile, top-k, profiling, heavy-hitters, salted
     # join, zero-fill) and was judge-verified green in r1; r3 promotes
     # them for their driver row ---
+    "stream_dedup_count",
     "raw_sql_v_domains",
     "embed_preprocess_docs",
     "weighted_mix_sources",

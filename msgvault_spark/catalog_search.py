@@ -456,3 +456,30 @@ def quantized_knn_seed0(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") != 0)
     seed = _seed_vector(spark, sf_dir, 0)
     return quantized_knn(emb, seed, k=10).withColumnRenamed("vec_id", "id")
+
+
+# ---------------------------------------------------------------------------
+# Phrase query (round 2): positional postings + adjacency fold
+# ---------------------------------------------------------------------------
+
+from msgvault_spark.search.fts import (  # noqa: E402
+    build_positional_index,
+    phrase_occurrences,
+    phrase_oracle_sql,
+)
+
+_PHRASE = ["table", "hash"]
+
+
+@register(
+    "phrase_search_docs",
+    phrase_oracle_sql("documents", "doc_id", "text", _PHRASE),
+)
+def phrase_search_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quoted-phrase search (reference internal/search/parser.go:197,243 →
+    FTS5 positional match): positional postings + shifted-intersection
+    adjacency fold over term-pruned posting lists (search/fts.py).
+    n_occurrences = phrase instances per matching doc."""
+    docs = load_table(spark, sf_dir, "documents")
+    idx = build_positional_index(docs, "doc_id", "text")
+    return phrase_occurrences(idx, _PHRASE)

@@ -333,3 +333,123 @@ HAVING COUNT(*) = {len(tokens)}
 ORDER BY score DESC, doc_id ASC
 LIMIT {k}
 """
+
+
+# ---------------------------------------------------------------------------
+# Phrase queries (round 2): positional postings + adjacency intersection
+# ---------------------------------------------------------------------------
+#
+# The reference's parser accepts "quoted phrases" (internal/search/
+# parser.go:197,243-247) and FTS5 matches them positionally. Spark twin:
+# a positional postings table and an adjacency fold —
+#
+#     positions(doc_id, term, pos[])     pos = ordinal among non-empty tokens
+#     phrase(t1..tn) matches doc  ⇔  fold of
+#         cur := pos(t1);  cur := intersect(cur+1, pos(t2)); ...
+#     is non-empty; |cur| = number of phrase occurrences.
+#
+# The fold is n-1 equi-joins on doc_id over TERM-PRUNED postings (the same
+# pruning BM25 does), so the joined frames are each one term's posting
+# list, never the corpus. Positions arrays are per-(doc, term) — bounded
+# by document length.
+
+
+def tokenize_with_positions(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(doc_id, pos, term): pos is the 1-based ordinal among NON-EMPTY
+    tokens (filter before posexplode, so dropped empties never shift
+    later positions differently across engines)."""
+    toks = F.filter(
+        F.split(F.lower(F.coalesce(F.col(text_col), F.lit(""))), TOKEN_SPLIT_RE),
+        lambda t: t != "",
+    )
+    return df.select(
+        F.col(id_col).alias("doc_id"), F.posexplode(toks).alias("pos0", "term")
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "term")
+
+
+def build_positional_index(
+    df: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """ETL: (doc_id, term, positions array<int> sorted ascending)."""
+    return (
+        tokenize_with_positions(df, id_col, text_col)
+        .groupBy("doc_id", "term")
+        .agg(F.sort_array(F.collect_list("pos")).alias("positions"))
+    )
+
+
+def phrase_occurrences(
+    pos_index: DataFrame, phrase_terms: list[str]
+) -> DataFrame:
+    """(doc_id, n_occurrences) for docs containing the exact phrase.
+    Inner joins make every term mandatory; the adjacency fold runs as one
+    projection over bound position-array columns."""
+    if not phrase_terms:
+        raise ValueError("empty phrase")
+    terms = [t.lower() for t in phrase_terms]
+    out = (
+        pos_index.filter(F.col("term") == terms[0])
+        .select("doc_id", F.col("positions").alias("p_0"))
+    )
+    for i, t in enumerate(terms[1:], start=1):
+        nxt = pos_index.filter(F.col("term") == t).select(
+            "doc_id", F.col("positions").alias(f"p_{i}")
+        )
+        out = out.join(nxt, "doc_id")
+    cur = F.col("p_0")
+    for i in range(1, len(terms)):
+        cur = F.array_intersect(
+            F.transform(cur, lambda x: x + 1), F.col(f"p_{i}")
+        )
+    return (
+        out.select("doc_id", F.size(cur).alias("n_occurrences"))
+        .filter(F.col("n_occurrences") > 0)
+    )
+
+
+def phrase_oracle_sql(
+    table: str, id_col: str, text_col: str, phrase_terms: list[str],
+) -> str:
+    """DuckDB replica: positions via list indexing over range(), the same
+    shifted-intersection fold."""
+    terms = [t.lower() for t in phrase_terms]
+    terms_list = ", ".join(f"'{t}'" for t in terms)
+    cur = "p_0"
+    for i in range(1, len(terms)):
+        cur = f"list_intersect(list_transform({cur}, x -> x + 1), p_{i})"
+    joins = "\n".join(
+        f"JOIN pos p{i} ON p{i}.doc_id = p0.doc_id AND p{i}.term = '{terms[i]}'"
+        for i in range(1, len(terms))
+    )
+    sel_pos = ",\n       ".join(
+        f"p{i}.positions AS p_{i}" for i in range(len(terms))
+    )
+    return f"""
+WITH toks AS (
+    SELECT {id_col} AS doc_id,
+           list_filter(string_split_regex(lower(COALESCE({text_col}, '')),
+                       '{TOKEN_SPLIT_RE}'), x -> x != '') AS t
+    FROM {table}
+),
+tok_idx AS (
+    SELECT doc_id, t, unnest(range(1, len(t) + 1)) AS i FROM toks
+),
+tok_pos AS (
+    SELECT doc_id, CAST(i AS INT) AS pos, t[i] AS term FROM tok_idx
+),
+pos AS (
+    SELECT doc_id, term, list_sort(list(pos)) AS positions
+    FROM tok_pos WHERE term IN ({terms_list})
+    GROUP BY doc_id, term
+),
+folded AS (
+    SELECT p0.doc_id,
+       {sel_pos}
+    FROM pos p0
+    {joins}
+    WHERE p0.term = '{terms[0]}'
+)
+SELECT doc_id, CAST(len({cur}) AS INT) AS n_occurrences
+FROM folded
+WHERE len({cur}) > 0
+"""

@@ -184,3 +184,29 @@ def test_bm25_prefix_degenerate_tokens(spark):
     assert got == {1, 2}  # '*' and '' dropped; AND gate = {join} only
     with pytest.raises(ValueError):
         bm25_scores_prefix(postings, stats, ["*"])
+
+
+def test_phrase_occurrences_adjacency_and_counts(spark):
+    from msgvault_spark.search.fts import (
+        build_positional_index,
+        phrase_occurrences,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "big table hash join"),          # one occurrence
+            (2, "table hash table hash now"),    # two occurrences
+            (3, "table big hash"),               # both terms, not adjacent
+            (4, "hash table"),                   # reversed order: no match
+            (5, "Table, HASH!"),                 # tokenizer: case+punct
+        ],
+        "doc_id long, text string",
+    )
+    idx = build_positional_index(docs, "doc_id", "text")
+    got = {r["doc_id"]: r["n_occurrences"]
+           for r in phrase_occurrences(idx, ["table", "hash"]).collect()}
+    assert got == {1: 1, 2: 2, 5: 1}
+    # three-term phrase
+    got3 = {r["doc_id"]: r["n_occurrences"]
+            for r in phrase_occurrences(idx, ["big", "table", "hash"]).collect()}
+    assert got3 == {1: 1}
