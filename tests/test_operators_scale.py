@@ -627,3 +627,62 @@ def test_bloom_filter_runs_before_fact_exchange(spark):
     # the probe filter (xxhash64 bit tests) must appear in the plan — i.e.
     # the reduction happens map-side, not inside the join
     assert "xxhash64" in plan
+
+
+# ---------------------------------------------------------------------------
+# z-order clustering (operators/zorder.py)
+# ---------------------------------------------------------------------------
+
+
+def test_zorder_layout_prunes_on_both_dimensions(spark, tmp_path):
+    from pyspark.sql import functions as F
+    from msgvault_spark.operators.zorder import morton_key, zorder_by
+    from msgvault_spark.sources.manifest import build_manifest, prune_files
+
+    n_files = 16
+    df = spark.range(0, 40000).select(
+        (F.col("id") % 200).alias("x"),
+        ((F.col("id") * 7919) % 200).alias("y"),
+        F.col("id").alias("payload"),
+    )
+
+    zdir = str(tmp_path / "zorder")
+    xdir = str(tmp_path / "xsort")
+    zorder_by(df, "x", "y", n_files=n_files).write.parquet(zdir)
+    df.repartitionByRange(n_files, "x").sortWithinPartitions("x").write.parquet(xdir)
+
+    zman = build_manifest(spark, zdir, ["x", "y"])
+    xman = build_manifest(spark, xdir, ["x", "y"])
+    box = {"x": (20, 39), "y": (20, 39)}  # 1% of the (x, y) space
+
+    zkept = len(prune_files(zman, ranges=box))
+    xkept = len(prune_files(xman, ranges=box))
+    # x-sorted layout: x prunes, but every kept file spans all of y;
+    # z-order: both dims tight, so a 2-D box touches few hypercubes
+    assert zkept < xkept
+    assert zkept <= n_files // 2
+    # y-only predicate: the x-sorted layout cannot prune at all
+    assert len(prune_files(xman, ranges={"y": (20, 39)})) == n_files
+    assert len(prune_files(zman, ranges={"y": (20, 39)})) < n_files
+    # correctness: reading the pruned subset returns every matching row
+    kept = prune_files(zman, ranges=box)
+    got = (
+        spark.read.parquet(*kept)
+        .filter((F.col("x").between(20, 39)) & (F.col("y").between(20, 39)))
+        .count()
+    )
+    want = df.filter(
+        (F.col("x").between(20, 39)) & (F.col("y").between(20, 39))
+    ).count()
+    assert got == want
+
+
+def test_morton_key_is_pure_map_after_range_broadcast(spark):
+    from msgvault_spark.operators.zorder import morton_key
+
+    df = spark.range(0, 100).selectExpr("id as x", "id * 3 as y")
+    plan = morton_key(df, "x", "y")._jdf.queryExecution().executedPlan().toString()
+    # the min/max range frame arrives via broadcast, not a shuffle exchange
+    assert "BroadcastExchange" in plan
+    import re
+    assert not re.search(r"Exchange hashpartitioning|Exchange rangepartitioning", plan)
