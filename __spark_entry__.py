@@ -77,6 +77,9 @@ _PRIORITY = [
     # --- upgraded from rows-only to oracle-backed in round 2 ---
     "media_features_entropy",
     "media_decode_fake",
+    # --- next in line (below the ~50 window; judge-verified locally) ---
+    "rp_project_embeddings",
+    "label_centroids",
     # --- r1 entries demoted below the ~50-slot gate window this round:
     # each is the semantic twin of an in-gate entry (mixing/sampling,
     # grouping-sets, percentile, top-k, profiling, heavy-hitters, salted

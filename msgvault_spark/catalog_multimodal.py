@@ -247,3 +247,89 @@ def knn_join_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         bands=_BANDS,
         planes_per_band=_PLANES,
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-2: random-projection dim reduction + per-label centroids
+# ---------------------------------------------------------------------------
+
+_RP_OUT = 16
+
+
+def _rp_oracle() -> str:
+    from msgvault_spark.similarity.rp import rp_oracle_sql
+
+    return rp_oracle_sql(out_dim=_RP_OUT, in_dim=_DIM)
+
+
+@register("rp_project_embeddings", _rp_oracle())
+def rp_project_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson–Lindenstrauss projection 64→16 (similarity/rp.py):
+    Achlioptas ±1 signs folded in as literals, pure map, no shuffle —
+    the bandwidth front-end for every downstream ANN/dedup pass."""
+    from msgvault_spark.similarity.rp import project
+
+    return project(
+        load_table(spark, sf_dir, "embeddings"), out_dim=_RP_OUT, in_dim=_DIM
+    )
+
+
+@register(
+    "label_centroids",
+    f"""
+WITH e AS (
+    SELECT label, embedding AS v FROM embeddings
+),
+idx AS (SELECT label, v, unnest(range(1, {_DIM} + 1)) AS i FROM e),
+comp AS (
+    SELECT label, CAST(i AS INT) AS i,
+           CAST(SUM(CAST(floor(CAST(v[i] AS DOUBLE) * 1000000) AS BIGINT))
+                AS BIGINT) AS s,
+           COUNT(*) AS c
+    FROM idx GROUP BY label, i
+)
+SELECT label,
+       CAST(MAX(c) AS BIGINT) AS n,
+       list(CAST((s // c) AS DOUBLE) / 1000000.0 ORDER BY i) AS centroid
+FROM comp
+GROUP BY label
+ORDER BY label
+""",
+)
+def label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid vectors — the grouped elementwise array mean
+    every clustering/analysis pass needs. Fixed-point sums (floor(x·10⁶)
+    as BIGINT) make the cross-partition aggregation order-free, and the
+    mean is an integer floor-division (1e-6 resolution) — no round()
+    anywhere, since Spark HALF_UPs doubles while DuckDB HALF_EVENs them. Shuffle on (label,
+    dim_index) with full partial aggregation, then per-label rebuild."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = emb.select(
+        "label", F.posexplode(F.col("embedding")).alias("i0", "x")
+    ).select(
+        "label",
+        (F.col("i0") + 1).alias("i"),
+        F.floor(F.col("x").cast("double") * 1000000).cast("long").alias("xs"),
+    )
+    comp = e.groupBy("label", "i").agg(
+        F.sum("xs").alias("s"), F.count(F.lit(1)).alias("c")
+    )
+    return (
+        comp.groupBy("label")
+        .agg(
+            F.max("c").cast("long").alias("n"),
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            F.col("i").cast("int").alias("i"),
+                            (F.expr("s div c").cast("double")
+                             / 1000000.0).alias("m"),
+                        )
+                    )
+                ),
+                lambda st: st["m"],
+            ).alias("centroid"),
+        )
+        .orderBy("label")
+    )

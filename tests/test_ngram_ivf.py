@@ -159,3 +159,42 @@ def test_pq_is_pure_map_no_shuffle(spark):
     books = collect_codebooks(emb, m=2, n_codes=4)
     plan = encode_pq(emb, books)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan, "PQ encode must not shuffle"
+
+
+# ---------------------------------------------------------------------------
+# random projection (similarity/rp.py)
+# ---------------------------------------------------------------------------
+
+
+def test_rp_preserves_cosine_structure(spark):
+    import math
+    from pyspark.sql import functions as F
+    from msgvault_spark.similarity.rp import project
+
+    emb = _toy_vectors(spark, n=40, d=8)
+    proj = {r["id"]: r["proj"] for r in project(
+        emb, out_dim=4, in_dim=8).collect()}
+    orig = {r["vec_id"]: r["embedding"] for r in emb.collect()}
+
+    def cos(a, b):
+        num = sum(x * y for x, y in zip(a, b))
+        return num / (math.sqrt(sum(x * x for x in a))
+                      * math.sqrt(sum(y * y for y in b)))
+
+    # same-cluster pairs stay similar, cross-cluster pairs stay dissimilar
+    same = [cos(proj[1], proj[3]), cos(proj[2], proj[4])]
+    cross = [cos(proj[1], proj[2]), cos(proj[3], proj[4])]
+    assert min(same) > max(cross)
+    # deterministic across re-plan
+    proj2 = {r["id"]: r["proj"] for r in project(
+        emb, out_dim=4, in_dim=8).collect()}
+    assert proj == proj2
+
+
+def test_rp_is_shuffle_free(spark):
+    from msgvault_spark.similarity.rp import project
+
+    emb = _toy_vectors(spark, n=10, d=8)
+    plan = project(emb, out_dim=4, in_dim=8)._jdf.queryExecution(
+        ).executedPlan().toString()
+    assert "Exchange" not in plan
