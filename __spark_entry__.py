@@ -80,6 +80,8 @@ _PRIORITY = [
     # --- next in line (below the ~50 window; judge-verified locally) ---
     "rp_project_embeddings",
     "label_centroids",
+    "sliding_window_events",
+    "minhash_incremental_pairs",
     # --- r1 entries demoted below the ~50-slot gate window this round:
     # each is the semantic twin of an in-gate entry (mixing/sampling,
     # grouping-sets, percentile, top-k, profiling, heavy-hitters, salted

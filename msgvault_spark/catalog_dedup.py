@@ -624,3 +624,28 @@ def tfidf_top_terms_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
     from msgvault_spark.textstats.tfidf import tfidf_top_terms
 
     return tfidf_top_terms(load_table(spark, sf_dir, "documents"), k=5)
+
+
+# ---------------------------------------------------------------------------
+# Incremental near-dup (round 2): new batch vs persisted band index
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "minhash_incremental_pairs",
+    minhash_oracle_sql(
+        "SELECT doc_id, text FROM documents",
+        pair_where="a.doc_id % 10 = 7 OR b.doc_id % 10 = 7",
+    ),
+)
+def minhash_incremental_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dup (dedup/minhash.py:incremental_pairs): docs
+    with doc_id % 10 = 7 stand in for today's ingest batch; candidates
+    join the SMALL batch side against the persisted band index, so each
+    ingest pays O(batch), never re-pairing old×old — the production
+    dedupe-the-new-crawl shape."""
+    from msgvault_spark.dedup.minhash import build_minhash_index, incremental_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    buckets = build_minhash_index(docs, "doc_id", "text")
+    return incremental_pairs(buckets, F.col("doc_id") % 10 == 7)

@@ -95,3 +95,50 @@ def stream_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         output_mode="update",
     )
     return got.orderBy(F.col("user_id").asc())
+
+
+@register(
+    "sliding_window_events",
+    """
+WITH offs AS (SELECT unnest([0, 1]) AS o),
+win AS (
+    SELECT strftime(date_trunc('day', e.ts) - INTERVAL (f.o) DAY,
+                    '%Y-%m-%d') AS win_start,
+           e.event_type, e.value
+    FROM events e CROSS JOIN offs f
+)
+SELECT win_start, event_type,
+       COUNT(*) AS events,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM win
+GROUP BY 1, 2
+ORDER BY win_start, event_type
+""",
+)
+def sliding_window_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding (hopping) windows: 2-day windows every 1 day, so each event
+    lands in exactly two — Spark's window(slide) surface, which the
+    tumbling stream_rollup_daily doesn't touch. Single Expand + hash agg
+    (each row fans to its 2 windows map-side, like CUBE); the oracle
+    replays the fan-out with an unnested offset join."""
+    from msgvault_spark.sources.loader import load_table as _lt
+
+    ev = _lt(spark, sf_dir, "events").select("ts", "event_type", "value")
+    return (
+        ev.groupBy(
+            F.window("ts", "2 days", "1 day").alias("w"), "event_type"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("events"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd").alias("win_start"),
+            "event_type",
+            "events",
+            "total_value",
+        )
+        .orderBy("win_start", "event_type")
+    )

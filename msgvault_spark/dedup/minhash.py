@@ -165,6 +165,7 @@ def minhash_oracle_sql(
     bands: int = 4,
     jaccard_threshold: float = 0.5,
     round_to: int = 6,
+    pair_where: str = "1=1",
 ) -> str:
     """DuckDB replica of lsh_candidate_pairs over ``source_select``
     (a subquery yielding doc_id, text)."""
@@ -206,7 +207,7 @@ buckets AS (
 cands AS (
     SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, a.sh AS sh_a, b.sh AS sh_b
     FROM buckets a JOIN buckets b USING (bucket)
-    WHERE a.doc_id < b.doc_id
+    WHERE a.doc_id < b.doc_id AND ({pair_where})
 )
 SELECT id_a, id_b,
        round(CAST(len(list_intersect(sh_a, sh_b)) AS DOUBLE) /
@@ -217,3 +218,50 @@ WHERE round(CAST(len(list_intersect(sh_a, sh_b)) AS DOUBLE) /
       >= {jaccard_threshold}
 ORDER BY id_a, id_b
 """
+
+
+def incremental_pairs(
+    buckets: DataFrame,
+    is_new: Column,
+    *,
+    jaccard_threshold: float = 0.5,
+    round_to: int = 6,
+) -> DataFrame:
+    """Incremental near-dup: candidates where AT LEAST ONE side is in the
+    new batch — the production shape (dedupe today's crawl against the
+    lake plus within itself) that never re-pairs old×old. The band index
+    is the persisted artifact; the join streams the SMALL batch side
+    against it, so cost is O(batch × bucket overlap), not O(corpus²) —
+    re-running full pairs_from_index per ingest would redo the entire
+    old×old work each day.
+
+    ``is_new`` is a predicate over the index's doc_id column. Output
+    matches pairs_from_index restricted to pairs touching the batch:
+    (id_a < id_b, exact Jaccard ≥ threshold)."""
+    new_b = buckets.filter(is_new).select(
+        F.col("bucket"),
+        F.col("doc_id").alias("id_n"),
+        F.col("sh").alias("sh_n"),
+    )
+    cands = (
+        buckets.join(new_b, "bucket")
+        .filter(F.col("doc_id") != F.col("id_n"))
+        .select(
+            F.least(F.col("doc_id"), F.col("id_n")).alias("id_a"),
+            F.greatest(F.col("doc_id"), F.col("id_n")).alias("id_b"),
+            F.when(F.col("doc_id") < F.col("id_n"), F.col("sh"))
+            .otherwise(F.col("sh_n")).alias("sh_a"),
+            F.when(F.col("doc_id") < F.col("id_n"), F.col("sh_n"))
+            .otherwise(F.col("sh")).alias("sh_b"),
+        )
+        .distinct()
+    )
+    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+    union = F.size(F.array_union(F.col("sh_a"), F.col("sh_b")))
+    jac = inter.cast("double") / union.cast("double")
+    return (
+        cands.withColumn("jaccard", F.round(jac, round_to))
+        .filter(F.col("jaccard") >= jaccard_threshold)
+        .select("id_a", "id_b", "jaccard")
+        .orderBy("id_a", "id_b")
+    )

@@ -277,3 +277,34 @@ def test_segment_dedup_drops_repeats_keeps_first(spark):
     )
     r9 = dedup_exact_segments(docs2, size=4).collect()[0]
     assert (r9["n_kept"], r9["n_dropped"], r9["dedup_text"]) == (1, 1, "a b c d")
+
+
+def test_incremental_pairs_touch_batch_only(spark):
+    from pyspark.sql import functions as F
+    from msgvault_spark.dedup.minhash import (
+        build_minhash_index,
+        incremental_pairs,
+        pairs_from_index,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    docs = spark.createDataFrame(
+        [
+            (1, base + " one"),
+            (2, base + " two"),          # old×old near-dup pair (1,2)
+            (17, base + " three"),       # new (id%10==7): pairs with 1,2
+            (27, base + " four"),        # new: pairs with 1,2,17
+            (30, "completely different words here nothing shared at all ok"),
+        ],
+        "doc_id long, text string",
+    )
+    idx = build_minhash_index(docs, "doc_id", "text")
+    inc = {(r["id_a"], r["id_b"])
+           for r in incremental_pairs(idx, F.col("doc_id") % 10 == 7).collect()}
+    full = {(r["id_a"], r["id_b"]) for r in pairs_from_index(idx).collect()}
+    # incremental = full restricted to pairs touching the batch
+    want = {p for p in full if p[0] % 10 == 7 or p[1] % 10 == 7}
+    assert inc == want and want, "expected non-empty batch-touching pairs"
+    assert (1, 2) in full and (1, 2) not in inc  # old×old excluded
+    assert (17, 27) in inc  # within-batch pair found
+    assert (1, 17) in inc or (2, 17) in inc  # old-new found
