@@ -82,6 +82,8 @@ _PRIORITY = [
     "label_centroids",
     "sliding_window_events",
     "minhash_incremental_pairs",
+    "fuzzy_dedup_survivors",
+    "stream_stream_join_funnel",
     # --- r1 entries demoted below the ~50-slot gate window this round:
     # each is the semantic twin of an in-gate entry (mixing/sampling,
     # grouping-sets, percentile, top-k, profiling, heavy-hitters, salted

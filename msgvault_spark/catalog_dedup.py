@@ -649,3 +649,77 @@ def minhash_incremental_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     buckets = build_minhash_index(docs, "doc_id", "text")
     return incremental_pairs(buckets, F.col("doc_id") % 10 == 7)
+
+
+# ---------------------------------------------------------------------------
+# End-to-end fuzzy dedup (round 2): pairs -> components -> survivors
+# ---------------------------------------------------------------------------
+
+
+def _fuzzy_survivor_oracle() -> str:
+    pairs_sql = minhash_oracle_sql("SELECT doc_id, text FROM documents").strip()
+    return f"""
+WITH RECURSIVE pairs AS (
+    SELECT id_a, id_b FROM ({pairs_sql}) t
+),
+sym AS (SELECT id_a AS a, id_b AS b FROM pairs
+        UNION SELECT id_b, id_a FROM pairs),
+nodes AS (SELECT DISTINCT a AS node FROM sym),
+cc AS (
+    SELECT node, node AS label FROM nodes
+    UNION
+    SELECT s.b AS node, cc.label FROM cc JOIN sym s ON s.a = cc.node
+),
+comp AS (SELECT node, MIN(label) AS component FROM cc GROUP BY node),
+ranked AS (
+    SELECT c.component, c.node,
+           CASE d.source WHEN 'src0' THEN 0 WHEN 'src1' THEN 1
+                         WHEN 'src2' THEN 2 ELSE 9 END AS prank
+    FROM comp c JOIN documents d ON d.doc_id = c.node
+)
+SELECT component,
+       MIN_BY(node, prank * 100000 + node) AS survivor_id,
+       CAST(COUNT(*) AS BIGINT) AS n_members,
+       CAST(COUNT(*) - 1 AS BIGINT) AS n_dropped
+FROM ranked
+GROUP BY component
+ORDER BY component
+"""
+
+
+@register("fuzzy_dedup_survivors", _fuzzy_survivor_oracle())
+def fuzzy_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end fuzzy dedup: MinHash-LSH pairs → connected components
+    (pointer jumping, dedup/components.py) → one survivor per cluster by
+    (source priority, lowest id) — the D3 survivor-selection rule lifted
+    from exact groups to near-dup clusters. The recursive-CTE oracle
+    replays the whole chain; the Spark path is the 100 TB one."""
+    from msgvault_spark.dedup.components import connected_components
+    from msgvault_spark.dedup.minhash import build_minhash_index, pairs_from_index
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = pairs_from_index(build_minhash_index(docs, "doc_id", "text"))
+    comp = connected_components(
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    )
+    prank = (
+        F.when(F.col("source") == "src0", 0)
+        .when(F.col("source") == "src1", 1)
+        .when(F.col("source") == "src2", 2)
+        .otherwise(9)
+    )
+    ranked = comp.join(
+        docs.select(F.col("doc_id").alias("node"), prank.alias("prank")),
+        "node",
+    )
+    return (
+        ranked.groupBy("component")
+        .agg(
+            F.min_by(
+                F.col("node"), F.col("prank") * 100000 + F.col("node")
+            ).alias("survivor_id"),
+            F.count(F.lit(1)).cast("long").alias("n_members"),
+            (F.count(F.lit(1)) - 1).cast("long").alias("n_dropped"),
+        )
+        .orderBy("component")
+    )

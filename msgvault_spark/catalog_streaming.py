@@ -142,3 +142,57 @@ def sliding_window_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("win_start", "event_type")
     )
+
+
+@register(
+    "stream_stream_join_funnel",
+    """
+SELECT c.user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs
+FROM events c
+JOIN events p ON p.user_id = c.user_id
+  AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+GROUP BY 1
+ORDER BY 1
+""",
+    memoize_plan=False,  # runs a streaming query per invocation
+)
+def stream_stream_join_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream inner join (the one streaming join Spark state-stores
+    on BOTH sides): click→purchase funnel within 1 hour per user. Both
+    sides carry watermarks + the range condition bounds state retention;
+    with Trigger.AvailableNow the join drains completely, so the result
+    equals the batch interval join the oracle runs."""
+    ev = read_events_stream(spark, _events_glob(sf_dir))
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "90 days")
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "90 days")
+    )
+    joined = clicks.join(
+        purchases,
+        F.expr(
+            "c_user = p_user AND p_ts >= c_ts "
+            "AND p_ts <= c_ts + interval 1 hour"
+        ),
+    )
+    got = run_available_now(
+        joined, queryName=f"ssj_{uuid.uuid4().hex[:8]}"
+    )
+    return (
+        got.groupBy(F.col("c_user").alias("user_id"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
+        .orderBy("user_id")
+    )
