@@ -141,3 +141,74 @@ def test_repetition_fractions_match_reference(spark, texts):
         ws = [w for w in re.split(r"[^a-z0-9]+", t.lower()) if w]
         dw = (len(ws) - len(set(ws))) / len(ws) if ws else 0.0
         assert abs(got[i][0] - dl) < 1e-6 and abs(got[i][1] - dw) < 1e-6, (i, t)
+
+
+# ---------------------------------------------------------------------------
+# chunking vs naive reference (operators/chunking.py)
+# ---------------------------------------------------------------------------
+
+texts_strategy = st.lists(
+    st.lists(
+        st.sampled_from(["alpha", "beta", "gamma", "delta", "x1", "y2"]),
+        min_size=0, max_size=30,
+    ).map(" ".join),
+    min_size=1, max_size=6,
+)
+
+
+def _naive_chunks(tokens, size, stride):
+    if not tokens:
+        return []
+    out, start, cid = [], 0, 0
+    while True:
+        piece = tokens[start:start + size]
+        out.append((cid, len(piece), " ".join(piece)))
+        if start + size >= len(tokens):
+            break
+        start += stride
+        cid += 1
+    return out
+
+
+@given(texts=texts_strategy, size=st.sampled_from([4, 8]),
+       overlap=st.sampled_from([0, 2]))
+@settings(**_SETTINGS)
+def test_chunking_matches_reference(spark, texts, size, overlap):
+    from msgvault_spark.operators.chunking import chunk_documents
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {
+        (r["doc_id"], r["chunk_id"]): (r["n_tokens"], r["chunk_text"])
+        for r in chunk_documents(docs, size=size, overlap=overlap).collect()
+    }
+    want = {}
+    for i, t in enumerate(texts):
+        for cid, n, txt in _naive_chunks(t.split(), size, size - overlap):
+            want[(i, cid)] = (n, txt)
+    assert got == want
+
+
+@given(texts=texts_strategy)
+@settings(**_SETTINGS)
+def test_segment_dedup_invariants(spark, texts):
+    """Kept+dropped == total segments; total kept across corpus == number
+    of DISTINCT segments; rebuilt docs contain only first occurrences."""
+    from msgvault_spark.dedup.lines import dedup_exact_segments
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    size = 4
+    rows = dedup_exact_segments(docs, size=size).collect()
+    segs_per_doc = {
+        i: [" ".join(t.split()[s:s + size])
+            for s in range(0, max(len(t.split()), 1), size)
+            if t.split()[s:s + size]]
+        for i, t in enumerate(texts)
+    }
+    n_total = sum(len(v) for v in segs_per_doc.values())
+    n_distinct = len({s for v in segs_per_doc.values() for s in v})
+    assert sum(r["n_kept"] + r["n_dropped"] for r in rows) == n_total
+    assert sum(r["n_kept"] for r in rows) == n_distinct
