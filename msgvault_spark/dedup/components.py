@@ -38,7 +38,16 @@ def connected_components(
 ) -> DataFrame:
     """(node, component) for every node in ``edges``; component = smallest
     node id reachable. Edges are undirected (either orientation works) and
-    may contain duplicates/self-loops."""
+    may contain duplicates/self-loops.
+
+    Per-round cost discipline: the label frame is partitioned relative to
+    the GRAPH size (from the node count the contract already pays for),
+    not the session's global shuffle width — a 500-node dedup graph runs
+    2-partition rounds instead of 32 empty-task shuffles, and a
+    billion-node graph still fans out fully. Convergence is detected by
+    comparing Σlabel across rounds: labels only ever shrink (min-label +
+    monotone jump), so the sum is strictly decreasing until fixpoint —
+    one cheap aggregate per round instead of a join + count job."""
     both = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).union(
         edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))
     )
@@ -50,13 +59,21 @@ def connected_components(
         .withColumn("label", F.col("node"))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    labels.count()
+    n_nodes = labels.count()
+    spark = edges.sparkSession
+    default_p = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    n_part = max(1, min(default_p, n_nodes // 50_000 + 1))
+    labels = labels.repartition(n_part, "node")
     sym = (
         both.filter(F.col("a") != F.col("b"))
         .distinct()
+        .repartition(n_part, "a")
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
 
+    prev_sum = labels.agg(
+        F.sum(F.col("label").cast("decimal(38,0)")).alias("s")
+    ).head()["s"]
     for _ in range(max_iter):
         # smallest label among neighbors, per node
         neigh_min = (
@@ -90,18 +107,20 @@ def connected_components(
                     F.col("label"), F.coalesce(F.col("jlabel"), F.col("label"))
                 ).alias("label"),
             )
+            .coalesce(n_part)
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
+        # Σlabel as the fixpoint witness (decimal: no overflow at any n);
+        # labels are monotone non-increasing per node, so sum-equality ⇔
+        # no node changed.
+        new_sum = new_labels.agg(
+            F.sum(F.col("label").cast("decimal(38,0)")).alias("s")
+        ).head()["s"]
         labels.unpersist()
         labels = new_labels
-        if changed == 0:
+        if new_sum == prev_sum:
             break
+        prev_sum = new_sum
     else:
         raise RuntimeError(f"connected_components: no fixpoint in {max_iter} rounds")
 
