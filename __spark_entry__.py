@@ -86,6 +86,7 @@ _PRIORITY = [
     "stream_stream_join_funnel",
     "returned_items_q10",
     "priority_shipping_q12",
+    "unigram_quality_docs",
     # --- r1 entries demoted below the ~50-slot gate window this round:
     # each is the semantic twin of an in-gate entry (mixing/sampling,
     # grouping-sets, percentile, top-k, profiling, heavy-hitters, salted

@@ -723,3 +723,72 @@ def fuzzy_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("component")
     )
+
+
+# ---------------------------------------------------------------------------
+# Unigram-LM quality score (round 2)
+# ---------------------------------------------------------------------------
+
+_TOKEN_RE = "[^a-z0-9]+"
+
+
+@register(
+    "unigram_quality_docs",
+    f"""
+WITH tokens AS (
+    SELECT doc_id,
+           unnest(string_split_regex(lower(COALESCE(text, '')),
+                  '{_TOKEN_RE}')) AS term
+    FROM documents
+),
+tc AS (SELECT doc_id, term FROM tokens WHERE term != ''),
+postings AS (SELECT doc_id, term, COUNT(*) AS tf FROM tc GROUP BY 1, 2),
+ctf AS (SELECT term, CAST(SUM(tf) AS BIGINT) AS ctf FROM postings GROUP BY 1),
+tot AS (SELECT CAST(SUM(ctf) AS BIGINT) AS t FROM ctf),
+contrib AS (
+    SELECT p.doc_id, p.tf,
+           CAST(floor(p.tf * ln(CAST(tot.t AS DOUBLE) / c.ctf) * 1000000
+                      + 0.5) AS BIGINT) AS cs
+    FROM postings p JOIN ctf c ON c.term = p.term CROSS JOIN tot
+)
+SELECT doc_id,
+       CAST(SUM(tf) AS BIGINT) AS n_tokens,
+       CAST(SUM(cs) AS BIGINT) // CAST(SUM(tf) AS BIGINT) AS nll_micro
+FROM contrib
+GROUP BY doc_id
+""",
+)
+def unigram_quality_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM quality score: mean negative log-likelihood of each doc
+    under the corpus unigram distribution (the KenLM-perplexity idea at
+    unigram order — low = stereotyped text, high = rare-token soup; both
+    tails are filter candidates). Served from the memoized FTS postings
+    (term stats are an ETL artifact). Per-term contributions are
+    fixed-point integers (floor(x+0.5), identical in both engines), so
+    the per-doc sum is order-free; final mean is an integer division —
+    the whole score is engine-exact despite the ln()."""
+    from msgvault_spark.sources.cache import get_text_index
+
+    postings, _stats = get_text_index(spark, sf_dir, "documents", "doc_id", "text")
+    ctf = postings.groupBy("term").agg(F.sum("tf").cast("long").alias("ctf"))
+    tot = ctf.agg(F.sum("ctf").cast("long").alias("t"))
+    contrib = (
+        postings.join(ctf, "term")
+        .join(F.broadcast(tot))
+        .select(
+            "doc_id",
+            "tf",
+            F.floor(
+                F.col("tf")
+                * F.log(F.col("t").cast("double") / F.col("ctf"))
+                * 1000000
+                + 0.5
+            ).cast("long").alias("cs"),
+        )
+    )
+    return contrib.groupBy("doc_id").agg(
+        F.sum("tf").cast("long").alias("n_tokens"),
+        F.expr("CAST(sum(cs) AS BIGINT) div CAST(sum(tf) AS BIGINT)").alias(
+            "nll_micro"
+        ),
+    )

@@ -686,3 +686,42 @@ def test_morton_key_is_pure_map_after_range_broadcast(spark):
     assert "BroadcastExchange" in plan
     import re
     assert not re.search(r"Exchange hashpartitioning|Exchange rangepartitioning", plan)
+
+
+# ---------------------------------------------------------------------------
+# OPTIMIZE composition (sources/optimize.py)
+# ---------------------------------------------------------------------------
+
+
+def test_optimize_table_compacts_clusters_and_indexes(spark, tmp_path):
+    from pyspark.sql import functions as F
+    from msgvault_spark.sources.manifest import load_manifest, prune_files
+    from msgvault_spark.sources.optimize import optimize_table
+
+    lake = str(tmp_path / "lake")
+    df = spark.range(0, 20000).select(
+        (F.col("id") % 100).alias("x"),
+        ((F.col("id") * 7919) % 100).alias("y"),
+        F.col("id").alias("payload"),
+    )
+    # confetti layout: many small files
+    df.repartition(40).write.parquet(lake)
+
+    summary = optimize_table(
+        spark, lake, ("x", "y"), target_bytes=64 * 1024
+    )
+    assert summary["n_rows"] == 20000
+    assert summary["files_after"] < summary["files_before"]
+
+    man = load_manifest(spark, str(tmp_path / "lake_meta"))
+    total_files = man.count()
+    # post-optimize layout prunes on BOTH dimensions
+    box = {"x": (10, 19), "y": (10, 19)}
+    assert len(prune_files(man, ranges=box)) < total_files
+    assert len(prune_files(man, ranges={"y": (10, 19)})) < total_files
+    # data intact after the swap
+    got = spark.read.parquet(lake).agg(F.sum("payload")).head()[0]
+    assert got == sum(range(20000))
+    # idempotent second pass (crash-recovery path exercised)
+    summary2 = optimize_table(spark, lake, ("x", "y"), target_bytes=64 * 1024)
+    assert summary2["n_rows"] == 20000
