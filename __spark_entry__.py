@@ -87,6 +87,7 @@ _PRIORITY = [
     "returned_items_q10",
     "priority_shipping_q12",
     "unigram_quality_docs",
+    "search_relative_dates",
     # --- r1 entries demoted below the ~50-slot gate window this round:
     # each is the semantic twin of an in-gate entry (mixing/sampling,
     # grouping-sets, percentile, top-k, profiling, heavy-hitters, salted

@@ -483,3 +483,47 @@ def phrase_search_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     idx = build_positional_index(docs, "doc_id", "text")
     return phrase_occurrences(idx, _PHRASE)
+
+
+# ---------------------------------------------------------------------------
+# Relative-date operators (round 2): F7 with a pinned clock
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "search_relative_dates",
+    oracle(
+        f"""
+, {_MS_CTE}
+SELECT msg.id,
+       COALESCE(msg.subject, '') AS subject,
+       COALESCE(msg.snippet, '') AS snippet,
+       COALESCE(ms.ms_email, '') AS from_email,
+       COALESCE(ms.ms_name, '') AS from_name,
+       msg.sent_at,
+       COALESCE(msg.size_estimate, 0) AS size_estimate,
+       COALESCE(msg.has_attachments, false) AS has_attachments
+FROM messages msg
+LEFT JOIN ms ON ms.message_id = msg.id
+WHERE {_EMAIL_ONLY}
+  AND msg.sent_at >= TIMESTAMP '1998-06-15 00:00:00'
+  AND msg.sent_at < TIMESTAMP '2000-06-15 00:00:00'
+ORDER BY msg.sent_at DESC, msg.id DESC
+LIMIT 100
+"""
+    ),
+)
+def search_relative_dates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relative-date operators (F7): `newer_than:3y older_than:1y` parsed
+    against a PINNED clock (now = 2001-06-15, injected — the parser's
+    `now` parameter exists precisely so relative dates are testable and
+    replayable), compiling to sent_at ∈ [now-3y, now-1y). Calendar-month
+    arithmetic, reference parser.go relative-date table."""
+    from datetime import datetime
+
+    from msgvault_spark.search.parser import parse_query
+
+    q = parse_query(
+        "newer_than:3y older_than:1y", now=datetime(2001, 6, 15)
+    )
+    return search_fast(get_archive(spark, sf_dir), q)
