@@ -1177,3 +1177,48 @@ def bloom_join_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("priority")
     )
+
+
+@register(
+    "epoch_upsample_sources",
+    f"""
+WITH n AS (
+    SELECT doc_id, source,
+           CASE source
+               WHEN 'src0' THEN 2 + CASE WHEN {_HASH_SQL}
+                    < CAST(floor(0.5 * 2147483647) AS BIGINT) THEN 1 ELSE 0 END
+               WHEN 'src2' THEN 1 + CASE WHEN {_HASH_SQL}
+                    < CAST(floor(0.25 * 2147483647) AS BIGINT) THEN 1 ELSE 0 END
+               ELSE 1
+           END AS copies
+    FROM documents
+),
+ex AS (SELECT doc_id, source, unnest(range(0, copies)) AS epoch FROM n)
+SELECT source AS key,
+       CAST(COUNT(*) AS BIGINT) AS rows_out,
+       CAST(SUM(doc_id * (epoch + 1)) AS BIGINT) AS weighted_id_sum
+FROM ex
+GROUP BY source
+ORDER BY key
+""",
+)
+def epoch_upsample_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Epoch-based upsampling (operators/sampling.py:epoch_upsample):
+    src0 runs 2.5 epochs (2 copies + a deterministic hash-chosen half
+    gets a 3rd), src1 exactly 1, src2 1.25. weighted_id_sum pins both
+    membership AND per-row copy counts, not just totals."""
+    from msgvault_spark.operators.sampling import epoch_upsample
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    up = epoch_upsample(
+        docs, "source", "doc_id", {"src0": 2.5, "src2": 1.25}
+    )
+    return (
+        up.groupBy(F.col("source").alias("key"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("rows_out"),
+            F.sum(F.col("doc_id") * (F.col("epoch") + 1)).cast("long")
+            .alias("weighted_id_sum"),
+        )
+        .orderBy("key")
+    )

@@ -150,3 +150,40 @@ def temperature_mix(
     return df.join(F.broadcast(rates), source_col).filter(
         rowhash(key) < F.col("__thr")
     ).drop("__thr")
+
+
+def epoch_upsample(
+    df: DataFrame,
+    source_col: str,
+    key: Column | str,
+    epochs: dict[str, float],
+) -> DataFrame:
+    """Epoch-based source upsampling (the data-recipe knob stated as
+    "N epochs of source X per training run"): each row is replicated
+    floor(e) times, plus one more when the row's key hash falls under
+    frac(e) — so e = 2.5 yields exactly 2 copies for a deterministic
+    half of the rows and 3 for the other half. Adds an ``epoch`` column
+    (0-based copy index) so downstream shuffles can spread copies.
+
+    Like every operator here, membership is a pure function of the KEY
+    (never monotonically_increasing_id or rand()): reruns, backfills,
+    and the oracle agree on exactly which rows got the extra epoch.
+    Pure map + explode, after scan-side filters; unlisted sources
+    default to 1 epoch.
+
+    SQL twin per source: n = floor(e) + (rowhash(key) < frac(e)·M)."""
+    whole = F.lit(1)
+    frac_keep = F.lit(0)
+    for src, e in epochs.items():
+        if e <= 0:
+            raise ValueError(f"epochs must be > 0, got {src}={e}")
+        whole = F.when(F.col(source_col) == src, F.lit(int(e))).otherwise(whole)
+        frac_keep = F.when(
+            F.col(source_col) == src, F.lit(int((e - int(e)) * _M))
+        ).otherwise(frac_keep)
+    n_copies = whole + F.when(rowhash(key) < frac_keep, F.lit(1)).otherwise(
+        F.lit(0)
+    )
+    return df.withColumn(
+        "epoch", F.explode(F.sequence(F.lit(0), n_copies - 1))
+    )

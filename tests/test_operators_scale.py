@@ -725,3 +725,26 @@ def test_optimize_table_compacts_clusters_and_indexes(spark, tmp_path):
     # idempotent second pass (crash-recovery path exercised)
     summary2 = optimize_table(spark, lake, ("x", "y"), target_bytes=64 * 1024)
     assert summary2["n_rows"] == 20000
+
+
+def test_epoch_upsample_copy_counts(spark):
+    from pyspark.sql import functions as F
+    from msgvault_spark.operators.sampling import epoch_upsample
+
+    df = spark.createDataFrame(
+        [(i, "a" if i < 1000 else "b") for i in range(2000)],
+        "k long, src string",
+    )
+    up = epoch_upsample(df, "src", "k", {"a": 2.5})
+    counts = {r["src"]: r["n"] for r in up.groupBy("src").agg(
+        F.count("*").alias("n")).collect()}
+    assert counts["b"] == 1000  # unlisted source: exactly 1 epoch
+    assert 2300 < counts["a"] < 2700  # 2.5 epochs within hash tolerance
+    # per-row copies are 2 or 3 for 'a', deterministic across re-plan
+    per = up.filter(F.col("src") == "a").groupBy("k").count().collect()
+    assert {r["count"] for r in per} == {2, 3}
+    again = {(r["k"], r["epoch"]) for r in epoch_upsample(
+        df, "src", "k", {"a": 2.5}).filter(F.col("src") == "a").collect()}
+    first = {(r["k"], r["epoch"]) for r in up.filter(
+        F.col("src") == "a").collect()}
+    assert first == again
