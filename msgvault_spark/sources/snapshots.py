@@ -1,0 +1,144 @@
+"""Snapshot isolation + time travel for a plain parquet lake — the core
+mechanism of Delta/Iceberg (reads resolve a pinned FILE LIST, never a
+directory listing) without the table-format lock-in.
+
+Why directory reads break at scale: a query that lists the lake mid-append
+sees half a commit — some of a writer's files, not others. Every modern
+table format fixes this the same way: writers publish an immutable
+manifest of exactly the files in a version, and readers resolve a VERSION,
+then read only its files. This module is that protocol:
+
+    commit_snapshot(lake)   →  _snapshots/v{N}/ (file list + row counts,
+                               parquet) written FIRST, then the pointer
+                               _snapshots/LATEST flipped by atomic rename —
+                               a crash between the two leaves the previous
+                               version live and v{N} invisible (torn
+                               versions are never readable).
+    read_snapshot(version)  →  DataFrame over exactly that version's
+                               files. Files appended after the snapshot
+                               are invisible (repeatable reads); files in
+                               newer versions appear only after their
+                               commit. Every historical version stays
+                               readable: time travel == pass a version.
+
+Composes with the rest of the S-layer: the version manifest rides the same
+min/max stats as sources/manifest.py, so snapshot reads keep file-level
+data skipping; sources/optimize.py's rewrite then commit is the compaction
+story. Metadata lives beside the lake (`<lake>_meta/`), like optimize.py.
+
+At 100 TB the manifest is one tiny parquet per version (a row per file);
+the LATEST flip is a single rename — the same object-store-atomic
+primitive Delta's _last_checkpoint uses.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from msgvault_spark.sources.manifest import _local_path
+
+
+def _snap_root(lake_dir: str, meta_dir: str | None) -> str:
+    base = meta_dir or lake_dir.rstrip("/") + "_meta"
+    return os.path.join(base, "_snapshots")
+
+
+def snapshot_versions(lake_dir: str, *, meta_dir: str | None = None) -> list[int]:
+    root = _snap_root(lake_dir, meta_dir)
+    if not os.path.isdir(root):
+        return []
+    out = []
+    for name in os.listdir(root):
+        m = re.fullmatch(r"v(\d+)", name)
+        if m:
+            out.append(int(m.group(1)))
+    return sorted(out)
+
+
+def latest_version(lake_dir: str, *, meta_dir: str | None = None) -> int | None:
+    """The committed latest — read from the pointer, not the directory
+    listing, so a crashed half-written v{N} is never considered live."""
+    marker = os.path.join(_snap_root(lake_dir, meta_dir), "LATEST")
+    if not os.path.exists(marker):
+        return None
+    with open(marker) as f:
+        return int(f.read().strip())
+
+
+def commit_snapshot(
+    spark: SparkSession,
+    lake_dir: str,
+    *,
+    meta_dir: str | None = None,
+    stat_cols: list[str] | None = None,
+) -> int:
+    """Publish the lake's CURRENT files as the next version. Returns the
+    new version number. Write order is manifest-then-pointer; the pointer
+    flip is an atomic rename, so readers only ever resolve complete
+    versions."""
+    root = _snap_root(lake_dir, meta_dir)
+    os.makedirs(root, exist_ok=True)
+    version = (latest_version(lake_dir, meta_dir=meta_dir) or 0) + 1
+
+    df = spark.read.parquet(lake_dir)
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c in stat_cols or []:
+        aggs += [F.min(c).alias(f"{c}_min"), F.max(c).alias(f"{c}_max")]
+    manifest = df.groupBy(F.input_file_name().alias("file")).agg(*aggs)
+    vdir = os.path.join(root, f"v{version}")
+    manifest.coalesce(1).write.mode("overwrite").parquet(vdir)
+
+    tmp = os.path.join(root, f".LATEST.tmp.{version}")
+    with open(tmp, "w") as f:
+        f.write(str(version))
+    os.replace(tmp, os.path.join(root, "LATEST"))  # atomic flip
+    return version
+
+
+def read_snapshot(
+    spark: SparkSession,
+    lake_dir: str,
+    *,
+    version: int | None = None,
+    meta_dir: str | None = None,
+) -> DataFrame:
+    """DataFrame over exactly one version's files (default: committed
+    latest). Appends after that commit are invisible — the repeatable
+    read — and every older version remains readable (time travel)."""
+    v = version if version is not None else latest_version(
+        lake_dir, meta_dir=meta_dir
+    )
+    if v is None:
+        raise ValueError(f"no committed snapshot for {lake_dir}")
+    vdir = os.path.join(_snap_root(lake_dir, meta_dir), f"v{v}")
+    files = [
+        _local_path(r["file"])
+        for r in spark.read.parquet(vdir).select("file").collect()
+    ]
+    if not files:
+        return spark.read.parquet(lake_dir).limit(0)
+    return spark.read.parquet(*files)
+
+
+def snapshot_manifest(
+    spark: SparkSession,
+    lake_dir: str,
+    *,
+    version: int | None = None,
+    meta_dir: str | None = None,
+) -> DataFrame:
+    """The version's manifest rows (file, n_rows, optional min/max stats)
+    — feed to sources/manifest.py:prune_files for skipping ON a pinned
+    snapshot."""
+    v = version if version is not None else latest_version(
+        lake_dir, meta_dir=meta_dir
+    )
+    if v is None:
+        raise ValueError(f"no committed snapshot for {lake_dir}")
+    return spark.read.parquet(
+        os.path.join(_snap_root(lake_dir, meta_dir), f"v{v}")
+    )

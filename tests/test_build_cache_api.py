@@ -317,3 +317,49 @@ def test_text_index_lake_roundtrip(spark, tmp_path):
             corpus_stats=(4, float(avgdl))).collect())
     )
     assert from_disk == from_mem and len(from_disk) > 0
+
+
+# ---------------------------------------------------------------------------
+# snapshot isolation / time travel (sources/snapshots.py)
+# ---------------------------------------------------------------------------
+
+
+def test_snapshot_isolation_and_time_travel(spark, tmp_path):
+    import os
+    from pyspark.sql import functions as F
+    from msgvault_spark.sources.snapshots import (
+        commit_snapshot,
+        latest_version,
+        read_snapshot,
+        snapshot_manifest,
+        snapshot_versions,
+    )
+
+    lake = str(tmp_path / "lake")
+    spark.range(0, 100).selectExpr("id as k").write.parquet(lake)
+    v1 = commit_snapshot(spark, lake, stat_cols=["k"])
+    assert v1 == 1
+
+    # append AFTER the commit: invisible to v1 readers (repeatable read)
+    spark.range(100, 150).selectExpr("id as k").write.mode("append").parquet(lake)
+    assert read_snapshot(spark, lake, version=1).count() == 100
+    assert read_snapshot(spark, lake).count() == 100  # latest is still v1
+
+    v2 = commit_snapshot(spark, lake, stat_cols=["k"])
+    assert v2 == 2 and snapshot_versions(lake) == [1, 2]
+    assert read_snapshot(spark, lake).count() == 150
+    # time travel: v1 still reads its exact file set
+    assert read_snapshot(spark, lake, version=1).count() == 100
+    got = read_snapshot(spark, lake, version=1).agg(F.sum("k")).head()[0]
+    assert got == sum(range(100))
+
+    # manifest carries min/max stats for pinned-snapshot pruning
+    man = snapshot_manifest(spark, lake, version=2)
+    assert {"file", "n_rows", "k_min", "k_max"} <= set(man.columns)
+
+    # crash between manifest write and pointer flip: stale tmp marker is
+    # ignored and latest stays at the committed version
+    root = str(tmp_path / "lake_meta" / "_snapshots")
+    with open(os.path.join(root, ".LATEST.tmp.99"), "w") as f:
+        f.write("99")
+    assert latest_version(lake) == 2
