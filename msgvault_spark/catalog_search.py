@@ -527,3 +527,48 @@ def search_relative_dates(spark: SparkSession, sf_dir: str) -> DataFrame:
         "newer_than:3y older_than:1y", now=datetime(2001, 6, 15)
     )
     return search_fast(get_archive(spark, sf_dir), q)
+
+
+def _bm25_phrase_oracle() -> str:
+    bm25_inner = bm25_oracle_sql(
+        "documents", "doc_id", "text", _PHRASE, k=10_000_000
+    ).strip()
+    phrase_inner = phrase_oracle_sql(
+        "documents", "doc_id", "text", _PHRASE
+    ).strip()
+    return f"""
+WITH bm AS ({bm25_inner}),
+ph AS ({phrase_inner})
+SELECT bm.doc_id, ph.n_occurrences, bm.score
+FROM bm JOIN ph ON ph.doc_id = bm.doc_id
+ORDER BY bm.score DESC, bm.doc_id ASC
+LIMIT 20
+"""
+
+
+@register("bm25_phrase_documents", _bm25_phrase_oracle())
+def bm25_phrase_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quoted-phrase query RANKED: positional adjacency filters to docs
+    containing the exact phrase, BM25 over the phrase's terms ranks them
+    — the composition FTS5 performs for a quoted phrase. Both signals
+    come from ETL artifacts (postings + positional index); the phrase
+    set semi-joins the BM25 candidates."""
+    from pyspark.sql import functions as FF
+
+    from msgvault_spark.search.fts import bm25_scores
+    from msgvault_spark.sources.cache import get_corpus_stats, get_text_index
+
+    docs = load_table(spark, sf_dir, "documents")
+    idx = build_positional_index(docs, "doc_id", "text")
+    hits = phrase_occurrences(idx, _PHRASE)
+    postings, stats = get_text_index(spark, sf_dir, "documents", "doc_id", "text")
+    cstats = get_corpus_stats(spark, sf_dir, "documents", "doc_id", "text")
+    scored = bm25_scores(
+        postings, stats, _PHRASE, round_to=6, corpus_stats=cstats
+    )
+    return (
+        scored.join(hits, "doc_id")
+        .select("doc_id", "n_occurrences", "score")
+        .orderBy(FF.col("score").desc(), FF.col("doc_id").asc())
+        .limit(20)
+    )

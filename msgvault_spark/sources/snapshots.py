@@ -75,8 +75,11 @@ def commit_snapshot(
     *,
     meta_dir: str | None = None,
     stat_cols: list[str] | None = None,
+    files: list[str] | None = None,
 ) -> int:
-    """Publish the lake's CURRENT files as the next version. Returns the
+    """Publish a file set as the next version (default: the lake dir's
+    current files; pass ``files`` explicitly for copy-on-write commits
+    that carry untouched files forward — sources/merge.py). Returns the
     new version number. Write order is manifest-then-pointer; the pointer
     flip is an atomic rename, so readers only ever resolve complete
     versions."""
@@ -84,7 +87,7 @@ def commit_snapshot(
     os.makedirs(root, exist_ok=True)
     version = (latest_version(lake_dir, meta_dir=meta_dir) or 0) + 1
 
-    df = spark.read.parquet(lake_dir)
+    df = spark.read.parquet(*files) if files else spark.read.parquet(lake_dir)
     aggs = [F.count(F.lit(1)).alias("n_rows")]
     for c in stat_cols or []:
         aggs += [F.min(c).alias(f"{c}_min"), F.max(c).alias(f"{c}_max")]

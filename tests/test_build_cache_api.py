@@ -363,3 +363,49 @@ def test_snapshot_isolation_and_time_travel(spark, tmp_path):
     with open(os.path.join(root, ".LATEST.tmp.99"), "w") as f:
         f.write("99")
     assert latest_version(lake) == 2
+
+
+def test_merge_upsert_copy_on_write(spark, tmp_path):
+    from pyspark.sql import functions as F
+    from msgvault_spark.sources.merge import merge_upsert
+    from msgvault_spark.sources.snapshots import read_snapshot, snapshot_manifest
+
+    lake = str(tmp_path / "mtable")
+    # v1: 1000 rows in ~8 files, partitioned so keys cluster per file
+    init = spark.range(0, 1000).selectExpr("id as k", "id * 10 as val")
+    v1 = merge_upsert(
+        spark, lake,
+        init.repartitionByRange(8, "k").sortWithinPartitions("k"),
+        "k",
+    )
+    assert v1 == 1
+    v1_files = {r["file"] for r in snapshot_manifest(
+        spark, lake, version=1).select("file").collect()}
+    assert len(v1_files) >= 4
+
+    # v2: update 50 clustered keys + insert 20 new
+    updates = spark.range(100, 150).selectExpr("id as k", "id * 1000 as val") \
+        .union(spark.range(2000, 2020).selectExpr("id as k", "id * 1000 as val"))
+    v2 = merge_upsert(spark, lake, updates, "k")
+    assert v2 == 2
+
+    cur = read_snapshot(spark, lake)
+    assert cur.count() == 1020
+    # matched rows updated, unmatched untouched, inserts present
+    assert cur.filter("k = 120").head()["val"] == 120000
+    assert cur.filter("k = 500").head()["val"] == 5000
+    assert cur.filter("k = 2010").head()["val"] == 2010000
+
+    # copy-on-write at FILE granularity: clustered updates leave most v1
+    # files carried forward by reference
+    v2_files = {r["file"] for r in snapshot_manifest(
+        spark, lake, version=2).select("file").collect()}
+    carried = v1_files & v2_files
+    assert len(carried) >= len(v1_files) - 2, (
+        "clustered 50-key update should rewrite at most ~2 of the files"
+    )
+
+    # time travel: v1 still shows pre-merge values
+    old = read_snapshot(spark, lake, version=1)
+    assert old.count() == 1000
+    assert old.filter("k = 120").head()["val"] == 1200
