@@ -89,6 +89,7 @@ _PRIORITY = [
     "unigram_quality_docs",
     "search_relative_dates",
     "epoch_upsample_sources",
+    "bm25_phrase_documents",
     # --- r1 entries demoted below the ~50-slot gate window this round:
     # each is the semantic twin of an in-gate entry (mixing/sampling,
     # grouping-sets, percentile, top-k, profiling, heavy-hitters, salted
