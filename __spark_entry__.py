@@ -90,6 +90,7 @@ _PRIORITY = [
     "search_relative_dates",
     "epoch_upsample_sources",
     "bm25_phrase_documents",
+    "skew_report_orders",
     # --- r1 entries demoted below the ~50-slot gate window this round:
     # each is the semantic twin of an in-gate entry (mixing/sampling,
     # grouping-sets, percentile, top-k, profiling, heavy-hitters, salted

@@ -1222,3 +1222,46 @@ def epoch_upsample_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("key")
     )
+
+
+@register(
+    "skew_report_orders",
+    """
+WITH counts AS (
+    SELECT o_orderpriority AS key, COUNT(*) AS n FROM orders GROUP BY 1
+),
+tot AS (SELECT SUM(n) AS t, MAX(n) AS mx, COUNT(*) AS k FROM counts)
+SELECT c.key,
+       CAST(c.n AS BIGINT) AS n,
+       CAST((c.n * 1000000) // tot.t AS BIGINT) AS share_ppm,
+       CAST((tot.mx * tot.k * 1000000) // tot.t AS BIGINT)
+           AS hot_over_mean_ppm
+FROM counts c CROSS JOIN tot
+ORDER BY n DESC, key ASC
+""",
+)
+def skew_report_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-key skew report — the diagnostic run BEFORE choosing
+    between a plain groupBy and the salted operators (operators/
+    salted.py): per-key share and the hottest key's multiple of the mean
+    (both in exact ppm, integer division). hot_over_mean ≈ k means one
+    reducer does k× the average work; that number is the salting
+    decision."""
+    counts = load_table(spark, sf_dir, "orders").groupBy(
+        F.col("o_orderpriority").alias("key")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    tot = counts.agg(
+        F.sum("n").alias("t"), F.max("n").alias("mx"),
+        F.count(F.lit(1)).alias("k"),
+    )
+    return (
+        counts.join(F.broadcast(tot))
+        .select(
+            "key",
+            F.col("n").cast("long").alias("n"),
+            F.expr("(n * 1000000) div t").cast("long").alias("share_ppm"),
+            F.expr("(mx * k * 1000000) div t").cast("long")
+            .alias("hot_over_mean_ppm"),
+        )
+        .orderBy(F.col("n").desc(), F.col("key").asc())
+    )

@@ -145,3 +145,57 @@ def snapshot_manifest(
     return spark.read.parquet(
         os.path.join(_snap_root(lake_dir, meta_dir), f"v{v}")
     )
+
+
+def vacuum(
+    spark: SparkSession,
+    lake_dir: str,
+    *,
+    keep_versions: int = 2,
+    meta_dir: str | None = None,
+) -> dict:
+    """GC data files referenced by NO retained version — the companion
+    job every versioned table needs or storage grows monotonically.
+    Retains the newest ``keep_versions`` snapshots (and their manifests);
+    a file is deleted only if absent from EVERY retained manifest, so
+    readers pinned within the retention window are never broken. The
+    LATEST pointer is untouched. Returns {files_deleted, versions_dropped,
+    versions_kept}."""
+    if keep_versions < 1:
+        raise ValueError("keep_versions must be >= 1")
+    versions = snapshot_versions(lake_dir, meta_dir=meta_dir)
+    if not versions:
+        return {"files_deleted": 0, "versions_dropped": 0, "versions_kept": 0}
+    kept = versions[-keep_versions:]
+    dropped = [v for v in versions if v not in kept]
+
+    def _files_of(v: int) -> set[str]:
+        return {
+            os.path.abspath(_local_path(r["file"]))
+            for r in snapshot_manifest(
+                spark, lake_dir, version=v, meta_dir=meta_dir
+            ).select("file").collect()
+        }
+
+    live: set[str] = set()
+    for v in kept:
+        live |= _files_of(v)
+    dead: set[str] = set()
+    for v in dropped:
+        dead |= _files_of(v) - live
+
+    n_deleted = 0
+    for f in sorted(dead):
+        if os.path.exists(f):
+            os.remove(f)
+            n_deleted += 1
+    import shutil
+
+    root = _snap_root(lake_dir, meta_dir)
+    for v in dropped:
+        shutil.rmtree(os.path.join(root, f"v{v}"), ignore_errors=True)
+    return {
+        "files_deleted": n_deleted,
+        "versions_dropped": len(dropped),
+        "versions_kept": len(kept),
+    }

@@ -409,3 +409,37 @@ def test_merge_upsert_copy_on_write(spark, tmp_path):
     old = read_snapshot(spark, lake, version=1)
     assert old.count() == 1000
     assert old.filter("k = 120").head()["val"] == 1200
+
+
+def test_vacuum_drops_only_unreferenced_files(spark, tmp_path):
+    import os
+    from msgvault_spark.sources.merge import merge_upsert
+    from msgvault_spark.sources.snapshots import (
+        read_snapshot,
+        snapshot_manifest,
+        snapshot_versions,
+        vacuum,
+    )
+
+    lake = str(tmp_path / "vtable")
+    init = spark.range(0, 400).selectExpr("id as k", "id as val")
+    merge_upsert(spark, lake, init.repartitionByRange(4, "k"), "k")
+    # two merges, each rewriting some files
+    merge_upsert(spark, lake, spark.range(0, 50).selectExpr(
+        "id as k", "id * 7 as val"), "k")
+    merge_upsert(spark, lake, spark.range(300, 350).selectExpr(
+        "id as k", "id * 9 as val"), "k")
+    assert snapshot_versions(lake) == [1, 2, 3]
+
+    v3_files = [r["file"] for r in snapshot_manifest(
+        spark, lake, version=3).select("file").collect()]
+    out = vacuum(spark, lake, keep_versions=2)
+    assert out["versions_dropped"] == 1 and out["versions_kept"] == 2
+    # retained versions still fully readable
+    assert read_snapshot(spark, lake).count() == 400
+    assert read_snapshot(spark, lake, version=2).count() == 400
+    assert snapshot_versions(lake) == [2, 3]
+    # every latest-version file still on disk
+    from msgvault_spark.sources.manifest import _local_path
+    for f in v3_files:
+        assert os.path.exists(_local_path(f))
