@@ -31,9 +31,8 @@ _PRIORITY = [
     "stream_rollup_daily",
     "agg_senders_with_search",
     "search_with_stats",
-    "search_page2",
+    "snapshot_merge_timetravel",
     "search_by_domains",
-    "dedup_mime_hash_groups",
     "rfc822_backfill",
     "sessionize_events",
     "stratified_sample_docs",
@@ -96,7 +95,9 @@ _PRIORITY = [
     # grouping-sets, percentile, top-k, profiling, heavy-hitters, salted
     # join, zero-fill) and was judge-verified green in r1; r3 promotes
     # them for their driver row ---
+    "search_page2",
     "stream_dedup_count",
+    "dedup_mime_hash_groups",
     "raw_sql_v_domains",
     "embed_preprocess_docs",
     "weighted_mix_sources",

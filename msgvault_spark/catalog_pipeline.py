@@ -1265,3 +1265,63 @@ def skew_report_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("n").desc(), F.col("key").asc())
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-2: snapshot/merge machinery under the driver oracle
+# ---------------------------------------------------------------------------
+
+_SNAP_MEMO: dict[tuple, str] = {}
+
+
+@register(
+    "snapshot_merge_timetravel",
+    """
+SELECT 1 AS version,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+FROM documents
+UNION ALL
+SELECT 2 AS version,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(n_chars + CASE WHEN doc_id % 10 = 3
+                               THEN 1000000 ELSE 0 END) AS BIGINT)
+           AS sum_chars
+FROM documents
+ORDER BY version
+""",
+)
+def snapshot_merge_timetravel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot isolation + CoW MERGE end-to-end under the oracle
+    (sources/snapshots.py, sources/merge.py): v1 = documents committed,
+    v2 = MERGE bumping n_chars by 1e6 for doc_id%10==3. Reading BOTH
+    versions side by side proves time travel (v1 unchanged post-merge)
+    and merge semantics (v2 = base with matched rows replaced) — the
+    oracle states each version's expected aggregate directly."""
+    import tempfile
+
+    from msgvault_spark.sources.merge import merge_upsert
+    from msgvault_spark.sources.snapshots import read_snapshot
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _SNAP_MEMO:
+        lake = tempfile.mkdtemp(prefix="msgvault_snap_") + "/t"
+        docs = load_table(spark, sf_dir, "documents").select(
+            "doc_id", "n_chars"
+        )
+        merge_upsert(spark, lake, docs.repartitionByRange(4, "doc_id"), "doc_id")
+        upd = docs.filter(F.col("doc_id") % 10 == 3).select(
+            "doc_id", (F.col("n_chars") + 1000000).alias("n_chars")
+        )
+        merge_upsert(spark, lake, upd, "doc_id")
+        _SNAP_MEMO[key] = lake
+    lake = _SNAP_MEMO[key]
+
+    def _agg(v: int) -> DataFrame:
+        return read_snapshot(spark, lake, version=v).agg(
+            F.lit(v).alias("version"),
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum("n_chars").cast("long").alias("sum_chars"),
+        )
+
+    return _agg(1).unionByName(_agg(2)).orderBy("version")
