@@ -257,19 +257,22 @@ _RP_OUT = 16
 
 
 def _rp_oracle() -> str:
-    from msgvault_spark.similarity.rp import rp_oracle_sql
+    from msgvault_spark.similarity.rp import rp_oracle_sql_wide
 
-    return rp_oracle_sql(out_dim=_RP_OUT, in_dim=_DIM)
+    return rp_oracle_sql_wide(out_dim=_RP_OUT, in_dim=_DIM)
 
 
 @register("rp_project_embeddings", _rp_oracle())
 def rp_project_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Johnson–Lindenstrauss projection 64→16 (similarity/rp.py):
     Achlioptas ±1 signs folded in as literals, pure map, no shuffle —
-    the bandwidth front-end for every downstream ANN/dedup pass."""
-    from msgvault_spark.similarity.rp import project
+    the bandwidth front-end for every downstream ANN/dedup pass. Entry
+    output uses the flat (id, p0..p15) schema so every column is a
+    scalar the driver's row-hash canonicalizer can sort; the array-
+    valued ``project`` API is pinned by tests/test_ngram_ivf.py."""
+    from msgvault_spark.similarity.rp import project_wide
 
-    return project(
+    return project_wide(
         load_table(spark, sf_dir, "embeddings"), out_dim=_RP_OUT, in_dim=_DIM
     )
 
@@ -280,20 +283,13 @@ def rp_project_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH e AS (
     SELECT label, embedding AS v FROM embeddings
 ),
-idx AS (SELECT label, v, unnest(range(1, {_DIM} + 1)) AS i FROM e),
-comp AS (
-    SELECT label, CAST(i AS INT) AS i,
-           CAST(SUM(CAST(floor(CAST(v[i] AS DOUBLE) * 1000000) AS BIGINT))
-                AS BIGINT) AS s,
-           COUNT(*) AS c
-    FROM idx GROUP BY label, i
-)
-SELECT label,
-       CAST(MAX(c) AS BIGINT) AS n,
-       list(CAST((s // c) AS DOUBLE) / 1000000.0 ORDER BY i) AS centroid
-FROM comp
-GROUP BY label
-ORDER BY label
+idx AS (SELECT label, v, unnest(range(1, {_DIM} + 1)) AS i FROM e)
+SELECT label, CAST(i AS INT) AS i,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST((CAST(SUM(CAST(floor(CAST(v[i] AS DOUBLE) * 1000000) AS BIGINT))
+                  AS BIGINT) // COUNT(*)) AS DOUBLE) / 1000000.0 AS c
+FROM idx GROUP BY label, i
+ORDER BY label, i
 """,
 )
 def label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -301,8 +297,11 @@ def label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     every clustering/analysis pass needs. Fixed-point sums (floor(x·10⁶)
     as BIGINT) make the cross-partition aggregation order-free, and the
     mean is an integer floor-division (1e-6 resolution) — no round()
-    anywhere, since Spark HALF_UPs doubles while DuckDB HALF_EVENs them. Shuffle on (label,
-    dim_index) with full partial aggregation, then per-label rebuild."""
+    anywhere, since Spark HALF_UPs doubles while DuckDB HALF_EVENs them.
+    Shuffle on (label, dim_index) with full partial aggregation. Output
+    stays in the long (label, i, n, c) shape — every column scalar, so
+    the driver canonicalizer can hash it; callers wanting the packed
+    array re-assemble with collect_list over i (one extra tiny agg)."""
     emb = load_table(spark, sf_dir, "embeddings")
     e = emb.select(
         "label", F.posexplode(F.col("embedding")).alias("i0", "x")
@@ -311,25 +310,14 @@ def label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("i0") + 1).alias("i"),
         F.floor(F.col("x").cast("double") * 1000000).cast("long").alias("xs"),
     )
-    comp = e.groupBy("label", "i").agg(
-        F.sum("xs").alias("s"), F.count(F.lit(1)).alias("c")
-    )
     return (
-        comp.groupBy("label")
-        .agg(
-            F.max("c").cast("long").alias("n"),
-            F.transform(
-                F.array_sort(
-                    F.collect_list(
-                        F.struct(
-                            F.col("i").cast("int").alias("i"),
-                            (F.expr("s div c").cast("double")
-                             / 1000000.0).alias("m"),
-                        )
-                    )
-                ),
-                lambda st: st["m"],
-            ).alias("centroid"),
+        e.groupBy("label", "i")
+        .agg(F.sum("xs").alias("s"), F.count(F.lit(1)).alias("n"))
+        .select(
+            "label",
+            F.col("i").cast("int").alias("i"),
+            F.col("n").cast("long").alias("n"),
+            (F.expr("s div n").cast("double") / 1000000.0).alias("c"),
         )
-        .orderBy("label")
+        .orderBy("label", "i")
     )

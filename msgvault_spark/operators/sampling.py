@@ -184,6 +184,11 @@ def epoch_upsample(
     n_copies = whole + F.when(rowhash(key) < frac_keep, F.lit(1)).otherwise(
         F.lit(0)
     )
-    return df.withColumn(
-        "epoch", F.explode(F.sequence(F.lit(0), n_copies - 1))
-    )
+    # e < 1 (sub-epoch sampling) makes n_copies 0 for unselected rows;
+    # sequence(0, -1) would default to step -1 and yield [0, -1] — two
+    # phantom copies — so gate the explode on an empty array instead
+    # (plain explode then drops the row, which is the point of e < 1).
+    seq = F.when(
+        n_copies > 0, F.sequence(F.lit(0), n_copies - 1)
+    ).otherwise(F.array().cast("array<int>"))
+    return df.withColumn("epoch", F.explode(seq))

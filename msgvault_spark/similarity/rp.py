@@ -66,6 +66,42 @@ def project(
     return bound.select("id", F.array(*comps).alias("proj"))
 
 
+def project_wide(
+    embeddings: DataFrame,
+    *,
+    out_dim: int,
+    in_dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int = 6,
+) -> DataFrame:
+    """Same projection, flat schema: (id, p0..p{k-1} DOUBLE). One scalar
+    column per output dimension — the shape column-oriented sinks (and
+    the driver's row-hash canonicalizer) want; still a pure map."""
+    inv = 1.0 / math.sqrt(out_dim)
+    bound = embeddings.select(
+        F.col(id_col).alias("id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
+    )
+    cols = []
+    for j in range(out_dim):
+        signs = F.array(
+            *[F.lit(float(rp_sign(j, d))) for d in range(in_dim)]
+        )
+        cols.append(
+            F.round(
+                F.aggregate(
+                    F.zip_with(F.col("v"), signs, lambda x, s: x * s),
+                    F.lit(0.0),
+                    lambda acc, t: acc + t,
+                )
+                * inv,
+                round_to,
+            ).alias(f"p{j}")
+        )
+    return bound.select("id", *cols)
+
+
 def rp_oracle_sql(
     *,
     out_dim: int,
@@ -89,6 +125,34 @@ def rp_oracle_sql(
     arr = ", ".join(comps)
     return f"""
 SELECT {id_col} AS id, [{arr}] AS proj
+FROM {table}
+WHERE {where}
+"""
+
+
+def rp_oracle_sql_wide(
+    *,
+    out_dim: int,
+    in_dim: int,
+    table: str = "embeddings",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int = 6,
+    where: str = "1=1",
+) -> str:
+    """DuckDB replica of project_wide: one scalar p{j} column per output
+    dimension (driver-hashable), same literals / order / rounding."""
+    inv = repr(1.0 / math.sqrt(out_dim))
+    comps = []
+    for j in range(out_dim):
+        terms = " + ".join(
+            f"({float(rp_sign(j, d))!r} * CAST({vec_col}[{d + 1}] AS DOUBLE))"
+            for d in range(in_dim)
+        )
+        comps.append(f"round(({terms}) * {inv}, {round_to}) AS p{j}")
+    cols = ", ".join(comps)
+    return f"""
+SELECT {id_col} AS id, {cols}
 FROM {table}
 WHERE {where}
 """

@@ -47,8 +47,25 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         df = spark.read.parquet(path)
         if dict(df.dtypes).get("ts") == "bigint":
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return _ntz_to_ltz(df)
+    return _ntz_to_ltz(spark.read.option("mergeSchema", "true").parquet(path))
+
+
+def _ntz_to_ltz(df: DataFrame) -> DataFrame:
+    """Canonicalize TIMESTAMP_NTZ columns to TIMESTAMP (LTZ). Parquet files
+    whose timestamps carry isAdjustedToUTC=false surface as NTZ under Spark
+    4's inferTimestampNTZ default; with the session timezone pinned to UTC
+    (session.py) the LTZ cast is value-identical, and downstream epoch
+    arithmetic (``cast(ts as bigint)``) — legal on LTZ, rejected on NTZ —
+    keeps working regardless of which writer produced the lake."""
+    ntz = [f.name for f in df.schema.fields
+           if isinstance(f.dataType, T.TimestampNTZType)]
+    if not ntz:
         return df
-    return spark.read.option("mergeSchema", "true").parquet(path)
+    return df.select(
+        *[F.col(c).cast("timestamp").alias(c) if c in ntz else F.col(c)
+          for c in df.columns]
+    )
 
 
 def load_testdata(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

@@ -31,13 +31,15 @@ from pyspark.sql import functions as F
 
 
 def _local_path(uri: str) -> str:
-    """input_file_name() yields file: URIs locally; normalize for set
-    comparison against os-level listings."""
-    if uri.startswith("file://"):
-        return uri[len("file://"):]
+    """input_file_name() yields file: URIs locally; normalize (scheme strip
+    + percent-decode) for set comparison against os-level listings — a path
+    with a space arrives as ``file:...%20...`` and must still match the
+    filesystem spelling, else merge/skipping misclassify the file."""
+    from urllib.parse import unquote, urlparse
+
     if uri.startswith("file:"):
-        return uri[len("file:"):]
-    return uri
+        return unquote(urlparse(uri).path)
+    return uri  # already a filesystem path: decode nothing (literal %)
 
 
 def _list_lake_files(lake_glob: str) -> list[str]:

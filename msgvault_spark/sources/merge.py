@@ -60,11 +60,9 @@ def merge_upsert(
             files=_gen_files(gen_dir),
         )
 
-    base_files = [
-        _local_path(r["file"])
-        for r in snapshot_manifest(spark, lake_dir, meta_dir=meta_dir)
-        .select("file").collect()
-    ]
+    snap = snapshot_manifest(spark, lake_dir, meta_dir=meta_dir)
+    base_uris = [r["file"] for r in snap.select("file").collect()]
+    base_files = [_local_path(u) for u in base_uris]
     upd_keys = updates.select(key).distinct()
     affected = {
         _local_path(r["f"])
@@ -73,7 +71,9 @@ def merge_upsert(
         .join(F.broadcast(upd_keys), key)
         .select("f").distinct().collect()
     }
-    untouched = [f for f in base_files if _local_path(f) not in affected]
+    untouched_uris = [
+        u for u in base_uris if _local_path(u) not in affected
+    ]
 
     if affected:
         survivors = spark.read.parquet(*sorted(affected)).join(
@@ -84,9 +84,13 @@ def merge_upsert(
         new_data = updates
     new_data.write.mode("overwrite").parquet(gen_dir)
 
+    # commit stats over the new generation ONLY; untouched files' manifest
+    # rows ride forward verbatim (same stat_cols), so commit IO scales
+    # with the touched-file set, not the table
     return commit_snapshot(
         spark, lake_dir, meta_dir=meta_dir, stat_cols=stat_cols,
-        files=untouched + _gen_files(gen_dir),
+        files=_gen_files(gen_dir),
+        carry_rows=snap.filter(F.col("file").isin(untouched_uris)),
     )
 
 

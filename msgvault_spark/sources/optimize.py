@@ -42,7 +42,14 @@ def optimize_table(
     manifest_dir: str | None = None,
 ) -> dict:
     """Compact + Z-order + manifest in one rewrite. Returns a summary
-    dict (files before/after, rows, manifest path)."""
+    dict (files before/after, rows, manifest path).
+
+    IN-PLACE: the pre-rewrite files are DELETED after the swap. Never run
+    this against a snapshot-managed lake (sources/snapshots.py) — prior
+    versions' manifests would reference deleted files, breaking time
+    travel and the vacuum retention guarantee. For versioned tables use
+    ``optimize_snapshot`` below, which commits the rewrite as a new
+    version and leaves old files for ``vacuum``."""
     recover_dir(path)
     n_before, total = dir_stats(path)
     n_out = max(1, math.ceil(total / target_bytes))
@@ -78,3 +85,81 @@ def optimize_table(
         "n_rows": n_rows,
         "manifest": man_path,
     }
+
+
+def optimize_snapshot(
+    spark: SparkSession,
+    lake_dir: str,
+    zorder_cols: tuple[str, str],
+    *,
+    meta_dir: str | None = None,
+    stat_cols: list[str] | None = None,
+    target_bytes: int = 128 * 1024 * 1024,
+    compression: str = "zstd",
+) -> dict:
+    """Snapshot-aware OPTIMIZE: Z-order + compact the CURRENT version's
+    rows into a fresh generation directory and commit it as a new version.
+    Old files stay on disk — readers pinned to prior versions keep
+    working, and ``vacuum`` reclaims them once they leave the retention
+    window. This is how Delta/Iceberg OPTIMIZE interacts with time travel;
+    the in-place ``optimize_table`` is only for unversioned lakes."""
+    from msgvault_spark.sources.merge import _gen_files
+    from msgvault_spark.sources.snapshots import (
+        commit_snapshot,
+        latest_version,
+        read_snapshot,
+        snapshot_manifest,
+    )
+
+    v = latest_version(lake_dir, meta_dir=meta_dir)
+    if v is None:
+        raise ValueError(
+            f"no committed snapshot for {lake_dir}; use optimize_table "
+            "for unversioned lakes"
+        )
+    files_before = snapshot_manifest(
+        spark, lake_dir, meta_dir=meta_dir
+    ).count()
+    df = read_snapshot(spark, lake_dir, meta_dir=meta_dir)
+    # size the output by the current version's bytes (manifest has rows,
+    # not bytes; approximate via the source dir scan Spark already did)
+    n_rows = df.count()
+    total = sum(
+        sz for _, sz in [(f, os.path.getsize(f)) for f in _snapshot_files(
+            spark, lake_dir, meta_dir
+        ) if os.path.exists(f)]
+    )
+    n_out = max(1, math.ceil(total / target_bytes))
+    clustered = zorder_by(df, zorder_cols[0], zorder_cols[1], n_files=n_out)
+
+    gen_dir = os.path.join(lake_dir, f"gen{v + 1}")
+    (
+        clustered.write.mode("overwrite")
+        .option("compression", compression)
+        .parquet(gen_dir)
+    )
+    new_v = commit_snapshot(
+        spark, lake_dir, meta_dir=meta_dir,
+        stat_cols=stat_cols or list(zorder_cols),
+        files=_gen_files(gen_dir),
+    )
+    files_after = snapshot_manifest(
+        spark, lake_dir, version=new_v, meta_dir=meta_dir
+    ).count()
+    return {
+        "version": new_v,
+        "files_before": files_before,
+        "files_after": files_after,
+        "n_rows": n_rows,
+    }
+
+
+def _snapshot_files(spark, lake_dir, meta_dir) -> list[str]:
+    from msgvault_spark.sources.manifest import _local_path
+    from msgvault_spark.sources.snapshots import snapshot_manifest
+
+    return [
+        _local_path(r["file"])
+        for r in snapshot_manifest(spark, lake_dir, meta_dir=meta_dir)
+        .select("file").collect()
+    ]

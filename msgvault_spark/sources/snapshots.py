@@ -23,8 +23,10 @@ then read only its files. This module is that protocol:
 
 Composes with the rest of the S-layer: the version manifest rides the same
 min/max stats as sources/manifest.py, so snapshot reads keep file-level
-data skipping; sources/optimize.py's rewrite then commit is the compaction
-story. Metadata lives beside the lake (`<lake>_meta/`), like optimize.py.
+data skipping; sources/optimize.py:optimize_snapshot (rewrite into a new
+generation, then commit — old files left for vacuum) is the compaction
+story; the in-place optimize_table is for UNVERSIONED lakes only.
+Metadata lives beside the lake (`<lake>_meta/`), like optimize.py.
 
 At 100 TB the manifest is one tiny parquet per version (a row per file);
 the LATEST flip is a single rename — the same object-store-atomic
@@ -76,13 +78,19 @@ def commit_snapshot(
     meta_dir: str | None = None,
     stat_cols: list[str] | None = None,
     files: list[str] | None = None,
+    carry_rows: DataFrame | None = None,
 ) -> int:
     """Publish a file set as the next version (default: the lake dir's
     current files; pass ``files`` explicitly for copy-on-write commits
     that carry untouched files forward — sources/merge.py). Returns the
     new version number. Write order is manifest-then-pointer; the pointer
     flip is an atomic rename, so readers only ever resolve complete
-    versions."""
+    versions.
+
+    ``carry_rows``: previous-version manifest rows to carry forward
+    VERBATIM (same schema, i.e. the same ``stat_cols`` as this commit) —
+    stats are then computed only over ``files``, so a CoW commit's IO is
+    proportional to the files it rewrote, never the whole table."""
     root = _snap_root(lake_dir, meta_dir)
     os.makedirs(root, exist_ok=True)
     version = (latest_version(lake_dir, meta_dir=meta_dir) or 0) + 1
@@ -92,6 +100,8 @@ def commit_snapshot(
     for c in stat_cols or []:
         aggs += [F.min(c).alias(f"{c}_min"), F.max(c).alias(f"{c}_max")]
     manifest = df.groupBy(F.input_file_name().alias("file")).agg(*aggs)
+    if carry_rows is not None:
+        manifest = manifest.unionByName(carry_rows.select(*manifest.columns))
     vdir = os.path.join(root, f"v{version}")
     manifest.coalesce(1).write.mode("overwrite").parquet(vdir)
 

@@ -44,12 +44,35 @@ EVENTS_SCHEMA = T.StructType(
 
 def read_events_stream(spark: SparkSession, path: str) -> DataFrame:
     """File-source stream over events parquet (a directory of append shards
-    in production; a single file in the testdata)."""
+    in production; a single file in the testdata). The ``ts`` physical type
+    varies by writer — int64 nanos (surfacing as raw long under
+    nanosAsLong) or µs with/without isAdjustedToUTC — so probe the footer
+    with a batch read (metadata-only, no scan) and normalize to TIMESTAMP
+    exactly like the batch path (sources/loader.py)."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw = spark.readStream.schema(EVENTS_SCHEMA).parquet(path)
-    # ns → µs via integer division (never through double: ns-since-epoch
-    # exceeds 2^53)
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    import glob as _glob
+
+    probe_paths = sorted(_glob.glob(path)) or [path]
+    probed = dict(spark.read.parquet(probe_paths[0]).dtypes).get("ts", "bigint")
+    if probed == "bigint":
+        raw = spark.readStream.schema(EVENTS_SCHEMA).parquet(path)
+        # ns → µs via integer division (never through double: ns-since-epoch
+        # exceeds 2^53)
+        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    schema = T.StructType(
+        [
+            f if f.name != "ts"
+            else T.StructField(
+                "ts",
+                T.TimestampNTZType()
+                if probed == "timestamp_ntz"
+                else T.TimestampType(),
+            )
+            for f in EVENTS_SCHEMA.fields
+        ]
+    )
+    raw = spark.readStream.schema(schema).parquet(path)
+    return raw.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def windowed_rollup(

@@ -443,3 +443,73 @@ def test_vacuum_drops_only_unreferenced_files(spark, tmp_path):
     from msgvault_spark.sources.manifest import _local_path
     for f in v3_files:
         assert os.path.exists(_local_path(f))
+
+
+def test_merge_commit_carries_manifest_stats_forward(spark, tmp_path):
+    """CoW commit must not rescan untouched files: their manifest rows
+    (including min/max stats) ride forward verbatim from the previous
+    version (the r2 advisor finding on commit-time IO)."""
+    from msgvault_spark.sources.merge import merge_upsert
+    from msgvault_spark.sources.snapshots import snapshot_manifest
+
+    lake = str(tmp_path / "ctable")
+    init = spark.range(0, 800).selectExpr("id as k", "id as val")
+    merge_upsert(
+        spark, lake, init.repartitionByRange(8, "k").sortWithinPartitions("k"),
+        "k", stat_cols=["k"],
+    )
+    m1 = {r["file"]: (r["k_min"], r["k_max"], r["n_rows"])
+          for r in snapshot_manifest(spark, lake, version=1).collect()}
+    merge_upsert(
+        spark, lake,
+        spark.range(0, 40).selectExpr("id as k", "id * 3 as val"),
+        "k", stat_cols=["k"],
+    )
+    m2 = {r["file"]: (r["k_min"], r["k_max"], r["n_rows"])
+          for r in snapshot_manifest(spark, lake, version=2).collect()}
+    carried = set(m1) & set(m2)
+    assert carried, "clustered update must carry most files forward"
+    for f in carried:
+        assert m1[f] == m2[f], "carried manifest row must be verbatim"
+    # stats exist for the new generation's files too
+    for f in set(m2) - set(m1):
+        lo, hi, n = m2[f]
+        assert lo is not None and hi is not None and n > 0
+
+
+def test_optimize_snapshot_preserves_time_travel(spark, tmp_path):
+    """Snapshot-aware OPTIMIZE commits the clustered rewrite as a NEW
+    version and leaves prior files on disk, so pinned readers keep
+    working (the r2 advisor finding on in-place optimize vs snapshots)."""
+    import os
+    from pyspark.sql import functions as F
+    from msgvault_spark.sources.merge import merge_upsert
+    from msgvault_spark.sources.optimize import optimize_snapshot
+    from msgvault_spark.sources.snapshots import (
+        read_snapshot,
+        snapshot_manifest,
+        vacuum,
+    )
+    from msgvault_spark.sources.manifest import _local_path
+
+    lake = str(tmp_path / "otable")
+    init = spark.range(0, 2000).selectExpr(
+        "id as k", "id % 50 as x", "(id * 7) % 50 as y"
+    )
+    merge_upsert(spark, lake, init.repartition(16), "k", stat_cols=["k"])
+
+    out = optimize_snapshot(
+        spark, lake, ("x", "y"), target_bytes=64 * 1024, stat_cols=["x", "y"]
+    )
+    assert out["version"] == 2
+    # v2 readable + identical content
+    assert read_snapshot(spark, lake).count() == 2000
+    got = read_snapshot(spark, lake).agg(F.sum("k")).head()[0]
+    assert got == sum(range(2000))
+    # v1 STILL readable: its files were not deleted
+    assert read_snapshot(spark, lake, version=1).count() == 2000
+    for r in snapshot_manifest(spark, lake, version=1).collect():
+        assert os.path.exists(_local_path(r["file"]))
+    # vacuum is the (only) reclamation path
+    vacuum(spark, lake, keep_versions=1)
+    assert read_snapshot(spark, lake).count() == 2000

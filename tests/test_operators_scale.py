@@ -748,3 +748,22 @@ def test_epoch_upsample_copy_counts(spark):
     first = {(r["k"], r["epoch"]) for r in up.filter(
         F.col("src") == "a").collect()}
     assert first == again
+
+
+def test_epoch_upsample_fractional_below_one(spark):
+    """e < 1 is sub-epoch sampling: unselected rows must DROP, not pick up
+    phantom copies from sequence(0, -1)'s implicit step of -1 (the r2
+    advisor finding)."""
+    from pyspark.sql import functions as F
+    from msgvault_spark.operators.sampling import epoch_upsample
+
+    df = spark.createDataFrame(
+        [(i, "a") for i in range(2000)], "k long, src string"
+    )
+    up = epoch_upsample(df, "src", "k", {"a": 0.25})
+    rows = up.collect()
+    n = len(rows)
+    assert 350 < n < 650  # ~25% of 2000, hash tolerance
+    assert all(r["epoch"] == 0 for r in rows)  # never a -1 epoch index
+    per = up.groupBy("k").count().collect()
+    assert {r["count"] for r in per} == {1}  # at most one copy per key
