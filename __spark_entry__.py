@@ -23,18 +23,68 @@ from msgvault_spark.catalog import CATALOG
 # registration order, rows-only entries last. Union(r1, r2) then covers
 # every oracle-backed entry with a driver row.
 _PRIORITY = [
-    # --- not covered by the r1 driver gate (judge-verified only) ---
-    "cache_roundtrip_by_year",
+    # --- round-3 gate window. r1∪r2 driver rows cover every other
+    # oracle-backed entry; these 26 had judge-only verification (the 13
+    # below-window r2 entries + the 13 r1-demoted twins), so r3 spends
+    # its ~50 slots closing exactly that gap plus this round's new
+    # entries. rp_project_embeddings leads: its r2 row was red on the
+    # array-column canonicalizer crash, now reshaped to scalar columns.
+    "rp_project_embeddings",
+    "label_centroids",
+    "sliding_window_events",
+    "minhash_incremental_pairs",
+    "fuzzy_dedup_survivors",
+    "stream_stream_join_funnel",
+    "returned_items_q10",
+    "priority_shipping_q12",
+    "unigram_quality_docs",
+    "search_relative_dates",
+    "epoch_upsample_sources",
+    "bm25_phrase_documents",
+    "skew_report_orders",
+    "search_page2",
+    "stream_dedup_count",
+    "dedup_mime_hash_groups",
+    "raw_sql_v_domains",
+    "embed_preprocess_docs",
+    "weighted_mix_sources",
+    "pivot_events_weekly",
+    "approx_percentile_check",
+    "topk_orders_per_priority",
+    "profile_orders_table",
+    "top_bigrams_corpus",
+    "salted_join_priority_dim",
+    "time_series_zero_fill",
+    # --- new in round 3 ---
+    "list_conversation_messages",
+    "text_search_messages",
+    "text_stats_total",
+    "get_messages_raw_batch",
+    "get_message_by_source_id",
+    # --- core flagships (driver-green r1/r2; keep a row current) ---
+    "agg_senders",
+    "total_stats",
+    "list_messages_by_domain",
+    "search_fast_operators",
+    "hybrid_rrf",
+    "dedup_exact_survivors",
+    "knn_cosine_seed0",
+    "ann_lsh_seed0",
+    "bm25_documents",
+    "sessionize_events",
+    "snapshot_merge_timetravel",
     "list_conversations",
+    "hydrate_search_hits",
+    "pq_knn_seed0",
+    # --- everything below is driver-green from r1/r2 in this order ---
+    "cache_roundtrip_by_year",
     "text_agg_contacts",
     "empty_cc_by_year",
     "stream_rollup_daily",
     "agg_senders_with_search",
     "search_with_stats",
-    "snapshot_merge_timetravel",
     "search_by_domains",
     "rfc822_backfill",
-    "sessionize_events",
     "stratified_sample_docs",
     "dedup_component_sizes",
     "asof_events_orders",
@@ -50,8 +100,6 @@ _PRIORITY = [
     "hll_distinct_rollup",
     "shipping_priority_q3",
     "regional_volume_q5",
-    # --- new in round 2 ---
-    "hydrate_search_hits",
     "get_messages_by_ids",
     "list_accounts",
     "hybrid_rrf_hydrated",
@@ -59,8 +107,6 @@ _PRIORITY = [
     "cms_frequency_orders",
     "pack_training_sequences",
     "hist_quantile_orders",
-    # --- new in round 2 (post-verdict build) ---
-    "pq_knn_seed0",
     "chunk_documents",
     "redact_pii_docs",
     "dedup_line_segments",
@@ -73,48 +119,8 @@ _PRIORITY = [
     "knn_join_batch",
     "bloom_join_orders",
     "phrase_search_docs",
-    # --- upgraded from rows-only to oracle-backed in round 2 ---
     "media_features_entropy",
     "media_decode_fake",
-    # --- next in line (below the ~50 window; judge-verified locally) ---
-    "rp_project_embeddings",
-    "label_centroids",
-    "sliding_window_events",
-    "minhash_incremental_pairs",
-    "fuzzy_dedup_survivors",
-    "stream_stream_join_funnel",
-    "returned_items_q10",
-    "priority_shipping_q12",
-    "unigram_quality_docs",
-    "search_relative_dates",
-    "epoch_upsample_sources",
-    "bm25_phrase_documents",
-    "skew_report_orders",
-    # --- r1 entries demoted below the ~50-slot gate window this round:
-    # each is the semantic twin of an in-gate entry (mixing/sampling,
-    # grouping-sets, percentile, top-k, profiling, heavy-hitters, salted
-    # join, zero-fill) and was judge-verified green in r1; r3 promotes
-    # them for their driver row ---
-    "search_page2",
-    "stream_dedup_count",
-    "dedup_mime_hash_groups",
-    "raw_sql_v_domains",
-    "embed_preprocess_docs",
-    "weighted_mix_sources",
-    "pivot_events_weekly",
-    "approx_percentile_check",
-    "topk_orders_per_priority",
-    "profile_orders_table",
-    "top_bigrams_corpus",
-    "salted_join_priority_dim",
-    "time_series_zero_fill",
-    # --- core flagships (green in r1; keep a driver row current) ---
-    "agg_senders",
-    "total_stats",
-    "list_messages_by_domain",
-    "search_fast_operators",
-    "hybrid_rrf",
-    "dedup_exact_survivors",
 ]
 
 

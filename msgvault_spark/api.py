@@ -190,3 +190,29 @@ def list_accounts(spark, sf_dir: str) -> QueryResult:
     from msgvault_spark.sources.cache import get_archive
 
     return collect_result(_la(get_archive(spark, sf_dir)))
+
+
+def get_message_raw(
+    spark, sf_dir: str, raw_store: DataFrame, ids: list[int]
+) -> QueryResult:
+    """Batch GetMessageRaw analog (engine.go:31-33): decompressed raw MIME
+    per id from the caller's raw store (message_id, raw_data, compression);
+    absent/hidden ids yield no row."""
+    from msgvault_spark.plans.lookup import get_messages_raw
+    from msgvault_spark.sources.cache import get_archive
+
+    archive = get_archive(spark, sf_dir)
+    return collect_result(get_messages_raw(raw_store, archive["messages"], ids))
+
+
+def get_message_by_source_id(
+    spark, sf_dir: str, source_ids: list[str]
+) -> QueryResult:
+    """Batch GetMessageBySourceID analog (engine.go:28): summaries by
+    source_message_id; unknown ids yield no row."""
+    from msgvault_spark.plans.lookup import get_messages_by_source_ids
+    from msgvault_spark.sources.cache import get_archive
+
+    return collect_result(
+        get_messages_by_source_ids(get_archive(spark, sf_dir), source_ids)
+    )

@@ -257,3 +257,306 @@ def raw_sql_v_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
         LIMIT 50
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# TextEngine completion (round 3): the three reference TextEngine methods
+# that had no repo mirror yet — ListConversationMessages, TextSearch,
+# GetTextStats (reference internal/query/text_engine.go:20-28).
+# ---------------------------------------------------------------------------
+
+_TEXT_TYPES_SQL = "('whatsapp', 'imessage', 'sms', 'google_voice_text')"
+
+
+@register(
+    "list_conversation_messages",
+    oracle(
+        f"""
+, txt AS (
+    SELECT * FROM messages
+    WHERE message_type IN {_TEXT_TYPES_SQL}
+      AND deleted_from_source_at IS NULL
+),
+target AS (
+    SELECT conversation_id FROM txt
+    GROUP BY conversation_id
+    ORDER BY COUNT(*) DESC, conversation_id ASC
+    LIMIT 1
+),
+m AS (SELECT t.* FROM txt t JOIN target USING (conversation_id)),
+sender AS (
+    SELECT mr.message_id,
+           min(mr.participant_id) AS pid,
+           min_by(mr.display_name, mr.participant_id) AS mr_name
+    FROM message_recipients mr JOIN m ON m.id = mr.message_id
+    WHERE mr.recipient_type = 'from'
+    GROUP BY mr.message_id
+)
+SELECT m.id, m.source_message_id, m.conversation_id,
+       COALESCE(c.source_conversation_id, '') AS source_conversation_id,
+       COALESCE(m.subject, '') AS subject,
+       COALESCE(m.snippet, '') AS snippet,
+       COALESCE(p.email_address, '') AS from_email,
+       COALESCE(NULLIF(TRIM(s.mr_name), ''), NULLIF(TRIM(p.display_name), ''),
+                NULLIF(p.phone_number, ''), p.email_address, '') AS from_name,
+       COALESCE(p.phone_number, '') AS from_phone,
+       m.sent_at,
+       CAST(m.size_estimate AS BIGINT) AS size_estimate,
+       m.has_attachments,
+       CAST(m.attachment_count AS INTEGER) AS attachment_count,
+       m.message_type,
+       COALESCE(c.title, '') AS conv_title
+FROM m
+LEFT JOIN sender s ON s.message_id = m.id
+LEFT JOIN participants p ON p.id = COALESCE(s.pid, m.sender_id)
+LEFT JOIN conversations c ON c.id = m.conversation_id
+ORDER BY m.sent_at ASC, m.id ASC
+LIMIT 500
+"""
+    ),
+)
+def list_conversation_messages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ListConversationMessages (reference text_engine.go:20-21,
+    duckdb_text.go:296-391): chronological timeline of ONE conversation
+    under the chat-modality predicate, sender resolved first-from-row
+    (min_by participant) with the direct sender_id fallback (J6), conv
+    title decoration. The target conversation is picked deterministically
+    (most text messages, smallest id tiebreak) so the entry is stable at
+    every SF. Filtered ids are a broadcast semi-join, never a driver
+    collect; decorations are per-message pre-aggregates before the left
+    joins — the timeline stays one narrow scan + k broadcast joins."""
+    from msgvault_spark.functions.text import text_only_predicate
+
+    arch = get_archive(spark, sf_dir)
+    txt = (
+        arch["messages"]
+        .filter(text_only_predicate())
+        .filter(F.col("deleted_from_source_at").isNull())
+    )
+    target = (
+        txt.groupBy("conversation_id")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .orderBy(F.col("__n").desc(), F.col("conversation_id").asc())
+        .limit(1)
+        .select("conversation_id")
+    )
+    m = txt.join(F.broadcast(target), "conversation_id")
+    sender = (
+        arch["message_recipients"]
+        .filter(F.col("recipient_type") == "from")
+        .join(
+            F.broadcast(m.select(F.col("id").alias("message_id"))),
+            "message_id",
+        )
+        .groupBy("message_id")
+        .agg(
+            F.min("participant_id").alias("pid"),
+            F.min_by("display_name", "participant_id").alias("mr_name"),
+        )
+    )
+    p = arch["participants"].select(
+        F.col("id").alias("p_id"),
+        F.col("email_address").alias("p_email"),
+        F.col("display_name").alias("p_display"),
+        F.col("phone_number").alias("p_phone"),
+    )
+    c = arch["conversations"].select(
+        F.col("id").alias("c_id"),
+        F.col("source_conversation_id").alias("c_src"),
+        F.col("title").alias("c_title"),
+    )
+    return (
+        m.join(sender, m["id"] == sender["message_id"], "left")
+        .drop("message_id")
+        .withColumn("sender_pid", F.coalesce(F.col("pid"), F.col("sender_id")))
+        .join(F.broadcast(p), F.col("sender_pid") == F.col("p_id"), "left")
+        .join(F.broadcast(c), F.col("conversation_id") == F.col("c_id"), "left")
+        .select(
+            "id",
+            "source_message_id",
+            "conversation_id",
+            F.coalesce(F.col("c_src"), F.lit("")).alias("source_conversation_id"),
+            F.coalesce(F.col("subject"), F.lit("")).alias("subject"),
+            F.coalesce(F.col("snippet"), F.lit("")).alias("snippet"),
+            F.coalesce(F.col("p_email"), F.lit("")).alias("from_email"),
+            F.coalesce(
+                F.when(F.trim(F.col("mr_name")) != "", F.trim(F.col("mr_name"))),
+                F.when(F.trim(F.col("p_display")) != "", F.trim(F.col("p_display"))),
+                F.when(F.col("p_phone") != "", F.col("p_phone")),
+                F.col("p_email"),
+                F.lit(""),
+            ).alias("from_name"),
+            F.coalesce(F.col("p_phone"), F.lit("")).alias("from_phone"),
+            "sent_at",
+            F.col("size_estimate").cast("long").alias("size_estimate"),
+            "has_attachments",
+            F.col("attachment_count").cast("int").alias("attachment_count"),
+            "message_type",
+            F.coalesce(F.col("c_title"), F.lit("")).alias("conv_title"),
+        )
+        .orderBy(F.col("sent_at").asc(), F.col("id").asc())
+        .limit(500)
+    )
+
+
+@register(
+    "text_search_messages",
+    oracle(
+        f"""
+SELECT m.id,
+       COALESCE(m.subject, '') AS subject,
+       COALESCE(m.snippet, '') AS snippet,
+       COALESCE(p.email_address, '') AS from_email,
+       m.sent_at,
+       m.message_type,
+       COALESCE(c.title, '') AS conv_title
+FROM messages m
+LEFT JOIN participants p ON p.id = m.sender_id
+LEFT JOIN conversations c ON c.id = m.conversation_id
+WHERE m.message_type IN {_TEXT_TYPES_SQL}
+  AND m.deleted_from_source_at IS NULL
+  AND list_contains(
+        string_split_regex(lower(COALESCE(m.subject, '') || ' ' ||
+                                 COALESCE(m.snippet, '')), '[^a-z0-9]+'),
+        'urgent')
+ORDER BY m.sent_at DESC, m.id DESC
+LIMIT 50 OFFSET 10
+"""
+    ),
+)
+def text_search_messages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TextSearch (reference text_engine.go:23-25, duckdb_text.go:393-450):
+    plain token-match FTS over the chat modality — the FTS5 MATCH
+    semantics replayed as tokenize + membership, sent_at DESC with id
+    tiebreak, LIMIT/OFFSET pagination (offset via row_number, O4). The
+    token test is a pure map pushed to the scan; sender/conversation
+    decoration joins are broadcast."""
+    from pyspark.sql import Window as W
+
+    from msgvault_spark.functions.text import text_only_predicate
+
+    arch = get_archive(spark, sf_dir)
+    toks = F.split(
+        F.lower(
+            F.concat_ws(
+                " ",
+                F.coalesce(F.col("subject"), F.lit("")),
+                F.coalesce(F.col("snippet"), F.lit("")),
+            )
+        ),
+        "[^a-z0-9]+",
+    )
+    hits = (
+        arch["messages"]
+        .filter(text_only_predicate())
+        .filter(F.col("deleted_from_source_at").isNull())
+        .filter(F.array_contains(toks, "urgent"))
+    )
+    p = arch["participants"].select(
+        F.col("id").alias("p_id"), F.col("email_address").alias("p_email")
+    )
+    c = arch["conversations"].select(
+        F.col("id").alias("c_id"), F.col("title").alias("c_title")
+    )
+    w = W.orderBy(F.col("sent_at").desc(), F.col("id").desc())
+    return (
+        hits.join(F.broadcast(p), F.col("sender_id") == F.col("p_id"), "left")
+        .join(F.broadcast(c), F.col("conversation_id") == F.col("c_id"), "left")
+        .select(
+            "id",
+            F.coalesce(F.col("subject"), F.lit("")).alias("subject"),
+            F.coalesce(F.col("snippet"), F.lit("")).alias("snippet"),
+            F.coalesce(F.col("p_email"), F.lit("")).alias("from_email"),
+            "sent_at",
+            "message_type",
+            F.coalesce(F.col("c_title"), F.lit("")).alias("conv_title"),
+        )
+        .withColumn("__rn", F.row_number().over(w))
+        .filter((F.col("__rn") > 10) & (F.col("__rn") <= 60))
+        .drop("__rn")
+    )
+
+
+@register(
+    "text_stats_total",
+    oracle(
+        f"""
+, t AS (
+    SELECT * FROM messages
+    WHERE message_type IN {_TEXT_TYPES_SQL}
+      AND deleted_from_source_at IS NULL
+      AND (subject ILIKE '%urgent%' ESCAPE '\\'
+           OR snippet ILIKE '%urgent%' ESCAPE '\\')
+),
+att AS (
+    SELECT message_id, COUNT(*) AS att_n,
+           CAST(SUM(size) AS BIGINT) AS att_sz
+    FROM attachments GROUP BY message_id
+),
+mainq AS (
+    SELECT COUNT(*) AS message_count,
+           CAST(COALESCE(SUM(CAST(t.size_estimate AS BIGINT)), 0) AS BIGINT)
+               AS total_size,
+           CAST(COALESCE(SUM(att.att_n), 0) AS BIGINT) AS attachment_count,
+           CAST(COALESCE(SUM(att.att_sz), 0) AS BIGINT) AS attachment_size,
+           COUNT(DISTINCT t.source_id) AS account_count
+    FROM t LEFT JOIN att ON att.message_id = t.id
+),
+lab AS (
+    SELECT COUNT(DISTINCT l.name) AS label_count
+    FROM t
+    JOIN message_labels ml ON ml.message_id = t.id
+    JOIN labels l ON l.id = ml.label_id
+)
+SELECT mainq.message_count, mainq.total_size, mainq.attachment_count,
+       mainq.attachment_size, mainq.account_count, lab.label_count
+FROM mainq, lab
+"""
+    ),
+)
+def text_stats_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GetTextStats (reference text_engine.go:27-28, duckdb_text.go:452-515):
+    global chat-modality stats — message count/size, attachment pre-agg
+    sums (A4 before the join), distinct accounts, distinct labels — under
+    the optional SearchQuery ILIKE filter (here 'urgent', exercising the
+    escape path F8). Two single-row aggregates cross-joined 1×1 (the W1
+    broadcast pattern); everything partial-aggregates map-side."""
+    from msgvault_spark.functions.text import text_only_predicate
+
+    arch = get_archive(spark, sf_dir)
+    t = (
+        arch["messages"]
+        .filter(text_only_predicate())
+        .filter(F.col("deleted_from_source_at").isNull())
+        .filter(
+            F.lower(F.col("subject")).contains("urgent")
+            | F.lower(F.col("snippet")).contains("urgent")
+        )
+    )
+    att = arch["attachments"].groupBy("message_id").agg(
+        F.count(F.lit(1)).alias("att_n"),
+        F.sum("size").cast("long").alias("att_sz"),
+    )
+    mainq = (
+        t.join(att, t["id"] == att["message_id"], "left")
+        .agg(
+            F.count(F.lit(1)).alias("message_count"),
+            F.coalesce(F.sum(F.col("size_estimate").cast("long")), F.lit(0))
+            .cast("long").alias("total_size"),
+            F.coalesce(F.sum("att_n"), F.lit(0)).cast("long")
+            .alias("attachment_count"),
+            F.coalesce(F.sum("att_sz"), F.lit(0)).cast("long")
+            .alias("attachment_size"),
+            F.countDistinct("source_id").alias("account_count"),
+        )
+    )
+    lbl = arch["labels"].select(
+        F.col("id").alias("lbl_id"), F.col("name").alias("lbl_name")
+    )
+    lab = (
+        t.select(F.col("id").alias("message_id"))
+        .join(arch["message_labels"], "message_id")
+        .join(F.broadcast(lbl), F.col("label_id") == F.col("lbl_id"))
+        .agg(F.countDistinct("lbl_name").alias("label_count"))
+    )
+    return mainq.crossJoin(F.broadcast(lab))

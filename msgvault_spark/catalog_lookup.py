@@ -220,3 +220,126 @@ def list_accounts_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ListAccounts analog (engine.go:77-78): account dim with per-account
     stats from one hash-agg over messages."""
     return lookup.list_accounts(get_archive(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# Round 3: batch raw-MIME retrieval and source-id lookup
+# (engine.go:28, 31-33 — the last two point-lookup rows without mirrors)
+# ---------------------------------------------------------------------------
+
+
+def _raw_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synthetic message_raw table (the testdata lake stores no MIME blobs):
+    deterministic RFC822-ish payload per message, zlib-compressed for even
+    ids and stored raw for odd — both compression branches of the
+    reference's raw store (shared.go:239-252). Messages with id % 5 == 0
+    have NO raw row, exercising the absent-raw path."""
+    from msgvault_spark.functions.mime import zlib_compress
+
+    msgs = get_archive(spark, sf_dir)["messages"]
+    plain = F.encode(
+        F.concat(
+            F.lit("Message-ID: <"),
+            F.col("source_message_id"),
+            F.lit(">\r\nSubject: "),
+            F.coalesce(F.col("subject"), F.lit("")),
+            F.lit("\r\n\r\n"),
+            F.coalesce(F.col("snippet"), F.lit("")),
+        ),
+        "UTF-8",
+    )
+    return (
+        msgs.filter(F.col("id") % 5 != 0)
+        .select(
+            F.col("id").alias("message_id"),
+            plain.alias("plain"),
+            F.when(F.col("id") % 2 == 0, F.lit("zlib"))
+            .otherwise(F.lit("none"))
+            .alias("compression"),
+        )
+        .select(
+            "message_id",
+            F.when(
+                F.col("compression") == "zlib", zlib_compress(F.col("plain"))
+            )
+            .otherwise(F.col("plain"))
+            .alias("raw_data"),
+            "compression",
+        )
+    )
+
+
+@register(
+    "get_messages_raw_batch",
+    oracle(
+        """
+, hits AS (SELECT id FROM messages ORDER BY id ASC LIMIT 30)
+SELECT m.id,
+       'Message-ID: <' || m.source_message_id || '>' || chr(13) || chr(10) ||
+       'Subject: ' || COALESCE(m.subject, '') || chr(13) || chr(10) ||
+       chr(13) || chr(10) || COALESCE(m.snippet, '') AS raw_text,
+       CASE WHEN m.id % 2 = 0 THEN 'zlib' ELSE 'none' END AS compression
+FROM messages m JOIN hits h ON h.id = m.id
+WHERE m.id % 5 <> 0 AND m.deleted_from_source_at IS NULL
+ORDER BY m.id
+"""
+    ),
+)
+def get_messages_raw_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch GetMessageRaw (engine.go:31-33, shared.go:217-252): 30
+    requested ids → decompressed raw MIME through the Arrow zlib UDF
+    (F14), live-filtered; ids without a stored raw produce no row. The
+    oracle rebuilds the expected plaintext directly, so a decompression
+    bug (or a leak of compressed bytes) hash-mismatches."""
+    archive = get_archive(spark, sf_dir)
+    ids = [
+        r["id"]
+        for r in archive["messages"].orderBy(F.col("id").asc())
+        .select("id").limit(30).collect()
+    ]
+    return lookup.get_messages_raw(
+        _raw_store(spark, sf_dir), archive["messages"], ids
+    )
+
+
+@register(
+    "get_message_by_source_id",
+    oracle(
+        _MS_CTE
+        + """
+, hits AS (
+    SELECT id, source_message_id FROM messages
+    WHERE has_attachments
+    ORDER BY size_estimate DESC, id ASC LIMIT 15
+)
+SELECT msg.source_message_id, msg.id,
+       COALESCE(msg.subject, '') AS subject,
+       COALESCE(msg.snippet, '') AS snippet,
+       COALESCE(ms.ms_email, '') AS from_email,
+       COALESCE(ms.ms_name, '') AS from_name,
+       msg.sent_at,
+       COALESCE(msg.size_estimate, 0) AS size_estimate,
+       COALESCE(msg.message_type, '') AS message_type
+FROM hits h
+JOIN messages msg ON msg.id = h.id
+LEFT JOIN ms ON ms.message_id = msg.id
+ORDER BY msg.id
+"""
+    ),
+)
+def get_message_by_source_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch GetMessageBySourceID (engine.go:28, duckdb.go:1412-1426):
+    source_message_id list → summaries; an unknown source id (appended
+    below) yields no row, the reference's per-id not-found. Predicate
+    pushed to the scan, sender via the shared dual-path stage."""
+    archive = get_archive(spark, sf_dir)
+    sids = [
+        r["source_message_id"]
+        for r in archive["messages"]
+        .filter(F.col("has_attachments"))
+        .orderBy(F.col("size_estimate").desc(), F.col("id").asc())
+        .select("source_message_id").limit(15).collect()
+    ]
+    return lookup.get_messages_by_source_ids(
+        archive, sids + ["no-such-source-id"]
+    )

@@ -72,6 +72,20 @@ def zlib_decompress(raw: pd.Series) -> pd.Series:
     return raw.map(_one)
 
 
+@pandas_udf(T.BinaryType())
+def zlib_compress(raw: pd.Series) -> pd.Series:
+    """Store-side twin of ``zlib_decompress`` (the reference writes raw
+    MIME zlib-compressed, store side of shared.go:217-252); used by the
+    synthetic raw store and ETL sinks."""
+
+    def _one(b):
+        if b is None:
+            return None
+        return zlib.compress(bytes(b))
+
+    return raw.map(_one)
+
+
 def _normalize_one(text: str | None) -> str | None:
     if text is None:
         return None

@@ -166,6 +166,70 @@ def get_messages(archive: dict[str, DataFrame], ids: list[int]) -> DataFrame:
     ).orderBy("rank")
 
 
+def get_messages_raw(
+    raw_store: DataFrame, messages: DataFrame, ids: list[int]
+) -> DataFrame:
+    """Batch GetMessageRaw (engine.go:31-33, shared.go:217-252): id list →
+    decompressed raw MIME, with the same visibility rule as every read
+    path (dedup losers and source-deleted rows are invisible). Ids with no
+    stored raw simply produce no row — the batch spelling of the
+    reference's ``nil, nil``.
+
+    ``raw_store`` is (message_id, raw_data binary, compression string);
+    the zlib branch is the Arrow-batched F14 UDF, identity rows pass
+    through. Returns (id, raw_text) with raw decoded utf-8 so downstream
+    (and the oracle hash) compare text, not bytes."""
+    from msgvault_spark.functions.mime import zlib_decompress
+    from msgvault_spark.plans.aggregate import live_messages
+
+    if not ids:
+        raise ValueError("get_messages_raw: empty id list")
+    idset = [int(i) for i in ids]
+    live = live_messages(messages, hide_deleted_from_source=True).select(
+        F.col("id").alias("m_id")
+    )
+    return (
+        raw_store.filter(F.col("message_id").isin(*idset))
+        .join(live, F.col("message_id") == F.col("m_id"))
+        .select(
+            F.col("message_id").alias("id"),
+            F.decode(zlib_decompress(F.col("raw_data")), "UTF-8").alias(
+                "raw_text"
+            ),
+            "compression",
+        )
+        .orderBy("id")
+    )
+
+
+def get_messages_by_source_ids(
+    archive: dict[str, DataFrame], source_ids: list[str]
+) -> DataFrame:
+    """Batch GetMessageBySourceID (engine.go:28, duckdb.go:1412-1426):
+    source_message_id list → summary rows. Unknown source ids produce no
+    row (the reference returns not-found per id). The source-id predicate
+    is pushed to the scan; sender resolution is the shared dual-path
+    stage (J6)."""
+    if not source_ids:
+        raise ValueError("get_messages_by_source_ids: empty list")
+    sids = [str(s) for s in source_ids]
+    msg = archive["messages"].filter(F.col("source_message_id").isin(*sids))
+    decorated = _sender_resolution(
+        msg, archive["message_recipients"], archive["participants"]
+    )
+    return decorated.select(
+        "source_message_id",
+        "id",
+        F.coalesce(F.col("subject"), F.lit("")).alias("subject"),
+        F.coalesce(F.col("snippet"), F.lit("")).alias("snippet"),
+        "from_email",
+        "from_name",
+        "sent_at",
+        F.coalesce(F.col("size_estimate"), F.lit(0)).alias("size_estimate"),
+        F.coalesce(F.col("message_type"), F.lit("")).alias("message_type"),
+    ).orderBy("id")
+
+
 def list_accounts(archive: dict[str, DataFrame]) -> DataFrame:
     """Account dim with per-account stats (ListAccounts, engine.go:77-78).
     One hash-agg over messages — the account table the reference keeps
