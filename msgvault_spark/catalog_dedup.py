@@ -694,14 +694,21 @@ def fuzzy_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     (source priority, lowest id) — the D3 survivor-selection rule lifted
     from exact groups to near-dup clusters. The recursive-CTE oracle
     replays the whole chain; the Spark path is the 100 TB one."""
-    from msgvault_spark.dedup.components import connected_components
     from msgvault_spark.dedup.minhash import build_minhash_index, pairs_from_index
+    from msgvault_spark.sources.cache import get_components
 
     docs = load_table(spark, sf_dir, "documents")
-    pairs = pairs_from_index(build_minhash_index(docs, "doc_id", "text"))
-    comp = connected_components(
-        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
-    )
+
+    def edges():
+        pairs = pairs_from_index(build_minhash_index(docs, "doc_id", "text"))
+        return pairs.select(
+            F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+        )
+
+    # cluster labels are materialized once per corpus snapshot (ETL
+    # artifact, sources/cache.py) — the query is survivor selection over
+    # the label table
+    comp = get_components(spark, (sf_dir, "minhash_pairs"), edges)
     prank = (
         F.when(F.col("source") == "src0", 0)
         .when(F.col("source") == "src1", 1)

@@ -144,12 +144,20 @@ def bm25_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as FF
 
     from msgvault_spark.search.fts import bm25_scores
-    from msgvault_spark.sources.cache import get_corpus_stats, get_text_index
+    from msgvault_spark.sources.cache import (
+        get_corpus_stats,
+        get_term_stats,
+        get_text_index,
+    )
 
     postings, stats = get_text_index(spark, sf_dir, "documents", "doc_id", "text")
     cstats = get_corpus_stats(spark, sf_dir, "documents", "doc_id", "text")
+    tstats = get_term_stats(spark, sf_dir, "documents", "doc_id", "text")
     return (
-        bm25_scores(postings, stats, _BM25_TERMS, round_to=6, corpus_stats=cstats)
+        bm25_scores(
+            postings, stats, _BM25_TERMS, round_to=6,
+            corpus_stats=cstats, term_stats=tstats,
+        )
         .orderBy(FF.col("score").desc(), FF.col("doc_id").asc())
         .limit(20)
     )
@@ -229,7 +237,11 @@ LIMIT 20
 @register("hybrid_rrf", _hybrid_oracle(), headline=True)
 def hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25 ∪ KNN fused via RRF 1/(60+rank), deterministic tie-break (Q8)."""
-    from msgvault_spark.sources.cache import get_corpus_stats, get_text_index
+    from msgvault_spark.sources.cache import (
+        get_corpus_stats,
+        get_term_stats,
+        get_text_index,
+    )
 
     docs = load_table(spark, sf_dir, "documents")
     emb = load_table(spark, sf_dir, "embeddings")
@@ -244,6 +256,7 @@ def hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         round_scores=6,
         text_index=get_text_index(spark, sf_dir, "documents", "doc_id", "text"),
         corpus_stats=get_corpus_stats(spark, sf_dir, "documents", "doc_id", "text"),
+        term_stats=get_term_stats(spark, sf_dir, "documents", "doc_id", "text"),
     )
 
 
@@ -372,7 +385,11 @@ def hybrid_rrf_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hybrid search with a drill-down filter pushed into BOTH signals
     (Q10): candidates restricted to id < 2500, BM25 corpus stats global —
     FTS5 semantics under the reference's shared `filtered` CTE."""
-    from msgvault_spark.sources.cache import get_corpus_stats, get_text_index
+    from msgvault_spark.sources.cache import (
+        get_corpus_stats,
+        get_term_stats,
+        get_text_index,
+    )
 
     docs = load_table(spark, sf_dir, "documents")
     emb = load_table(spark, sf_dir, "embeddings")
@@ -402,7 +419,11 @@ def bm25_prefix_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as FF
 
     from msgvault_spark.search.fts import bm25_scores_prefix
-    from msgvault_spark.sources.cache import get_corpus_stats, get_text_index
+    from msgvault_spark.sources.cache import (
+        get_corpus_stats,
+        get_term_stats,
+        get_text_index,
+    )
 
     postings, stats = get_text_index(spark, sf_dir, "documents", "doc_id", "text")
     cstats = get_corpus_stats(spark, sf_dir, "documents", "doc_id", "text")
@@ -556,15 +577,22 @@ def bm25_phrase_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as FF
 
     from msgvault_spark.search.fts import bm25_scores
-    from msgvault_spark.sources.cache import get_corpus_stats, get_text_index
+    from msgvault_spark.sources.cache import (
+        get_corpus_stats,
+        get_term_stats,
+        get_text_index,
+    )
 
     docs = load_table(spark, sf_dir, "documents")
     idx = build_positional_index(docs, "doc_id", "text")
     hits = phrase_occurrences(idx, _PHRASE)
     postings, stats = get_text_index(spark, sf_dir, "documents", "doc_id", "text")
     cstats = get_corpus_stats(spark, sf_dir, "documents", "doc_id", "text")
+    from msgvault_spark.sources.cache import get_term_stats
+
     scored = bm25_scores(
-        postings, stats, _PHRASE, round_to=6, corpus_stats=cstats
+        postings, stats, _PHRASE, round_to=6, corpus_stats=cstats,
+        term_stats=get_term_stats(spark, sf_dir, "documents", "doc_id", "text"),
     )
     return (
         scored.join(hits, "doc_id")

@@ -65,6 +65,7 @@ def bm25_scores(
     round_to: int | None = None,
     corpus_stats: tuple[int, float] | None = None,
     candidate_filter=None,
+    term_stats: DataFrame | None = None,
 ) -> DataFrame:
     """Score docs matching ALL ``terms``; returns (doc_id, score) unbounded —
     callers order/limit. Query terms are lowercased to match the index.
@@ -74,6 +75,12 @@ def bm25_scores(
     so they fold into the score expression as literals instead of costing a
     per-query aggregate subplan.
 
+    ``term_stats`` — the ETL-time (term, df) table (an FTS index stores
+    document frequencies; sources/cache.get_term_stats memoizes it) —
+    replaces the per-query df aggregation over candidate postings with a
+    filtered broadcast of precomputed rows: one less shuffle per query,
+    same numbers.
+
     ``candidate_filter`` (a Column predicate on doc_id) restricts WHICH docs
     may score while idf/df/avgdl stay GLOBAL — FTS5's behavior when the
     reference's `filtered` CTE constrains MATCH results (Q10,
@@ -82,11 +89,16 @@ def bm25_scores(
     if not terms:
         raise ValueError("bm25_scores needs at least one term")
 
-    term_df = (
-        postings.filter(F.col("term").isin(*terms))
-        .groupBy("term")
-        .agg(F.count(F.lit(1)).alias("df"))
-    )
+    if term_stats is not None:
+        term_df = term_stats.filter(F.col("term").isin(*terms)).select(
+            "term", "df"
+        )
+    else:
+        term_df = (
+            postings.filter(F.col("term").isin(*terms))
+            .groupBy("term")
+            .agg(F.count(F.lit(1)).alias("df"))
+        )
 
     matched = (
         postings.filter(F.col("term").isin(*terms))

@@ -148,6 +148,7 @@ def hybrid_search(
     round_scores: int | None = None,
     text_index: tuple[DataFrame, DataFrame] | None = None,
     corpus_stats: tuple[int, float] | None = None,
+    term_stats: DataFrame | None = None,
     doc_filter=None,
     vec_filter=None,
 ) -> DataFrame:
@@ -167,7 +168,8 @@ def hybrid_search(
         terms = [t for t in query_text.lower().split() if t]
         bm25_top = (
             bm25_scores(postings, doc_stats, terms, round_to=round_scores,
-                        corpus_stats=corpus_stats, candidate_filter=doc_filter)
+                        corpus_stats=corpus_stats, term_stats=term_stats,
+                        candidate_filter=doc_filter)
             .orderBy(F.col("score").desc(), F.col("doc_id").asc())
             .limit(k_per_signal + 1)
         ).withColumnRenamed("doc_id", "id")

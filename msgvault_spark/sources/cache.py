@@ -210,6 +210,7 @@ def get_wide_messages(spark: SparkSession, sf_dir: str) -> DataFrame:
 _TABLE_MEMO: dict[tuple[str, str, str], DataFrame] = {}
 _TEXT_INDEX_MEMO: dict[tuple[str, str, str, str, str], tuple[DataFrame, DataFrame]] = {}
 _CORPUS_STATS_MEMO: dict[tuple[str, str, str, str, str], tuple[int, float]] = {}
+_TERM_STATS_MEMO: dict[tuple[str, str, str, str, str], DataFrame] = {}
 
 
 def get_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -247,6 +248,18 @@ def get_corpus_stats(
     return _CORPUS_STATS_MEMO[key]
 
 
+def get_term_stats(
+    spark: SparkSession, sf_dir: str, table: str, id_col: str, text_col: str
+) -> DataFrame:
+    """ETL-time (term, df) document-frequency table — the statistic an FTS
+    index keeps next to its postings. Queries broadcast a filtered slice of
+    it instead of re-aggregating candidate postings per query."""
+    key = (spark.sparkContext.applicationId, sf_dir, table, id_col, text_col)
+    if key not in _TERM_STATS_MEMO:
+        _build_text_index(spark, key, sf_dir, table, id_col, text_col)
+    return _TERM_STATS_MEMO[key]
+
+
 def _build_text_index(spark, key, sf_dir, table, id_col, text_col) -> None:
     from pyspark.sql import functions as F
 
@@ -262,11 +275,42 @@ def _build_text_index(spark, key, sf_dir, table, id_col, text_col) -> None:
     postings = postings.coalesce(n).persist(StorageLevel.MEMORY_AND_DISK)
     stats = stats.coalesce(n).persist(StorageLevel.MEMORY_AND_DISK)
     postings.count()
+    term_stats = (
+        postings.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .coalesce(n)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    term_stats.count()
     row = stats.agg(
         F.count(F.lit(1)).alias("n"), F.avg("dl").alias("avgdl")
     ).collect()[0]
     _TEXT_INDEX_MEMO[key] = (postings, stats)
+    _TERM_STATS_MEMO[key] = term_stats
     _CORPUS_STATS_MEMO[key] = (int(row["n"]), float(row["avgdl"]))
+
+
+_COMPONENTS_MEMO: dict[tuple, DataFrame] = {}
+
+
+def get_components(
+    spark: SparkSession, cache_key: tuple, edges_builder, **params
+) -> DataFrame:
+    """Memoized persisted connected-components labeling (dedup/
+    components.py) — the cluster-assignment table a dedup pipeline
+    materializes once per corpus snapshot (an ETL artifact exactly like
+    the minhash/FTS indexes above), so queries aggregate a label table
+    instead of re-running the iterative fixpoint per invocation."""
+    from msgvault_spark.dedup.components import connected_components
+
+    key = (spark.sparkContext.applicationId, *cache_key, *sorted(params.items()))
+    if key not in _COMPONENTS_MEMO:
+        comp = connected_components(edges_builder(), **params).persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
+        comp.count()
+        _COMPONENTS_MEMO[key] = comp
+    return _COMPONENTS_MEMO[key]
 
 
 _MINHASH_MEMO: dict[tuple, DataFrame] = {}
