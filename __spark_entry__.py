@@ -61,6 +61,14 @@ _PRIORITY = [
     "text_stats_total",
     "get_messages_raw_batch",
     "get_message_by_source_id",
+    "order_priority_q4",
+    "forecast_revenue_q6",
+    "nation_profit_q9",
+    "promo_revenue_q14",
+    "supplier_parts_q16",
+    "disjunctive_revenue_q19",
+    "waiting_suppliers_q21",
+    "idle_customers_q22",
     # --- core flagships (driver-green r1/r2; keep a row current) ---
     "agg_senders",
     "total_stats",

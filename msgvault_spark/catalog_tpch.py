@@ -1,0 +1,419 @@
+"""Round-3 TPC-H-shaped entries: the join/agg shapes Q1/Q3/Q5/Q7/Q8/Q10/
+Q12 (already in catalog.py / catalog_pipeline.py) don't cover —
+grouped semi-join (Q4), pure scan-agg with conjunctive range predicates
+(Q6), multi-way profit rollup (Q9), conditional-aggregate ratio (Q14),
+distinct-count with anti-joined exclusion list (Q16), disjunction-of-
+conjunctions join predicate (Q19), double-correlated EXISTS/NOT EXISTS
+(Q21), and scalar-average subquery + NOT EXISTS (Q22).
+
+The testdata's TPC-H-ish schema is reduced (no partsupp/commitdate/
+receiptdate/phone/container/comment), so each query keeps the SHAPE on
+the columns that exist; the point is the plan class, not benchmark
+compliance. Money aggregates run as scaled longs (cents) per the
+pricing_summary convention — exact, codegen-friendly, engine-identical.
+
+Registered on import by catalog.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from msgvault_spark.catalog import register
+from msgvault_spark.sources.cache import get_table as load_table
+
+
+def _cents(expr) -> F.Column:
+    return F.floor(expr * 100).cast("long")
+
+
+_REV_SQL = "CAST(floor(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)"
+
+
+@register(
+    "order_priority_q4",
+    """
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS order_count
+FROM orders o
+WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o.o_orderdate < TIMESTAMP '1996-04-01'
+  AND EXISTS (
+      SELECT 1 FROM lineitem l
+      WHERE l.l_orderkey = o.o_orderkey
+        AND l.l_shipdate > o.o_orderdate + INTERVAL 30 DAY
+  )
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+""",
+)
+def order_priority_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q4 shape: date-windowed orders semi-joined (EXISTS) to a correlated
+    lineitem predicate, then a priority rollup. The correlation compares
+    columns from BOTH sides (l_shipdate > o_orderdate + 30d), so the semi
+    join carries the date in its condition — a left_semi hash join with a
+    post-probe filter, no subquery re-execution."""
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    l = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    late = o.join(
+        l,
+        (F.col("l_orderkey") == F.col("o_orderkey"))
+        & (F.col("l_shipdate") > F.expr("o_orderdate + interval 30 days")),
+        "left_semi",
+    )
+    return (
+        late.groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).cast("long").alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+@register(
+    "forecast_revenue_q6",
+    """
+SELECT CAST(SUM(CAST(floor(l_extendedprice * l_discount * 100) AS BIGINT))
+       AS BIGINT) AS revenue_c
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+""",
+)
+def forecast_revenue_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q6 shape: the canonical scan-efficiency query — three conjunctive
+    range predicates ALL pushed to the parquet scan, one global agg, no
+    join, no shuffle beyond the final single-row reduce."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum(_cents(F.col("l_extendedprice") * F.col("l_discount")))
+            .cast("long")
+            .alias("revenue_c")
+        )
+    )
+
+
+@register(
+    "nation_profit_q9",
+    f"""
+SELECT n_name AS nation,
+       CAST(EXTRACT(year FROM o_orderdate) AS INT) AS yr,
+       CAST(SUM({_REV_SQL}) AS BIGINT) AS profit_c
+FROM lineitem
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN part ON p_partkey = l_partkey
+JOIN orders ON o_orderkey = l_orderkey
+JOIN nation ON n_nationkey = s_nationkey
+WHERE p_name LIKE '%gear%'
+GROUP BY 1, 2
+ORDER BY nation ASC, yr DESC
+""",
+)
+def nation_profit_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q9 shape (partsupp-less): 5-way join — fact lineitem against three
+    broadcast dims + the orders fact — with a pushed LIKE on the part dim,
+    year extraction, and a (nation, year) profit rollup. The part filter
+    prunes BEFORE the broadcast, so the join build side is the filtered
+    dim."""
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    p = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("%gear%"))
+        .select("p_partkey")
+    )
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("int").alias("yr"),
+        )
+        .agg(
+            F.sum(
+                _cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+            )
+            .cast("long")
+            .alias("profit_c")
+        )
+        .orderBy(F.col("nation").asc(), F.col("yr").desc())
+    )
+
+
+@register(
+    "promo_revenue_q14",
+    f"""
+SELECT CAST(SUM(CASE WHEN p_type = 'PROMO' THEN {_REV_SQL} ELSE 0 END)
+            AS BIGINT) AS promo_revenue_c,
+       CAST(SUM({_REV_SQL}) AS BIGINT) AS total_revenue_c
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1996-02-01'
+""",
+)
+def promo_revenue_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q14 shape: conditional aggregate over a fact⋈broadcast-dim join —
+    the promo/total split computed in ONE pass with CASE inside SUM (the
+    ratio is a trivial post-step; both operands are returned exact so the
+    oracle compares integers, not float division)."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-02-01").cast("timestamp"))
+    )
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    rev = _cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    return li.join(
+        F.broadcast(p), F.col("l_partkey") == F.col("p_partkey")
+    ).agg(
+        F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("promo_revenue_c"),
+        F.sum(rev).cast("long").alias("total_revenue_c"),
+    )
+
+
+@register(
+    "supplier_parts_q16",
+    """
+SELECT p_brand, p_type, p_size,
+       CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+WHERE p_brand <> 'Brand#1'
+  AND p_size IN (1, 4, 7, 10, 13, 16, 19, 22)
+  AND l_suppkey NOT IN (
+      SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+  )
+GROUP BY p_brand, p_type, p_size
+ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+LIMIT 40
+""",
+)
+def supplier_parts_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q16 shape (lineitem as the partsupp stand-in): distinct-supplier
+    count per (brand, type, size), excluding an anti-joined supplier
+    blocklist (negative balance ≈ the comment-LIKE complaint filter). The
+    blocklist is a broadcast left_anti; COUNT(DISTINCT) shuffles only the
+    dim-filtered pairs."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    p = (
+        load_table(spark, sf_dir, "part")
+        .filter(
+            (F.col("p_brand") != "Brand#1")
+            & F.col("p_size").isin(1, 4, 7, 10, 13, 16, 19, 22)
+        )
+        .select("p_partkey", "p_brand", "p_type", "p_size")
+    )
+    bad = (
+        load_table(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0)
+        .select(F.col("s_suppkey").alias("l_suppkey"))
+    )
+    return (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(bad), "l_suppkey", "left_anti")
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").cast("long").alias("supplier_cnt"))
+        .orderBy(
+            F.col("supplier_cnt").desc(),
+            F.col("p_brand").asc(),
+            F.col("p_type").asc(),
+            F.col("p_size").asc(),
+        )
+        .limit(40)
+    )
+
+
+@register(
+    "disjunctive_revenue_q19",
+    f"""
+SELECT CAST(SUM({_REV_SQL}) AS BIGINT) AS revenue_c
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 10
+       AND l_quantity >= 1 AND l_quantity <= 20)
+   OR (p_brand = 'Brand#7' AND p_size BETWEEN 11 AND 25
+       AND l_quantity >= 10 AND l_quantity <= 30)
+   OR (p_brand = 'Brand#13' AND p_size BETWEEN 26 AND 50
+       AND l_quantity >= 20 AND l_quantity <= 40)
+""",
+)
+def disjunctive_revenue_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q19 shape: OR-of-three-conjunctions mixing dim (brand, size) and
+    fact (quantity) columns. Catalyst extracts the common join key and
+    pushes the per-side fragments (brand/size to the part scan, the
+    quantity hull to lineitem); the residual disjunction evaluates on the
+    joined row — the classic disjunctive-predicate plan."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_brand", "p_size"
+    )
+    j = li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+    c1 = (
+        (F.col("p_brand") == "Brand#1")
+        & F.col("p_size").between(1, 10)
+        & F.col("l_quantity").between(1, 20)
+    )
+    c2 = (
+        (F.col("p_brand") == "Brand#7")
+        & F.col("p_size").between(11, 25)
+        & F.col("l_quantity").between(10, 30)
+    )
+    c3 = (
+        (F.col("p_brand") == "Brand#13")
+        & F.col("p_size").between(26, 50)
+        & F.col("l_quantity").between(20, 40)
+    )
+    return j.filter(c1 | c2 | c3).agg(
+        F.sum(_cents(F.col("l_extendedprice") * (1 - F.col("l_discount"))))
+        .cast("long")
+        .alias("revenue_c")
+    )
+
+
+@register(
+    "waiting_suppliers_q21",
+    """
+WITH late AS (
+    SELECT l.l_orderkey, l.l_suppkey
+    FROM lineitem l
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    WHERE o.o_orderstatus = 'F'
+      AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+)
+SELECT s.s_name,
+       CAST(COUNT(*) AS BIGINT) AS numwait
+FROM late l1
+JOIN supplier s ON s.s_suppkey = l1.l_suppkey
+WHERE EXISTS (
+    SELECT 1 FROM lineitem l2
+    WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey
+)
+AND NOT EXISTS (
+    SELECT 1 FROM late l3
+    WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+)
+GROUP BY s.s_name
+ORDER BY numwait DESC, s.s_name
+LIMIT 20
+""",
+)
+def waiting_suppliers_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q21 shape: the double correlation — late lines whose order HAS
+    another supplier's line (EXISTS ≈ left_semi) but has NO other LATE
+    supplier (NOT EXISTS ≈ left_anti). Both probes key on l_orderkey with
+    a supplier-inequality residual; `late` is computed once and reused on
+    both sides of the anti join."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderstatus"
+    )
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    late = (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .filter(
+            (F.col("o_orderstatus") == "F")
+            & (F.col("l_shipdate") > F.expr("o_orderdate + interval 60 days"))
+        )
+        .select("l_orderkey", "l_suppkey")
+    )
+    other = li.select(
+        F.col("l_orderkey").alias("o2_orderkey"),
+        F.col("l_suppkey").alias("o2_suppkey"),
+    )
+    other_late = late.select(
+        F.col("l_orderkey").alias("o3_orderkey"),
+        F.col("l_suppkey").alias("o3_suppkey"),
+    )
+    result = (
+        late.join(
+            other,
+            (F.col("l_orderkey") == F.col("o2_orderkey"))
+            & (F.col("l_suppkey") != F.col("o2_suppkey")),
+            "left_semi",
+        )
+        .join(
+            other_late,
+            (F.col("l_orderkey") == F.col("o3_orderkey"))
+            & (F.col("l_suppkey") != F.col("o3_suppkey")),
+            "left_anti",
+        )
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+    )
+    return (
+        result.groupBy("s_name")
+        .agg(F.count(F.lit(1)).cast("long").alias("numwait"))
+        .orderBy(F.col("numwait").desc(), F.col("s_name").asc())
+        .limit(20)
+    )
+
+
+@register(
+    "idle_customers_q22",
+    """
+WITH avg_bal AS (
+    SELECT AVG(c_acctbal) AS a FROM customer WHERE c_acctbal > 0
+)
+SELECT n.n_name AS nation,
+       CAST(COUNT(*) AS BIGINT) AS numcust,
+       CAST(SUM(CAST(floor(c.c_acctbal * 100) AS BIGINT)) AS BIGINT)
+           AS totacctbal_c
+FROM customer c
+JOIN nation n ON n.n_nationkey = c.c_nationkey, avg_bal
+WHERE c.c_acctbal > avg_bal.a
+  AND NOT EXISTS (
+      SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+        AND o.o_orderdate >= TIMESTAMP '1999-01-01'
+  )
+GROUP BY n.n_name
+ORDER BY n.n_name
+""",
+)
+def idle_customers_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q22 shape (nation instead of phone prefix): scalar-average
+    subquery — a 1-row broadcast cross join, the W1 pattern — gating a
+    NOT EXISTS anti join against orders, then a per-nation rollup of
+    customers who hold money but have not ordered since 1999."""
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= F.lit("1999-01-01").cast("timestamp"))
+        .select(F.col("o_custkey").alias("c_custkey"))
+    )
+    avg_bal = c.filter(F.col("c_acctbal") > 0).agg(
+        F.avg("c_acctbal").alias("a")
+    )
+    return (
+        c.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("a"))
+        .join(o, "c_custkey", "left_anti")
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("numcust"),
+            F.sum(F.floor(F.col("c_acctbal") * 100).cast("long"))
+            .cast("long")
+            .alias("totacctbal_c"),
+        )
+        .orderBy("nation")
+    )
