@@ -69,6 +69,7 @@ _PRIORITY = [
     "disjunctive_revenue_q19",
     "waiting_suppliers_q21",
     "idle_customers_q22",
+    "semantic_dedup_cells",
     # --- core flagships (driver-green r1/r2; keep a row current) ---
     "agg_senders",
     "total_stats",

@@ -799,3 +799,35 @@ def unigram_quality_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
             "nll_micro"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 3: SemDeDup-style semantic dedup (dedup/semdedup.py)
+# ---------------------------------------------------------------------------
+
+
+def _semdedup_oracle() -> str:
+    from msgvault_spark.dedup.semdedup import semdedup_oracle_sql
+
+    # the synthetic embeddings carry no true near-duplicates (max within-
+    # cell cosine ~0.49), so the entry runs at a diagnostic threshold that
+    # exercises the drop path; production uses ~0.95
+    return semdedup_oracle_sql(n_cells=8, threshold=0.4)
+
+
+@register("semantic_dedup_cells", _semdedup_oracle())
+def semantic_dedup_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (dedup/semdedup.py): IVF-cell clustering confines the
+    pairwise cosine test to within-cluster members (O(N²/K), K sized so a
+    cell fits an executor), lowest-id survivor per near-dup pair — the
+    embedding-space complement to MinHash/SimHash. Output is the per-cell
+    (n_members, n_survivors) curation report."""
+    from msgvault_spark.dedup.semdedup import (
+        semantic_dedup,
+        semantic_dedup_summary,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return semantic_dedup_summary(
+        semantic_dedup(emb, n_cells=8, threshold=0.4)
+    )

@@ -308,3 +308,41 @@ def test_incremental_pairs_touch_batch_only(spark):
     assert (1, 2) in full and (1, 2) not in inc  # old×old excluded
     assert (17, 27) in inc  # within-batch pair found
     assert (1, 17) in inc or (2, 17) in inc  # old-new found
+
+
+def test_semantic_dedup_drops_planted_duplicates(spark):
+    """SemDeDup: planted exact/near-duplicate vectors must drop (keeping
+    the lowest id), dissimilar vectors must all survive, and cluster
+    confinement must not produce cross-cell drops."""
+    import math
+    from pyspark.sql import functions as F
+    from msgvault_spark.dedup.semdedup import (
+        semantic_dedup,
+        semantic_dedup_summary,
+    )
+
+    def vec(theta):
+        return [math.cos(theta), math.sin(theta), 0.0, 0.0]
+
+    rows = []
+    # two well-separated clusters of 3 orthogonal-ish members each
+    for i, th in enumerate([0.0, 0.5, 1.0]):
+        rows.append((i, vec(th)))
+    for i, th in enumerate([3.0, 3.5, 4.0]):
+        rows.append((10 + i, vec(th)))
+    # planted near-dups: 100 ~ id 0 (same direction), 101 ~ id 11
+    rows.append((100, vec(0.001)))
+    rows.append((101, vec(3.501)))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    flags = semantic_dedup(
+        emb, n_cells=2, threshold=0.99, id_col="vec_id", vec_col="embedding"
+    )
+    got = {r["id"]: r["is_survivor"] for r in flags.collect()}
+    assert got[100] is False and got[101] is False  # planted dups dropped
+    for keep in (0, 1, 2, 10, 11, 12):
+        assert got[keep] is True  # originals all survive (lowest-id rule)
+    summary = {r["cell"]: (r["n_members"], r["n_survivors"])
+               for r in semantic_dedup_summary(flags).collect()}
+    assert sum(m for m, _ in summary.values()) == 8
+    assert sum(s for _, s in summary.values()) == 6
