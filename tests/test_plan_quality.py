@@ -255,9 +255,13 @@ def test_every_catalog_plan_is_scale_safe(spark, catalog):
         except Exception as e:  # noqa: BLE001
             failures.append(f"{name}: plan build failed: {e}")
             continue
-        if "CartesianProduct" in plan:
+        # InMemoryTableScan's toString embeds the cached BUILD plan —
+        # paid once at ETL, not per query (same convention as
+        # test_headline_exchange_counts_pinned): audit the query prefix
+        pre = plan.split("InMemoryTableScan")[0]
+        if "CartesianProduct" in pre:
             failures.append(f"{name}: CartesianProduct")
-        nlj = plan.count("BroadcastNestedLoopJoin")
+        nlj = pre.count("BroadcastNestedLoopJoin")
         if nlj > NLJ_ALLOWED:
             failures.append(f"{name}: {nlj} BroadcastNestedLoopJoin")
     assert not failures, failures
@@ -347,3 +351,16 @@ def test_aqe_splits_skewed_join(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_offset_pagination_is_take_ordered_not_window(spark, catalog):
+    """O4 pagination (search_page2, text_search_messages): native OFFSET
+    must compile to a distributed TakeOrderedAndProject(offset=...) — a
+    per-partition k-heap + one reduce — never a row_number() over an
+    unpartitioned Window (which funnels every match through ONE task and
+    dies at scale)."""
+    for name in ("search_page2", "text_search_messages"):
+        plan = _plan(catalog[name].fn(spark, SF_DIR))
+        pre = plan.split("InMemoryTableScan")[0]
+        assert "offset=" in pre and "TakeOrderedAndProject" in pre, name
+        assert "Window" not in pre, f"{name}: global window in plan"
