@@ -91,3 +91,38 @@ def test_list_with_labels(archive):
     out = {r["id"]: r for r in list_with_labels(archive, MessageFilter()).collect()}
     assert out[2]["labels"] == ["INBOX", "Work"]
     assert out[4]["labels"] == []
+
+
+def test_load_table_normalizes_ntz_timestamps(spark, tmp_path):
+    """Parquet written with isAdjustedToUTC=false surfaces as TIMESTAMP_NTZ
+    under Spark 4's inferTimestampNTZ default; load_table must hand back
+    TIMESTAMP (LTZ) so epoch arithmetic (cast to bigint) keeps working —
+    the round-3 testdata regeneration broke exactly this."""
+    import datetime as dt
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from msgvault_spark.sources.loader import load_table
+
+    d = tmp_path / "lake"
+    d.mkdir()
+    tbl = pa.table(
+        {
+            "event_id": pa.array([1, 2], pa.int64()),
+            # timestamp[us] WITHOUT timezone → NTZ under Spark 4
+            "ts": pa.array(
+                [dt.datetime(2024, 1, 5, 10, 0), dt.datetime(2024, 2, 6, 11, 30)],
+                pa.timestamp("us"),
+            ),
+        }
+    )
+    pq.write_table(tbl, str(d / "events.parquet"))
+    df = load_table(spark, str(d), "events")
+    assert isinstance(df.schema["ts"].dataType, T.TimestampType)
+    out = df.select(F.col("ts").cast("bigint").alias("epoch")).orderBy("epoch")
+    got = [r["epoch"] for r in out.collect()]
+    # session tz is UTC: wall clock == instant
+    assert got == [1704448800, 1707219000]
