@@ -70,6 +70,7 @@ _PRIORITY = [
     "waiting_suppliers_q21",
     "idle_customers_q22",
     "semantic_dedup_cells",
+    "cross_source_dup_report",
     # --- core flagships (driver-green r1/r2; keep a row current) ---
     "agg_senders",
     "total_stats",

@@ -847,3 +847,72 @@ def semantic_dedup_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     return semantic_dedup_summary(
         semantic_dedup(threshold=0.4, index=_SEMDEDUP_IDX_MEMO[key])
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 3: cross-source duplication report (curation diagnostic)
+# ---------------------------------------------------------------------------
+
+
+def _cross_source_oracle() -> str:
+    pairs = minhash_oracle_sql(
+        "SELECT doc_id, text FROM documents", jaccard_threshold=0.5
+    ).strip()
+    return f"""
+WITH pairs AS ({pairs})
+SELECT least(da.source, db.source) AS source_a,
+       greatest(da.source, db.source) AS source_b,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       CAST(SUM(CAST(floor(p.jaccard * 1000000) AS BIGINT)) AS BIGINT)
+           AS sum_jaccard_fp
+FROM pairs p
+JOIN documents da ON da.doc_id = p.id_a
+JOIN documents db ON db.doc_id = p.id_b
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+@register("cross_source_dup_report", _cross_source_oracle())
+def cross_source_dup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source duplication report — "how much does source A duplicate
+    source B" — the curation diagnostic that decides dedup order and mix
+    weights before training. Near-dup pairs come from the memoized
+    MinHash-LSH band index (propose) + exact Jaccard (verify); sources
+    decorate via two broadcast joins of the tiny doc→source dim; the pair
+    key is order-normalized (least/greatest) so A→B and B→A collapse.
+    Jaccard mass is a fixed-point BIGINT sum (order-free across
+    partitions); callers divide by n_pairs for the mean."""
+    from msgvault_spark.dedup.minhash import pairs_from_index
+    from msgvault_spark.sources.cache import get_minhash_index
+
+    docs = load_table(spark, sf_dir, "documents")
+    idx = get_minhash_index(
+        spark,
+        (sf_dir, "documents_raw"),
+        lambda: docs.select("doc_id", "text"),
+        "doc_id",
+        "text",
+    )
+    pairs = pairs_from_index(idx, jaccard_threshold=0.5)
+    src = docs.select("doc_id", "source")
+    a = src.select(
+        F.col("doc_id").alias("id_a"), F.col("source").alias("src_a")
+    )
+    b = src.select(
+        F.col("doc_id").alias("id_b"), F.col("source").alias("src_b")
+    )
+    return (
+        pairs.join(F.broadcast(a), "id_a")
+        .join(F.broadcast(b), "id_b")
+        .select(
+            F.least("src_a", "src_b").alias("source_a"),
+            F.greatest("src_a", "src_b").alias("source_b"),
+            F.floor(F.col("jaccard") * 1000000).cast("long").alias("jfp"),
+        )
+        .groupBy("source_a", "source_b")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.sum("jfp").cast("long").alias("sum_jaccard_fp"),
+        )
+        .orderBy("source_a", "source_b")
+    )
