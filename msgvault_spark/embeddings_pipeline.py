@@ -50,6 +50,60 @@ def fake_embed(texts: list[str], dim: int) -> list[list[float]]:
     return out
 
 
+def http_embed_client(
+    endpoint: str,
+    *,
+    model: str = "default",
+    timeout: float = 30.0,
+    headers: dict[str, str] | None = None,
+) -> Callable[[list[str], int], list[list[float]]]:
+    """Real HTTP embedding client (stdlib urllib; drop-in for the
+    ``embed_fn`` contract the adaptive batcher and ``embed_pending``
+    consume — reference embed/worker.go's server call). POSTs
+    ``{"model", "dim", "texts": [...]}`` as JSON and expects
+    ``{"embeddings": [[...], ...]}`` back, one vector per text, each of
+    length ``dim``.
+
+    Error behavior is deliberate: ANY failure (connection, HTTP status,
+    malformed body, wrong count/dim) raises — that is exactly the signal
+    ``adaptive_embed`` keys its halve-and-retry policy on. Executors each
+    build their own client (the callable is pickled by closure), so there
+    is no shared connection state to corrupt under task retry.
+
+    The sandbox has no embedding server, so tests exercise this against
+    an in-process http.server (tests/test_mime_embed_pipeline.py); the
+    deterministic fake stays the default elsewhere."""
+    import urllib.request
+
+    def _embed(texts: list[str], dim: int) -> list[list[float]]:
+        body = json.dumps(
+            {"model": model, "dim": dim, "texts": list(texts)}
+        ).encode("utf-8")
+        req = urllib.request.Request(
+            endpoint,
+            data=body,
+            headers={"Content-Type": "application/json", **(headers or {})},
+            method="POST",
+        )
+        with urllib.request.urlopen(req, timeout=timeout) as resp:
+            if resp.status != 200:
+                raise RuntimeError(f"embed server HTTP {resp.status}")
+            payload = json.loads(resp.read().decode("utf-8"))
+        vecs = payload.get("embeddings")
+        if not isinstance(vecs, list) or len(vecs) != len(texts):
+            raise RuntimeError(
+                f"embed server returned {type(vecs).__name__} of "
+                f"{len(vecs) if isinstance(vecs, list) else 'n/a'} vectors "
+                f"for {len(texts)} texts"
+            )
+        for v in vecs:
+            if not isinstance(v, list) or len(v) != dim:
+                raise RuntimeError("embed server returned wrong-dim vector")
+        return [[float(x) for x in v] for v in vecs]
+
+    return _embed
+
+
 def adaptive_embed(
     ids: list,
     texts: list[str],

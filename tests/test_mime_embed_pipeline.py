@@ -323,3 +323,86 @@ def test_frame_sampling_and_resize_plan(spark):
     assert rp["m1"] == (224, 168)   # 640x480 -> long side 224, aspect kept
     assert rp["m2"] == (100, 224)   # already within bounds: untouched
     assert rp["m3"] == (112, 224)
+
+
+def test_http_embed_client_against_local_server():
+    """The real HTTP client (stdlib urllib) against an in-process server:
+    correct request shape, correct parse, and failure modes (HTTP 500,
+    wrong count) raising — the signal adaptive_embed's halve-and-retry
+    keys on. Composes with adaptive_embed end-to-end."""
+    import http.server
+    import json as _json
+    import threading
+
+    from msgvault_spark.embeddings_pipeline import adaptive_embed, http_embed_client
+
+    seen = []
+    state = {"mode": "ok"}
+
+    class H(http.server.BaseHTTPRequestHandler):
+        def do_POST(self):
+            n = int(self.headers["Content-Length"])
+            req = _json.loads(self.rfile.read(n))
+            seen.append(req)
+            if state["mode"] == "http500":
+                self.send_response(500)
+                self.end_headers()
+                return
+            if state["mode"] == "short":
+                vecs = [[0.0] * req["dim"]]  # wrong count
+            else:
+                vecs = [
+                    [float(len(t)), float(i)] + [0.0] * (req["dim"] - 2)
+                    for i, t in enumerate(req["texts"])
+                ]
+            body = _json.dumps({"embeddings": vecs}).encode()
+            self.send_response(200)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def log_message(self, *a):  # quiet
+            pass
+
+    srv = http.server.HTTPServer(("127.0.0.1", 0), H)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        client = http_embed_client(
+            f"http://127.0.0.1:{srv.server_address[1]}/embed", model="m1"
+        )
+        vecs = client(["ab", "cdef"], 4)
+        assert vecs == [[2.0, 0.0, 0.0, 0.0], [4.0, 1.0, 0.0, 0.0]]
+        assert seen[-1]["model"] == "m1" and seen[-1]["dim"] == 4
+
+        state["mode"] = "http500"
+        import pytest as _pytest
+
+        with _pytest.raises(Exception):
+            client(["x"], 4)
+        state["mode"] = "short"
+        with _pytest.raises(RuntimeError):
+            client(["x", "y"], 4)
+
+        # end-to-end through the adaptive batcher: flaky server downshifts
+        state["mode"] = "ok"
+        calls = {"n": 0}
+        real = client
+
+        def flaky(texts, dim):
+            calls["n"] += 1
+            if calls["n"] == 1:
+                raise RuntimeError("transient")
+            return real(texts, dim)
+
+        got = []
+        for ids, vv in adaptive_embed(
+            list(range(6)), [f"t{i}" for i in range(6)], 4, flaky,
+            initial_batch=4, min_batch=1,
+        ):
+            got += list(zip(ids, vv))
+        assert len(got) == 6 and all(len(v) == 4 for _, v in got)
+    finally:
+        srv.shutdown()
+        srv.server_close()
