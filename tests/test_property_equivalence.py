@@ -212,3 +212,57 @@ def test_segment_dedup_invariants(spark, texts):
     n_distinct = len({s for v in segs_per_doc.values() for s in v})
     assert sum(r["n_kept"] + r["n_dropped"] for r in rows) == n_total
     assert sum(r["n_kept"] for r in rows) == n_distinct
+
+
+@given(
+    e=st.sampled_from([0.25, 0.5, 1.0, 1.5, 2.5, 3.0]),
+    n=st.integers(10, 60),
+)
+@settings(**_SETTINGS)
+def test_epoch_upsample_matches_reference(spark, e, n):
+    """epoch_upsample vs the naive reference: per-key copy count is
+    floor(e) + (rowhash(key) < frac(e)·M), epochs are exactly 0..n-1,
+    and keys with zero copies DROP (the fractional e < 1 regression)."""
+    from msgvault_spark.operators.sampling import _M, epoch_upsample, rowhash
+
+    df = spark.createDataFrame(
+        [(i, "a") for i in range(n)], "k long, src string"
+    )
+    got = {}
+    for r in epoch_upsample(df, "src", "k", {"a": e}).collect():
+        got.setdefault(r["k"], []).append(r["epoch"])
+    hashes = {
+        r["k"]: r["h"]
+        for r in df.select("k", rowhash("k").alias("h")).collect()
+    }
+    frac_keep = int((e - int(e)) * _M)
+    for k in range(n):
+        want = int(e) + (1 if hashes[k] < frac_keep else 0)
+        if want == 0:
+            assert k not in got, f"key {k} should have dropped"
+        else:
+            assert sorted(got[k]) == list(range(want)), (k, e, got.get(k))
+
+
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 10_000), st.integers(0, 50)),
+        min_size=0, max_size=60, unique_by=lambda t: t,
+    ),
+    offset=st.sampled_from([0, 3, 10]),
+    limit=st.sampled_from([5, 20]),
+)
+@settings(**_SETTINGS)
+def test_offset_pagination_matches_sorted_slice(spark, rows, offset, limit):
+    """Native OFFSET pagination == the sorted slice of a naive reference,
+    for any (offset, limit) — including pages past the end."""
+    df = spark.createDataFrame(
+        [(i, v) for i, v in rows], "id long, v long"
+    )
+    got = [
+        (r["id"], r["v"])
+        for r in df.orderBy(F.col("v").desc(), F.col("id").desc())
+        .offset(offset).limit(limit).collect()
+    ]
+    want = sorted(rows, key=lambda t: (-t[1], -t[0]))[offset:offset + limit]
+    assert got == want
