@@ -71,6 +71,7 @@ _PRIORITY = [
     "idle_customers_q22",
     "semantic_dedup_cells",
     "cross_source_dup_report",
+    "snapshot_optimize_vacuum",
     # --- core flagships (driver-green r1/r2; keep a row current) ---
     "agg_senders",
     "total_stats",

@@ -1329,3 +1329,51 @@ def snapshot_merge_timetravel(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return _agg(1).unionByName(_agg(2)).orderBy("version")
+
+
+@register(
+    "snapshot_optimize_vacuum",
+    """
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+       CAST(1 AS BIGINT) AS n_versions
+FROM documents
+""",
+)
+def snapshot_optimize_vacuum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot-aware OPTIMIZE + vacuum end-to-end under the oracle
+    (sources/optimize.py:optimize_snapshot): v1 = documents committed
+    across 16 scattered files, v2 = z-order-clustered rewrite committed
+    as a NEW version (old files left on disk), vacuum retains only v2.
+    The latest read after the whole cycle must still be exactly the base
+    table (content invariant under re-layout) with exactly one retained
+    version — which is what the oracle states."""
+    import tempfile
+
+    from msgvault_spark.sources.merge import merge_upsert
+    from msgvault_spark.sources.optimize import optimize_snapshot
+    from msgvault_spark.sources.snapshots import (
+        read_snapshot,
+        snapshot_versions,
+        vacuum,
+    )
+
+    key = (spark.sparkContext.applicationId, sf_dir, "optvac")
+    if key not in _SNAP_MEMO:
+        lake = tempfile.mkdtemp(prefix="msgvault_optvac_") + "/t"
+        docs = load_table(spark, sf_dir, "documents").select(
+            "doc_id", "n_chars"
+        )
+        merge_upsert(spark, lake, docs.repartition(16), "doc_id")
+        optimize_snapshot(
+            spark, lake, ("doc_id", "n_chars"), target_bytes=1 << 20
+        )
+        vacuum(spark, lake, keep_versions=1)
+        _SNAP_MEMO[key] = lake
+    lake = _SNAP_MEMO[key]
+    n_versions = len(snapshot_versions(lake))
+    return read_snapshot(spark, lake).agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum("n_chars").cast("long").alias("sum_chars"),
+        F.lit(n_versions).cast("long").alias("n_versions"),
+    )
