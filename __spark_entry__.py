@@ -72,6 +72,8 @@ _PRIORITY = [
     "semantic_dedup_cells",
     "cross_source_dup_report",
     "snapshot_optimize_vacuum",
+    "encoding_repair_docs",
+    "csv_roundtrip_stats",
     # --- core flagships (driver-green r1/r2; keep a row current) ---
     "agg_senders",
     "total_stats",

@@ -558,3 +558,95 @@ def text_stats_total(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.countDistinct("lbl_name").alias("label_count"))
     )
     return mainq.crossJoin(F.broadcast(lab))
+
+
+# ---------------------------------------------------------------------------
+# Round 3: oracle rows for two previously test-only surfaces (F16, S7)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "encoding_repair_docs",
+    """
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CASE WHEN doc_id % 2 = 0 THEN text
+            ELSE text || 'ÿþ' END AS repaired
+FROM documents WHERE doc_id < 100
+ORDER BY doc_id
+""",
+)
+def encoding_repair_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encoding repair (F16) under the oracle: even docs carry valid
+    UTF-8; odd docs get a deliberate invalid-UTF-8 tail (0x07 0xFF 0xFE)
+    so strict decode fails and the latin-1 fallback + control-char strip
+    must produce text + 'ÿþ' (BEL stripped). The oracle states the known
+    repaired form directly — proving the repair INVERTS the corruption,
+    not merely that it runs."""
+    from msgvault_spark.functions.mime import repair_encoding
+    from msgvault_spark.sources.cache import get_table
+
+    docs = (
+        get_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 100)
+        .select("doc_id", "text")
+    )
+    corrupted = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 2 == 0, F.encode(F.col("text"), "UTF-8")
+        )
+        .otherwise(
+            F.concat(
+                F.encode(F.col("text"), "UTF-8"),
+                F.lit(bytearray(b"\x07\xff\xfe")),
+            )
+        )
+        .alias("raw"),
+    )
+    return corrupted.select(
+        "doc_id", repair_encoding(F.col("raw")).alias("repaired")
+    ).orderBy("doc_id")
+
+
+_CSV_MEMO: dict[tuple, str] = {}
+
+
+@register(
+    "csv_roundtrip_stats",
+    oracle(
+        """
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COUNT(sender_id) AS BIGINT) AS n_with_sender,
+       CAST(SUM(size_estimate) AS BIGINT) AS total_size,
+       CAST(COUNT(DISTINCT message_type) AS BIGINT) AS n_types
+FROM messages
+"""
+    ),
+)
+def csv_roundtrip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV export/read round trip (S7) under the oracle: messages written
+    through the '\\N'-sentinel CSV sink and read back with an explicit
+    schema must aggregate identically to the source — the non-null
+    sender_id count is the row that catches a broken null sentinel."""
+    import tempfile
+
+    from msgvault_spark.api import read_csv_export, write_csv_export
+
+    arch = get_archive(spark, sf_dir)
+    cols = ["id", "sender_id", "size_estimate", "message_type"]
+    src = arch["messages"].select(*cols)
+    key = (spark.sparkContext.applicationId, sf_dir, "csvrt")
+    if key not in _CSV_MEMO:
+        d = tempfile.mkdtemp(prefix="msgvault_csv_") + "/messages"
+        write_csv_export(src, d)
+        _CSV_MEMO[key] = d
+    back = read_csv_export(
+        spark, _CSV_MEMO[key],
+        "id long, sender_id long, size_estimate long, message_type string",
+    )
+    return back.agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.count("sender_id").cast("long").alias("n_with_sender"),
+        F.sum("size_estimate").cast("long").alias("total_size"),
+        F.count_distinct("message_type").cast("long").alias("n_types"),
+    )
