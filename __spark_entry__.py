@@ -74,6 +74,7 @@ _PRIORITY = [
     "snapshot_optimize_vacuum",
     "encoding_repair_docs",
     "csv_roundtrip_stats",
+    "embed_pipeline_vectors",
     # --- core flagships (driver-green r1/r2; keep a row current) ---
     "agg_senders",
     "total_stats",

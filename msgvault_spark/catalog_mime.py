@@ -144,3 +144,83 @@ def embed_preprocess_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 3: Q11 embedding pipeline under the value-hash oracle
+# ---------------------------------------------------------------------------
+
+_EMBGEN_MEMO: dict = {}
+
+
+def _hex8int(col: str) -> str:
+    return " + ".join(
+        f"(strpos('0123456789abcdef', substr({col}, {k}, 1)) - 1) "
+        f"* {16 ** (8 - k)}"
+        for k in range(1, 9)
+    )
+
+
+def _embed_pipeline_oracle() -> str:
+    e_cols = ", ".join(
+        "round(CAST(CAST(MAX(CASE WHEN i = {j} THEN v END) / nrm AS REAL) "
+        "AS DOUBLE), 6) AS e{j}".format(j=j)
+        for j in range(8)
+    )
+    return f"""
+WITH docs AS (SELECT doc_id, text FROM documents WHERE doc_id < 60),
+comps AS (
+    SELECT doc_id, CAST(t.i AS INT) AS i,
+           md5(md5(text) || ':' || CAST(t.i AS VARCHAR)) AS m
+    FROM docs, range(16) t(i)
+),
+vals AS (
+    SELECT doc_id, i,
+           (CAST({_hex8int('m')} AS DOUBLE) / 2147483648.0 - 1.0) AS v
+    FROM comps
+),
+norms AS (SELECT doc_id, sqrt(SUM(v * v)) AS nrm FROM vals GROUP BY doc_id)
+SELECT v.doc_id AS id, {e_cols}
+FROM vals v JOIN norms n USING (doc_id)
+GROUP BY v.doc_id, nrm
+ORDER BY id
+"""
+
+
+@register("embed_pipeline_vectors", _embed_pipeline_oracle())
+def embed_pipeline_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q11 end-to-end under the VALUE oracle (was unit-test-only): pending
+    queue → adaptive-batched embed (deterministic md5 fake) → generation
+    promote → active-generation read. The oracle replays the fake's hex-
+    string md5 chain, the float64 unit-norm, AND the float32 storage cast
+    (::REAL) — so a wrong queue, a dropped batch, a dim mismatch, or a
+    precision change all hash-mismatch. First 8 of 16 dims as scalar
+    columns (driver-hashable)."""
+    import tempfile
+
+    from msgvault_spark.embeddings_pipeline import (
+        embed_pending,
+        load_active_vectors,
+        promote_generation,
+    )
+
+    key = (spark.sparkContext.applicationId, sf_dir, "embgen")
+    if key not in _EMBGEN_MEMO:
+        base = tempfile.mkdtemp(prefix="msgvault_embgen_")
+        corpus = (
+            load_table(spark, sf_dir, "documents")
+            .filter(F.col("doc_id") < 60)
+            .select("doc_id", "text")
+        )
+        embed_pending(corpus, base, 1, dim=16)
+        promote_generation(spark, base, 1)
+        _EMBGEN_MEMO[key] = base
+    vecs = load_active_vectors(spark, _EMBGEN_MEMO[key])
+    return vecs.select(
+        "id",
+        *[
+            F.round(F.element_at("embedding", j + 1).cast("double"), 6)
+            .alias(f"e{j}")
+            for j in range(8)
+        ],
+    ).orderBy("id")

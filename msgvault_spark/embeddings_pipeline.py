@@ -37,14 +37,19 @@ from pyspark.sql import types as T
 
 def fake_embed(texts: list[str], dim: int) -> list[list[float]]:
     """Deterministic stand-in for an embedding model: md5-seeded unit
-    vector per text. STUB — replace with a real model/HTTP client."""
+    vector per text. STUB — replace with a real model/HTTP client
+    (``http_embed_client``). Hashes ASCII hex strings only (seed =
+    md5(text) hex; component i = first 8 hex chars of md5("seed:i")), so
+    ANY engine with a string md5 — DuckDB included — replays it exactly;
+    that is what lets the embed-pipeline catalog entry run under the
+    value-hash oracle instead of a rows-only check."""
     out = []
     for t in texts:
-        h = hashlib.md5((t or "").encode()).digest()
+        seed = hashlib.md5((t or "").encode()).hexdigest()
         vals = []
         for i in range(dim):
-            b = hashlib.md5(h + i.to_bytes(2, "big")).digest()
-            vals.append(int.from_bytes(b[:4], "big") / 2**31 - 1.0)
+            h8 = hashlib.md5(f"{seed}:{i}".encode()).hexdigest()[:8]
+            vals.append(int(h8, 16) / 2**31 - 1.0)
         norm = math.sqrt(sum(v * v for v in vals)) or 1.0
         out.append([v / norm for v in vals])
     return out
