@@ -75,6 +75,7 @@ _PRIORITY = [
     "encoding_repair_docs",
     "csv_roundtrip_stats",
     "embed_pipeline_vectors",
+    "incremental_cache_append",
     # --- core flagships (driver-green r1/r2; keep a row current) ---
     "agg_senders",
     "total_stats",

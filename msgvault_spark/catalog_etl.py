@@ -650,3 +650,83 @@ def csv_roundtrip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("size_estimate").cast("long").alias("total_size"),
         F.count_distinct("message_type").cast("long").alias("n_types"),
     )
+
+
+_INCR_MEMO: dict[tuple, str] = {}
+
+
+@register(
+    "incremental_cache_append",
+    oracle(
+        """
+, lbl AS (
+    SELECT m.year, COUNT(*) AS label_links
+    FROM messages m JOIN message_labels ml ON ml.message_id = m.id
+    GROUP BY m.year
+)
+SELECT m.year,
+       CAST(COUNT(*) AS BIGINT) AS message_count,
+       CAST(SUM(m.size_estimate) AS BIGINT) AS total_size,
+       CAST(MAX(l.label_links) AS BIGINT) AS label_links
+FROM messages m JOIN lbl l ON l.year = m.year
+GROUP BY m.year
+ORDER BY m.year
+"""
+    ),
+)
+def incremental_cache_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental cache refresh (S6) under the oracle: phase 1 builds the
+    lake from the low-id half of the archive, phase 2 runs in incremental
+    mode — the watermark admits ONLY ids above the phase-1 high-water
+    mark, appended as new shards (messages AND junction tables). The
+    re-read lake must aggregate exactly like the full source: a dropped
+    batch, a duplicated append, or a junction row missed by the watermark
+    semi-join all change the per-year counts."""
+    from msgvault_spark.sources.build_cache import build_cache
+    from msgvault_spark.sources.loader import load_archive as _load_archive
+
+    arch = get_archive(spark, sf_dir)
+    key = (spark.sparkContext.applicationId, sf_dir, "incr")
+    if key not in _INCR_MEMO:
+        base = tempfile.mkdtemp(prefix="msgvault_incr_")
+        bounds = arch["messages"].agg(
+            F.min("id").alias("lo"), F.max("id").alias("hi")
+        ).collect()[0]
+        mid = (int(bounds["lo"]) + int(bounds["hi"])) // 2
+        phase1 = dict(arch)
+        phase1["messages"] = arch["messages"].filter(F.col("id") <= mid)
+        # the live store at T1 only holds junction rows for messages that
+        # exist at T1 — simulate it consistently
+        for junction in ("message_recipients", "message_labels", "attachments"):
+            phase1[junction] = arch[junction].filter(
+                F.col("message_id") <= mid
+            )
+        build_cache(spark, phase1, base, mode="full")
+        build_cache(spark, arch, base, mode="incremental")
+        _INCR_MEMO[key] = base
+    lake = _load_archive(spark, _INCR_MEMO[key])
+    m = lake["messages"].select("id", "year", "size_estimate")
+    lbl = (
+        m.select("id", "year")
+        .join(
+            lake["message_labels"].select("message_id"),
+            F.col("id") == F.col("message_id"),
+        )
+        .groupBy("year")
+        .agg(F.count(F.lit(1)).alias("label_links"))
+    )
+    return (
+        m.groupBy("year")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("message_count"),
+            F.sum("size_estimate").cast("long").alias("total_size"),
+        )
+        .join(lbl, "year")
+        .select(
+            F.col("year").cast("int").alias("year"),
+            "message_count",
+            "total_size",
+            F.col("label_links").cast("long").alias("label_links"),
+        )
+        .orderBy("year")
+    )
