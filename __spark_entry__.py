@@ -76,6 +76,7 @@ _PRIORITY = [
     "csv_roundtrip_stats",
     "embed_pipeline_vectors",
     "incremental_cache_append",
+    "global_shuffle_shards",
     # --- core flagships (driver-green r1/r2; keep a row current) ---
     "agg_senders",
     "total_stats",

@@ -1377,3 +1377,55 @@ def snapshot_optimize_vacuum(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_chars").cast("long").alias("sum_chars"),
         F.lit(n_versions).cast("long").alias("n_versions"),
     )
+
+
+@register(
+    "global_shuffle_shards",
+    f"""
+WITH h AS (
+    SELECT doc_id, source,
+           CAST(({_HASH_SQL}) % 8 AS INT) AS shard,
+           (({_HASH_SQL}) * 1327217885) % 2147483647 AS pos_key
+    FROM documents
+),
+ranked AS (
+    SELECT doc_id, source, shard,
+           ROW_NUMBER() OVER (
+               PARTITION BY shard ORDER BY pos_key ASC, doc_id ASC
+           ) - 1 AS pos
+    FROM h
+)
+SELECT shard,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(doc_id) AS BIGINT) AS id_sum,
+       CAST(SUM(CASE WHEN pos < 3 THEN doc_id ELSE 0 END) AS BIGINT)
+           AS head_ids,
+       CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources
+FROM ranked
+GROUP BY shard
+ORDER BY shard
+""",
+)
+def global_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global shuffle + shard assignment
+    (operators/sharding.py): the dataloader-facing final step — shard =
+    hash mod 8, within-shard order by a second-round hash. ``head_ids``
+    (sum of doc_ids at positions 0-2) pins the exact within-shard ORDER,
+    not just membership; ``n_sources`` shows each shard mixes sources.
+    One exchange + one sort — the floor for any global shuffle."""
+    from msgvault_spark.operators.sharding import global_shuffle_shards as gss
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    sharded = gss(docs, "doc_id", 8)
+    return (
+        sharded.groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("doc_id").cast("long").alias("id_sum"),
+            F.sum(F.when(F.col("pos") < 3, F.col("doc_id")).otherwise(0))
+            .cast("long")
+            .alias("head_ids"),
+            F.count_distinct("source").cast("long").alias("n_sources"),
+        )
+        .orderBy("shard")
+    )
