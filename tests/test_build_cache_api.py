@@ -513,3 +513,46 @@ def test_optimize_snapshot_preserves_time_travel(spark, tmp_path):
     # vacuum is the (only) reclamation path
     vacuum(spark, lake, keep_versions=1)
     assert read_snapshot(spark, lake).count() == 2000
+
+
+def test_get_messages_raw_edges(spark, archive):
+    """Batch GetMessageRaw edge cases: empty id list raises; ids without a
+    stored raw produce no row; soft-deleted messages are invisible even
+    when a raw row exists; zlib and identity compression both decode."""
+    import zlib as _z
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from msgvault_spark.plans.lookup import get_messages_raw
+
+    msgs = archive["messages"]
+    raw_rows = [
+        (1, _z.compress(b"raw-one"), "zlib"),
+        (2, b"raw-two", "none"),
+        (6, b"raw-six-deleted", "none"),  # message 6 is soft-deleted
+    ]
+    store = spark.createDataFrame(
+        raw_rows, "message_id long, raw_data binary, compression string"
+    )
+    with pytest.raises(ValueError):
+        get_messages_raw(store, msgs, [])
+    out = {
+        r["id"]: (r["raw_text"], r["compression"])
+        for r in get_messages_raw(store, msgs, [1, 2, 3, 6]).collect()
+    }
+    assert out == {
+        1: ("raw-one", "zlib"),
+        2: ("raw-two", "none"),
+        # 3: no raw row -> absent; 6: deleted -> invisible
+    }
+
+
+def test_get_messages_by_source_ids_unknown_dropped(spark, archive):
+    from msgvault_spark.plans.lookup import get_messages_by_source_ids
+
+    out = get_messages_by_source_ids(archive, ["m1", "m4", "nope"]).collect()
+    got = {r["source_message_id"]: r["from_email"] for r in out}
+    assert set(got) == {"m1", "m4"}
+    assert got["m1"] == "a@x.com"      # first-from row resolution
+    assert got["m4"] == ""             # chat: direct sender, phone-only

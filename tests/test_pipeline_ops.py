@@ -321,3 +321,29 @@ def test_asof_join_payload_name_collision(spark):
     )
     row = asof_join(left, right, on="k").head()
     assert row["label"] == "L" and row["label_right"] == "R"
+
+
+def test_global_shuffle_shards_deterministic_and_balanced(spark):
+    from msgvault_spark.operators.sharding import global_shuffle_shards
+
+    df = spark.createDataFrame([(i,) for i in range(4000)], "doc_id long")
+    a = global_shuffle_shards(df, "doc_id", 8)
+    rows = {(r["doc_id"]): (r["shard"], r["pos"]) for r in a.collect()}
+    # rerun over a different input partitioning: identical assignment
+    b = global_shuffle_shards(df.repartition(13), "doc_id", 8)
+    assert rows == {r["doc_id"]: (r["shard"], r["pos"]) for r in b.collect()}
+    # positions are exactly 0..n_k-1 per shard; shards near-balanced
+    from collections import defaultdict
+    per = defaultdict(list)
+    for _id, (s, p) in rows.items():
+        per[s].append(p)
+    sizes = []
+    for s, ps in per.items():
+        assert sorted(ps) == list(range(len(ps)))
+        sizes.append(len(ps))
+    assert max(sizes) - min(sizes) < 200  # binomial noise, not skew
+    # within-shard order decorrelates from key order: shard 0's first
+    # three keys are not simply the three smallest keys in shard 0
+    s0 = sorted((p, i) for i, (s, p) in rows.items() if s == 0)
+    head = [i for _, i in s0[:3]]
+    assert head != sorted(i for i, (s, _) in rows.items() if s == 0)[:3]
