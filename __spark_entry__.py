@@ -77,6 +77,10 @@ _PRIORITY = [
     "embed_pipeline_vectors",
     "incremental_cache_append",
     "global_shuffle_shards",
+    "customer_distribution_q13",
+    "top_supplier_q15",
+    "small_quantity_revenue_q17",
+    "large_orders_q18",
     # --- core flagships (driver-green r1/r2; keep a row current) ---
     "agg_senders",
     "total_stats",

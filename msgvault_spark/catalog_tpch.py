@@ -417,3 +417,189 @@ def idle_customers_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("nation")
     )
+
+
+@register(
+    "customer_distribution_q13",
+    """
+WITH c_orders AS (
+    SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+    FROM customer c
+    LEFT JOIN orders o
+      ON o.o_custkey = c.c_custkey
+     AND o.o_orderpriority <> '1-URGENT'
+    GROUP BY c.c_custkey
+)
+SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+FROM c_orders
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+""",
+)
+def customer_distribution_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q13 shape: LEFT outer join so zero-order customers keep a 0 count
+    (COUNT of the right side's key, not COUNT(*)), then the
+    count-of-counts second aggregate — the distribution histogram every
+    engagement report needs. Join predicate carries a residual filter on
+    the right side only."""
+    c = load_table(spark, sf_dir, "customer").select("c_custkey")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "1-URGENT"
+    ).select("o_custkey", "o_orderkey")
+    per = (
+        c.join(o, F.col("o_custkey") == F.col("c_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per.groupBy("c_count")
+        .agg(F.count(F.lit(1)).cast("long").alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+@register(
+    "top_supplier_q15",
+    f"""
+WITH revenue AS (
+    SELECT l_suppkey AS supplier_no,
+           CAST(SUM({_REV_SQL}) AS BIGINT) AS total_revenue_c
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate < TIMESTAMP '1996-04-01'
+    GROUP BY l_suppkey
+)
+SELECT s.s_suppkey, s.s_name, r.total_revenue_c
+FROM supplier s
+JOIN revenue r ON r.supplier_no = s.s_suppkey
+WHERE r.total_revenue_c = (SELECT MAX(total_revenue_c) FROM revenue)
+ORDER BY s.s_suppkey
+""",
+)
+def top_supplier_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q15 shape: the revenue view computed once, its MAX as a 1-row
+    broadcast (the scalar-subquery pattern, W1), equality filter back on
+    the same view — Spark reuses the aggregated frame for both sides
+    rather than recomputing the window."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        F.sum(_cents(F.col("l_extendedprice") * (1 - F.col("l_discount"))))
+        .cast("long")
+        .alias("total_revenue_c")
+    )
+    mx = revenue.agg(F.max("total_revenue_c").alias("mx"))
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        revenue.crossJoin(F.broadcast(mx))
+        .filter(F.col("total_revenue_c") == F.col("mx"))
+        .join(F.broadcast(s), F.col("supplier_no") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_revenue_c")
+        .orderBy("s_suppkey")
+    )
+
+
+@register(
+    "small_quantity_revenue_q17",
+    """
+WITH avg_qty AS (
+    SELECT l_partkey AS ap_partkey,
+           AVG(l_quantity) * 0.5 AS half_avg
+    FROM lineitem GROUP BY l_partkey
+)
+SELECT CAST(SUM(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+           AS revenue_c,
+       CAST(COUNT(*) AS BIGINT) AS n_lines
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+JOIN avg_qty a ON a.ap_partkey = l.l_partkey
+WHERE p.p_brand = 'Brand#9'
+  AND l.l_quantity < a.half_avg
+""",
+)
+def small_quantity_revenue_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q17 shape: correlated scalar aggregate per group (avg quantity per
+    part) decorrelated into a pre-aggregated join — the J8 rewrite at
+    fact scale. The per-part averages build from the fact once; the probe
+    side filters on the dim brand BEFORE the join. Integer comparison
+    hazards: the 0.5·avg stays double on both engines."""
+    li = load_table(spark, sf_dir, "lineitem")
+    avg_qty = li.groupBy(F.col("l_partkey").alias("ap_partkey")).agg(
+        (F.avg("l_quantity") * 0.5).alias("half_avg")
+    )
+    p = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_brand") == "Brand#9")
+        .select("p_partkey")
+    )
+    return (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(avg_qty, F.col("l_partkey") == F.col("ap_partkey"))
+        .filter(F.col("l_quantity") < F.col("half_avg"))
+        .agg(
+            F.sum(_cents(F.col("l_extendedprice"))).cast("long")
+            .alias("revenue_c"),
+            F.count(F.lit(1)).cast("long").alias("n_lines"),
+        )
+    )
+
+
+@register(
+    "large_orders_q18",
+    """
+WITH big AS (
+    SELECT l_orderkey
+    FROM lineitem
+    GROUP BY l_orderkey
+    HAVING SUM(l_quantity) > 250
+)
+SELECT c.c_name, o.o_custkey, o.o_orderkey, o.o_orderdate,
+       CAST(floor(o.o_totalprice) AS BIGINT) AS totalprice_f,
+       CAST(SUM(CAST(round(l.l_quantity * 100) AS BIGINT)) AS BIGINT) / 100.0
+           AS sum_qty
+FROM orders o
+JOIN big b ON b.l_orderkey = o.o_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+GROUP BY c.c_name, o.o_custkey, o.o_orderkey, o.o_orderdate, o.o_totalprice
+ORDER BY totalprice_f DESC, o.o_orderkey ASC
+LIMIT 20
+""",
+)
+def large_orders_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q18 shape: HAVING on a grouped fact sum produces the key set (a
+    semi-join-able aggregate, NOT a filter Catalyst could push), which
+    then re-joins the fact for the detail rollup — the aggregate-then-
+    rejoin pattern. Both lineitem passes share the l_orderkey shuffle."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_quantity"
+    )
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("__sq"))
+        .filter(F.col("__sq") > 250)
+        .select("l_orderkey")
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    cents = F.round(F.col("l_quantity") * 100).cast("long")
+    return (
+        o.join(big, F.col("o_orderkey") == big["l_orderkey"])
+        .drop("l_orderkey")
+        .join(F.broadcast(c), F.col("c_custkey") == F.col("o_custkey"))
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("c_name", "o_custkey", "o_orderkey", "o_orderdate",
+                 "o_totalprice")
+        .agg((F.sum(cents) / 100.0).alias("sum_qty"))
+        .select(
+            "c_name", "o_custkey", "o_orderkey", "o_orderdate",
+            F.floor("o_totalprice").cast("long").alias("totalprice_f"),
+            "sum_qty",
+        )
+        .orderBy(F.col("totalprice_f").desc(), F.col("o_orderkey").asc())
+        .limit(20)
+    )
