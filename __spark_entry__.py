@@ -81,6 +81,7 @@ _PRIORITY = [
     "top_supplier_q15",
     "small_quantity_revenue_q17",
     "large_orders_q18",
+    "schema_drift_read",
     # --- core flagships (driver-green r1/r2; keep a row current) ---
     "agg_senders",
     "total_stats",

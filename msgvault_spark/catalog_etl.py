@@ -730,3 +730,76 @@ def incremental_cache_append(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("year")
     )
+
+
+_DRIFT_MEMO: dict[tuple, str] = {}
+
+
+@register(
+    "schema_drift_read",
+    """
+SELECT COALESCE(CASE WHEN doc_id % 2 = 0 THEN NULL ELSE lang END, '??')
+           AS lang_eff,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+       CAST(SUM(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_legacy
+FROM documents
+GROUP BY 1
+ORDER BY 1
+""",
+)
+def schema_drift_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema drift under the oracle (S1 mergeSchema + S3 tolerant
+    defaults, reference views.go:26-56 DESCRIBE probing): the lake holds
+    two generations of shards — legacy files WITHOUT the lang column
+    (even doc_ids) and current files WITH it. mergeSchema surfaces the
+    union schema (lang null on legacy rows); the canonicalizing
+    projection (sources/loader.py:canonicalize) then applies the
+    tolerant default. The oracle states the expected per-lang rollup
+    with legacy rows under the '??' default — a dropped column, a
+    misaligned union, or a default applied to the wrong generation all
+    change the counts."""
+    from pyspark.sql import types as T
+
+    from msgvault_spark.sources.cache import get_table as load_table
+    from msgvault_spark.sources.loader import canonicalize
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "n_chars", "lang"
+    )
+    key = (spark.sparkContext.applicationId, sf_dir, "drift")
+    if key not in _DRIFT_MEMO:
+        base = tempfile.mkdtemp(prefix="msgvault_drift_") + "/docs"
+        docs.filter(F.col("doc_id") % 2 == 0).drop("lang").write.mode(
+            "overwrite"
+        ).parquet(base)
+        docs.filter(F.col("doc_id") % 2 != 0).write.mode("append").parquet(
+            base
+        )
+        _DRIFT_MEMO[key] = base
+    target = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("n_chars", T.LongType()),
+            T.StructField("lang", T.StringType()),
+        ]
+    )
+    lake = canonicalize(
+        spark.read.option("mergeSchema", "true").parquet(_DRIFT_MEMO[key]),
+        target,
+    )
+    return (
+        lake.select(
+            F.coalesce(F.col("lang"), F.lit("??")).alias("lang_eff"),
+            "n_chars",
+            (F.col("doc_id") % 2 == 0).cast("long").alias("legacy"),
+        )
+        .groupBy("lang_eff")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("sum_chars"),
+            F.sum("legacy").cast("long").alias("n_legacy"),
+        )
+        .orderBy("lang_eff")
+    )
