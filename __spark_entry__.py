@@ -77,11 +77,13 @@ _PRIORITY = [
     "embed_pipeline_vectors",
     "incremental_cache_append",
     "global_shuffle_shards",
+    "schema_drift_read",
     "customer_distribution_q13",
     "top_supplier_q15",
+    # --- slots 51+ (outside the ~50 driver window this round; green
+    # under the identical local protocol, queued for the r4 window) ---
     "small_quantity_revenue_q17",
     "large_orders_q18",
-    "schema_drift_read",
     # --- core flagships (driver-green r1/r2; keep a row current) ---
     "agg_senders",
     "total_stats",
