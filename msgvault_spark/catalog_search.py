@@ -404,6 +404,7 @@ def hybrid_rrf_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
         round_scores=6,
         text_index=get_text_index(spark, sf_dir, "documents", "doc_id", "text"),
         corpus_stats=get_corpus_stats(spark, sf_dir, "documents", "doc_id", "text"),
+        term_stats=get_term_stats(spark, sf_dir, "documents", "doc_id", "text"),
         doc_filter=F.col("doc_id") < 2500,
         vec_filter=F.col("vec_id") < 2500,
     )
@@ -419,11 +420,7 @@ def bm25_prefix_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as FF
 
     from msgvault_spark.search.fts import bm25_scores_prefix
-    from msgvault_spark.sources.cache import (
-        get_corpus_stats,
-        get_term_stats,
-        get_text_index,
-    )
+    from msgvault_spark.sources.cache import get_corpus_stats, get_text_index
 
     postings, stats = get_text_index(spark, sf_dir, "documents", "doc_id", "text")
     cstats = get_corpus_stats(spark, sf_dir, "documents", "doc_id", "text")
@@ -588,8 +585,6 @@ def bm25_phrase_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     hits = phrase_occurrences(idx, _PHRASE)
     postings, stats = get_text_index(spark, sf_dir, "documents", "doc_id", "text")
     cstats = get_corpus_stats(spark, sf_dir, "documents", "doc_id", "text")
-    from msgvault_spark.sources.cache import get_term_stats
-
     scored = bm25_scores(
         postings, stats, _PHRASE, round_to=6, corpus_stats=cstats,
         term_stats=get_term_stats(spark, sf_dir, "documents", "doc_id", "text"),

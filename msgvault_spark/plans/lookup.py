@@ -188,14 +188,18 @@ def get_messages_raw(
     live = live_messages(messages, hide_deleted_from_source=True).select(
         F.col("id").alias("m_id")
     )
+    # branch on the STORED compression field (shared.go:239-252), never by
+    # trial decompression — an uncompressed payload that happens to parse
+    # as a valid zlib stream must pass through untouched
+    decoded = F.when(
+        F.col("compression") == "zlib", zlib_decompress(F.col("raw_data"))
+    ).otherwise(F.col("raw_data"))
     return (
         raw_store.filter(F.col("message_id").isin(*idset))
         .join(live, F.col("message_id") == F.col("m_id"))
         .select(
             F.col("message_id").alias("id"),
-            F.decode(zlib_decompress(F.col("raw_data")), "UTF-8").alias(
-                "raw_text"
-            ),
+            F.decode(decoded, "UTF-8").alias("raw_text"),
             "compression",
         )
         .orderBy("id")

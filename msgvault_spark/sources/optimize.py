@@ -25,6 +25,7 @@ import math
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from msgvault_spark.operators.zorder import zorder_by
 from msgvault_spark.sources.compact import dir_stats, recover_dir
@@ -117,13 +118,15 @@ def optimize_snapshot(
             f"no committed snapshot for {lake_dir}; use optimize_table "
             "for unversioned lakes"
         )
-    files_before = snapshot_manifest(
-        spark, lake_dir, meta_dir=meta_dir
-    ).count()
+    man = snapshot_manifest(spark, lake_dir, meta_dir=meta_dir)
+    man_row = man.agg(
+        F.count(F.lit(1)).alias("nf"), F.sum("n_rows").alias("nr")
+    ).collect()[0]
+    files_before = int(man_row["nf"])
+    # row count comes from manifest metadata — never a second full scan
+    # on top of the rewrite's own read
+    n_rows = int(man_row["nr"] or 0)
     df = read_snapshot(spark, lake_dir, meta_dir=meta_dir)
-    # size the output by the current version's bytes (manifest has rows,
-    # not bytes; approximate via the source dir scan Spark already did)
-    n_rows = df.count()
     total = sum(
         sz for _, sz in [(f, os.path.getsize(f)) for f in _snapshot_files(
             spark, lake_dir, meta_dir

@@ -26,6 +26,33 @@ def _plan(df, execute: bool = False) -> str:
     return df._jdf.queryExecution().executedPlan().toString()
 
 
+def _indent(line: str) -> int:
+    return len(line) - len(line.lstrip(" :+-*("))
+
+
+def _live_plan(plan: str) -> str:
+    """Plan text with every InMemoryTableScan SUBTREE removed (the cached
+    BUILD plan, paid once at ETL) while keeping siblings and later union
+    legs — unlike a naive prefix split, operators printed AFTER a cached
+    scan still get audited. An EXECUTED AQE plan prints '== Final Plan =='
+    followed by '== Initial Plan ==' — audit only the final section, or
+    every operator counts twice."""
+    plan = plan.split("== Initial Plan ==")[0]
+    out = []
+    skip_below: int | None = None
+    for line in plan.splitlines():
+        ind = _indent(line)
+        if skip_below is not None:
+            if ind > skip_below:
+                continue
+            skip_below = None
+        if "InMemoryTableScan" in line:
+            skip_below = ind
+            continue
+        out.append(line)
+    return "\n".join(out)
+
+
 @pytest.fixture(scope="module")
 def catalog():
     from msgvault_spark.catalog import CATALOG
@@ -255,10 +282,9 @@ def test_every_catalog_plan_is_scale_safe(spark, catalog):
         except Exception as e:  # noqa: BLE001
             failures.append(f"{name}: plan build failed: {e}")
             continue
-        # InMemoryTableScan's toString embeds the cached BUILD plan —
-        # paid once at ETL, not per query (same convention as
-        # test_headline_exchange_counts_pinned): audit the query prefix
-        pre = plan.split("InMemoryTableScan")[0]
+        # strip cached-build subtrees (paid at ETL), keep all live
+        # query-time operators including those printed after a cached scan
+        pre = _live_plan(plan)
         if "CartesianProduct" in pre:
             failures.append(f"{name}: CartesianProduct")
         nlj = pre.count("BroadcastNestedLoopJoin")
@@ -290,6 +316,12 @@ def test_headline_exchange_counts_pinned(spark, catalog):
     """Shuffle-exchange budget of the five headline plans, pinned so a
     refactor cannot silently add a shuffle. Counts exclude broadcast and
     reused exchanges and ignore the cached-build suffix (paid at ETL)."""
+    # Counts are over the LIVE plan (cached-build subtrees stripped via
+    # _live_plan, which unlike the old prefix split also audits operators
+    # printed after a cached scan) of a FRESH DataFrame under THIS
+    # session's conf — exchange structure varies with shuffle.partitions /
+    # broadcast threshold, so the pins are only meaningful against the
+    # fixture session they were calibrated on.
     PINNED = {
         "search_fast_operators_wide": 0,  # join-free scan of the wide view
         "sessionize_events": 1,           # one exchange shared by windows+rollup
@@ -297,10 +329,18 @@ def test_headline_exchange_counts_pinned(spark, catalog):
         "agg_senders_wide": 1,            # single hash-agg shuffle
         "knn_cosine_seed0": 0,            # map + TakeOrdered k-heap
     }
+    # measure a FRESH (unexecuted) plan: once AQE executes the memoized
+    # DataFrame (earlier tests collect it), the string flips to the final
+    # plan where tiny exchanges coalesce away — a state-dependent count.
+    # Clearing the entry's plan memo pins the deterministic initial plan.
+    from msgvault_spark import catalog as catmod
+
     failures = []
     for name, want in PINNED.items():
+        for k in [k for k in catmod._PLAN_MEMO if k[2] == name]:
+            del catmod._PLAN_MEMO[k]
         plan = _plan(catalog[name].fn(spark, SF_DIR))
-        pre = plan.split("InMemoryTableScan")[0]
+        pre = _live_plan(plan)
         got = (
             pre.count("Exchange")
             - pre.count("ReusedExchange")
@@ -361,6 +401,6 @@ def test_offset_pagination_is_take_ordered_not_window(spark, catalog):
     dies at scale)."""
     for name in ("search_page2", "text_search_messages"):
         plan = _plan(catalog[name].fn(spark, SF_DIR))
-        pre = plan.split("InMemoryTableScan")[0]
+        pre = _live_plan(plan)
         assert "offset=" in pre and "TakeOrderedAndProject" in pre, name
         assert "Window" not in pre, f"{name}: global window in plan"
