@@ -118,19 +118,19 @@ def optimize_snapshot(
             f"no committed snapshot for {lake_dir}; use optimize_table "
             "for unversioned lakes"
         )
-    man = snapshot_manifest(spark, lake_dir, meta_dir=meta_dir)
-    man_row = man.agg(
-        F.count(F.lit(1)).alias("nf"), F.sum("n_rows").alias("nr")
-    ).collect()[0]
-    files_before = int(man_row["nf"])
-    # row count comes from manifest metadata — never a second full scan
-    # on top of the rewrite's own read
-    n_rows = int(man_row["nr"] or 0)
+    from msgvault_spark.sources.manifest import _local_path
+
+    # ONE manifest read serves stats, row count, and the file list —
+    # never a second full data scan on top of the rewrite's own read
+    man_rows = snapshot_manifest(
+        spark, lake_dir, meta_dir=meta_dir
+    ).select("file", "n_rows").collect()
+    files_before = len(man_rows)
+    n_rows = sum(int(r["n_rows"] or 0) for r in man_rows)
+    cur_files = [_local_path(r["file"]) for r in man_rows]
     df = read_snapshot(spark, lake_dir, meta_dir=meta_dir)
     total = sum(
-        sz for _, sz in [(f, os.path.getsize(f)) for f in _snapshot_files(
-            spark, lake_dir, meta_dir
-        ) if os.path.exists(f)]
+        os.path.getsize(f) for f in cur_files if os.path.exists(f)
     )
     n_out = max(1, math.ceil(total / target_bytes))
     clustered = zorder_by(df, zorder_cols[0], zorder_cols[1], n_files=n_out)
@@ -156,13 +156,3 @@ def optimize_snapshot(
         "n_rows": n_rows,
     }
 
-
-def _snapshot_files(spark, lake_dir, meta_dir) -> list[str]:
-    from msgvault_spark.sources.manifest import _local_path
-    from msgvault_spark.sources.snapshots import snapshot_manifest
-
-    return [
-        _local_path(r["file"])
-        for r in snapshot_manifest(spark, lake_dir, meta_dir=meta_dir)
-        .select("file").collect()
-    ]

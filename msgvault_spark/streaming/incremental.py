@@ -53,16 +53,20 @@ def read_events_stream(spark: SparkSession, path: str) -> DataFrame:
     import glob as _glob
 
     probe_paths = sorted(_glob.glob(path)) or [path]
+    from pyspark.errors import AnalysisException
+
     try:
         probed = dict(spark.read.parquet(probe_paths[0]).dtypes).get(
             "ts", "bigint"
         )
-    except Exception:
-        # empty / not-yet-populated source dir: start the stream with the
-        # legacy explicit schema and let it wait for files, exactly like
-        # the pre-probe behavior — do not fail stream DEFINITION on an
-        # empty directory. (A directory mixing ns and µs shards is not
-        # supported by a single stream schema; normalize at write time.)
+    except AnalysisException:
+        # empty / not-yet-populated source dir (PATH_NOT_FOUND /
+        # UNABLE_TO_INFER_SCHEMA): start the stream with the legacy
+        # explicit schema and let it wait for files, exactly like the
+        # pre-probe behavior — do not fail stream DEFINITION on an empty
+        # directory. Real read errors (corrupt shard) still propagate.
+        # (A directory mixing ns and µs shards is not supported by a
+        # single stream schema; normalize at write time.)
         probed = "bigint"
     if probed == "bigint":
         raw = spark.readStream.schema(EVENTS_SCHEMA).parquet(path)

@@ -27,7 +27,10 @@ def _plan(df, execute: bool = False) -> str:
 
 
 def _indent(line: str) -> int:
-    return len(line) - len(line.lstrip(" :+-*("))
+    # tree-prefix characters only — '*(n)' codegen markers are CONTENT
+    # ('+- *(1) Project' is at the '+-' depth); counting them as indent
+    # would make live siblings of a cached scan look nested under it
+    return len(line) - len(line.lstrip(" :+-"))
 
 
 def _live_plan(plan: str) -> str:
