@@ -14,7 +14,7 @@ from msgvault_spark.dedup.exact import (
     exact_dup_groups,
     select_survivors,
 )
-from msgvault_spark.dedup.minhash import lsh_candidate_pairs, minhash_oracle_sql
+from msgvault_spark.dedup.minhash import minhash_oracle_sql
 from msgvault_spark.dedup.simhash import simhash, simhash_oracle_sql
 from msgvault_spark.sources.adapter import oracle
 from msgvault_spark.sources.cache import get_archive

@@ -15,7 +15,6 @@ from msgvault_spark.search.fts import (
     bm25_search,
 )
 from msgvault_spark.search.hybrid import hybrid_search
-from msgvault_spark.similarity.knn import knn_for_seed
 from msgvault_spark.sources.adapter import oracle
 from msgvault_spark.sources.cache import get_archive
 from msgvault_spark.sources.cache import get_table as load_table

@@ -26,7 +26,7 @@ from __future__ import annotations
 import glob as _glob
 import os
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
