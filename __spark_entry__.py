@@ -84,6 +84,9 @@ _PRIORITY = [
     # under the identical local protocol, queued for the r4 window) ---
     "small_quantity_revenue_q17",
     "large_orders_q18",
+    "min_cost_supplier_q2",
+    "important_stock_q11",
+    "excess_stock_suppliers_q20",
     # --- core flagships (driver-green r1/r2; keep a row current) ---
     "agg_senders",
     "total_stats",

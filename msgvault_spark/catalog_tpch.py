@@ -4,7 +4,10 @@ grouped semi-join (Q4), pure scan-agg with conjunctive range predicates
 (Q6), multi-way profit rollup (Q9), conditional-aggregate ratio (Q14),
 distinct-count with anti-joined exclusion list (Q16), disjunction-of-
 conjunctions join predicate (Q19), double-correlated EXISTS/NOT EXISTS
-(Q21), and scalar-average subquery + NOT EXISTS (Q22).
+(Q21), scalar-average subquery + NOT EXISTS (Q22), correlated per-group
+MIN decorrelated to a rejoin (Q2), fraction-of-total HAVING (Q11), and
+the nested IN-chain with a correlated conditional aggregate (Q20) —
+completing all 22 TPC-H plan classes.
 
 The testdata's TPC-H-ish schema is reduced (no partsupp/commitdate/
 receiptdate/phone/container/comment), so each query keeps the SHAPE on
@@ -602,4 +605,239 @@ def large_orders_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("totalprice_f").desc(), F.col("o_orderkey").asc())
         .limit(20)
+    )
+
+
+@register(
+    "min_cost_supplier_q2",
+    """
+WITH cost AS (
+    SELECT l_partkey, l_suppkey,
+           MIN(CAST(floor(l_extendedprice * 100 / l_quantity) AS BIGINT))
+               AS unit_cost_c
+    FROM lineitem
+    GROUP BY l_partkey, l_suppkey
+),
+eligible AS (
+    SELECT c.l_partkey, c.unit_cost_c, s.s_suppkey, s.s_name, s.s_acctbal,
+           n.n_name
+    FROM cost c
+    JOIN supplier s ON s.s_suppkey = c.l_suppkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    JOIN region r ON r.r_regionkey = n.n_regionkey
+    WHERE r.r_name = 'EUROPE'
+)
+SELECT e.s_name, e.n_name, p.p_partkey, p.p_name,
+       CAST(floor(e.s_acctbal * 100) AS BIGINT) AS acctbal_c,
+       e.unit_cost_c
+FROM eligible e
+JOIN part p ON p.p_partkey = e.l_partkey
+WHERE p.p_size BETWEEN 1 AND 15
+  AND p.p_type = 'STANDARD'
+  AND e.unit_cost_c = (
+      SELECT MIN(e2.unit_cost_c) FROM eligible e2
+      WHERE e2.l_partkey = e.l_partkey
+  )
+ORDER BY acctbal_c DESC, e.n_name, e.s_name, p.p_partkey
+LIMIT 25
+""",
+)
+def min_cost_supplier_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q2 shape (lineitem-derived supply cost, no partsupp in the lake):
+    the correlated per-part MIN subquery decorrelated into a groupBy-min
+    frame joined back on (partkey, cost == min) — Catalyst's own rewrite
+    for scalar-agg correlation, written explicitly so both legs reuse the
+    `eligible` frame's l_partkey shuffle. The region scoping runs through
+    broadcast dim chain supplier⋈nation⋈region BEFORE the min, so the
+    minimum is taken over in-region suppliers only (the Q2 trap)."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_extendedprice", "l_quantity"
+    )
+    cost = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.min(
+            F.floor(F.col("l_extendedprice") * 100 / F.col("l_quantity"))
+            .cast("long")
+        ).alias("unit_cost_c")
+    )
+    s = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", "s_acctbal", "s_nationkey"
+    )
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(
+        F.col("r_name") == "EUROPE"
+    )
+    dim = (
+        s.join(
+            F.broadcast(
+                n.join(
+                    F.broadcast(r),
+                    F.col("n_regionkey") == F.col("r_regionkey"),
+                ).select("n_nationkey", "n_name")
+            ),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    eligible = cost.join(
+        F.broadcast(dim), F.col("l_suppkey") == F.col("s_suppkey")
+    ).select("l_partkey", "unit_cost_c", "s_name", "s_acctbal", "n_name")
+    mins = eligible.groupBy(F.col("l_partkey").alias("m_partkey")).agg(
+        F.min("unit_cost_c").alias("m_cost")
+    )
+    p = (
+        load_table(spark, sf_dir, "part")
+        .filter(
+            F.col("p_size").between(1, 15) & (F.col("p_type") == "STANDARD")
+        )
+        .select("p_partkey", "p_name")
+    )
+    return (
+        eligible.join(
+            mins,
+            (F.col("l_partkey") == F.col("m_partkey"))
+            & (F.col("unit_cost_c") == F.col("m_cost")),
+        )
+        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .select(
+            "s_name",
+            "n_name",
+            "p_partkey",
+            "p_name",
+            F.floor(F.col("s_acctbal") * 100).cast("long").alias("acctbal_c"),
+            "unit_cost_c",
+        )
+        .orderBy(
+            F.col("acctbal_c").desc(),
+            F.col("n_name").asc(),
+            F.col("s_name").asc(),
+            F.col("p_partkey").asc(),
+        )
+        .limit(25)
+    )
+
+
+@register(
+    "important_stock_q11",
+    """
+WITH val AS (
+    SELECT l.l_partkey,
+           CAST(SUM(CAST(floor(l.l_extendedprice * 100) AS BIGINT))
+                AS BIGINT) AS value_c
+    FROM lineitem l
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    WHERE n.n_name IN ('NATION_3', 'NATION_7')
+    GROUP BY l.l_partkey
+)
+SELECT v.l_partkey AS partkey, v.value_c
+FROM val v, (SELECT SUM(value_c) * 0.0008 AS thresh FROM val) t
+WHERE v.value_c > t.thresh
+ORDER BY v.value_c DESC, partkey
+""",
+)
+def important_stock_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q11 shape: per-part value within a nation scope, kept only when it
+    exceeds a FRACTION of the scope's total — the HAVING-against-scalar-
+    subquery plan. The total reuses the grouped frame (one l_partkey
+    shuffle) and folds in as a 1-row broadcast (W1); value sums run in
+    cents (exact longs) so neither engine's float summation order
+    matters."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_extendedprice"
+    )
+    s = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey"
+    )
+    n = load_table(spark, sf_dir, "nation").filter(
+        F.col("n_name").isin("NATION_3", "NATION_7")
+    )
+    scoped = s.join(
+        F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey")
+    ).select("s_suppkey")
+    val = (
+        li.join(F.broadcast(scoped), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("l_partkey")
+        .agg(
+            F.sum(F.floor(F.col("l_extendedprice") * 100).cast("long"))
+            .cast("long")
+            .alias("value_c")
+        )
+    )
+    thresh = val.agg((F.sum("value_c") * 0.0008).alias("thresh"))
+    return (
+        val.crossJoin(F.broadcast(thresh))
+        .filter(F.col("value_c") > F.col("thresh"))
+        .select(F.col("l_partkey").alias("partkey"), "value_c")
+        .orderBy(F.col("value_c").desc(), F.col("partkey").asc())
+    )
+
+
+@register(
+    "excess_stock_suppliers_q20",
+    """
+WITH pair AS (
+    SELECT l_partkey, l_suppkey,
+           CAST(SUM(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT)
+               AS total_qty_c,
+           CAST(SUM(CASE WHEN l_shipdate >= TIMESTAMP '1996-01-01'
+                          AND l_shipdate < TIMESTAMP '1997-01-01'
+                     THEN CAST(round(l_quantity * 100) AS BIGINT)
+                     ELSE 0 END) AS BIGINT) AS yr_qty_c
+    FROM lineitem
+    GROUP BY l_partkey, l_suppkey
+),
+excess AS (
+    SELECT DISTINCT pr.l_suppkey
+    FROM pair pr
+    JOIN part p ON p.p_partkey = pr.l_partkey
+    WHERE p.p_name LIKE 'small%'
+      AND pr.total_qty_c > 2 * pr.yr_qty_c
+)
+SELECT s.s_name, n.n_name
+FROM supplier s
+JOIN nation n ON n.n_nationkey = s.s_nationkey
+WHERE s.s_suppkey IN (SELECT l_suppkey FROM excess)
+ORDER BY s.s_name
+""",
+)
+def excess_stock_suppliers_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q20 shape (availqty stood in by all-time pair quantity): the nested
+    IN-chain — parts by name prefix → (part, supplier) pairs whose stock
+    exceeds twice the year's shipments → suppliers holding any such pair —
+    expressed as a correlated-aggregate filter feeding a left_semi probe.
+    Both quantity sums come out of ONE grouped pass (conditional agg), so
+    the correlation adds no extra shuffle; the semi join de-dups supplier
+    keys without a DISTINCT."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_quantity", "l_shipdate"
+    )
+    qc = F.round(F.col("l_quantity") * 100).cast("long")
+    in_year = (
+        F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp")
+    ) & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    pair = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum(qc).cast("long").alias("total_qty_c"),
+        F.sum(F.when(in_year, qc).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("yr_qty_c"),
+    )
+    p = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("small%"))
+        .select("p_partkey")
+    )
+    excess = (
+        pair.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .filter(F.col("total_qty_c") > 2 * F.col("yr_qty_c"))
+        .select("l_suppkey")
+    )
+    s = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", "s_nationkey"
+    )
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        s.join(excess, F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_name", "n_name")
+        .orderBy("s_name")
     )
