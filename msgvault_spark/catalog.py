@@ -22,6 +22,7 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from msgvault_spark.operators.present import present_sorted
 from msgvault_spark.sources.adapter import oracle
 from msgvault_spark.sources.cache import get_archive
 from msgvault_spark.sources.cache import get_table as load_table
@@ -453,7 +454,7 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.sum(cents("l_extendedprice")) / 100.0).alias("sum_base_price"),
             F.count(F.lit(1)).alias("count_order"),
         )
-        .orderBy("l_returnflag", "l_linestatus")
+        .transform(present_sorted, "l_returnflag", "l_linestatus")
     )
 
 
@@ -734,7 +735,7 @@ def salted_priority_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("total").cast("long").alias("total"),
             F.col("distinct_count").alias("customers"),
         )
-        .orderBy("key")
+        .transform(present_sorted, "key")
     )
 
 
@@ -830,7 +831,7 @@ def hll_distinct_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("long")
             .alias("approx_ok"),
         )
-        .orderBy("key")
+        .transform(present_sorted, "key")
     )
 
 
@@ -987,7 +988,7 @@ def regional_volume_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("c_nationkey") == F.col("s_nationkey"))
         .groupBy(F.col("n_name").alias("nation"))
         .agg(F.sum(revenue_c).cast("long").alias("revenue_c"))
-        .orderBy(F.col("revenue_c").desc(), F.col("nation").asc())
+        .transform(present_sorted, F.col("revenue_c").desc(), F.col("nation").asc())
     )
 
 

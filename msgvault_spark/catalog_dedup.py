@@ -6,6 +6,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from msgvault_spark.operators.present import present_sorted
 from msgvault_spark.catalog import register
 from msgvault_spark.dedup.embedding import allpairs_near_dups
 from msgvault_spark.dedup.exact import (
@@ -491,7 +492,7 @@ def dv_survivor_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         remaining.groupBy(F.col("lang").alias("key"))
         .agg(F.count(F.lit(1)).cast("long").alias("docs"))
-        .orderBy("key")
+        .transform(present_sorted, "key")
     )
 
 

@@ -7,6 +7,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from msgvault_spark.operators.present import present_sorted
 from msgvault_spark.catalog import register
 from msgvault_spark.sources.cache import get_table as load_table
 
@@ -108,7 +109,7 @@ def stratified_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).cast("long").alias("sampled"),
             F.sum("doc_id").cast("long").alias("id_sum"),
         )
-        .orderBy("key")
+        .transform(present_sorted, "key")
     )
 
 
@@ -265,7 +266,7 @@ def asof_events_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("long")
             .alias("order_ref_sum"),
         )
-        .orderBy("key")
+        .transform(present_sorted, "key")
     )
 
 

@@ -215,12 +215,27 @@ _TERM_STATS_MEMO: dict[tuple[str, str, str, str, str], DataFrame] = {}
 
 def get_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Memoized persisted testdata table (the raw-parquet analog of the
-    reference keeping its DuckDB connection's buffer pool warm)."""
+    reference keeping its DuckDB connection's buffer pool warm).
+
+    The cached layout is re-partitioned for SCAN parallelism: a small-SF
+    parquet table is one 128 MB split, so every first (non-shuffle-reused)
+    execution of a downstream plan would scan it on a single core while the
+    other 31 idle. Row-count-sized round-robin partitions (~100k rows each,
+    capped at core count) make the cached relation's map stages parallel —
+    the local-mode analog of sizing files/maxPartitionBytes on a real lake,
+    paid once at ETL. Tiny dims keep their single partition."""
     from msgvault_spark.sources.loader import load_table
 
     key = (spark.sparkContext.applicationId, sf_dir, name)
     if key not in _TABLE_MEMO:
-        df = load_table(spark, sf_dir, name).persist(StorageLevel.MEMORY_AND_DISK)
+        df = load_table(spark, sf_dir, name)
+        n_rows = df.count()
+        n_part = min(
+            spark.sparkContext.defaultParallelism, max(1, n_rows // 100_000)
+        )
+        if n_part > df.rdd.getNumPartitions():
+            df = df.repartition(n_part)
+        df = df.persist(StorageLevel.MEMORY_AND_DISK)
         df.count()
         _TABLE_MEMO[key] = df
     return _TABLE_MEMO[key]
