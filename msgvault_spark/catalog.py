@@ -650,7 +650,7 @@ def union_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         brands.unionByName(types)
         .groupBy("part_label")
         .agg(F.count(F.lit(1)).alias("n"))
-        .orderBy("part_label")
+        .transform(present_sorted, "part_label")
     )
 
 
@@ -669,7 +669,7 @@ def ilike_part_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         part.filter(F.col("p_name").ilike("%green%") & (F.col("p_size") > 20))
         .select("p_partkey", "p_name", "p_brand")
-        .orderBy("p_partkey")
+        .sortWithinPartitions("p_partkey")
     )
 
 
@@ -877,7 +877,7 @@ def salted_join_priority_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).cast("long").alias("orders"),
             F.sum("price_l").cast("long").alias("total"),
         )
-        .orderBy("key")
+        .transform(present_sorted, "key")
     )
 
 
@@ -1053,7 +1053,7 @@ def nation_volume_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.year("l_shipdate").cast("int").alias("yr"),
         )
         .agg(F.sum(revenue_c).cast("long").alias("revenue_c"))
-        .orderBy("supp_nation", "cust_nation", "yr")
+        .transform(present_sorted, "supp_nation", "cust_nation", "yr")
     )
 
 
@@ -1131,7 +1131,7 @@ def market_share_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
                 nat.cast("double") / tot.cast("double"), 6
             ).alias("mkt_share")
         )
-        .orderBy("yr")
+        .transform(present_sorted, "yr")
     )
 
 
@@ -1170,7 +1170,7 @@ def cube_priority_status(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n",
             "total_c",
         )
-        .orderBy("priority", "status")
+        .transform(present_sorted, "priority", "status")
     )
 
 
@@ -1265,5 +1265,5 @@ def priority_shipping_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(high, 0).otherwise(1)).cast("long")
             .alias("low_line_count"),
         )
-        .orderBy("returnflag")
+        .transform(present_sorted, "returnflag")
     )

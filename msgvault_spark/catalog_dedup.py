@@ -105,7 +105,7 @@ def dedup_exact_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("id").alias("survivor_id"),
             F.col("group_size").cast("long").alias("group_size"),
         )
-        .orderBy("group_key")
+        .sortWithinPartitions("group_key")
     )
 
 
@@ -164,7 +164,7 @@ def dedup_merge_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
         sent_copy=F.col("source_id") == 2,
     )
     survivor_labels, _losers = dedup_merge_plan(marked, arch["message_labels"])
-    return survivor_labels.orderBy("survivor_id", "label_id")
+    return survivor_labels.sortWithinPartitions("survivor_id", "label_id")
 
 
 # ---------------------------------------------------------------------------
@@ -218,7 +218,7 @@ def dedup_content_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("doc_id").alias("dup_id"),
         )
         .filter(F.col("group_size") >= 2)
-        .orderBy("survivor_id")
+        .sortWithinPartitions("survivor_id")
     )
 
 
@@ -276,7 +276,7 @@ def minhash_lsh_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """32-bit SimHash per document, engine-portable bit math."""
     docs = load_table(spark, sf_dir, "documents")
-    return simhash(docs, "doc_id", "text").orderBy("doc_id")
+    return simhash(docs, "doc_id", "text").sortWithinPartitions("doc_id")
 
 
 # ---------------------------------------------------------------------------
@@ -399,7 +399,7 @@ ORDER BY doc_id
 def text_profile_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document quality/token/language/fingerprint profile."""
     docs = load_table(spark, sf_dir, "documents")
-    return text_profile(docs, "doc_id", "text").orderBy("doc_id")
+    return text_profile(docs, "doc_id", "text").sortWithinPartitions("doc_id")
 
 
 # ---------------------------------------------------------------------------
@@ -729,7 +729,7 @@ def fuzzy_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).cast("long").alias("n_members"),
             (F.count(F.lit(1)) - 1).cast("long").alias("n_dropped"),
         )
-        .orderBy("component")
+        .sortWithinPartitions("component")
     )
 
 

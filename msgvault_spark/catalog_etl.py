@@ -12,6 +12,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from msgvault_spark.catalog import register
+from msgvault_spark.operators.present import present_sorted
 from msgvault_spark.sources.adapter import oracle
 from msgvault_spark.sources.build_cache import build_cache
 from msgvault_spark.sources.cache import get_archive
@@ -59,7 +60,7 @@ def cache_roundtrip_by_year(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("message_count"),
             F.sum("size_estimate").cast("long").alias("total_size"),
         )
-        .orderBy("year")
+        .transform(present_sorted, "year")
     )
 
 
@@ -201,7 +202,7 @@ def empty_cc_by_year(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(cc, F.col("id") == F.col("message_id"), "left_anti")
         .groupBy("year")
         .agg(F.count(F.lit(1)).alias("count"))
-        .orderBy("year")
+        .transform(present_sorted, "year")
     )
 
 
@@ -605,7 +606,7 @@ def encoding_repair_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return corrupted.select(
         "doc_id", repair_encoding(F.col("raw")).alias("repaired")
-    ).orderBy("doc_id")
+    ).sortWithinPartitions("doc_id")
 
 
 _CSV_MEMO: dict[tuple, str] = {}
@@ -728,7 +729,7 @@ def incremental_cache_append(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_size",
             F.col("label_links").cast("long").alias("label_links"),
         )
-        .orderBy("year")
+        .transform(present_sorted, "year")
     )
 
 
@@ -801,5 +802,5 @@ def schema_drift_read(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_chars").cast("long").alias("sum_chars"),
             F.sum("legacy").cast("long").alias("n_legacy"),
         )
-        .orderBy("lang_eff")
+        .transform(present_sorted, "lang_eff")
     )

@@ -9,6 +9,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from msgvault_spark.catalog import register
+from msgvault_spark.operators.present import present_sorted
 from msgvault_spark.sources.cache import get_table as load_table
 
 _DOCS_SQL = "SELECT doc_id, text FROM documents"
@@ -98,7 +99,7 @@ def cms_frequency_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("long")
             .alias("over_ok"),
         )
-        .orderBy("key")
+        .transform(present_sorted, "key")
     )
 
 
@@ -166,7 +167,7 @@ def hist_quantile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             lo=0, hi=600_000, bins=600,
         )
         .withColumnRenamed("o_orderpriority", "grp")
-        .orderBy("grp")
+        .transform(present_sorted, "grp")
     )
 
 

@@ -88,7 +88,7 @@ def dedup_mime_hash_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("id").alias("dup_id"),
         )
         .filter(F.col("copies") > 1)
-        .orderBy("survivor_id")
+        .sortWithinPartitions("survivor_id")
     )
 
 
@@ -108,7 +108,7 @@ def rfc822_backfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     raws = _raw_mime(spark, sf_dir).filter(F.col("id") < 100)
     return (
         raws.select("id", rfc822_message_id(F.col("raw")).alias("rfc822_message_id"))
-        .orderBy("id")
+        .sortWithinPartitions("id")
     )
 
 
@@ -142,7 +142,7 @@ def embed_preprocess_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
                 300,
             ).alias("embed_text"),
         )
-        .orderBy("doc_id")
+        .sortWithinPartitions("doc_id")
     )
 
 
@@ -223,4 +223,4 @@ def embed_pipeline_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias(f"e{j}")
             for j in range(8)
         ],
-    ).orderBy("id")
+    ).sortWithinPartitions("id")

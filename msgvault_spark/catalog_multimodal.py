@@ -6,6 +6,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from msgvault_spark.catalog import register
+from msgvault_spark.operators.present import present_sorted
 from msgvault_spark.multimodal.binary_ops import (
     decode_media,
     extract_features,
@@ -113,7 +114,7 @@ def media_payload_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary-column plumbing: payload length, content-addressing hash,
     magic-byte MIME sniffing — all JVM-side over binary columns."""
     docs = load_table(spark, sf_dir, "documents")
-    return payload_stats(synthesize_media(docs)).orderBy("media_id")
+    return payload_stats(synthesize_media(docs)).sortWithinPartitions("media_id")
 
 
 @register(
@@ -155,7 +156,7 @@ def media_features_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("byte_entropy", 6).alias("byte_entropy"),
         F.round("ascii_ratio", 6).alias("ascii_ratio"),
         F.round("null_ratio", 6).alias("null_ratio"),
-    ).orderBy("media_id")
+    ).sortWithinPartitions("media_id")
 
 
 _HEXVAL = "(strpos('0123456789abcdef', substring(h, {i}, 1)) - 1)"
@@ -187,7 +188,7 @@ def media_decode_fake(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return decode_media(
         synthesize_media(docs), deterministic_fake=True
-    ).orderBy("media_id")
+    ).sortWithinPartitions("media_id")
 
 
 # ---------------------------------------------------------------------------
@@ -319,5 +320,5 @@ def label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n").cast("long").alias("n"),
             (F.expr("s div n").cast("double") / 1000000.0).alias("c"),
         )
-        .orderBy("label", "i")
+        .transform(present_sorted, "label", "i")
     )

@@ -145,7 +145,7 @@ def weighted_mix_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).cast("long").alias("kept"),
             F.sum("doc_id").cast("long").alias("id_sum"),
         )
-        .orderBy("key")
+        .transform(present_sorted, "key")
     )
 
 
@@ -306,7 +306,7 @@ def pivot_events_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return out.select(
         "week", *[F.coalesce(F.col(t), F.lit(0)).cast("long").alias(t) for t in types]
-    ).orderBy("week")
+    ).transform(present_sorted, "week")
 
 
 @register(
@@ -350,7 +350,7 @@ def rollup_priority_status(spark: SparkSession, sf_dir: str) -> DataFrame:
             "orders",
             "total",
         )
-        .orderBy("grouping_level", "priority", "status")
+        .transform(present_sorted, "grouping_level", "priority", "status")
     )
 
 
@@ -477,7 +477,7 @@ def repetition_filter_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("dup_word_ppm").cast("long").alias("dup_word_ppm_sum"),
             F.sum("top_bigram_ppm").cast("long").alias("top_bigram_ppm_sum"),
         )
-        .orderBy("key")
+        .transform(present_sorted, "key")
     )
 
 
@@ -518,7 +518,7 @@ def events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("k").cast("long").alias("k_max"),
             F.sum((F.col("k") >= 50).cast("int")).cast("long").alias("k_high"),
         )
-        .orderBy("key")
+        .transform(present_sorted, "key")
     )
 
 
@@ -577,7 +577,7 @@ def range_join_error_context(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count_distinct("event_id").cast("long").alias("errors_matched"),
             F.sum("ctx_id").cast("long").alias("ctx_ref_sum"),
         )
-        .orderBy("key")
+        .transform(present_sorted, "key")
     )
 
 
@@ -662,7 +662,7 @@ def window_family_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("cheapest_key").cast("long").alias("cheapest_key"),
             F.max("running_total").cast("long").alias("grand_total"),
         )
-        .orderBy("key")
+        .transform(present_sorted, "key")
     )
 
 
@@ -707,7 +707,7 @@ def incremental_agg_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("price_sum").cast("long").alias("price_sum"),
         F.col("price_min").cast("long").alias("price_min"),
         F.col("price_max").cast("long").alias("price_max"),
-    ).orderBy("key")
+    ).transform(present_sorted, "key")
 
 
 # ---------------------------------------------------------------------------
@@ -748,7 +748,7 @@ def percentiles_order_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         orders.groupBy(F.col("o_orderpriority").alias("key"))
         .agg(pct(0.50, "p50_c"), pct(0.95, "p95_c"), pct(0.99, "p99_c"))
-        .orderBy("key")
+        .transform(present_sorted, "key")
     )
 
 
@@ -786,7 +786,7 @@ def approx_percentile_check(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.abs(approx - exact) <= 0.02 * exact
             ).cast("long").alias("approx_ok"),
         )
-        .orderBy("key")
+        .transform(present_sorted, "key")
     )
 
 
@@ -833,7 +833,7 @@ def topk_orders_per_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("o_orderkey").cast("long").alias("o_orderkey"),
             F.floor("o_totalprice").cast("long").alias("price_l"),
         )
-        .orderBy("key", "rn")
+        .transform(present_sorted, "key", "rn")
     )
 
 
@@ -984,7 +984,7 @@ def scd2_customer_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("long")
             .alias("current_rows"),
         )
-        .orderBy("key")
+        .transform(present_sorted, "key")
     )
 
 
@@ -1088,7 +1088,7 @@ def train_val_test_split_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).cast("long").alias("n"),
             F.sum("doc_id").cast("long").alias("id_sum"),
         )
-        .orderBy("split", "key")
+        .transform(present_sorted, "split", "key")
     )
 
 
@@ -1133,7 +1133,7 @@ def temperature_mix_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).cast("long").alias("kept"),
             F.sum("doc_id").cast("long").alias("id_sum"),
         )
-        .orderBy("key")
+        .transform(present_sorted, "key")
     )
 
 
@@ -1180,7 +1180,7 @@ def bloom_join_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).cast("long").alias("n"),
             F.sum("price_c").cast("long").alias("total_c"),
         )
-        .orderBy("priority")
+        .transform(present_sorted, "priority")
     )
 
 
@@ -1225,7 +1225,7 @@ def epoch_upsample_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("doc_id") * (F.col("epoch") + 1)).cast("long")
             .alias("weighted_id_sum"),
         )
-        .orderBy("key")
+        .transform(present_sorted, "key")
     )
 
 
@@ -1268,7 +1268,7 @@ def skew_report_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("(mx * k * 1000000) div t").cast("long")
             .alias("hot_over_mean_ppm"),
         )
-        .orderBy(F.col("n").desc(), F.col("key").asc())
+        .transform(present_sorted, F.col("n").desc(), F.col("key").asc())
     )
 
 
@@ -1428,5 +1428,5 @@ def global_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("head_ids"),
             F.count_distinct("source").cast("long").alias("n_sources"),
         )
-        .orderBy("shard")
+        .transform(present_sorted, "shard")
     )

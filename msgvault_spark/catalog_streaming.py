@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from msgvault_spark.catalog import register
+from msgvault_spark.operators.present import present_sorted
 from msgvault_spark.streaming.incremental import (
     read_events_stream,
     run_available_now,
@@ -52,7 +53,7 @@ def stream_rollup_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         queryName=f"rollup_{uuid.uuid4().hex[:8]}",
         output_mode="complete",
     )
-    return got.orderBy(F.col("day").asc(), F.col("event_type").asc())
+    return got.transform(present_sorted, F.col("day").asc(), F.col("event_type").asc())
 
 
 @register(
@@ -94,7 +95,7 @@ def stream_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         queryName=f"sessions_{uuid.uuid4().hex[:8]}",
         output_mode="update",
     )
-    return got.orderBy(F.col("user_id").asc())
+    return got.sortWithinPartitions(F.col("user_id").asc())
 
 
 @register(
@@ -140,7 +141,7 @@ def sliding_window_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             "events",
             "total_value",
         )
-        .orderBy("win_start", "event_type")
+        .transform(present_sorted, "win_start", "event_type")
     )
 
 
@@ -194,5 +195,5 @@ def stream_stream_join_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         got.groupBy(F.col("c_user").alias("user_id"))
         .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
-        .orderBy("user_id")
+        .sortWithinPartitions("user_id")
     )

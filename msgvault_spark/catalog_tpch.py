@@ -24,6 +24,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from msgvault_spark.catalog import register
+from msgvault_spark.operators.present import present_sorted
 from msgvault_spark.sources.cache import get_table as load_table
 
 
@@ -71,7 +72,7 @@ def order_priority_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         late.groupBy("o_orderpriority")
         .agg(F.count(F.lit(1)).cast("long").alias("order_count"))
-        .orderBy("o_orderpriority")
+        .transform(present_sorted, "o_orderpriority")
     )
 
 
@@ -155,7 +156,7 @@ def nation_profit_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("long")
             .alias("profit_c")
         )
-        .orderBy(F.col("nation").asc(), F.col("yr").desc())
+        .transform(present_sorted, F.col("nation").asc(), F.col("yr").desc())
     )
 
 
@@ -418,7 +419,7 @@ def idle_customers_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("long")
             .alias("totacctbal_c"),
         )
-        .orderBy("nation")
+        .transform(present_sorted, "nation")
     )
 
 
@@ -457,7 +458,7 @@ def customer_distribution_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         per.groupBy("c_count")
         .agg(F.count(F.lit(1)).cast("long").alias("custdist"))
-        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+        .transform(present_sorted, F.col("custdist").desc(), F.col("c_count").desc())
     )
 
 
@@ -500,7 +501,7 @@ def top_supplier_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("total_revenue_c") == F.col("mx"))
         .join(F.broadcast(s), F.col("supplier_no") == F.col("s_suppkey"))
         .select("s_suppkey", "s_name", "total_revenue_c")
-        .orderBy("s_suppkey")
+        .transform(present_sorted, "s_suppkey")
     )
 
 
@@ -768,7 +769,7 @@ def important_stock_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
         val.crossJoin(F.broadcast(thresh))
         .filter(F.col("value_c") > F.col("thresh"))
         .select(F.col("l_partkey").alias("partkey"), "value_c")
-        .orderBy(F.col("value_c").desc(), F.col("partkey").asc())
+        .transform(present_sorted, F.col("value_c").desc(), F.col("partkey").asc())
     )
 
 
@@ -839,5 +840,5 @@ def excess_stock_suppliers_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
         s.join(excess, F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
         .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
         .select("s_name", "n_name")
-        .orderBy("s_name")
+        .transform(present_sorted, "s_name")
     )

@@ -28,6 +28,8 @@ from pyspark import StorageLevel
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from msgvault_spark.operators.present import present_sorted
+
 
 def connected_components(
     edges: DataFrame,
@@ -135,5 +137,5 @@ def component_sizes(components: DataFrame) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("size"))
         .groupBy("size")
         .agg(F.count(F.lit(1)).alias("n_components"))
-        .orderBy("size")
+        .transform(present_sorted, "size")
     )

@@ -55,7 +55,7 @@ def contamination_pairs(
         .groupBy("doc_id", "bench_id")
         .agg(F.count(F.lit(1)).cast("long").alias("n_collisions"))
         .filter(F.col("n_collisions") >= min_collisions)
-        .orderBy("doc_id", "bench_id")
+        .sortWithinPartitions("doc_id", "bench_id")
     )
 
 
@@ -68,7 +68,7 @@ def contaminated_docs(pairs: DataFrame) -> DataFrame:
             F.count(F.lit(1)).cast("long").alias("n_bench_docs"),
             F.sum("n_collisions").cast("long").alias("total_collisions"),
         )
-        .orderBy("doc_id")
+        .sortWithinPartitions("doc_id")
     )
 
 

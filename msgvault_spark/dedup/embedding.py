@@ -39,7 +39,7 @@ def allpairs_near_dups(
         pairs.withColumn("cos", F.round(cos, round_to))
         .filter(F.col("cos") >= threshold)
         .select("id_a", "id_b", "cos")
-        .orderBy("id_a", "id_b")
+        .sortWithinPartitions("id_a", "id_b")
     )
 
 
@@ -96,5 +96,5 @@ def lsh_near_dups(
         .filter(F.col("cos") >= threshold)
         .select("id_a", "id_b", "cos")
         .distinct()
-        .orderBy("id_a", "id_b")
+        .sortWithinPartitions("id_a", "id_b")
     )

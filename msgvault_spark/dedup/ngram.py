@@ -92,7 +92,7 @@ def ngram_jaccard_pairs(
         )
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
-        .orderBy("id_a", "id_b")
+        .sortWithinPartitions("id_a", "id_b")
     )
 
 

@@ -23,6 +23,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from msgvault_spark.operators.present import present_sorted
+
 from msgvault_spark.similarity.ivf import build_ivf_index, _cos_sql
 from msgvault_spark.similarity.knn import cosine
 
@@ -94,7 +96,7 @@ def semantic_dedup_summary(flags: DataFrame) -> DataFrame:
             .cast("long")
             .alias("n_survivors"),
         )
-        .orderBy("cell")
+        .transform(present_sorted, "cell")
     )
 
 

@@ -65,7 +65,7 @@ def bin_stats(packed: DataFrame) -> DataFrame:
             F.count(F.lit(1)).cast("long").alias("n_docs"),
             F.sum("n_tokens").cast("long").alias("bin_tokens"),
         )
-        .orderBy("shard", "bin_id")
+        .sortWithinPartitions("shard", "bin_id")
     )
 
 

@@ -17,6 +17,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from msgvault_spark.operators.present import present_sorted
+
 from msgvault_spark.plans.filters import apply_message_filter
 from msgvault_spark.plans.models import (
     MessageFilter,
@@ -148,7 +150,7 @@ def list_messages(
             F.coalesce(F.col("message_type"), F.lit("")).alias("message_type"),
             F.coalesce(F.col("c_title"), F.lit("")).alias("conv_title"),
         )
-        .orderBy(*_sort_cols(filter_))
+        .transform(present_sorted, *_sort_cols(filter_))
     )
     return out
 

@@ -24,6 +24,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from msgvault_spark.operators.present import present_sorted
+
 from msgvault_spark.search.fast import _sender_resolution
 
 
@@ -62,7 +64,7 @@ def get_message_summaries_by_ids(
                 "has_attachments"
             ),
         )
-        .orderBy("rank")
+        .transform(present_sorted, "rank")
     )
 
 
@@ -163,7 +165,7 @@ def get_messages(archive: dict[str, DataFrame], ids: list[int]) -> DataFrame:
         F.coalesce(F.col("att_names"), F.lit("")).alias(
             "attachment_names"
         ),
-    ).orderBy("rank")
+    ).transform(present_sorted, "rank")
 
 
 def get_messages_raw(
@@ -202,7 +204,7 @@ def get_messages_raw(
             F.decode(decoded, "UTF-8").alias("raw_text"),
             "compression",
         )
-        .orderBy("id")
+        .transform(present_sorted, "id")
     )
 
 
@@ -231,7 +233,7 @@ def get_messages_by_source_ids(
         "sent_at",
         F.coalesce(F.col("size_estimate"), F.lit(0)).alias("size_estimate"),
         F.coalesce(F.col("message_type"), F.lit("")).alias("message_type"),
-    ).orderBy("id")
+    ).transform(present_sorted, "id")
 
 
 def list_accounts(archive: dict[str, DataFrame]) -> DataFrame:
@@ -249,5 +251,5 @@ def list_accounts(archive: dict[str, DataFrame]) -> DataFrame:
                 "conversation_count"
             ),
         )
-        .orderBy("account_id")
+        .transform(present_sorted, "account_id")
     )

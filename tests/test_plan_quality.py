@@ -293,6 +293,13 @@ def test_every_catalog_plan_is_scale_safe(spark, catalog):
         nlj = pre.count("BroadcastNestedLoopJoin")
         if nlj > NLJ_ALLOWED:
             failures.append(f"{name}: {nlj} BroadcastNestedLoopJoin")
+        # an unlimited global sort range-partitions, and its bound-sampling
+        # job re-executes the whole child subtree — every query computing
+        # its input twice at any scale. Bounded outputs use present_sorted
+        # (single-partition sort), fact-scale outputs sortWithinPartitions;
+        # orderBy+limit compiles to TakeOrdered and never hits this.
+        if "rangepartitioning" in pre:
+            failures.append(f"{name}: rangepartitioning (unlimited orderBy)")
     assert not failures, failures
 
 
