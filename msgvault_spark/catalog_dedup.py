@@ -915,5 +915,5 @@ def cross_source_dup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).cast("long").alias("n_pairs"),
             F.sum("jfp").cast("long").alias("sum_jaccard_fp"),
         )
-        .orderBy("source_a", "source_b")
+        .transform(present_sorted, "source_a", "source_b")
     )

@@ -21,7 +21,6 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from msgvault_spark.operators.present import present_sorted
 
 
 def word_shingles(text: Column, k: int = 3) -> Column:
@@ -135,7 +134,7 @@ def pairs_from_index(
         cands.withColumn("jaccard", F.round(jac, round_to))
         .filter(F.col("jaccard") >= jaccard_threshold)
         .select("id_a", "id_b", "jaccard")
-        .transform(present_sorted, "id_a", "id_b")
+        .sortWithinPartitions("id_a", "id_b")
     )
 
 
@@ -265,5 +264,5 @@ def incremental_pairs(
         cands.withColumn("jaccard", F.round(jac, round_to))
         .filter(F.col("jaccard") >= jaccard_threshold)
         .select("id_a", "id_b", "jaccard")
-        .transform(present_sorted, "id_a", "id_b")
+        .sortWithinPartitions("id_a", "id_b")
     )

@@ -228,15 +228,18 @@ def get_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
     key = (spark.sparkContext.applicationId, sf_dir, name)
     if key not in _TABLE_MEMO:
-        df = load_table(spark, sf_dir, name)
-        n_rows = df.count()
+        raw = load_table(spark, sf_dir, name).persist(StorageLevel.MEMORY_AND_DISK)
+        n_rows = raw.count()  # one parquet scan: sizes AND materializes
         n_part = min(
-            spark.sparkContext.defaultParallelism, max(1, n_rows // 100_000)
+            spark.sparkContext.defaultParallelism,
+            max(1, -(-n_rows // 100_000)),  # ceil: ≤100k rows/partition
         )
-        if n_part > df.rdd.getNumPartitions():
-            df = df.repartition(n_part)
-        df = df.persist(StorageLevel.MEMORY_AND_DISK)
-        df.count()
+        if n_part > raw.rdd.getNumPartitions():
+            df = raw.repartition(n_part).persist(StorageLevel.MEMORY_AND_DISK)
+            df.count()  # re-lays out from the cached frame, not the lake
+            raw.unpersist()
+        else:
+            df = raw
         _TABLE_MEMO[key] = df
     return _TABLE_MEMO[key]
 

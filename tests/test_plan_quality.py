@@ -300,6 +300,20 @@ def test_every_catalog_plan_is_scale_safe(spark, catalog):
         # orderBy+limit compiles to TakeOrdered and never hits this.
         if "rangepartitioning" in pre:
             failures.append(f"{name}: rangepartitioning (unlimited orderBy)")
+        # present_sorted's SinglePartition exchange is legal ONLY as the
+        # terminal presentation step: if joins/aggregates/windows/more
+        # exchanges sit ABOVE it (closer to the root), the whole rest of
+        # the query inherits one partition and runs single-task — a
+        # mid-plan funnel strictly worse than the range sort it replaced.
+        lines = pre.splitlines()
+        for i, l in enumerate(lines):
+            if "Exchange SinglePartition, REPARTITION_BY_NUM" not in l:
+                continue
+            above = "\n".join(lines[:i])
+            if ("Join" in above or "Aggregate" in above or "Window" in above
+                    or "Exchange" in above):
+                failures.append(f"{name}: mid-plan SinglePartition funnel")
+                break
     assert not failures, failures
 
 
