@@ -87,6 +87,7 @@ _PRIORITY = [
     "min_cost_supplier_q2",
     "important_stock_q11",
     "excess_stock_suppliers_q20",
+    "get_attachments_batch",
     # --- core flagships (driver-green r1/r2; keep a row current) ---
     "agg_senders",
     "total_stats",

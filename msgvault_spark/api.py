@@ -216,3 +216,12 @@ def get_message_by_source_id(
     return collect_result(
         get_messages_by_source_ids(get_archive(spark, sf_dir), source_ids)
     )
+
+
+def get_attachment(spark, sf_dir: str, ids: list[int]) -> QueryResult:
+    """Batch GetAttachment analog (engine.go:29): attachment metadata by
+    id; unknown ids yield no row (the reference's nil, nil)."""
+    from msgvault_spark.plans.lookup import get_attachments
+    from msgvault_spark.sources.cache import get_archive
+
+    return collect_result(get_attachments(get_archive(spark, sf_dir), ids))

@@ -343,3 +343,34 @@ def get_message_by_source_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lookup.get_messages_by_source_ids(
         archive, sids + ["no-such-source-id"]
     )
+
+
+@register(
+    "get_attachments_batch",
+    oracle(
+        """
+, hits AS (SELECT DISTINCT id FROM attachments ORDER BY id ASC LIMIT 20)
+SELECT a.id,
+       COALESCE(MIN(a.filename), '') AS filename,
+       COALESCE(MIN(a.mime_type), '') AS mime_type,
+       CAST(COALESCE(MIN(a.size), 0) AS BIGINT) AS size,
+       COALESCE(MIN(a.content_hash), '') AS content_hash
+FROM attachments a JOIN hits h ON h.id = a.id
+GROUP BY a.id
+ORDER BY a.id
+"""
+    ),
+)
+def get_attachments_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch GetAttachment (engine.go:29, sqlite.go:831-845): 20 requested
+    attachment ids (plus one unknown, which yields no row) → metadata with
+    the reference's COALESCE defaults. SHA-256 content hashes compare
+    bit-for-bit against DuckDB's sha256, pinning the F13 twin on this
+    table too."""
+    archive = get_archive(spark, sf_dir)
+    ids = [
+        r["id"]
+        for r in archive["attachments"].select("id").distinct()
+        .orderBy(F.col("id").asc()).limit(20).collect()
+    ]
+    return lookup.get_attachments(archive, ids + [999_999_999])

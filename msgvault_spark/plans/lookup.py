@@ -253,3 +253,35 @@ def list_accounts(archive: dict[str, DataFrame]) -> DataFrame:
         )
         .transform(present_sorted, "account_id")
     )
+
+
+def get_attachments(
+    archive: dict[str, DataFrame], ids: list[int]
+) -> DataFrame:
+    """Batch GetAttachment (engine.go:29, sqlite.go:831-845): attachment-id
+    list → (id, filename, mime_type, size, content_hash) with the
+    reference's COALESCE defaults ('' strings, 0 size). Unknown ids
+    produce no row — the batch spelling of ``nil, nil``. The id predicate
+    pushes to the attachment scan; no joins (the reference reads the
+    attachments table alone)."""
+    if not ids:
+        raise ValueError("get_attachments: empty id list")
+    idset = [int(i) for i in ids]
+    return (
+        archive["attachments"]
+        .filter(F.col("id").isin(*idset))
+        # the synthetic lake can repeat a (message, linenumber) pair, so a
+        # primary-key read dedups per id; filename/mime/hash are functions
+        # of the id (constant within a group), size takes the MIN for a
+        # deterministic pick
+        .groupBy("id")
+        .agg(
+            F.coalesce(F.min("filename"), F.lit("")).alias("filename"),
+            F.coalesce(F.min("mime_type"), F.lit("")).alias("mime_type"),
+            F.coalesce(F.min("size"), F.lit(0)).cast("long").alias("size"),
+            F.coalesce(F.min("content_hash"), F.lit("")).alias(
+                "content_hash"
+            ),
+        )
+        .transform(present_sorted, "id")
+    )

@@ -173,19 +173,34 @@ def build_archive(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     )
 
     # attachments: lineitems of every 5th order, first (1 + key%3) lines
+    att_filename = F.concat(
+        F.lit("att_"),
+        F.col("l_orderkey").cast("string"),
+        F.lit("_"),
+        F.col("l_linenumber").cast("string"),
+        F.lit(".pdf"),
+    )
     attachments = lineitem.filter(
         (F.col("l_orderkey") % 5 == 0)
         & (F.col("l_linenumber") <= F.col("l_orderkey") % 3 + 1)
     ).select(
+        # attachment primary key (GetAttachment's lookup key): order key ×
+        # 10 + line number — unique because l_linenumber ≤ 7
+        (F.col("l_orderkey") * 10 + F.col("l_linenumber"))
+        .cast("long")
+        .alias("id"),
         F.col("l_orderkey").cast("long").alias("message_id"),
         F.floor(F.col("l_extendedprice")).cast("long").alias("size"),
-        F.concat(
-            F.lit("att_"),
-            F.col("l_orderkey").cast("string"),
-            F.lit("_"),
-            F.col("l_linenumber").cast("string"),
-            F.lit(".pdf"),
-        ).alias("filename"),
+        att_filename.alias("filename"),
+        F.element_at(
+            F.array(
+                F.lit("application/pdf"),
+                F.lit("image/png"),
+                F.lit("text/plain"),
+            ),
+            (F.col("l_linenumber") % 3 + 1).cast("int"),
+        ).alias("mime_type"),
+        F.sha2(att_filename, 256).alias("content_hash"),
     )
 
     conversations = customer.select(
@@ -290,10 +305,15 @@ message_labels AS (
     FROM orders
 ),
 attachments AS (
-    SELECT CAST(l_orderkey AS BIGINT) AS message_id,
+    SELECT CAST(l_orderkey * 10 + l_linenumber AS BIGINT) AS id,
+           CAST(l_orderkey AS BIGINT) AS message_id,
            CAST(floor(l_extendedprice) AS BIGINT) AS size,
            'att_' || CAST(l_orderkey AS VARCHAR) || '_' ||
-               CAST(l_linenumber AS VARCHAR) || '.pdf' AS filename
+               CAST(l_linenumber AS VARCHAR) || '.pdf' AS filename,
+           ['application/pdf', 'image/png', 'text/plain']
+               [CAST(l_linenumber % 3 + 1 AS INT)] AS mime_type,
+           sha256('att_' || CAST(l_orderkey AS VARCHAR) || '_' ||
+               CAST(l_linenumber AS VARCHAR) || '.pdf') AS content_hash
     FROM lineitem
     WHERE l_orderkey % 5 = 0 AND l_linenumber <= l_orderkey % 3 + 1
 ),

@@ -144,6 +144,11 @@ ATTACHMENTS_SCHEMA = T.StructType(
         T.StructField("message_id", T.LongType()),
         T.StructField("size", T.LongType()),
         T.StructField("filename", T.StringType()),
+        # GetAttachment surface (engine.go:29): primary key + metadata;
+        # appended so older cached archives canonicalize with NULLs
+        T.StructField("id", T.LongType()),
+        T.StructField("mime_type", T.StringType()),
+        T.StructField("content_hash", T.StringType()),
     ]
 )
 

@@ -101,7 +101,11 @@ def archive(spark):
         schema=ARCHIVE_SCHEMAS["message_labels"],
     )
     attachments = spark.createDataFrame(
-        [(1, 10, "a.pdf"), (3, 5, "b.png"), (3, 15, "c.zip")],
+        [
+            (1, 10, "a.pdf", 101, "application/pdf", "h-a"),
+            (3, 5, "b.png", 301, "image/png", "h-b"),
+            (3, 15, "c.zip", 302, "application/zip", "h-c"),
+        ],
         schema=ARCHIVE_SCHEMAS["attachments"],
     )
     conversations = spark.createDataFrame(

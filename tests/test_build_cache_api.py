@@ -556,3 +556,27 @@ def test_get_messages_by_source_ids_unknown_dropped(spark, archive):
     assert set(got) == {"m1", "m4"}
     assert got["m1"] == "a@x.com"      # first-from row resolution
     assert got["m4"] == ""             # chat: direct sender, phone-only
+
+
+def test_get_attachments_edges(spark, archive):
+    """Batch GetAttachment edge cases (sqlite.go:831-845): empty id list
+    raises; unknown ids are dropped (the reference's nil, nil); duplicate
+    source rows for one id collapse to a single primary-key row."""
+    import pytest as _pytest
+
+    from msgvault_spark.plans.lookup import get_attachments
+
+    with _pytest.raises(ValueError):
+        get_attachments(archive, [])
+
+    dup = archive["attachments"].unionByName(
+        archive["attachments"].filter("id = 301")
+    )
+    arch = dict(archive)
+    arch["attachments"] = dup
+    rows = {r["id"]: r for r in get_attachments(arch, [101, 301, 999]).collect()}
+    assert set(rows) == {101, 301}
+    assert rows[101]["filename"] == "a.pdf"
+    assert rows[101]["mime_type"] == "application/pdf"
+    assert rows[301]["content_hash"] == "h-b"
+    assert rows[301]["size"] == 5
