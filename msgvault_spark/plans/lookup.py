@@ -270,10 +270,11 @@ def get_attachments(
     return (
         archive["attachments"]
         .filter(F.col("id").isin(*idset))
-        # the synthetic lake can repeat a (message, linenumber) pair, so a
-        # primary-key read dedups per id; filename/mime/hash are functions
-        # of the id (constant within a group), size takes the MIN for a
-        # deterministic pick
+        # the driver's TPC-H-ish lineitem is NOT PK-clean: (l_orderkey,
+        # l_linenumber) repeats (verified at sf0.01 — e.g. id 52 appears
+        # twice), so a primary-key read dedups per id; filename/mime/hash
+        # are functions of the id (constant within a group), size takes
+        # the MIN for a deterministic pick
         .groupBy("id")
         .agg(
             F.coalesce(F.min("filename"), F.lit("")).alias("filename"),

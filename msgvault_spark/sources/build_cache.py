@@ -31,7 +31,12 @@ from dataclasses import asdict, dataclass, field
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-CACHE_SCHEMA_VERSION = 1
+# v2: attachments gained id/mime_type/content_hash (GetAttachment surface).
+# A version mismatch forces a FULL rebuild — an incremental append onto a
+# v1 lake would mix id-less old shards with new ones, and canonicalize's
+# NULL id would make every pre-upgrade attachment invisible to the
+# primary-key lookup (absent row == "does not exist" to callers).
+CACHE_SCHEMA_VERSION = 2
 
 STATE_FILE = "_cache_state.json"
 

@@ -105,6 +105,10 @@ def archive(spark):
             (1, 10, "a.pdf", 101, "application/pdf", "h-a"),
             (3, 5, "b.png", 301, "image/png", "h-b"),
             (3, 15, "c.zip", 302, "application/zip", "h-c"),
+            # dangling message_id (no such message) with NULL metadata:
+            # exercises GetAttachment's COALESCE defaults without touching
+            # any per-message attachment sum other tests pin
+            (99, None, None, 901, None, None),
         ],
         schema=ARCHIVE_SCHEMAS["attachments"],
     )

@@ -574,9 +574,17 @@ def test_get_attachments_edges(spark, archive):
     )
     arch = dict(archive)
     arch["attachments"] = dup
-    rows = {r["id"]: r for r in get_attachments(arch, [101, 301, 999]).collect()}
-    assert set(rows) == {101, 301}
+    rows = {
+        r["id"]: r
+        for r in get_attachments(arch, [101, 301, 901, 999]).collect()
+    }
+    assert set(rows) == {101, 301, 901}
     assert rows[101]["filename"] == "a.pdf"
     assert rows[101]["mime_type"] == "application/pdf"
     assert rows[301]["content_hash"] == "h-b"
     assert rows[301]["size"] == 5
+    # NULL metadata → the reference's COALESCE defaults (sqlite.go:834)
+    assert rows[901]["filename"] == ""
+    assert rows[901]["mime_type"] == ""
+    assert rows[901]["content_hash"] == ""
+    assert rows[901]["size"] == 0
