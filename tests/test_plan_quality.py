@@ -317,6 +317,30 @@ def test_every_catalog_plan_is_scale_safe(spark, catalog):
     assert not failures, failures
 
 
+def test_every_catalog_output_is_scalar_typed(spark, catalog):
+    """The driver's oracle compare canonicalizes results through pandas
+    sort_values, which dies on unhashable cells — an array/map/struct/
+    binary output column turns a RIGHT answer into a red driver row (the
+    only r2 failure was exactly this). Every entry must present scalar
+    columns; vector-valued results reshape to named per-dim columns or
+    long (id, idx, value) form."""
+    SKIP = {"stream_rollup_daily", "stream_dedup_count", "stream_user_sessions"}
+    bad = []
+    for name, spec in catalog.items():
+        if name in SKIP:
+            continue
+        try:
+            schema = spec.fn(spark, SF_DIR).schema
+        except Exception as e:  # noqa: BLE001
+            bad.append(f"{name}: build failed: {e}")
+            continue
+        for f in schema.fields:
+            t = f.dataType.simpleString()
+            if any(k in t for k in ("array", "map", "struct", "binary")):
+                bad.append(f"{name}.{f.name}: {t}")
+    assert not bad, bad
+
+
 def test_driver_gate_priority_ordering():
     """The driver verifies a prefix of queries() in dict order (round 1:
     exactly the first 50). Pin the contract: the priority list is typo-free,
