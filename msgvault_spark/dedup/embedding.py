@@ -57,7 +57,7 @@ def hyperplane_signature(vec: Column, dim: int, n_planes: int = 8) -> Column:
     """Bit-string bucket key: sign of <v, plane_p> per plane."""
     bits = []
     for p in range(n_planes):
-        coeffs = F.array(*[F.lit(_plane_coeff(p, d)) for d in range(dim)])
+        coeffs = F.lit([_plane_coeff(p, d) for d in range(dim)])
         dot_p = F.aggregate(
             F.zip_with(vec, coeffs, lambda x, y: x * y),
             F.lit(0.0),

@@ -70,7 +70,7 @@ def ivf_search(
     exclude_id: int | None = None,
 ) -> DataFrame:
     """Top-k (id, score) probing the query's ``nprobe`` nearest cells."""
-    qcol = F.array(*[F.lit(float(x)) for x in query_vector])
+    qcol = F.lit([float(x) for x in query_vector])
     probe = (
         embeddings.filter(F.col(id_col) < n_cells)
         .select(

@@ -59,7 +59,8 @@ def knn_bruteforce(
 ) -> DataFrame:
     """Exact top-k (id, score) for one query vector. The query vector rides
     along as a literal array — broadcast by value, no join."""
-    qcol = F.array(*[F.lit(float(x)) for x in query_vector])
+    # single array literal (one Py4J call), not a per-dimension F.lit loop
+    qcol = F.lit([float(x) for x in query_vector])
     emb = _as_double(F.col(vec_col))
     if metric == "cosine":
         score = cosine(emb, qcol)

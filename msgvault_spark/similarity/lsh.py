@@ -93,7 +93,7 @@ def ann_search(
         )
         qbits.append(f"{b}:{bits}")
 
-    qcol = F.array(*[F.lit(float(x)) for x in query_vector])
+    qcol = F.lit([float(x) for x in query_vector])
     cands = (
         index.filter(F.col("bucket").isin(qbits))
         .select("id", "vec")

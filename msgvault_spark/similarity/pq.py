@@ -59,7 +59,7 @@ def _as_double(vec: Column) -> Column:
 def _l2sq_to_lit(sub: Column, codeword: list[float]) -> Column:
     """Squared L2 distance between a bound subvector column and a literal
     codeword, rounded for cross-engine argmin stability."""
-    cw = F.array(*[F.lit(float(v)) for v in codeword])
+    cw = F.lit([float(v) for v in codeword])
     return F.round(
         F.aggregate(
             F.zip_with(sub, cw, lambda x, y: (x - y) * (x - y)),
@@ -163,7 +163,7 @@ def pq_search(
     m = len(lut)
     score = None
     for j in range(m):
-        tbl = F.array(*[F.lit(int(v)).cast("long") for v in lut[j]])
+        tbl = F.lit([int(v) for v in lut[j]]).cast("array<bigint>")
         term = F.element_at(tbl, F.col(f"code_{j}") + 1)
         score = term if score is None else score + term
     out = codes.select("id", score.alias("qscore_scaled"))

@@ -65,7 +65,7 @@ def quantized_knn(
     codes = embeddings.select(
         F.col(id_col), quantize_vector(F.col(emb_col)).alias("codes")
     )
-    q = F.array(*[F.lit(int(c)).cast("long") for c in qv])
+    q = F.lit([int(c) for c in qv]).cast("array<bigint>")
     return (
         codes.select(
             F.col(id_col), int_dot(F.col("codes"), q).alias("qscore")
