@@ -628,7 +628,7 @@ eligible AS (
     JOIN region r ON r.r_regionkey = n.n_regionkey
     WHERE r.r_name = 'EUROPE'
 )
-SELECT e.s_name, e.n_name, p.p_partkey, p.p_name,
+SELECT e.s_name, e.s_suppkey, e.n_name, p.p_partkey, p.p_name,
        CAST(floor(e.s_acctbal * 100) AS BIGINT) AS acctbal_c,
        e.unit_cost_c
 FROM eligible e
@@ -639,7 +639,7 @@ WHERE p.p_size BETWEEN 1 AND 15
       SELECT MIN(e2.unit_cost_c) FROM eligible e2
       WHERE e2.l_partkey = e.l_partkey
   )
-ORDER BY acctbal_c DESC, e.n_name, e.s_name, p.p_partkey
+ORDER BY acctbal_c DESC, e.n_name, e.s_name, e.s_suppkey, p.p_partkey
 LIMIT 25
 """,
 )
@@ -651,8 +651,26 @@ def min_cost_supplier_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
     `eligible` frame's l_partkey shuffle. The region scoping runs through
     broadcast dim chain supplier⋈nation⋈region BEFORE the min, so the
     minimum is taken over in-region suppliers only (the Q2 trap)."""
-    li = load_table(spark, sf_dir, "lineitem").select(
-        "l_partkey", "l_suppkey", "l_extendedprice", "l_quantity"
+    p = (
+        load_table(spark, sf_dir, "part")
+        .filter(
+            F.col("p_size").between(1, 15) & (F.col("p_type") == "STANDARD")
+        )
+        .select("p_partkey", "p_name")
+    )
+    # part-attribute filter pushed BELOW the pair aggregate: a semi-join
+    # against the broadcast filtered part keys keeps only surviving parts'
+    # rows in the (partkey, suppkey) shuffle; per-part minima are computed
+    # from exactly the same rows (min is per part), so results are
+    # unchanged while the exchange shrinks by the part selectivity
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_partkey", "l_suppkey", "l_extendedprice", "l_quantity")
+        .join(
+            F.broadcast(p.select("p_partkey")),
+            F.col("l_partkey") == F.col("p_partkey"),
+            "left_semi",
+        )
     )
     cost = li.groupBy("l_partkey", "l_suppkey").agg(
         F.min(
@@ -681,16 +699,12 @@ def min_cost_supplier_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     eligible = cost.join(
         F.broadcast(dim), F.col("l_suppkey") == F.col("s_suppkey")
-    ).select("l_partkey", "unit_cost_c", "s_name", "s_acctbal", "n_name")
+    ).select(
+        "l_partkey", "unit_cost_c", "s_name", "s_suppkey", "s_acctbal",
+        "n_name",
+    )
     mins = eligible.groupBy(F.col("l_partkey").alias("m_partkey")).agg(
         F.min("unit_cost_c").alias("m_cost")
-    )
-    p = (
-        load_table(spark, sf_dir, "part")
-        .filter(
-            F.col("p_size").between(1, 15) & (F.col("p_type") == "STANDARD")
-        )
-        .select("p_partkey", "p_name")
     )
     return (
         eligible.join(
@@ -701,6 +715,7 @@ def min_cost_supplier_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
         .select(
             "s_name",
+            "s_suppkey",
             "n_name",
             "p_partkey",
             "p_name",
@@ -711,6 +726,7 @@ def min_cost_supplier_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("acctbal_c").desc(),
             F.col("n_name").asc(),
             F.col("s_name").asc(),
+            F.col("s_suppkey").asc(),
             F.col("p_partkey").asc(),
         )
         .limit(25)
@@ -816,22 +832,32 @@ def excess_stock_suppliers_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
     in_year = (
         F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp")
     ) & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
-    pair = li.groupBy("l_partkey", "l_suppkey").agg(
-        F.sum(qc).cast("long").alias("total_qty_c"),
-        F.sum(F.when(in_year, qc).otherwise(F.lit(0)))
-        .cast("long")
-        .alias("yr_qty_c"),
-    )
     p = (
         load_table(spark, sf_dir, "part")
         .filter(F.col("p_name").like("small%"))
         .select("p_partkey")
     )
-    excess = (
-        pair.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
-        .filter(F.col("total_qty_c") > 2 * F.col("yr_qty_c"))
-        .select("l_suppkey")
+    # the name-prefix part filter is pushed BELOW the pair aggregate as a
+    # broadcast semi-join, so the (partkey, suppkey) exchange carries only
+    # surviving parts' rows; per-pair sums are unchanged (a pair's rows
+    # all share its partkey) and no post-agg part join is needed
+    pair = (
+        li.join(
+            F.broadcast(p),
+            F.col("l_partkey") == F.col("p_partkey"),
+            "left_semi",
+        )
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(
+            F.sum(qc).cast("long").alias("total_qty_c"),
+            F.sum(F.when(in_year, qc).otherwise(F.lit(0)))
+            .cast("long")
+            .alias("yr_qty_c"),
+        )
     )
+    excess = pair.filter(
+        F.col("total_qty_c") > 2 * F.col("yr_qty_c")
+    ).select("l_suppkey")
     s = load_table(spark, sf_dir, "supplier").select(
         "s_suppkey", "s_name", "s_nationkey"
     )

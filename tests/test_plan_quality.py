@@ -324,7 +324,13 @@ def test_every_catalog_output_is_scalar_typed(spark, catalog):
     only r2 failure was exactly this). Every entry must present scalar
     columns; vector-valued results reshape to named per-dim columns or
     long (id, idx, value) form."""
-    SKIP = {"stream_rollup_daily", "stream_dedup_count", "stream_user_sessions"}
+    # streaming entries and driver-side iterative builders run real work on
+    # invocation — too heavy for a schema-only check (their scalar shapes
+    # are pinned by their own tests/oracle rows)
+    SKIP = {
+        "stream_rollup_daily", "stream_dedup_count", "stream_user_sessions",
+        "stream_stream_join_funnel", "dedup_component_sizes",
+    }
     bad = []
     for name, spec in catalog.items():
         if name in SKIP:
