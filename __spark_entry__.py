@@ -88,6 +88,7 @@ _PRIORITY = [
     "important_stock_q11",
     "excess_stock_suppliers_q20",
     "get_attachments_batch",
+    "kmv_source_overlap",
     # --- core flagships (driver-green r1/r2; keep a row current) ---
     "agg_senders",
     "total_stats",

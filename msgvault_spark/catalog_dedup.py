@@ -917,3 +917,68 @@ def cross_source_dup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .transform(present_sorted, "source_a", "source_b")
     )
+
+
+@register(
+    "kmv_source_overlap",
+    """
+WITH words AS (
+    SELECT source,
+           list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                       w -> w != '') AS w
+    FROM documents
+),
+shingled AS (
+    SELECT source,
+           CASE WHEN len(w) >= 3
+                THEN list_distinct(list_transform(
+                     generate_series(1, len(w) - 2),
+                     i -> list_aggregate(w[i:i+2], 'string_agg', ' ')))
+                ELSE [list_aggregate(w, 'string_agg', ' ')]
+           END AS sh
+    FROM words
+),
+hashes AS (
+    SELECT DISTINCT source, md5(s) AS h
+    FROM shingled, unnest(sh) AS t(s)
+),
+ranked AS (
+    SELECT source, h,
+           row_number() OVER (PARTITION BY source ORDER BY h) AS rn
+    FROM hashes
+),
+sk AS (
+    SELECT source, list_sort(list(h)) AS sketch
+    FROM ranked WHERE rn <= 64 GROUP BY source
+),
+pairs AS (
+    SELECT a.source AS source_a, b.source AS source_b,
+           a.sketch AS sk_a, b.sketch AS sk_b
+    FROM sk a JOIN sk b ON a.source < b.source
+),
+calc AS (
+    SELECT source_a, source_b, sk_a, sk_b,
+           list_sort(list_distinct(list_concat(sk_a, sk_b)))[1:64] AS merged
+    FROM pairs
+)
+SELECT source_a, source_b,
+       CAST(len(list_intersect(list_intersect(merged, sk_a), sk_b))
+            AS BIGINT) AS matched,
+       CAST(len(merged) AS BIGINT) AS k_eff,
+       round(CAST(len(list_intersect(list_intersect(merged, sk_a), sk_b))
+                  AS DOUBLE) / len(merged), 6) AS jaccard_est
+FROM calc
+ORDER BY source_a, source_b
+""",
+)
+def kmv_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-based cross-source overlap (operators/kmv.py): per-source
+    bottom-64 shingle digests, then all-pairs Jaccard estimates computed
+    on the S-row sketch table alone — the scale path beside the exact
+    pair-join `cross_source_dup_report`. Sketch content is bit-identical
+    across engines (lexicographic md5 order), so the oracle pins the
+    estimator, not just row counts."""
+    from msgvault_spark.operators.kmv import kmv_overlap, kmv_sketches
+
+    docs = load_table(spark, sf_dir, "documents")
+    return kmv_overlap(kmv_sketches(docs, k=64), k=64)
