@@ -346,3 +346,55 @@ def test_semantic_dedup_drops_planted_duplicates(spark):
                for r in semantic_dedup_summary(flags).collect()}
     assert sum(m for m, _ in summary.values()) == 8
     assert sum(s for _, s in summary.values()) == 6
+
+
+def test_kmv_overlap_tracks_exact_jaccard(spark):
+    """KMV sketch estimate vs ground truth on planted overlap: sources A
+    and B share half of A's text; A↔C share nothing. With k larger than
+    the distinct-shingle count the 'estimate' must be EXACT (the sketch
+    is the full set); with a small k it must still separate the
+    overlapping pair from the disjoint one."""
+    from msgvault_spark.operators.kmv import kmv_overlap, kmv_sketches
+
+    shared = " ".join(f"common{i}" for i in range(30))
+    a_only = " ".join(f"alpha{i}" for i in range(30))
+    b_only = " ".join(f"beta{i}" for i in range(30))
+    c_only = " ".join(f"gamma{i}" for i in range(60))
+    docs = spark.createDataFrame(
+        [
+            (1, shared + " " + a_only, "A"),
+            (2, shared + " " + b_only, "B"),
+            (3, c_only, "C"),
+        ],
+        "doc_id long, text string, source string",
+    )
+
+    # k big enough to hold every shingle -> exact Jaccard
+    exact = {
+        (r["source_a"], r["source_b"]): r
+        for r in kmv_overlap(kmv_sketches(docs, k=500), k=500).collect()
+    }
+    ab = exact[("A", "B")]
+    # shingle-level Jaccard of the two texts, computed independently
+    from msgvault_spark.dedup.minhash import word_shingles
+    from pyspark.sql import functions as F
+
+    sh = {
+        r["source"]: set(r["s"])
+        for r in docs.select(
+            "source", F.explode(word_shingles(F.col("text"), 3)).alias("s")
+        ).groupBy("source").agg(F.collect_set("s").alias("s")).collect()
+    }
+    truth = len(sh["A"] & sh["B"]) / len(sh["A"] | sh["B"])
+    assert abs(ab["jaccard_est"] - truth) < 1e-6
+    assert exact[("A", "C")]["matched"] == 0
+    assert exact[("B", "C")]["matched"] == 0
+
+    # small k: still separates overlap from disjoint, k_eff == k
+    small = {
+        (r["source_a"], r["source_b"]): r
+        for r in kmv_overlap(kmv_sketches(docs, k=16), k=16).collect()
+    }
+    assert small[("A", "B")]["k_eff"] == 16
+    assert small[("A", "B")]["jaccard_est"] > 0.1
+    assert small[("A", "C")]["matched"] == 0
