@@ -5,7 +5,7 @@ local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
     {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
 
 value = sum of per-query wall-clock seconds (post-warmup, best of
-BENCH_RUNS=2 runs each).
+BENCH_RUNS=3 runs each).
 """
 
 from __future__ import annotations

@@ -130,8 +130,16 @@ def run_available_now(
 ) -> DataFrame:
     """Run a streaming DataFrame to completion with Trigger.AvailableNow
     into an in-memory sink and return the result as a batch DataFrame.
-    Re-running with the same checkpoint processes only new files — the
-    reference's incremental-build contract."""
+
+    NOTE: the memory sink does NOT support checkpoint recovery (Spark
+    raises "This query does not support recovering from checkpoint
+    location" on reuse), so each memory-sink run must use a fresh
+    checkpoint subdir (queryName keys it below) and reprocesses all
+    files. The incremental only-new-files contract — the reference's
+    watermark-cursor build — lives on the foreachBatch path
+    (``stream_to_lake``), which does recover; pinned by
+    tests/test_streaming.py::{test_stream_to_lake_exactly_once,
+    test_watermark_drops_data_beyond_horizon}."""
     checkpoint = checkpoint_dir or tempfile.mkdtemp(prefix="msgvault_ckpt_")
     spark = stream_df.sparkSession
     q = (

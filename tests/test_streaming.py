@@ -54,8 +54,10 @@ def test_available_now_incremental(spark, tmp_path):
     by_key = {(r["day"], r["event_type"]): r["events"] for r in got.collect()}
     assert by_key == {("2024-01-01", "click"): 2, ("2024-01-02", "view"): 1}
 
-    # second run with the same checkpoint sees ONLY the new file (the
-    # reference's watermark-incremental build contract, build_cache.go:125-143)
+    # second run (fresh checkpoint subdir — the memory sink cannot recover
+    # one, see run_available_now) reprocesses all files; the only-new-files
+    # incremental contract (build_cache.go:125-143) is pinned on the
+    # foreachBatch path by test_stream_to_lake_exactly_once
     _write_events(spark, src, _ROWS_BATCH2)
     got2 = run_available_now(
         windowed_rollup(read_events_stream(spark, src)),
@@ -64,7 +66,6 @@ def test_available_now_incremental(spark, tmp_path):
         output_mode="complete",
     )
     by_key2 = {(r["day"], r["event_type"]): r["events"] for r in got2.collect()}
-    # complete-mode state carried in the checkpoint accumulates both batches
     assert by_key2[("2024-01-02", "view")] == 2
     assert by_key2[("2024-01-01", "click")] == 3  # dup not dropped here
 
@@ -154,3 +155,55 @@ def test_stream_to_lake_batch_redelivery_idempotent(spark, tmp_path):
     shutil.rmtree(ckpt)  # forget progress → same batch_id=0 re-delivered
     stream_to_lake(read_events_stream(spark, src), lake, ckpt)
     assert spark.read.parquet(lake).count() == 1  # marker skipped the dup
+
+
+def test_watermark_drops_data_beyond_horizon(spark, tmp_path):
+    """Late-data contract of the windowed rollup (2-day watermark): after a
+    run persists the watermark in the checkpoint, a subsequent incremental
+    run must DROP rows older than the horizon while still accepting
+    late-but-within-horizon rows. foreachBatch (the only sink that
+    recovers from a checkpoint) appends each update-mode batch to parquet;
+    update mode makes the distinction observable — a kept late row
+    re-emits its window, a dropped one emits nothing."""
+    import os
+
+    src = str(tmp_path / "late_src")
+    ckpt = str(tmp_path / "late_ckpt")
+    out1 = str(tmp_path / "late_out1")
+    out2 = str(tmp_path / "late_out2")
+
+    def run(out_dir):
+        def write_batch(bdf, bid):
+            bdf.write.mode("append").parquet(out_dir)
+
+        q = (
+            windowed_rollup(read_events_stream(spark, src))
+            .writeStream.foreachBatch(write_batch)
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(300)
+
+    _write_events(spark, src, [
+        (10, _us("2024-01-10T08:00:00"), 1, "click", 1.0, "{}"),
+        (11, _us("2024-01-10T09:00:00"), 1, "click", 1.0, "{}"),
+    ])
+    run(out1)
+    assert {r["day"] for r in spark.read.parquet(out1).collect()} == {
+        "2024-01-10"
+    }
+
+    # watermark persisted ~= 2024-01-08T09; second batch: one row beyond
+    # it, one late-but-inside, one fresh
+    _write_events(spark, src, [
+        (12, _us("2024-01-05T12:00:00"), 1, "click", 1.0, "{}"),  # beyond
+        (13, _us("2024-01-09T12:00:00"), 1, "view", 1.0, "{}"),   # inside
+        (14, _us("2024-01-11T10:00:00"), 1, "view", 1.0, "{}"),   # fresh
+    ])
+    run(out2)
+    days2 = {r["day"] for r in spark.read.parquet(out2).collect()}
+    assert "2024-01-05" not in days2   # beyond-horizon row dropped
+    assert "2024-01-09" in days2       # within-horizon late row kept
+    assert "2024-01-11" in days2       # fresh row kept
