@@ -3,9 +3,9 @@
 Rebuild of ListMessages (reference internal/query/duckdb.go:1213-1310):
 phase 1 sorts/pages bare message ids, phase 2 decorates only the page with
 sender resolution + conversation metadata, then re-sorts the (tiny) page.
-OFFSET is implemented with a row_number window over the deterministic sort —
-Spark has no OFFSET pushdown, and at 100 TB a sort→limit (TakeOrderedAndProject)
-over (limit+offset) rows is the scalable shape.
+OFFSET uses the native offset().limit() — one distributed
+TakeOrderedAndProject(limit=offset+limit, offset), a per-partition k-heap
+plus a single reduce; the scalable shape at 100 TB.
 
 Sender resolution is the dual path (J6): FIRST 'from'-recipient per message —
 made deterministic with min_by over participant_id, unlike the reference's
@@ -14,7 +14,7 @@ unordered FIRST() — with fallback to messages.sender_id (chat).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from msgvault_spark.operators.present import present_sorted
@@ -50,12 +50,12 @@ def list_messages(
     offset = filter_.pagination.offset
 
     # ---- phase 1: page of ids only ----------------------------------------
+    # native OFFSET (O4): TakeOrderedAndProject(limit=offset+limit, offset)
+    # — per-partition k-heap + one reduce, never the single-partition
+    # global window a row_number() spelling would force
     if offset:
-        w = Window.orderBy(*order)
         page_ids = (
-            filtered.withColumn("_rn", F.row_number().over(w))
-            .filter((F.col("_rn") > offset) & (F.col("_rn") <= offset + limit))
-            .select("id")
+            filtered.orderBy(*order).offset(offset).limit(limit).select("id")
         )
     else:
         page_ids = filtered.orderBy(*order).limit(limit).select("id")

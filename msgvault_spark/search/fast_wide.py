@@ -153,15 +153,9 @@ def list_messages_wide(
     )
     limit = filter_.pagination.limit or 500
     offset = filter_.pagination.offset
+    # native OFFSET (O4): distributed TakeOrdered, not a global window
     if offset:
-        from pyspark.sql import Window
-
-        w = Window.orderBy(*order)
-        page = (
-            df.withColumn("_rn", F.row_number().over(w))
-            .filter((F.col("_rn") > offset) & (F.col("_rn") <= offset + limit))
-            .drop("_rn")
-        )
+        page = df.orderBy(*order).offset(offset).limit(limit)
     else:
         page = df.orderBy(*order).limit(limit)
 
