@@ -37,9 +37,7 @@ def plane_coeff(band: int, plane: int, dim: int) -> float:
 def band_key(vec: Column, band: int, planes_per_band: int, dim: int) -> Column:
     bits = []
     for p in range(planes_per_band):
-        coeffs = F.array(
-            *[F.lit(plane_coeff(band, p, d)) for d in range(dim)]
-        )
+        coeffs = F.lit([plane_coeff(band, p, d) for d in range(dim)])
         dot_p = F.aggregate(
             F.zip_with(vec, coeffs, lambda x, y: x * y),
             F.lit(0.0),

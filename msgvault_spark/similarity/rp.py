@@ -49,9 +49,7 @@ def project(
     )
     comps = []
     for j in range(out_dim):
-        signs = F.array(
-            *[F.lit(float(rp_sign(j, d))) for d in range(in_dim)]
-        )
+        signs = F.lit([float(rp_sign(j, d)) for d in range(in_dim)])
         comps.append(
             F.round(
                 F.aggregate(
@@ -85,9 +83,7 @@ def project_wide(
     )
     cols = []
     for j in range(out_dim):
-        signs = F.array(
-            *[F.lit(float(rp_sign(j, d))) for d in range(in_dim)]
-        )
+        signs = F.lit([float(rp_sign(j, d)) for d in range(in_dim)])
         cols.append(
             F.round(
                 F.aggregate(
