@@ -23,12 +23,24 @@ from msgvault_spark.catalog import CATALOG
 # registration order, rows-only entries last. Union(r1, r2) then covers
 # every oracle-backed entry with a driver row.
 _PRIORITY = [
-    # --- round-3 gate window. r1∪r2 driver rows cover every other
-    # oracle-backed entry; these 26 had judge-only verification (the 13
-    # below-window r2 entries + the 13 r1-demoted twins), so r3 spends
-    # its ~50 slots closing exactly that gap plus this round's new
-    # entries. rp_project_embeddings leads: its r2 row was red on the
-    # array-column canonicalizer crash, now reshaped to scalar columns.
+    # --- round-4 gate window. The r3 verdict's ask #1: these 7 are the
+    # only oracle-backed entries never verified by a driver row (judge
+    # ran them green at sf0.01 under the identical protocol in r3); with
+    # them, r1∪r2∪r3∪r4 covers all 154 oracle-backed entries.
+    "small_quantity_revenue_q17",
+    "large_orders_q18",
+    "min_cost_supplier_q2",
+    "important_stock_q11",
+    "excess_stock_suppliers_q20",
+    "get_attachments_batch",
+    "kmv_source_overlap",
+    # --- round-4 touched entries: re-verify anything whose plan changed
+    # this round (KMV rebuild, cross-source report joins, wide recipient
+    # filters, stream session oracle).
+    "cross_source_dup_report",
+    "search_fast_recipients_wide",
+    "stream_user_sessions",
+    # --- round-3 gate window (all driver-green in r3) ---
     "rp_project_embeddings",
     "label_centroids",
     "sliding_window_events",
@@ -70,7 +82,6 @@ _PRIORITY = [
     "waiting_suppliers_q21",
     "idle_customers_q22",
     "semantic_dedup_cells",
-    "cross_source_dup_report",
     "snapshot_optimize_vacuum",
     "encoding_repair_docs",
     "csv_roundtrip_stats",
@@ -80,15 +91,6 @@ _PRIORITY = [
     "schema_drift_read",
     "customer_distribution_q13",
     "top_supplier_q15",
-    # --- slots 51+ (outside the ~50 driver window this round; green
-    # under the identical local protocol, queued for the r4 window) ---
-    "small_quantity_revenue_q17",
-    "large_orders_q18",
-    "min_cost_supplier_q2",
-    "important_stock_q11",
-    "excess_stock_suppliers_q20",
-    "get_attachments_batch",
-    "kmv_source_overlap",
     # --- core flagships (driver-green r1/r2; keep a row current) ---
     "agg_senders",
     "total_stats",

@@ -879,8 +879,12 @@ def cross_source_dup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     source B" — the curation diagnostic that decides dedup order and mix
     weights before training. Near-dup pairs come from the memoized
     MinHash-LSH band index (propose) + exact Jaccard (verify); sources
-    decorate via two broadcast joins of the tiny doc→source dim; the pair
-    key is order-normalized (least/greatest) so A→B and B→A collapse.
+    decorate via two broadcast joins where the BROADCAST SIDE IS THE PAIR
+    LIST — the LSH-surviving pairs are orders of magnitude smaller than
+    the corpus, so the doc→source map streams and the pairs build the
+    hash table (broadcasting the document-granular map would OOM at
+    100 TB; SCALING.md's broadcast-size rule). The pair key is
+    order-normalized (least/greatest) so A→B and B→A collapse.
     Jaccard mass is a fixed-point BIGINT sum (order-free across
     partitions); callers divide by n_pairs for the mean."""
     from msgvault_spark.dedup.minhash import pairs_from_index
@@ -902,9 +906,9 @@ def cross_source_dup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = src.select(
         F.col("doc_id").alias("id_b"), F.col("source").alias("src_b")
     )
+    decorated_a = a.join(F.broadcast(pairs), "id_a")
     return (
-        pairs.join(F.broadcast(a), "id_a")
-        .join(F.broadcast(b), "id_b")
+        b.join(F.broadcast(decorated_a), "id_b")
         .select(
             F.least("src_a", "src_b").alias("source_a"),
             F.greatest("src_a", "src_b").alias("source_b"),

@@ -75,18 +75,40 @@ def stream_dedup_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "stream_user_sessions",
-    # no oracle: applyInPandasWithState session tracking is not
-    # SQL-expressible (custom per-group state machine); driver records the
-    # rows-only check, exact semantics pinned by
-    # tests/test_streaming.py::test_stateful_session_tracker and the batch
-    # twin's oracle (sessionize_events)
-    None,
+    # Batch-replay oracle (r3 verdict ask #7): the per-group state machine
+    # is deterministic given per-user ts order — the tracker sorts each
+    # Arrow batch by ts and value mass is order-free fixed-point — so the
+    # finished one-shot run must equal a lag-window session count over the
+    # same input. (The memory-sink checkpoint-recovery limit documented in
+    # streaming/incremental.py is about incremental restart, not the
+    # result, which is exactly replayable.)
+    """
+WITH ordered AS (
+    SELECT user_id, ts, COALESCE(value, 0) AS value,
+           lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts
+    FROM events
+)
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS events,
+       CAST(SUM(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)
+           AS total_value_fp,
+       CAST(SUM(CASE WHEN prev_ts IS NULL
+                      OR ts - prev_ts > INTERVAL 30 MINUTE
+                     THEN 1 ELSE 0 END) AS BIGINT) AS sessions
+FROM ordered
+GROUP BY user_id
+ORDER BY user_id
+""",
     memoize_plan=False,  # runs a streaming query per invocation
 )
 def stream_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful streaming operator over the events file stream:
     per-user session counts/volumes via applyInPandasWithState
-    (streaming/stateful.py), Trigger.AvailableNow one-shot."""
+    (streaming/stateful.py), Trigger.AvailableNow one-shot. Update-mode
+    emits one cumulative row per (user, batch); the final state per user
+    is the row with the largest event count (cumulative counters are
+    monotone), reduced with max/max_by so a multi-batch run collapses to
+    the same answer as the single-batch one."""
     from msgvault_spark.streaming.stateful import user_session_stats
 
     stream = read_events_stream(spark, _events_glob(sf_dir))
@@ -95,7 +117,15 @@ def stream_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         queryName=f"sessions_{uuid.uuid4().hex[:8]}",
         output_mode="update",
     )
-    return got.sortWithinPartitions(F.col("user_id").asc())
+    return (
+        got.groupBy("user_id")
+        .agg(
+            F.max("events").alias("events"),
+            F.max_by("total_value_fp", "events").alias("total_value_fp"),
+            F.max_by("sessions", "events").alias("sessions"),
+        )
+        .transform(present_sorted, F.col("user_id").asc())
+    )
 
 
 @register(

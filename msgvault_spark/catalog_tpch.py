@@ -747,8 +747,8 @@ WITH val AS (
     GROUP BY l.l_partkey
 )
 SELECT v.l_partkey AS partkey, v.value_c
-FROM val v, (SELECT SUM(value_c) * 0.0008 AS thresh FROM val) t
-WHERE v.value_c > t.thresh
+FROM val v, (SELECT SUM(value_c) AS total_c FROM val) t
+WHERE v.value_c * 10000 > t.total_c * 8
 ORDER BY v.value_c DESC, partkey
 """,
 )
@@ -757,8 +757,10 @@ def important_stock_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
     exceeds a FRACTION of the scope's total — the HAVING-against-scalar-
     subquery plan. The total reuses the grouped frame (one l_partkey
     shuffle) and folds in as a 1-row broadcast (W1); value sums run in
-    cents (exact longs) so neither engine's float summation order
-    matters."""
+    cents (exact longs) and the 0.08% threshold compares as
+    value_c·10000 > total_c·8 — pure integer math on both engines, so
+    neither float summation order nor a boundary-exact total (total
+    divisible by 1250) can classify differently."""
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_partkey", "l_suppkey", "l_extendedprice"
     )
@@ -780,10 +782,10 @@ def important_stock_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("value_c")
         )
     )
-    thresh = val.agg((F.sum("value_c") * 0.0008).alias("thresh"))
+    thresh = val.agg(F.sum("value_c").cast("long").alias("total_c"))
     return (
         val.crossJoin(F.broadcast(thresh))
-        .filter(F.col("value_c") > F.col("thresh"))
+        .filter(F.col("value_c") * 10000 > F.col("total_c") * 8)
         .select(F.col("l_partkey").alias("partkey"), "value_c")
         .transform(present_sorted, F.col("value_c").desc(), F.col("partkey").asc())
     )

@@ -135,6 +135,52 @@ def sub_agg_domain_to_senders_wide(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
 
+from msgvault_spark.catalog_search import _EMAIL_ONLY, _MS_CTE  # noqa: E402
+from msgvault_spark.sources.adapter import oracle  # noqa: E402
+
+
+@register(
+    "search_fast_recipients_wide",
+    oracle(
+        f"""
+, {_MS_CTE}
+SELECT msg.id,
+       COALESCE(msg.subject, '') AS subject,
+       COALESCE(msg.snippet, '') AS snippet,
+       COALESCE(ms.ms_email, '') AS from_email,
+       COALESCE(ms.ms_name, '') AS from_name,
+       msg.sent_at,
+       COALESCE(msg.size_estimate, 0) AS size_estimate,
+       COALESCE(msg.has_attachments, false) AS has_attachments
+FROM messages msg
+LEFT JOIN ms ON ms.message_id = msg.id
+WHERE {_EMAIL_ONLY}
+  AND msg.size_estimate > 51200
+  AND EXISTS (
+        SELECT 1 FROM message_recipients mr2
+        JOIN participants p2 ON p2.id = mr2.participant_id
+        WHERE mr2.message_id = msg.id
+          AND mr2.recipient_type IN ('to', 'cc', 'bcc')
+          AND (p2.email_address ILIKE '%@nation_2.example.com%' ESCAPE '\\'
+               OR p2.phone_number ILIKE '%@nation_2.example.com%' ESCAPE '\\'))
+ORDER BY msg.sent_at DESC, msg.id DESC
+LIMIT 100
+"""
+    ),
+    headline=True,
+)
+def search_fast_recipients_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recipient-operator search on the wide view: to: compiles to EXISTS
+    over the denormalized recipient_emails/recipient_phones arrays — one
+    scan, zero query-time joins (the r3 verdict's missing piece #2; the
+    join path shuffles the junction table for the same filter). Reference
+    shape: denormalized recipient search columns, duckdb.go:719-770."""
+    return search_fast_wide(
+        get_wide_messages(spark, sf_dir),
+        "to:@nation_2.example.com larger:50K",
+    )
+
+
 @register(
     "agg_recipients_wide",
     _agg_oracle("p.email_address", _RECIP_JOIN, "p.email_address IS NOT NULL"),

@@ -12,11 +12,18 @@ base case). Then for any pair of sources,
     matched = |merged ∩ sketch(A) ∩ sketch(B)|          (members of both)
     Jaccard ≈ matched / |merged|
 
-100 TB shape: one shuffle keyed by source to assemble sketches (state per
-source is k digests — mergeable partial top-k, skew bounded by per-source
-shingle count), then ALL pair math happens on an S-row sketch table (S =
-source count) — the S² comparison that would be unthinkable on documents
-is trivial on sketches. No doc⋈doc join exists anywhere in the plan.
+100 TB shape: the sketch build is a SALTED TWO-LEVEL bottom-k — one
+shuffle keyed by (source, pmod(xxhash64(digest), SALT)) producing a ≤k
+partial sketch per salt bucket (collect_set inside the bucket dedupes
+exactly, because the salt is a pure function of the digest — each
+distinct digest lands in exactly one bucket), then a second tiny shuffle
+keyed by source merging SALT partial sketches into the final bottom-k.
+No stage ever holds more than one salt-bucket's distinct digests
+(≈ distinct/SALT) in a single task, and no per-source global sort
+exists: a 10 TB source fans out over SALT tasks instead of one. All
+pair math then happens on an S-row sketch table (S = source count) —
+the S² comparison that would be unthinkable on documents is trivial on
+sketches. No doc⋈doc join exists anywhere in the plan.
 
 Deterministic across engines: md5 hex digests compare lexicographically
 the same everywhere, ties cannot occur (digests are distinct per source
@@ -26,7 +33,7 @@ bit-identical between Spark and the DuckDB oracle.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from msgvault_spark.dedup.minhash import word_shingles
@@ -40,24 +47,34 @@ def kmv_sketches(
     text_col: str = "text",
     k: int = 64,
     k_shingle: int = 3,
+    salt: int = 32,
 ) -> DataFrame:
     """(source, sketch array<string>): the k smallest distinct shingle
     digests per source. Sources with fewer than k distinct shingles get a
-    shorter sketch (k_eff handles that downstream)."""
-    hashed = (
-        docs.select(
-            F.col(source_col).alias("source"),
-            F.explode(word_shingles(F.col(text_col), k_shingle)).alias("s"),
+    shorter sketch (k_eff handles that downstream).
+
+    Salted two-level bottom-k (no per-source global sort): level 1 groups
+    by (source, pmod(xxhash64(h), salt)) and keeps the ≤k smallest
+    distinct digests of each bucket — collect_set dedupes exactly because
+    the salt is a pure function of the digest, so the classic global
+    DISTINCT shuffle is folded into this one exchange. Level 2 merges the
+    ≤salt partial sketches per source (≤ salt·k strings) into the final
+    bottom-k. The result is set-defined, hence bit-identical to the
+    single-sort formulation regardless of salt."""
+    hashed = docs.select(
+        F.col(source_col).alias("source"),
+        F.explode(word_shingles(F.col(text_col), k_shingle)).alias("s"),
+    ).select("source", F.md5(F.col("s")).alias("h"))
+    partials = (
+        hashed.groupBy(
+            "source", F.pmod(F.xxhash64("h"), F.lit(salt)).alias("salt")
         )
-        .select("source", F.md5(F.col("s")).alias("h"))
-        .distinct()
+        .agg(F.slice(F.array_sort(F.collect_set("h")), 1, k).alias("part"))
     )
-    w = Window.partitionBy("source").orderBy("h")
-    return (
-        hashed.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= k)
-        .groupBy("source")
-        .agg(F.sort_array(F.collect_list("h")).alias("sketch"))
+    return partials.groupBy("source").agg(
+        F.slice(
+            F.array_sort(F.flatten(F.collect_list("part"))), 1, k
+        ).alias("sketch")
     )
 
 

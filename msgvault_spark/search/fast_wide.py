@@ -7,8 +7,13 @@ scan, no joins until the (tiny) page decoration. This is the 100 TB shape:
 the wide view is the columnar search index, filters push into parquet, and
 a query is scan → filter → top-k.
 
-Not expressible on the wide view (falls back to the join path): recipient
-(to/cc/bcc) filters — the wide view doesn't carry recipient arrays (yet).
+Recipient (to:/cc:/bcc:/recipient) filters compile to EXISTS over the wide
+row's denormalized recipient_emails/recipient_phones arrays — one scan, no
+junction-table shuffle — mirroring the reference's denormalized search
+columns (internal/query/duckdb.go:719-770, SURVEY §1.1). Semantics match
+the join path's semi-join exactly: to:/cc:/bcc: all probe the merged
+to∪cc∪bcc set (search/fast.py), ilike on email-or-phone; `recipient` is
+exact equality.
 """
 
 from __future__ import annotations
@@ -98,10 +103,18 @@ def compile_search_wide(
             | _ilike(F.col("from_name"), term)
             | _ilike(F.col("from_phone"), term)
         )
-    if q.to_addrs or q.cc_addrs or q.bcc_addrs or filter_.recipient:
-        raise ValueError(
-            "recipient filters need the join path (search/fast.py) — the "
-            "wide view carries no recipient arrays"
+    # to:/cc:/bcc: probe the merged to∪cc∪bcc arrays, same as the join
+    # path's _recipient_ids(("to","cc","bcc"), email ILIKE | phone ILIKE)
+    for addr in q.to_addrs + q.cc_addrs + q.bcc_addrs:
+        pat = "%" + escape_like(addr) + "%"
+        df = df.filter(
+            F.exists("recipient_emails", lambda x: x.ilike(pat))
+            | F.exists("recipient_phones", lambda x: x.ilike(pat))
+        )
+    if filter_.recipient:
+        df = df.filter(
+            F.array_contains("recipient_emails", filter_.recipient)
+            | F.array_contains("recipient_phones", filter_.recipient)
         )
     return df
 

@@ -185,7 +185,11 @@ def build_archive(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
         & (F.col("l_linenumber") <= F.col("l_orderkey") % 3 + 1)
     ).select(
         # attachment primary key (GetAttachment's lookup key): order key ×
-        # 10 + line number — unique because l_linenumber ≤ 7
+        # 10 + line number — unique per LOGICAL attachment, but the
+        # testdata lineitem is not PK-clean ((l_orderkey, l_linenumber)
+        # repeats, see plans/lookup.py), so the id can repeat across
+        # duplicate rows; the PK-read groupBy dedup in get_attachments is
+        # what guarantees one row per id
         (F.col("l_orderkey") * 10 + F.col("l_linenumber"))
         .cast("long")
         .alias("id"),

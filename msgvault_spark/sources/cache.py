@@ -122,13 +122,21 @@ def build_wide_messages(archive: dict[str, DataFrame]) -> DataFrame:
             F.coalesce(F.col("p_phone"), F.lit("")).alias("ds_phone"),
         )
     )
-    # recipient (to/cc/bcc) email list per message, multiplicity-preserving
-    # and sorted for determinism — recipient aggregates become explode+agg
+    # recipient (to/cc/bcc) email + phone lists per message, multiplicity-
+    # preserving and sorted for determinism — recipient aggregates become
+    # explode+agg, and to:/cc:/bcc:/recipient filters become array exists
+    # on ONE scan (the join-path semi-join shuffles the full junction table
+    # per query; the denormalized array is the reference's own search shape,
+    # internal/query/duckdb.go:719-770). Phones ride separately: a
+    # phone-only recipient has a NULL email, which collect_list drops.
     recips_arr = (
         mr.filter(F.col("recipient_type").isin("to", "cc", "bcc"))
         .join(F.broadcast(p_ren), F.col("participant_id") == F.col("p_id"))
         .groupBy("message_id")
-        .agg(F.array_sort(F.collect_list("p_email")).alias("recipient_emails"))
+        .agg(
+            F.array_sort(F.collect_list("p_email")).alias("recipient_emails"),
+            F.array_sort(F.collect_list("p_phone")).alias("recipient_phones"),
+        )
     )
     labels_arr = (
         archive["message_labels"]
@@ -174,6 +182,10 @@ def build_wide_messages(archive: dict[str, DataFrame]) -> DataFrame:
         .withColumn(
             "recipient_emails",
             F.coalesce(F.col("recipient_emails"), F.array().cast("array<string>")),
+        )
+        .withColumn(
+            "recipient_phones",
+            F.coalesce(F.col("recipient_phones"), F.array().cast("array<string>")),
         )
         .withColumn(
             "att_size_sum", F.coalesce(F.col("att_size_sum"), F.lit(0)).cast("long")

@@ -9,10 +9,17 @@ with arbitrary per-group state the built-in session window can't carry).
 
 Arrow-batched (applyInPandasWithState), not row-at-a-time; state is one
 tuple per user, evicted via processing-time timeout.
+
+Value mass accumulates as ORDER-FREE fixed-point (Σ floor(value·100) as
+int64), never a float running sum: integer addition commutes exactly, so
+the emitted total is bit-identical regardless of batch split or arrival
+order — which is what lets the one-shot replay be checked against a plain
+batch SQL oracle. Callers divide total_value_fp by 100 for display.
 """
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import types as T
@@ -21,7 +28,7 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 STATE_SCHEMA = T.StructType(
     [
         T.StructField("events", T.LongType()),
-        T.StructField("total_value", T.DoubleType()),
+        T.StructField("total_value_fp", T.LongType()),
         T.StructField("sessions", T.LongType()),
         T.StructField("last_ts_us", T.LongType()),
     ]
@@ -31,7 +38,7 @@ OUTPUT_SCHEMA = T.StructType(
     [
         T.StructField("user_id", T.LongType()),
         T.StructField("events", T.LongType()),
-        T.StructField("total_value", T.DoubleType()),
+        T.StructField("total_value_fp", T.LongType()),
         T.StructField("sessions", T.LongType()),
     ]
 )
@@ -41,8 +48,8 @@ def _track(key, pdf_iter, state: GroupState):
     if state.hasTimedOut:
         state.remove()
         return
-    events, total, sessions, last_us = (
-        state.get if state.exists else (0, 0.0, 0, None)
+    events, total_fp, sessions, last_us = (
+        state.get if state.exists else (0, 0, 0, None)
     )
     gap_us = 30 * 60 * 1_000_000
     for pdf in pdf_iter:
@@ -53,13 +60,19 @@ def _track(key, pdf_iter, state: GroupState):
                 sessions += 1
             last_us = t
         events += len(pdf)
-        total += float(pdf["value"].sum())
-    state.update((events, total, sessions, last_us))
+        # floor(v*100) per element then integer sum: exact, order-free,
+        # and replayable as SUM(CAST(floor(value*100) AS BIGINT)) in SQL
+        total_fp += int(
+            np.floor(pdf["value"].fillna(0.0).to_numpy() * 100.0)
+            .astype("int64")
+            .sum()
+        )
+    state.update((events, total_fp, sessions, last_us))
     yield pd.DataFrame(
         {
             "user_id": [key[0]],
             "events": [events],
-            "total_value": [total],
+            "total_value_fp": [total_fp],
             "sessions": [sessions],
         }
     )

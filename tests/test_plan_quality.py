@@ -305,11 +305,22 @@ def test_every_catalog_plan_is_scale_safe(spark, catalog):
         # exchanges sit ABOVE it (closer to the root), the whole rest of
         # the query inherits one partition and runs single-task — a
         # mid-plan funnel strictly worse than the range sort it replaced.
+        # Only TRUE ANCESTORS count: treeString prints earlier sibling
+        # subtrees above a node too, so walk upward keeping only lines at
+        # strictly decreasing indent (the ancestor chain), not everything
+        # printed before the Exchange line.
         lines = pre.splitlines()
         for i, l in enumerate(lines):
             if "Exchange SinglePartition, REPARTITION_BY_NUM" not in l:
                 continue
-            above = "\n".join(lines[:i])
+            bound = _indent(l)
+            ancestors = []
+            for j in range(i - 1, -1, -1):
+                pj = lines[j]
+                if _indent(pj) < bound:
+                    bound = _indent(pj)
+                    ancestors.append(pj)
+            above = "\n".join(ancestors)
             if ("Join" in above or "Aggregate" in above or "Window" in above
                     or "Exchange" in above):
                 failures.append(f"{name}: mid-plan SinglePartition funnel")
@@ -445,6 +456,84 @@ def test_aqe_splits_skewed_join(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_kmv_sketch_build_is_salted_bottom_k_no_window(spark):
+    """The KMV sketch build must be the salted two-level bottom-k: two
+    hash-aggregate levels keyed (source, salt) then (source) — never a
+    row_number Window partitioned by source, which ships every distinct
+    shingle digest of a source into ONE task for a full sort (the r3
+    verdict's 100 TB hazard #1)."""
+    from pyspark.sql import functions as F
+
+    from msgvault_spark.operators.kmv import kmv_sketches
+
+    docs = spark.range(200).select(
+        (F.col("id") % 3).cast("string").alias("source"),
+        F.concat(F.lit("alpha beta gamma delta epsilon zeta "),
+                 F.col("id").cast("string")).alias("text"),
+    )
+    plan = _plan(kmv_sketches(docs, k=16, salt=8))
+    assert "Window" not in plan, "per-source sort window regressed into the build"
+    assert "pmod" in plan  # the salt key
+    # two-level agg: at least two shuffle exchanges (salted partial, merge)
+    shuffles = plan.count("Exchange") - plan.count("ReusedExchange") \
+        - plan.count("BroadcastExchange")
+    assert shuffles == 2, f"expected exactly 2 shuffles, saw {shuffles}"
+
+
+def test_broadcast_sites_are_ratcheted():
+    """SCALING.md's broadcast rule: every deliberate F.broadcast() must be
+    a BOUNDED side (dim table, id page, post-agg total, LSH-survivor pair
+    list) — never a corpus-granular frame. That property isn't statically
+    checkable, so this test ratchets it: the per-file count of
+    F.broadcast( call sites is pinned. Adding a broadcast anywhere fails
+    here until a human confirms the new side is bounded and bumps the pin
+    (r3 verdict hazard #2 was exactly an unreviewed document-granular
+    broadcast in catalog_dedup.py)."""
+    import pathlib
+
+    root = pathlib.Path(__file__).resolve().parent.parent / "msgvault_spark"
+    counts: dict[str, int] = {}
+    for p in sorted(root.rglob("*.py")):
+        n = p.read_text().count("F.broadcast(")
+        if n:
+            counts[str(p.relative_to(root))] = n
+    PINNED = {
+        "catalog.py": 17,
+        "catalog_dedup.py": 3,
+        "catalog_etl.py": 9,
+        "catalog_pipeline.py": 1,
+        "catalog_tpch.py": 24,
+        "dedup/decontaminate.py": 1,
+        "dedup/deletion_vectors.py": 1,
+        "operators/bloomjoin.py": 1,
+        "operators/cms.py": 1,
+        "operators/incremental_agg.py": 1,
+        "operators/kmv.py": 1,
+        "operators/sampling.py": 2,
+        "operators/timeseries.py": 1,
+        "operators/zorder.py": 1,
+        "plans/aggregate.py": 6,
+        "plans/filters.py": 3,
+        "plans/listing.py": 10,
+        "plans/lookup.py": 4,
+        "search/fast.py": 7,
+        "search/fast_wide.py": 1,
+        "search/fts.py": 4,
+        "search/hybrid.py": 2,
+        "similarity/ivf.py": 3,
+        "similarity/knnjoin.py": 1,
+        "sources/build_cache.py": 1,
+        "sources/cache.py": 4,
+        "sources/merge.py": 2,
+        "textstats/tfidf.py": 1,
+    }
+    assert counts == PINNED, {
+        k: (counts.get(k), PINNED.get(k))
+        for k in set(counts) | set(PINNED)
+        if counts.get(k) != PINNED.get(k)
+    }
 
 
 def test_offset_pagination_is_take_ordered_not_window(spark, catalog):

@@ -102,7 +102,7 @@ def test_stateful_session_tracker(spark, tmp_path):
     by_user = {r["user_id"]: r for r in got.collect()}
     assert by_user[100]["events"] == 3
     assert by_user[100]["sessions"] == 2
-    assert by_user[100]["total_value"] == pytest.approx(6.0)
+    assert by_user[100]["total_value_fp"] == 600  # Σ floor(v·100), exact
     assert by_user[200]["sessions"] == 1
 
 
