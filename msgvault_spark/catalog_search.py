@@ -43,6 +43,20 @@ _SEED_MEMO: dict[tuple, list] = {}
 _IVF_MEMO: dict[tuple, object] = {}
 
 
+def _normed_emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Memoized normed-embeddings ETL artifact (vec_id, emb_d, emb_norm) —
+    what a real vector index stores next to the raw vectors; per-query
+    cosine then folds once instead of three times."""
+    from msgvault_spark.similarity.knn import normed_embeddings
+    from msgvault_spark.sources.cache import get_artifact
+
+    return get_artifact(
+        spark,
+        (sf_dir, "embeddings_normed"),
+        lambda: normed_embeddings(load_table(spark, sf_dir, "embeddings")),
+    )
+
+
 def _seed_vector(spark: SparkSession, sf_dir: str, vec_id: int) -> list:
     """Memoized seed-embedding lookup (the query input for find-similar);
     saves a point-lookup job per query on repeated seeds."""
@@ -181,12 +195,18 @@ LIMIT 10
 
 @register("knn_cosine_seed0", _KNN_ORACLE, headline=True)
 def knn_cosine_seed0(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Find-similar: brute-force cosine top-10 for seed vec_id=0 (Q7/Q9)."""
-    emb = load_table(spark, sf_dir, "embeddings")
-    from msgvault_spark.similarity.knn import knn_bruteforce
+    """Find-similar: brute-force cosine top-10 for seed vec_id=0 (Q7/Q9),
+    served from the normed-embeddings artifact (one dot-product fold per
+    row; stored norms) — scores bit-identical to the fold-per-query
+    formulation, so the brute-force parity oracle is unchanged."""
+    from msgvault_spark.similarity.knn import knn_bruteforce_normed
 
-    return knn_bruteforce(
-        emb, _seed_vector(spark, sf_dir, 0), k=10, round_to=6, exclude_id=0
+    return knn_bruteforce_normed(
+        _normed_emb(spark, sf_dir),
+        _seed_vector(spark, sf_dir, 0),
+        k=10,
+        round_to=6,
+        exclude_id=0,
     )
 
 
@@ -243,11 +263,10 @@ def hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = load_table(spark, sf_dir, "documents")
-    emb = load_table(spark, sf_dir, "embeddings")
     seed = _seed_vector(spark, sf_dir, 0)
     return hybrid_search(
         docs,
-        emb,
+        _normed_emb(spark, sf_dir),
         " ".join(_BM25_TERMS),
         seed,
         k_per_signal=20,
@@ -256,6 +275,7 @@ def hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         text_index=get_text_index(spark, sf_dir, "documents", "doc_id", "text"),
         corpus_stats=get_corpus_stats(spark, sf_dir, "documents", "doc_id", "text"),
         term_stats=get_term_stats(spark, sf_dir, "documents", "doc_id", "text"),
+        embeddings_normed=True,
     )
 
 
@@ -391,11 +411,10 @@ def hybrid_rrf_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = load_table(spark, sf_dir, "documents")
-    emb = load_table(spark, sf_dir, "embeddings")
     seed = _seed_vector(spark, sf_dir, 0)
     return hybrid_search(
         docs,
-        emb,
+        _normed_emb(spark, sf_dir),
         " ".join(_BM25_TERMS),
         seed,
         k_per_signal=20,
@@ -406,6 +425,7 @@ def hybrid_rrf_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
         term_stats=get_term_stats(spark, sf_dir, "documents", "doc_id", "text"),
         doc_filter=F.col("doc_id") < 2500,
         vec_filter=F.col("vec_id") < 2500,
+        embeddings_normed=True,
     )
 
 

@@ -15,6 +15,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from msgvault_spark.functions.arrays import lit_double_array
+
 from msgvault_spark.similarity.knn import cosine, _as_double
 
 
@@ -57,7 +59,7 @@ def hyperplane_signature(vec: Column, dim: int, n_planes: int = 8) -> Column:
     """Bit-string bucket key: sign of <v, plane_p> per plane."""
     bits = []
     for p in range(n_planes):
-        coeffs = F.lit([_plane_coeff(p, d) for d in range(dim)])
+        coeffs = lit_double_array(_plane_coeff(p, d) for d in range(dim))
         dot_p = F.aggregate(
             F.zip_with(vec, coeffs, lambda x, y: x * y),
             F.lit(0.0),

@@ -96,6 +96,49 @@ def salted_count_distinct(
     )
 
 
+def salted_agg_with_distinct(
+    df: DataFrame,
+    key: Column | str,
+    aggs: dict[str, tuple[str, str]],
+    distinct_col: str,
+    *,
+    n_salts: int = 16,
+) -> DataFrame:
+    """One-pass fusion of salted_agg + salted_count_distinct: salt BY THE
+    DISTINCT VALUE. Partial distinct counts are exact because each
+    (key, salt) bucket holds a disjoint slice of distinct_col's value
+    space, and the re-associable aggregates (sum/count/min/max) merge
+    correctly across ANY row partition — so one scan and one shuffle pair
+    serve both, instead of two of each (the two-call formulation scans
+    the fact table twice)."""
+    key_col = F.col(key) if isinstance(key, str) else key
+    salt = F.pmod(F.xxhash64(F.col(distinct_col)), F.lit(n_salts))
+    phase1 = [F.count_distinct(F.col(distinct_col)).alias("__pd")]
+    phase2 = [F.sum("__pd").cast("long").alias("distinct_count")]
+    for out, (expr, kind) in aggs.items():
+        partial = f"__p_{out}"
+        if kind == "count":
+            phase1.append(F.count(F.expr(expr)).alias(partial))
+            phase2.append(F.sum(partial).alias(out))
+        elif kind == "sum":
+            phase1.append(F.sum(F.expr(expr)).alias(partial))
+            phase2.append(F.sum(partial).alias(out))
+        elif kind == "min":
+            phase1.append(F.min(F.expr(expr)).alias(partial))
+            phase2.append(F.min(partial).alias(out))
+        elif kind == "max":
+            phase1.append(F.max(F.expr(expr)).alias(partial))
+            phase2.append(F.max(partial).alias(out))
+        else:
+            raise ValueError(f"unsupported agg kind: {kind}")
+    partials = (
+        df.withColumn("__salt", salt)
+        .groupBy(key_col.alias("key"), F.col("__salt"))
+        .agg(*phase1)
+    )
+    return partials.groupBy("key").agg(*phase2)
+
+
 def salted_join(
     big: DataFrame,
     small: DataFrame,

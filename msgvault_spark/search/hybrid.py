@@ -151,6 +151,7 @@ def hybrid_search(
     term_stats: DataFrame | None = None,
     doc_filter=None,
     vec_filter=None,
+    embeddings_normed: bool = False,
 ) -> DataFrame:
     """End-to-end hybrid search over a document corpus + embedding table.
     Pass ``text_index`` (postings, doc_stats from build_inverted_index) to
@@ -161,7 +162,7 @@ def hybrid_search(
     ANN alike (Q10, sqlitevec/fused.go:128-147). BM25 keeps global corpus
     stats; only candidacy is restricted."""
     from msgvault_spark.search.fts import bm25_scores, bm25_search
-    from msgvault_spark.similarity.knn import knn_bruteforce
+    from msgvault_spark.similarity.knn import knn_bruteforce, knn_bruteforce_normed
 
     if text_index is not None:
         postings, doc_stats = text_index
@@ -182,10 +183,17 @@ def hybrid_search(
     bm25_ranked = rank_signal(bm25_top, "score", k_per_signal)
 
     emb_src = embeddings if vec_filter is None else embeddings.filter(vec_filter)
-    vec_top = knn_bruteforce(
-        emb_src, query_vector, k_per_signal + 1, emb_id_col, emb_col,
-        round_to=round_scores,
-    )
+    if embeddings_normed:
+        # `embeddings` is a normed_embeddings artifact (emb_d, emb_norm)
+        vec_top = knn_bruteforce_normed(
+            emb_src, query_vector, k_per_signal + 1, emb_id_col,
+            round_to=round_scores,
+        )
+    else:
+        vec_top = knn_bruteforce(
+            emb_src, query_vector, k_per_signal + 1, emb_id_col, emb_col,
+            round_to=round_scores,
+        )
     vec_ranked = rank_signal(vec_top, "score", k_per_signal)
 
     subjects = docs.select(F.col(id_col).alias("id"), F.col(text_col).alias("subject"))

@@ -23,6 +23,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from msgvault_spark.functions.arrays import lit_double_array
+
 from msgvault_spark.similarity.knn import _as_double, cosine
 
 
@@ -70,7 +72,7 @@ def ivf_search(
     exclude_id: int | None = None,
 ) -> DataFrame:
     """Top-k (id, score) probing the query's ``nprobe`` nearest cells."""
-    qcol = F.lit([float(x) for x in query_vector])
+    qcol = lit_double_array(query_vector)
     probe = (
         embeddings.filter(F.col(id_col) < n_cells)
         .select(

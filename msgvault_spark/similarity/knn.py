@@ -20,6 +20,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from msgvault_spark.functions.arrays import lit_double_array
+
 
 def _as_double(col: Column) -> Column:
     return F.transform(col, lambda x: x.cast("double"))
@@ -46,6 +48,57 @@ def cosine(a: Column, b: Column) -> Column:
     return F.try_divide(dot(a, b), l2_norm(a) * l2_norm(b))
 
 
+def normed_embeddings(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ETL-time companion frame any real vector index stores next to the
+    raw vectors: the vector pre-cast to double (emb_d) and its L2 norm
+    (emb_norm). Per-query cosine against it folds ONCE (the dot product)
+    instead of three times (dot + corpus-norm + query-norm folds), and the
+    stored norm uses the identical JVM fold, so scores are bit-identical
+    to the fold-per-query formulation."""
+    emb_d = _as_double(F.col(vec_col))
+    return embeddings.select(
+        F.col(id_col), emb_d.alias("emb_d"), l2_norm(emb_d).alias("emb_norm")
+    )
+
+
+def knn_bruteforce_normed(
+    embeddings_normed: DataFrame,
+    query_vector: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    *,
+    round_to: int | None = None,
+    exclude_id: int | None = None,
+) -> DataFrame:
+    """knn_bruteforce against a normed_embeddings artifact: one fold per
+    row (the dot product), stored corpus norm, query norm computed once
+    driver-side with the same left-to-right IEEE accumulation as the JVM
+    fold — bit-identical scores, ~3× less per-row arithmetic."""
+    import math
+
+    q = [float(x) for x in query_vector]
+    acc = 0.0
+    for x in q:
+        acc += x * x
+    qnorm = math.sqrt(acc)
+    score = F.try_divide(
+        dot(F.col("emb_d"), lit_double_array(q)),
+        F.col("emb_norm") * F.lit(qnorm),
+    )
+    out = embeddings_normed.select(
+        F.col(id_col).alias("id"), score.alias("score")
+    )
+    if exclude_id is not None:
+        out = out.filter(F.col("id") != exclude_id)
+    if round_to is not None:
+        out = out.withColumn("score", F.round(F.col("score"), round_to))
+    return out.orderBy(F.col("score").desc(), F.col("id").asc()).limit(k)
+
+
 def knn_bruteforce(
     embeddings: DataFrame,
     query_vector: list[float],
@@ -59,8 +112,8 @@ def knn_bruteforce(
 ) -> DataFrame:
     """Exact top-k (id, score) for one query vector. The query vector rides
     along as a literal array — broadcast by value, no join."""
-    # single array literal (one Py4J call), not a per-dimension F.lit loop
-    qcol = F.lit([float(x) for x in query_vector])
+    # one parsed SQL array literal, not a per-dimension Py4J conversion
+    qcol = lit_double_array(query_vector)
     emb = _as_double(F.col(vec_col))
     if metric == "cosine":
         score = cosine(emb, qcol)

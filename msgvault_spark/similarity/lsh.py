@@ -25,6 +25,8 @@ import hashlib
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from msgvault_spark.functions.arrays import lit_double_array
+
 from msgvault_spark.similarity.knn import _as_double, cosine
 
 
@@ -37,7 +39,7 @@ def plane_coeff(band: int, plane: int, dim: int) -> float:
 def band_key(vec: Column, band: int, planes_per_band: int, dim: int) -> Column:
     bits = []
     for p in range(planes_per_band):
-        coeffs = F.lit([plane_coeff(band, p, d) for d in range(dim)])
+        coeffs = lit_double_array(plane_coeff(band, p, d) for d in range(dim))
         dot_p = F.aggregate(
             F.zip_with(vec, coeffs, lambda x, y: x * y),
             F.lit(0.0),
@@ -91,7 +93,7 @@ def ann_search(
         )
         qbits.append(f"{b}:{bits}")
 
-    qcol = F.lit([float(x) for x in query_vector])
+    qcol = lit_double_array(query_vector)
     cands = (
         index.filter(F.col("bucket").isin(qbits))
         .select("id", "vec")

@@ -49,6 +49,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from msgvault_spark.functions.arrays import lit_double_array, lit_long_array
+
 SCALE = 1_000_000  # 6-dp fixed point for cross-engine integer equality
 
 
@@ -59,7 +61,7 @@ def _as_double(vec: Column) -> Column:
 def _l2sq_to_lit(sub: Column, codeword: list[float]) -> Column:
     """Squared L2 distance between a bound subvector column and a literal
     codeword, rounded for cross-engine argmin stability."""
-    cw = F.lit([float(v) for v in codeword])
+    cw = lit_double_array(codeword)
     return F.round(
         F.aggregate(
             F.zip_with(sub, cw, lambda x, y: (x - y) * (x - y)),
@@ -163,7 +165,7 @@ def pq_search(
     m = len(lut)
     score = None
     for j in range(m):
-        tbl = F.lit([int(v) for v in lut[j]]).cast("array<bigint>")
+        tbl = lit_long_array(lut[j])
         term = F.element_at(tbl, F.col(f"code_{j}") + 1)
         score = term if score is None else score + term
     out = codes.select("id", score.alias("qscore_scaled"))

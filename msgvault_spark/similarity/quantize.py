@@ -20,6 +20,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from msgvault_spark.functions.arrays import lit_long_array
+
 
 def _round_half_up(v: Column) -> Column:
     return F.floor(v + F.lit(0.5)).cast("long")
@@ -65,7 +67,7 @@ def quantized_knn(
     codes = embeddings.select(
         F.col(id_col), quantize_vector(F.col(emb_col)).alias("codes")
     )
-    q = F.lit([int(c) for c in qv]).cast("array<bigint>")
+    q = lit_long_array(qv)
     return (
         codes.select(
             F.col(id_col), int_dot(F.col("codes"), q).alias("qscore")

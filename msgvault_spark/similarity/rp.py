@@ -25,6 +25,8 @@ import math
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from msgvault_spark.functions.arrays import lit_double_array
+
 
 def rp_sign(j: int, d: int) -> int:
     """Deterministic ±1, engine-portable (parity of an md5 nibble)."""
@@ -49,7 +51,7 @@ def project(
     )
     comps = []
     for j in range(out_dim):
-        signs = F.lit([float(rp_sign(j, d)) for d in range(in_dim)])
+        signs = lit_double_array(float(rp_sign(j, d)) for d in range(in_dim))
         comps.append(
             F.round(
                 F.aggregate(
@@ -83,7 +85,7 @@ def project_wide(
     )
     cols = []
     for j in range(out_dim):
-        signs = F.lit([float(rp_sign(j, d)) for d in range(in_dim)])
+        signs = lit_double_array(float(rp_sign(j, d)) for d in range(in_dim))
         cols.append(
             F.round(
                 F.aggregate(

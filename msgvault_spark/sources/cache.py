@@ -320,6 +320,24 @@ def _build_text_index(spark, key, sf_dir, table, id_col, text_col) -> None:
     _CORPUS_STATS_MEMO[key] = (int(row["n"]), float(row["avgdl"]))
 
 
+_ARTIFACT_MEMO: dict[tuple, DataFrame] = {}
+
+
+def get_artifact(spark: SparkSession, cache_key: tuple, builder) -> DataFrame:
+    """Generic memoized persisted ETL artifact — the build-cache pattern
+    (reference cmd/build_cache.go) for any query-independent derived frame
+    a real pipeline materializes next to the lake: deletion vectors,
+    per-user rollups, normed vectors. Built + persisted once per
+    (application, key); queries then scan the artifact instead of
+    re-deriving it."""
+    key = (spark.sparkContext.applicationId, *cache_key)
+    if key not in _ARTIFACT_MEMO:
+        df = builder().persist(StorageLevel.MEMORY_AND_DISK)
+        df.count()
+        _ARTIFACT_MEMO[key] = df
+    return _ARTIFACT_MEMO[key]
+
+
 _COMPONENTS_MEMO: dict[tuple, DataFrame] = {}
 
 

@@ -69,6 +69,38 @@ def test_salted_count_distinct_exact(spark):
     assert got == want
 
 
+def test_salted_agg_with_distinct_one_pass_exact(spark):
+    """The fused one-pass variant must equal plain groupBy for both the
+    re-associable aggregates and the exact distinct count, and its plan
+    must hold exactly ONE scan of the input (the two-call formulation
+    scans twice) with two shuffle levels."""
+    from msgvault_spark.operators.salted import salted_agg_with_distinct
+
+    df = spark.range(5_000).select(
+        F.when(F.col("id") % 10 < 9, 0).otherwise(1).alias("k"),
+        (F.col("id") % 137).alias("v"),
+    )
+    fused = salted_agg_with_distinct(
+        df, "k", {"n": ("1", "count"), "s": ("v", "sum")}, "v", n_salts=16
+    )
+    got = {
+        r["key"]: (r["n"], r["s"], r["distinct_count"])
+        for r in fused.collect()
+    }
+    want = {
+        r["k"]: (r["n"], r["s"], r["d"])
+        for r in df.groupBy("k")
+        .agg(F.count("*").alias("n"), F.sum("v").alias("s"),
+             F.count_distinct("v").alias("d"))
+        .collect()
+    }
+    assert got == want
+    plan = fused._jdf.queryExecution().executedPlan().toString()
+    # executed AQE plans print Final AND Initial sections; audit the final
+    plan = plan.split("== Initial Plan ==")[0]
+    assert plan.count("Range (0, 5000") <= 1  # single scan of the source
+
+
 # ---------------------------------------------------------------------------
 # zero-fill time series
 # ---------------------------------------------------------------------------

@@ -210,3 +210,57 @@ def test_phrase_occurrences_adjacency_and_counts(spark):
     got3 = {r["doc_id"]: r["n_occurrences"]
             for r in phrase_occurrences(idx, ["big", "table", "hash"]).collect()}
     assert got3 == {1: 1}
+
+
+def test_lit_double_array_bit_exact_and_cheap(spark):
+    """The SQL-string array literal (functions/arrays.py) must reproduce
+    every IEEE-754 double BIT-exactly (repr is the shortest round-trip
+    form and Spark's lexer correctly-rounds it back), including negative
+    zero, subnormals, and exponent extremes — and must build in O(1)
+    driver round-trips (a plain F.lit(list) costs ~4 per element)."""
+    import random
+    import struct
+
+    from pyspark.sql import functions as F
+
+    from msgvault_spark.functions.arrays import lit_double_array, lit_long_array
+
+    random.seed(7)
+    vals = [random.uniform(-1, 1) * 10 ** random.randint(-12, 12)
+            for _ in range(64)]
+    vals += [0.0, -0.0, 1e-300, 5e-324, 1.7976931348623157e308,
+             123456789.123456789]
+    got = spark.range(1).select(lit_double_array(vals).alias("a")).head()["a"]
+    assert len(got) == len(vals)
+    for g, w in zip(got, vals):
+        assert struct.pack("d", g) == struct.pack("d", w)
+
+    ints = [0, 1, -5, 2**62, -(2**62)]
+    got_i = spark.range(1).select(lit_long_array(ints).alias("a")).head()["a"]
+    assert got_i == ints
+
+
+def test_knn_normed_matches_bruteforce(spark):
+    """knn_bruteforce_normed over the normed_embeddings artifact must
+    return IDENTICAL (id, score) rows to the fold-per-query knn_bruteforce
+    — same dot-product fold, stored norm vs recomputed norm, query norm
+    accumulated driver-side with the same left-to-right IEEE order."""
+    import random
+
+    from msgvault_spark.similarity.knn import (
+        knn_bruteforce,
+        knn_bruteforce_normed,
+        normed_embeddings,
+    )
+
+    random.seed(11)
+    dim = 16
+    rows = [(i, [random.uniform(-1, 1) for _ in range(dim)])
+            for i in range(200)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = [random.uniform(-1, 1) for _ in range(dim)]
+    a = knn_bruteforce(emb, q, k=25).collect()
+    b = knn_bruteforce_normed(normed_embeddings(emb), q, k=25).collect()
+    assert [(r["id"], r["score"]) for r in a] == [
+        (r["id"], r["score"]) for r in b
+    ]
