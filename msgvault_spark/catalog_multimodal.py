@@ -250,6 +250,96 @@ def knn_join_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_RK = 10  # recall@k
+
+
+def _ann_recall_oracle() -> str:
+    keys_all = ", ".join(_bucket_sql("embedding", b) for b in range(_BANDS))
+
+    def cos(emb: str, qv: str) -> str:
+        return (
+            f"round(list_sum(list_transform(list_zip({emb}, {qv}), "
+            "x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) "
+            f"/ (sqrt(list_sum(list_transform({emb}, "
+            "v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))) * "
+            f"sqrt(list_sum(list_transform({qv}, "
+            "v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))), 6)"
+        )
+
+    return f"""
+WITH keys AS (
+    SELECT vec_id, embedding, [{keys_all}] AS ks FROM embeddings
+),
+q AS (SELECT vec_id AS qid, embedding AS qv, ks AS qks
+      FROM keys WHERE vec_id < {_NQ}),
+cand AS (
+    SELECT DISTINCT q.qid, q.qv, k.vec_id AS id, k.embedding
+    FROM keys k, q
+    WHERE len(list_intersect(k.ks, q.qks)) > 0 AND k.vec_id != q.qid
+),
+approx AS (
+    SELECT qid, id FROM (
+        SELECT c.qid, c.id,
+               ROW_NUMBER() OVER (
+                   PARTITION BY c.qid
+                   ORDER BY {cos('c.embedding', 'c.qv')} DESC, c.id ASC
+               ) AS rn
+        FROM cand c
+    ) WHERE rn <= {_RK}
+),
+exact AS (
+    SELECT qid, id FROM (
+        SELECT q.qid, e.vec_id AS id,
+               ROW_NUMBER() OVER (
+                   PARTITION BY q.qid
+                   ORDER BY {cos('e.embedding', 'q.qv')} DESC, e.vec_id ASC
+               ) AS rn
+        FROM embeddings e, q
+        WHERE e.vec_id != q.qid
+    ) WHERE rn <= {_RK}
+)
+SELECT x.qid,
+       CAST(COUNT(a.id) AS BIGINT) AS matched,
+       CAST(COUNT(*) AS BIGINT) AS k,
+       CAST(COUNT(a.id) AS DOUBLE) / COUNT(*) AS recall
+FROM exact x LEFT JOIN approx a ON a.qid = x.qid AND a.id = x.id
+GROUP BY x.qid
+ORDER BY x.qid
+"""
+
+
+@register("ann_recall_report", _ann_recall_oracle())
+def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN quality evaluation: recall@10 of the LSH-bucketed path against
+    exact brute-force ground truth, per seed query — the standard index-
+    tuning diagnostic (band/plane counts trade recall for candidate-set
+    size) a 100 TB vector pipeline runs on a sampled eval set before
+    trusting the approximate path. Exact side is the two-level
+    distributed top-k (similarity/knnjoin.exact_knn_join — no corpus-
+    sized window partition); approximate side shares the serving path's
+    deterministic banding, so the report measures exactly what serving
+    does."""
+    from msgvault_spark.similarity.knnjoin import exact_knn_join, knn_join
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qset = emb.filter(F.col("vec_id") < _NQ)
+    approx = knn_join(
+        emb, qset, k=_RK, dim=_DIM, bands=_BANDS, planes_per_band=_PLANES
+    ).select("qid", "id", F.lit(1).alias("hit"))
+    exact = exact_knn_join(emb, qset, k=_RK)
+    return (
+        exact.select("qid", "id")
+        .join(approx, ["qid", "id"], "left")
+        .groupBy("qid")
+        .agg(
+            F.count("hit").cast("long").alias("matched"),
+            F.count(F.lit(1)).cast("long").alias("k"),
+            (F.count("hit").cast("double") / F.count(F.lit(1))).alias("recall"),
+        )
+        .transform(present_sorted, "qid")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Round-2: random-projection dim reduction + per-label centroids
 # ---------------------------------------------------------------------------

@@ -29,7 +29,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from msgvault_spark.similarity.knn import cosine
+from msgvault_spark.similarity.knn import _as_double, cosine
 from msgvault_spark.similarity.lsh import build_ann_index
 
 
@@ -70,6 +70,57 @@ def knn_join(
     w = Window.partitionBy("qid").orderBy(F.col("score").desc(), F.col("id").asc())
     return (
         scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("qid", "id", "score")
+    )
+
+
+def exact_knn_join(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int = 6,
+) -> DataFrame:
+    """Exact batch top-k: (qid, id, score) of the k nearest corpus rows
+    for EVERY query row, by brute force — the ground truth an ANN recall
+    report compares against (eval sets are O(100) seeds, so the Q×N scan
+    is the deliberate cost; the per-seed serving path is knn_bruteforce).
+
+    Scale shape: the query side broadcasts (tiny); top-k is TWO-LEVEL so
+    no task ever holds a corpus-sized window partition — level 1 keeps k
+    per (qid, input partition) via a window keyed by spark_partition_id
+    (any superset of the true top-k survives, so the result is
+    partitioning-independent), level 2 reduces the ≤ partitions·k
+    survivors per qid."""
+    q = queries.select(
+        F.col(id_col).alias("qid"), _as_double(F.col(vec_col)).alias("qvec")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("vec")
+    )
+    scored = (
+        c.join(F.broadcast(q), F.col("id") != F.col("qid"))
+        .select(
+            "qid",
+            "id",
+            F.round(cosine(F.col("vec"), F.col("qvec")), round_to).alias("score"),
+        )
+        .withColumn("__part", F.spark_partition_id())
+    )
+    w1 = Window.partitionBy("qid", "__part").orderBy(
+        F.col("score").desc(), F.col("id").asc()
+    )
+    local = (
+        scored.withColumn("rn", F.row_number().over(w1))
+        .filter(F.col("rn") <= k)
+        .drop("__part", "rn")
+    )
+    w2 = Window.partitionBy("qid").orderBy(F.col("score").desc(), F.col("id").asc())
+    return (
+        local.withColumn("rn", F.row_number().over(w2))
         .filter(F.col("rn") <= k)
         .select("qid", "id", "score")
     )

@@ -198,3 +198,36 @@ def test_rp_is_shuffle_free(spark):
     plan = project(emb, out_dim=4, in_dim=8)._jdf.queryExecution(
         ).executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_exact_knn_join_partitioning_independent(spark):
+    """exact_knn_join's two-level top-k must return the true per-query
+    top-k regardless of how the corpus is partitioned (level 1 keeps a
+    superset per input partition; level 2 reduces it)."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from msgvault_spark.similarity.knn import knn_bruteforce
+    from msgvault_spark.similarity.knnjoin import exact_knn_join
+
+    random.seed(3)
+    dim = 8
+    rows = [(i, [random.uniform(-1, 1) for _ in range(dim)])
+            for i in range(300)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    qset = emb.filter(F.col("vec_id") < 3)
+    for parts in (1, 7):
+        got = exact_knn_join(emb.repartition(parts), qset, k=5)
+        by_q = {}
+        for r in got.collect():
+            by_q.setdefault(r["qid"], []).append((r["id"], r["score"]))
+        for qid in (0, 1, 2):
+            qv = rows[qid][1]
+            want = [
+                (r["id"], r["score"])
+                for r in knn_bruteforce(
+                    emb, qv, k=5, round_to=6, exclude_id=qid
+                ).collect()
+            ]
+            assert sorted(by_q[qid]) == sorted(want), (parts, qid)
