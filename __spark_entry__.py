@@ -41,6 +41,7 @@ _PRIORITY = [
     "search_fast_recipients_wide",
     "stream_user_sessions",
     "ann_recall_report",
+    "ivf_recall_report",
     # --- round-3 gate window (all driver-green in r3) ---
     "rp_project_embeddings",
     "label_centroids",

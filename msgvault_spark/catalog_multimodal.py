@@ -340,6 +340,114 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_IVF_CELLS = 8
+_IVF_PROBE = 2
+
+
+def _ivf_recall_oracle() -> str:
+    from msgvault_spark.similarity.ivf import _cos_sql
+
+    return f"""
+WITH cents AS (
+    SELECT vec_id AS cid, embedding AS cvec FROM embeddings
+    WHERE vec_id < {_IVF_CELLS}
+),
+assigned AS (
+    SELECT id, vec, cell FROM (
+        SELECT e.vec_id AS id, e.embedding AS vec, c.cid AS cell,
+               ROW_NUMBER() OVER (
+                   PARTITION BY e.vec_id
+                   ORDER BY {_cos_sql('e.embedding', 'c.cvec')} DESC,
+                            c.cid ASC
+               ) AS rn
+        FROM embeddings e, cents c
+    ) WHERE rn = 1
+),
+q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
+      WHERE vec_id < {_NQ}),
+probes AS (
+    SELECT qid, qv, cell FROM (
+        SELECT q.qid, q.qv, c.cid AS cell,
+               ROW_NUMBER() OVER (
+                   PARTITION BY q.qid
+                   ORDER BY {_cos_sql('q.qv', 'c.cvec')} DESC, c.cid ASC
+               ) AS rn
+        FROM q, cents c
+    ) WHERE rn <= {_IVF_PROBE}
+),
+approx AS (
+    SELECT qid, id FROM (
+        SELECT p.qid, a.id,
+               ROW_NUMBER() OVER (
+                   PARTITION BY p.qid
+                   ORDER BY {_cos_sql('a.vec', 'p.qv')} DESC, a.id ASC
+               ) AS rn
+        FROM assigned a JOIN probes p ON a.cell = p.cell
+        WHERE a.id != p.qid
+    ) WHERE rn <= {_RK}
+),
+exact AS (
+    SELECT qid, id FROM (
+        SELECT q.qid, e.vec_id AS id,
+               ROW_NUMBER() OVER (
+                   PARTITION BY q.qid
+                   ORDER BY {_cos_sql('e.embedding', 'q.qv')} DESC,
+                            e.vec_id ASC
+               ) AS rn
+        FROM embeddings e, q
+        WHERE e.vec_id != q.qid
+    ) WHERE rn <= {_RK}
+)
+SELECT x.qid,
+       CAST(COUNT(a.id) AS BIGINT) AS matched,
+       CAST(COUNT(*) AS BIGINT) AS k,
+       CAST(COUNT(a.id) AS DOUBLE) / COUNT(*) AS recall
+FROM exact x LEFT JOIN approx a ON a.qid = x.qid AND a.id = x.id
+GROUP BY x.qid
+ORDER BY x.qid
+"""
+
+
+@register("ivf_recall_report", _ivf_recall_oracle())
+def ivf_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of the IVF cell-probed path (similarity/ivf.ivf_knn_join,
+    batch sibling of ivf_search) against exact ground truth — with
+    ann_recall_report this covers BOTH ANN scale paths, so nprobe/n_cells
+    and band/plane settings tune against the same harness. Shares the
+    memoized IVF index (catalog_search.get_ivf_index) and the two-level
+    exact batch top-k."""
+    from msgvault_spark.catalog_search import get_ivf_index
+    from msgvault_spark.similarity.ivf import ivf_knn_join
+    from msgvault_spark.similarity.knn import _as_double
+    from msgvault_spark.similarity.knnjoin import exact_knn_join
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qset = emb.filter(F.col("vec_id") < _NQ)
+    cents = emb.filter(F.col("vec_id") < _IVF_CELLS).select(
+        F.col("vec_id").alias("cid"),
+        _as_double(F.col("embedding")).alias("cvec"),
+    )
+    approx = ivf_knn_join(
+        get_ivf_index(spark, sf_dir, _IVF_CELLS),
+        cents,
+        qset,
+        k=_RK,
+        nprobe=_IVF_PROBE,
+    ).select("qid", "id", F.lit(1).alias("hit"))
+    exact = exact_knn_join(emb, qset, k=_RK)
+    return (
+        exact.select("qid", "id")
+        .join(approx, ["qid", "id"], "left")
+        .groupBy("qid")
+        .agg(
+            F.count("hit").cast("long").alias("matched"),
+            F.count(F.lit(1)).cast("long").alias("k"),
+            (F.count("hit").cast("double") / F.count(F.lit(1))).alias("recall"),
+        )
+        .transform(present_sorted, "qid")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Round-2: random-projection dim reduction + per-label centroids
 # ---------------------------------------------------------------------------

@@ -290,6 +290,22 @@ from msgvault_spark.similarity.ivf import (  # noqa: E402
 )
 
 
+def get_ivf_index(spark: SparkSession, sf_dir: str, n_cells: int = 8) -> DataFrame:
+    """Memoized persisted IVF index (id, vec, cell) — the lake artifact a
+    real deployment buckets by cell at ETL time."""
+    key = (spark.sparkContext.applicationId, sf_dir, n_cells)
+    if key not in _IVF_MEMO:
+        from pyspark import StorageLevel
+
+        emb = load_table(spark, sf_dir, "embeddings")
+        idx = build_ivf_index(emb, n_cells=n_cells).coalesce(4).persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
+        idx.count()
+        _IVF_MEMO[key] = idx
+    return _IVF_MEMO[key]
+
+
 @register("ann_ivf_seed0", ivf_oracle_sql(0, k=10, n_cells=8, nprobe=2))
 def ann_ivf_seed0(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF find-similar: assign corpus to 8 deterministic cells, probe the
@@ -297,16 +313,7 @@ def ann_ivf_seed0(spark: SparkSession, sf_dir: str) -> DataFrame:
     ivf.py). Approximate by construction; the oracle replays the same index,
     so results are still hash-exact."""
     emb = load_table(spark, sf_dir, "embeddings")
-    key = (spark.sparkContext.applicationId, sf_dir, 8)
-    if key not in _IVF_MEMO:
-        from pyspark import StorageLevel
-
-        idx = build_ivf_index(emb, n_cells=8).coalesce(4).persist(
-            StorageLevel.MEMORY_AND_DISK
-        )
-        idx.count()
-        _IVF_MEMO[key] = idx
-    index = _IVF_MEMO[key]
+    index = get_ivf_index(spark, sf_dir, 8)
     seed = _seed_vector(spark, sf_dir, 0)
     return ivf_search(
         index, emb, list(seed), k=10, n_cells=8, nprobe=2, exclude_id=0

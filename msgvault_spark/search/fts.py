@@ -57,6 +57,21 @@ def build_inverted_index(
     return postings, doc_stats
 
 
+def _contrib_sql(n_expr: str, avg_expr: str) -> str:
+    """BM25 per-term contribution as SQL text, association IDENTICAL to
+    the historical Column formulation (idf · tfc with Python-prefolded
+    constants: K1+1, 1−B), so scores are bit-equal:
+
+        ln(1 + ((N − df + .5) / (df + .5)))
+          · ((tf · (K1+1)) / (tf + (K1 · ((1−B) + ((B · dl) / avgdl)))))
+    """
+    return (
+        f"ln(1.0D + (({n_expr} - df + 0.5D) / (df + 0.5D))) * "
+        f"((tf * {K1 + 1.0!r}D) / "
+        f"(tf + ({K1!r}D * ({1.0 - B!r}D + (({B!r}D * dl) / {avg_expr})))))"
+    )
+
+
 def bm25_scores(
     postings: DataFrame,
     doc_stats: DataFrame,
@@ -110,24 +125,22 @@ def bm25_scores(
     )
     if candidate_filter is not None:
         matched = matched.filter(candidate_filter)
+    # The score rides as ONE parsed SQL expression (same tree, explicit
+    # parens mirror the Column-operator association exactly — equality is
+    # test-pinned bitwise) instead of ~30 Py4J column-op round-trips per
+    # plan build; corpus constants splice in as literals.
     if corpus_stats is not None:
-        matched = matched.withColumn(
-            "n_docs", F.lit(int(corpus_stats[0]))
-        ).withColumn("avgdl", F.lit(float(corpus_stats[1])))
+        contrib = _contrib_sql(
+            str(int(corpus_stats[0])), f"{float(corpus_stats[1])!r}D"
+        )
     else:
         n_docs_avgdl = doc_stats.agg(
             F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
         )
         matched = matched.crossJoin(F.broadcast(n_docs_avgdl))
-    idf = F.log(
-        F.lit(1.0)
-        + (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
-    )
-    tfc = (F.col("tf") * (K1 + 1)) / (
-        F.col("tf") + K1 * (1 - B + B * F.col("dl") / F.col("avgdl"))
-    )
+        contrib = _contrib_sql("n_docs", "avgdl")
     per_term = matched.select(
-        "doc_id", "term", (idf * tfc).alias("contribution")
+        "doc_id", "term", F.expr(contrib).alias("contribution")
     )
     scored = per_term.groupBy("doc_id").agg(
         F.sum("contribution").alias("score"),

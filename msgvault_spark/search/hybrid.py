@@ -71,14 +71,15 @@ def rrf_fuse(
             F.col("rnk").alias("v_rnk"),
         )
     )
-    fused = b.join(v, F.col("id") == F.col("v_id"), "full_outer").select(
-        F.coalesce(F.col("id"), F.col("v_id")).alias("id"),
-        (
-            F.coalesce(1.0 / (F.lit(rrf_k) + F.col("b_rnk")), F.lit(0.0))
-            + F.coalesce(1.0 / (F.lit(rrf_k) + F.col("v_rnk")), F.lit(0.0))
-        ).alias("rrf_score"),
-        F.col("bm25_score"),
-        F.col("vector_score"),
+    # one parsed selectExpr (4 strings) instead of ~15 column-op Py4J
+    # round-trips; association identical to the Column form (1.0D/int
+    # division, coalesce-then-add), so scores are bit-equal
+    fused = b.join(v, F.col("id") == F.col("v_id"), "full_outer").selectExpr(
+        "coalesce(id, v_id) AS id",
+        f"(coalesce(1.0D / ({rrf_k} + b_rnk), 0.0D)"
+        f" + coalesce(1.0D / ({rrf_k} + v_rnk), 0.0D)) AS rrf_score",
+        "bm25_score",
+        "vector_score",
     )
 
     if boost > 1.0 and subject_terms and subjects is not None:

@@ -227,3 +227,55 @@ def train_centroids_kmeans(
 
     corpus.unpersist()
     return spark.createDataFrame(cent_rows, "cid long, cvec array<double>")
+
+
+def ivf_knn_join(
+    index: DataFrame,
+    centroids: DataFrame,
+    queries: DataFrame,
+    *,
+    k: int = 10,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int = 6,
+) -> DataFrame:
+    """Batch IVF retrieval: (qid, id, score) of the k nearest cell-probed
+    corpus rows for EVERY query row in one distributed job — the IVF
+    sibling of knnjoin.knn_join (LSH). ``centroids`` = (cid, cvec) rows
+    (build_ivf_index's quantizer inputs); each query broadcasts with its
+    ``nprobe`` nearest cells, the cell equi-join bounds candidates to the
+    probed cells' members, exact cosine reranks, and the per-query top-k
+    window sees only cell-bounded candidate lists — never the corpus."""
+    q = queries.select(
+        F.col(id_col).alias("qid"), _as_double(F.col(vec_col)).alias("qvec")
+    )
+    qcells = (
+        q.join(F.broadcast(centroids))
+        .withColumn(
+            "qscore", F.round(cosine(F.col("qvec"), F.col("cvec")), round_to)
+        )
+    )
+    wp = Window.partitionBy("qid").orderBy(
+        F.col("qscore").desc(), F.col("cid").asc()
+    )
+    probes = (
+        qcells.withColumn("rn", F.row_number().over(wp))
+        .filter(F.col("rn") <= nprobe)
+        .select("qid", "qvec", F.col("cid").alias("cell"))
+    )
+    cands = (
+        index.join(F.broadcast(probes), "cell")
+        .filter(F.col("id") != F.col("qid"))
+        .select(
+            "qid",
+            "id",
+            F.round(cosine(F.col("vec"), F.col("qvec")), round_to).alias("score"),
+        )
+    )
+    wk = Window.partitionBy("qid").orderBy(F.col("score").desc(), F.col("id").asc())
+    return (
+        cands.withColumn("rn", F.row_number().over(wk))
+        .filter(F.col("rn") <= k)
+        .select("qid", "id", "score")
+    )

@@ -264,3 +264,49 @@ def test_knn_normed_matches_bruteforce(spark):
     assert [(r["id"], r["score"]) for r in a] == [
         (r["id"], r["score"]) for r in b
     ]
+
+
+def test_bm25_sql_contribution_bitwise_equals_column_form(spark):
+    """The SQL-string BM25 contribution (fts._contrib_sql) must be
+    BIT-identical to the historical Column-operator formulation on real
+    postings — same association, same literals — or rounded scores could
+    flip on a boundary."""
+    import struct
+
+    from pyspark.sql import functions as F
+
+    from msgvault_spark.search.fts import B, K1, _contrib_sql, build_inverted_index
+
+    docs = spark.createDataFrame(
+        [(i, f"spark query engine term{i % 7} spark data {i % 13}")
+         for i in range(300)],
+        "doc_id long, text string",
+    )
+    postings, doc_stats = build_inverted_index(docs, "doc_id", "text")
+    terms = ["spark", "query"]
+    term_df = (
+        postings.filter(F.col("term").isin(*terms))
+        .groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    )
+    matched = (
+        postings.filter(F.col("term").isin(*terms))
+        .join(F.broadcast(term_df), "term")
+        .join(doc_stats, "doc_id")
+        .withColumn("n_docs", F.lit(300))
+        .withColumn("avgdl", F.lit(7.0))
+    )
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    )
+    tfc = (F.col("tf") * (K1 + 1)) / (
+        F.col("tf") + K1 * (1 - B + B * F.col("dl") / F.col("avgdl"))
+    )
+    both = matched.select(
+        "doc_id", "term",
+        (idf * tfc).alias("old"),
+        F.expr(_contrib_sql("300", "7.0D")).alias("new"),
+    ).collect()
+    assert both
+    for r in both:
+        assert struct.pack("d", r["old"]) == struct.pack("d", r["new"]), r
