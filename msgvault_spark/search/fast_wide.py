@@ -104,13 +104,24 @@ def compile_search_wide(
             | _ilike(F.col("from_phone"), term)
         )
     # to:/cc:/bcc: probe the merged to∪cc∪bcc arrays, same as the join
-    # path's _recipient_ids(("to","cc","bcc"), email ILIKE | phone ILIKE)
+    # path's _recipient_ids(("to","cc","bcc"), email ILIKE | phone ILIKE).
+    # Fast path: escape_like makes the pattern a LITERAL substring, and a
+    # literal without '\n' cannot span a '\n' join boundary, so ILIKE over
+    # concat_ws("\n", array) is exactly exists(array, ILIKE) — and stays
+    # inside whole-stage codegen, where the array-exists higher-order
+    # function drops to interpreted evaluation (~4× slower per scan).
     for addr in q.to_addrs + q.cc_addrs + q.bcc_addrs:
         pat = "%" + escape_like(addr) + "%"
-        df = df.filter(
-            F.exists("recipient_emails", lambda x: x.ilike(pat))
-            | F.exists("recipient_phones", lambda x: x.ilike(pat))
-        )
+        if "\n" in addr:
+            df = df.filter(
+                F.exists("recipient_emails", lambda x: x.ilike(pat))
+                | F.exists("recipient_phones", lambda x: x.ilike(pat))
+            )
+        else:
+            df = df.filter(
+                F.concat_ws("\n", F.col("recipient_emails")).ilike(pat)
+                | F.concat_ws("\n", F.col("recipient_phones")).ilike(pat)
+            )
     if filter_.recipient:
         df = df.filter(
             F.array_contains("recipient_emails", filter_.recipient)

@@ -266,3 +266,53 @@ def test_offset_pagination_matches_sorted_slice(spark, rows, offset, limit):
     ]
     want = sorted(rows, key=lambda t: (-t[1], -t[0]))[offset:offset + limit]
     assert got == want
+
+
+@given(
+    docs=st.lists(
+        st.tuples(
+            st.sampled_from(["a", "b", "c"]),       # source
+            st.lists(st.sampled_from(
+                ["red", "green", "blue", "cyan", "teal", "plum", "gold"]
+            ), min_size=0, max_size=8),             # words
+        ),
+        min_size=0, max_size=25,
+    ),
+    k=st.sampled_from([2, 5]),
+    salt=st.sampled_from([1, 4]),
+)
+@settings(**_SETTINGS)
+def test_kmv_sketches_match_bruteforce_bottom_k(spark, docs, k, salt):
+    """The salted two-level bottom-k build (r4 rebuild of kmv_sketches)
+    must produce EXACTLY the k lexicographically-smallest distinct shingle
+    digests per source — identical to a naive per-source sort — for any
+    corpus, k, and salt fan-out (the result is set-defined, so the salt
+    cannot change it)."""
+    import hashlib
+
+    from msgvault_spark.operators.kmv import kmv_sketches
+
+    rows = [(s, " ".join(ws)) for s, ws in docs]
+    df = spark.createDataFrame(rows, "source string, text string") if rows \
+        else spark.createDataFrame([], "source string, text string")
+
+    def shingles(words, n=3):
+        # pinned operator semantic (matches the DuckDB oracle): a doc
+        # shorter than n words — including an EMPTY doc — contributes one
+        # shingle, the whole (possibly empty) joined text
+        if len(words) < n:
+            return [" ".join(words)]
+        return [" ".join(words[i:i + n]) for i in range(len(words) - n + 1)]
+
+    want: dict[str, list[str]] = {}
+    for s, ws in docs:
+        hs = {hashlib.md5(sh.encode()).hexdigest() for sh in shingles(ws)}
+        if hs:
+            want[s] = sorted(want.get(s, []) + list(hs))
+    want = {s: sorted(set(v))[:k] for s, v in want.items()}
+
+    got = {
+        r["source"]: list(r["sketch"])
+        for r in kmv_sketches(df, k=k, k_shingle=3, salt=salt).collect()
+    }
+    assert got == want
