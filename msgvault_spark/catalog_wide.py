@@ -19,7 +19,25 @@ from msgvault_spark.plans.models import (
     SortField,
     ViewType,
 )
-from msgvault_spark.sources.cache import get_wide_messages
+from msgvault_spark.sources.cache import get_scalar, get_wide_messages
+
+
+def _wide_total_unique(spark: SparkSession, sf_dir: str, view: ViewType) -> int:
+    """ETL-captured distinct-group count for the UNFILTERED corpus scope
+    of a wide view dimension — the catalog statistic the per-query 1-row
+    broadcast total recomputed on every invocation (BM25's corpus_stats
+    pattern). Filtered drill-downs must NOT use this (their total depends
+    on the filter) and keep the in-plan aggregate."""
+
+    def compute() -> int:
+        row = (
+            agg.aggregate_wide(get_wide_messages(spark, sf_dir), view)
+            .select("total_unique")
+            .head()
+        )
+        return int(row[0]) if row else 0
+
+    return get_scalar(spark, (sf_dir, "wide_total_unique", view.name), compute)
 
 
 @register(
@@ -28,8 +46,14 @@ from msgvault_spark.sources.cache import get_wide_messages
     headline=True,
 )
 def agg_senders_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Senders via the denormalized wide view: scan + hash-agg, zero joins."""
-    return agg.aggregate_wide(get_wide_messages(spark, sf_dir), ViewType.SENDERS)
+    """Senders via the denormalized wide view: scan + hash-agg, zero joins;
+    total_unique folds in as an ETL-captured literal (one job, no
+    broadcast-total subplan)."""
+    return agg.aggregate_wide(
+        get_wide_messages(spark, sf_dir),
+        ViewType.SENDERS,
+        total_unique=_wide_total_unique(spark, sf_dir, ViewType.SENDERS),
+    )
 
 
 @register(
@@ -38,7 +62,11 @@ def agg_senders_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
     headline=True,
 )
 def agg_domains_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return agg.aggregate_wide(get_wide_messages(spark, sf_dir), ViewType.DOMAINS)
+    return agg.aggregate_wide(
+        get_wide_messages(spark, sf_dir),
+        ViewType.DOMAINS,
+        total_unique=_wide_total_unique(spark, sf_dir, ViewType.DOMAINS),
+    )
 
 
 @register(
@@ -47,7 +75,11 @@ def agg_domains_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def agg_labels_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Labels via explode over the wide view's sorted label array."""
-    return agg.aggregate_wide(get_wide_messages(spark, sf_dir), ViewType.LABELS)
+    return agg.aggregate_wide(
+        get_wide_messages(spark, sf_dir),
+        ViewType.LABELS,
+        total_unique=_wide_total_unique(spark, sf_dir, ViewType.LABELS),
+    )
 
 
 @register(
@@ -65,7 +97,12 @@ def agg_time_month_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
     opts = AggregateOptions(
         sort_field=SortField.NAME, sort_direction=SortDirection.ASC, limit=1000
     )
-    return agg.aggregate_wide(get_wide_messages(spark, sf_dir), ViewType.TIME, opts)
+    return agg.aggregate_wide(
+        get_wide_messages(spark, sf_dir),
+        ViewType.TIME,
+        opts,
+        total_unique=_wide_total_unique(spark, sf_dir, ViewType.TIME),
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -189,4 +226,8 @@ def search_fast_recipients_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
 def agg_recipients_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recipients via the wide view's denormalized email array: explode +
     hash-agg, zero query-time joins."""
-    return agg.aggregate_wide(get_wide_messages(spark, sf_dir), ViewType.RECIPIENTS)
+    return agg.aggregate_wide(
+        get_wide_messages(spark, sf_dir),
+        ViewType.RECIPIENTS,
+        total_unique=_wide_total_unique(spark, sf_dir, ViewType.RECIPIENTS),
+    )

@@ -202,11 +202,19 @@ def aggregate_wide(
     wide: DataFrame,
     view: ViewType,
     opts: AggregateOptions | None = None,
+    *,
+    total_unique: int | None = None,
 ) -> DataFrame:
     """Join-free aggregate over the denormalized wide view
     (sources/cache.py): scan + hash-agg only — the 100 TB fast path. Sender
     semantics = first-'from' per message (see cache.py note); identical to
-    the join path whenever messages carry a single sender row."""
+    the join path whenever messages carry a single sender row.
+
+    ``total_unique``: the distinct-group count captured at ETL time (a
+    catalog statistic, exactly like BM25's corpus constants) — folds in
+    as a literal and removes the per-query 1-row broadcast job. Callers
+    must pass it ONLY for the unfiltered corpus scope; any filtered
+    drill-down keeps the in-plan total."""
     opts = opts or AggregateOptions()
     df = wide
     for cond in _base_message_predicates(opts):
@@ -263,8 +271,14 @@ def aggregate_wide(
             ),
         )
     )
-    total = grouped.agg(F.count(F.lit(1)).alias("total_unique"))
-    grouped = grouped.crossJoin(F.broadcast(total))
+    if total_unique is not None:
+        # cast matches the count() path's BIGINT so schemas stay identical
+        grouped = grouped.withColumn(
+            "total_unique", F.lit(int(total_unique)).cast("long")
+        )
+    else:
+        total = grouped.agg(F.count(F.lit(1)).alias("total_unique"))
+        grouped = grouped.crossJoin(F.broadcast(total))
     return sort_and_limit(grouped, opts)
 
 

@@ -338,6 +338,20 @@ def get_artifact(spark: SparkSession, cache_key: tuple, builder) -> DataFrame:
     return _ARTIFACT_MEMO[key]
 
 
+_SCALAR_MEMO: dict[tuple, object] = {}
+
+
+def get_scalar(spark: SparkSession, cache_key: tuple, compute):
+    """Memoized scalar catalog statistic captured at build time (the
+    corpus_stats pattern: n_docs/avgdl for BM25, distinct-group counts
+    for the wide aggregates) — queries fold the value in as a literal
+    instead of paying a 1-row aggregate job per invocation."""
+    key = (spark.sparkContext.applicationId, *cache_key)
+    if key not in _SCALAR_MEMO:
+        _SCALAR_MEMO[key] = compute()
+    return _SCALAR_MEMO[key]
+
+
 _COMPONENTS_MEMO: dict[tuple, DataFrame] = {}
 
 
