@@ -42,6 +42,7 @@ _PRIORITY = [
     "stream_user_sessions",
     "ann_recall_report",
     "ivf_recall_report",
+    "semantic_decontaminate_docs",
     # --- round-3 gate window (all driver-green in r3) ---
     "rp_project_embeddings",
     "label_centroids",

@@ -38,6 +38,45 @@ def decontaminate_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return contamination_pairs(docs, bench, n=3, min_collisions=2)
 
 
+_SEM_COS = (
+    "round(list_sum(list_transform(list_zip(e.embedding, b.embedding), "
+    "x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) / "
+    "(sqrt(list_sum(list_transform(e.embedding, "
+    "v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))) * "
+    "sqrt(list_sum(list_transform(b.embedding, "
+    "v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))), 6)"
+)
+
+
+@register(
+    "semantic_decontaminate_docs",
+    f"""
+WITH b AS (SELECT * FROM embeddings WHERE vec_id % 100 = 0)
+SELECT e.vec_id AS id, MAX({_SEM_COS}) AS max_sim
+FROM embeddings e, b
+WHERE e.vec_id != b.vec_id
+GROUP BY e.vec_id
+HAVING MAX({_SEM_COS}) >= 0.35
+ORDER BY id
+""",
+)
+def semantic_decontaminate_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space benchmark decontamination (semantic sibling of
+    decontaminate_docs — catches paraphrased leakage n-grams miss): flag
+    corpus vectors whose max cosine against the broadcast benchmark set
+    (every 100th vector standing in for an eval set) reaches 0.35.
+    One map-shaped pass, map-side partial max, no corpus self-join
+    (dedup/decontaminate.py:semantic_contamination)."""
+    from msgvault_spark.dedup.decontaminate import semantic_contamination
+    from msgvault_spark.operators.present import present_sorted
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    bench = emb.filter(F.col("vec_id") % 100 == 0)
+    return semantic_contamination(emb, bench, threshold=0.35).transform(
+        present_sorted, "id"
+    )
+
+
 def _cms_oracle() -> str:
     from msgvault_spark.operators.cms import cms_oracle_sql
 

@@ -112,3 +112,44 @@ GROUP BY 1, 2
 HAVING COUNT(*) >= {min_collisions}
 ORDER BY doc_id, bench_id
 """
+
+
+def semantic_contamination(
+    embeddings: DataFrame,
+    benchmark: DataFrame,
+    *,
+    threshold: float = 0.35,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int = 6,
+) -> DataFrame:
+    """Embedding-space decontamination — the semantic sibling of the
+    n-gram check above, for paraphrased leakage n-grams miss: flag every
+    corpus vector whose max cosine against ANY benchmark vector reaches
+    ``threshold``. Returns (id, max_sim), id-ordered.
+
+    Scale shape mirrors contamination_pairs: the benchmark side is the
+    small one (eval sets, not the corpus) and BROADCASTS; the corpus
+    streams through one map-shaped pass costing O(|bench|·d) per row with
+    a map-side partial max — no corpus self-join. For benchmark sets too
+    large to broadcast, route through the LSH/IVF batch joins
+    (similarity/knnjoin.py, similarity/ivf.ivf_knn_join) with the
+    benchmark as the query set instead."""
+    from msgvault_spark.similarity.knn import _as_double, cosine
+
+    bench = benchmark.select(
+        F.col(id_col).alias("bid"), _as_double(F.col(vec_col)).alias("bvec")
+    )
+    corpus = embeddings.select(
+        F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("vec")
+    )
+    return (
+        corpus.join(F.broadcast(bench), F.col("id") != F.col("bid"))
+        .select(
+            "id",
+            F.round(cosine(F.col("vec"), F.col("bvec")), round_to).alias("sim"),
+        )
+        .groupBy("id")
+        .agg(F.max("sim").alias("max_sim"))
+        .filter(F.col("max_sim") >= threshold)
+    )

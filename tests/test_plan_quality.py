@@ -512,7 +512,7 @@ def test_broadcast_sites_are_ratcheted():
         "catalog_etl.py": 9,
         "catalog_pipeline.py": 1,
         "catalog_tpch.py": 24,
-        "dedup/decontaminate.py": 1,
+        "dedup/decontaminate.py": 2,  # gram set + benchmark vectors
         "dedup/deletion_vectors.py": 1,
         "operators/bloomjoin.py": 1,
         "operators/cms.py": 1,
