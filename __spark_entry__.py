@@ -43,6 +43,7 @@ _PRIORITY = [
     "ann_recall_report",
     "ivf_recall_report",
     "semantic_decontaminate_docs",
+    "c4_pipeline_stats",
     # --- round-3 gate window (all driver-green in r3) ---
     "rp_project_embeddings",
     "label_centroids",

@@ -77,6 +77,104 @@ def semantic_decontaminate_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "c4_pipeline_stats",
+    r"""
+WITH m AS (
+    SELECT lang,
+           list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                       w -> w != '') AS ws,
+           sha256(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS h
+    FROM documents
+),
+f AS (
+    SELECT lang, h, len(ws) AS nw,
+           CASE WHEN len(ws) > 0
+                THEN CAST(floor(list_sum(list_transform(ws, w -> len(w)))
+                                * 100.0 / len(ws)) AS BIGINT)
+                ELSE 0 END AS mwl_c,
+           CASE WHEN len(ws) > 0
+                THEN CAST(floor((len(ws) - len(list_distinct(ws)))
+                                * 1000000.0 / len(ws)) AS BIGINT)
+                ELSE 0 END AS dwppm
+    FROM m
+),
+g AS (
+    SELECT lang = 'en' AS en,
+           lang = 'en' AND nw >= 30 AND mwl_c BETWEEN 400 AND 470 AS q,
+           lang = 'en' AND nw >= 30 AND mwl_c BETWEEN 400 AND 470
+               AND dwppm < 600000 AS r,
+           h
+    FROM f
+),
+a AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS c1,
+           CAST(COUNT(*) FILTER (en) AS BIGINT) AS c2,
+           CAST(COUNT(*) FILTER (q) AS BIGINT) AS c3,
+           CAST(COUNT(*) FILTER (r) AS BIGINT) AS c4,
+           CAST(COUNT(DISTINCT CASE WHEN r THEN h END) AS BIGINT) AS c5
+    FROM g
+)
+SELECT CAST(1 AS BIGINT) AS stage_no, 'raw' AS stage, c1 AS docs FROM a
+UNION ALL SELECT 2, 'lang_en', c2 FROM a
+UNION ALL SELECT 3, 'quality', c3 FROM a
+UNION ALL SELECT 4, 'repetition', c4 FROM a
+UNION ALL SELECT 5, 'exact_dedup', c5 FROM a
+ORDER BY stage_no
+""",
+)
+def c4_pipeline_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end curation funnel (the C4/Gopher pipeline shape): per-stage
+    survivor counts for raw → lang-ID → quality (word count + mean word
+    length) → repetition (duplicate-word ppm) → exact content-hash dedup,
+    computed in ONE conditional-aggregation pass over the corpus — the
+    funnel report every curation run prints before training. All stage
+    predicates use the repo's pinned integer/ppm formulas (repetition
+    family textstats/analysis.py, content hash dedup/exact.py) so both
+    engines agree bit-for-bit. At 100 TB this is one scan + one 1-row
+    agg; no per-stage re-scans."""
+    from msgvault_spark.dedup.exact import content_hash
+
+    docs = load_table(spark, sf_dir, "documents").select("lang", "text")
+    ws = F.filter(
+        F.split(F.lower(F.col("text")), "[^a-z0-9]+"), lambda w: w != ""
+    )
+    m = docs.select(
+        "lang", ws.alias("ws"), content_hash(F.col("text")).alias("h")
+    )
+    nw = F.size("ws")
+    wchars = F.aggregate(
+        F.transform(F.col("ws"), lambda w: F.length(w)),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    mwl_c = F.when(nw > 0, F.floor(wchars * 100.0 / nw)).otherwise(0).cast("long")
+    dwppm = (
+        F.when(
+            nw > 0,
+            F.floor((nw - F.size(F.array_distinct("ws"))) * 1000000.0 / nw),
+        )
+        .otherwise(0)
+        .cast("long")
+    )
+    f = m.select("lang", "h", nw.alias("nw"), mwl_c.alias("mwl_c"), dwppm.alias("dwppm"))
+    en = F.col("lang") == "en"
+    q = en & (F.col("nw") >= 30) & F.col("mwl_c").between(400, 470)
+    r = q & (F.col("dwppm") < 600000)
+    a = f.agg(
+        F.count(F.lit(1)).cast("long").alias("c1"),
+        F.count(F.when(en, 1)).cast("long").alias("c2"),
+        F.count(F.when(q, 1)).cast("long").alias("c3"),
+        F.count(F.when(r, 1)).cast("long").alias("c4"),
+        F.count_distinct(F.when(r, F.col("h"))).cast("long").alias("c5"),
+    )
+    return a.selectExpr(
+        "stack(5, 1L, 'raw', c1, 2L, 'lang_en', c2, 3L, 'quality', c3, "
+        "4L, 'repetition', c4, 5L, 'exact_dedup', c5) "
+        "AS (stage_no, stage, docs)"
+    ).transform(present_sorted, "stage_no")
+
+
 def _cms_oracle() -> str:
     from msgvault_spark.operators.cms import cms_oracle_sql
 
