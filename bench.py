@@ -89,6 +89,11 @@ def main() -> None:
         "cold_value": round(sum(cold.values()), 3),
         "cold_queries": cold,
         "sf": sf,
+        # measurement protocol, so cross-round deltas are attributable:
+        # warm = best of `runs` collects on the prepared plan; cold =
+        # best of max(2, runs-1) with the plan memo cleared per run
+        "warm_best_of": runs,
+        "cold_best_of": max(2, runs - 1),
     }
     print(json.dumps(out))
 

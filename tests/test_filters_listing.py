@@ -126,3 +126,32 @@ def test_load_table_normalizes_ntz_timestamps(spark, tmp_path):
     got = [r["epoch"] for r in out.collect()]
     # session tz is UTC: wall clock == instant
     assert got == [1704448800, 1707219000]
+
+
+def test_wide_recipient_filters_match_join_path(spark, archive):
+    """to:/cc:/bcc: on the wide path (denormalized recipient arrays, r4)
+    must return the same messages as the join path's junction semi-join —
+    including PHONE-ONLY recipients (carol, +2666, no email), which ride
+    the separate recipient_phones array."""
+    from msgvault_spark.search.fast import search_fast
+    from msgvault_spark.search.fast_wide import search_fast_wide
+    from msgvault_spark.sources.cache import build_wide_messages
+
+    wide = build_wide_messages(archive)
+    for q in ("to:@y.com", "to:2666", "cc:2666", "bcc:nobody", "to:a@x.com"):
+        join_ids = sorted(r["id"] for r in search_fast(archive, q).collect())
+        wide_ids = sorted(r["id"] for r in search_fast_wide(wide, q).collect())
+        assert wide_ids == join_ids, (q, wide_ids, join_ids)
+    # exact-recipient filter (MessageFilter.recipient) matches phones too
+    from msgvault_spark.plans.models import MessageFilter
+    from msgvault_spark.search.parser import ParsedQuery
+    from msgvault_spark.search.fast_wide import compile_search_wide
+
+    got = sorted(
+        r["id"]
+        for r in compile_search_wide(
+            wide, ParsedQuery(), MessageFilter(recipient="+2666"),
+            email_only=False,
+        ).select("id").collect()
+    )
+    assert got == [2]
