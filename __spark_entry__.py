@@ -44,6 +44,8 @@ _PRIORITY = [
     "ivf_recall_report",
     "semantic_decontaminate_docs",
     "c4_pipeline_stats",
+    "media_resize_plan",
+    "media_frame_sample",
     # --- round-3 gate window (all driver-green in r3) ---
     "rp_project_embeddings",
     "label_centroids",

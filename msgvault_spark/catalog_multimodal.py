@@ -191,6 +191,88 @@ def media_decode_fake(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).sortWithinPartitions("media_id")
 
 
+_FAKE_DIMS_SQL = f"""
+hashed AS (
+    SELECT media_id, sha256(hex(payload)) AS h FROM media
+),
+dims AS (
+    SELECT media_id,
+           CAST(64 + {_HEXVAL.format(i=1)} * 16 + {_HEXVAL.format(i=2)}
+                AS INTEGER) AS width,
+           CAST(64 + {_HEXVAL.format(i=3)} * 16 + {_HEXVAL.format(i=4)}
+                AS INTEGER) AS height,
+           CAST(1 + {_HEXVAL.format(i=5)} AS INTEGER) AS n_frames
+    FROM hashed
+)
+"""
+
+
+@register(
+    "media_resize_plan",
+    f"""
+WITH {_MEDIA_SQL},
+{_FAKE_DIMS_SQL},
+scaled AS (
+    SELECT media_id, width, height,
+           CASE WHEN greatest(width, height) > 224
+                THEN 224 / greatest(width, height)
+                ELSE 1.0 END AS s
+    FROM dims
+)
+SELECT media_id, width, height,
+       CAST(floor(width * s + 0.5) AS INTEGER) AS target_w,
+       CAST(floor(height * s + 0.5) AS INTEGER) AS target_h,
+       CAST(floor(s * 1000000) AS BIGINT) AS scale_ppm
+FROM scaled
+ORDER BY media_id
+""",
+)
+def media_resize_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize planning over decode metadata: aspect-preserving target dims
+    with the long side clamped to 224 (the vision-encoder preprocessing
+    contract). Pure arithmetic after the Arrow-batched decode stub — the
+    pixel work belongs to the decoder; this is the plan-side half
+    (multimodal/binary_ops.resize_plan)."""
+    docs = load_table(spark, sf_dir, "documents")
+    decoded = decode_media(synthesize_media(docs), deterministic_fake=True)
+    from msgvault_spark.multimodal.binary_ops import resize_plan
+
+    return resize_plan(decoded).sortWithinPartitions("media_id")
+
+
+@register(
+    "media_frame_sample",
+    f"""
+WITH {_MEDIA_SQL},
+{_FAKE_DIMS_SQL},
+strided AS (
+    SELECT media_id, n_frames,
+           greatest(1, n_frames // 4) AS stride
+    FROM dims
+),
+p AS (SELECT unnest([0, 1, 2, 3]) AS frame_pos)
+SELECT s.media_id, s.n_frames,
+       CAST(p.frame_pos AS INTEGER) AS frame_pos,
+       CAST(p.frame_pos * s.stride AS INTEGER) AS frame_idx
+FROM strided s, p
+WHERE p.frame_pos <= (s.n_frames - 1) // s.stride AND p.frame_pos < 4
+ORDER BY media_id, frame_pos
+""",
+)
+def media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uniform-stride frame sampling plan from decoded n_frames metadata:
+    which ≤4 frame indexes a real decoder would extract per media item
+    (multimodal/binary_ops.sample_frames) — JVM sequence+posexplode, no
+    Python in the fan-out."""
+    docs = load_table(spark, sf_dir, "documents")
+    decoded = decode_media(synthesize_media(docs), deterministic_fake=True)
+    from msgvault_spark.multimodal.binary_ops import sample_frames
+
+    return sample_frames(decoded, n_samples=4).sortWithinPartitions(
+        "media_id", "frame_pos"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Batch KNN join (round 2): top-k neighbors for every query vector at once
 # ---------------------------------------------------------------------------
