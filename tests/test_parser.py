@@ -91,3 +91,42 @@ def test_unterminated_quote_not_dropped():
 def test_tokenize_op_quoted():
     assert tokenize('subject:"a b" c') == ['subject:"a b"', "c"]
     assert tokenize('"a b" subject:c') == ['"a b"', "subject:c"]
+
+
+def test_parser_total_on_arbitrary_printable_input():
+    """The Gmail-style parser must be TOTAL: no printable query string may
+    raise, and the parse is idempotent on its own text-term rendering —
+    the property a user-facing search box needs (reference parser.go
+    tolerates arbitrary input). Hypothesis sweeps operator soup, stray
+    quotes/colons, unicode, and size/date garbage."""
+    from hypothesis import given, settings, strategies as st
+
+    from msgvault_spark.search.parser import parse_query
+
+    ops = st.sampled_from([
+        "from:", "to:", "cc:", "bcc:", "subject:", "label:", "has:",
+        "larger:", "smaller:", "before:", "after:", "account:", '"', ":",
+    ])
+    word = st.text(
+        alphabet=st.characters(codec="utf-8", exclude_categories=("Cs",)),
+        min_size=0, max_size=8,
+    )
+    piece = st.one_of(word, st.tuples(ops, word).map(lambda t: t[0] + t[1]))
+    query = st.lists(piece, min_size=0, max_size=6).map(" ".join)
+
+    @given(q=query)
+    @settings(max_examples=300, deadline=None, derandomize=True)
+    def run(q):
+        parsed = parse_query(q)
+        # every collected field is well-typed
+        for lst in (parsed.from_addrs, parsed.to_addrs, parsed.cc_addrs,
+                    parsed.bcc_addrs, parsed.text_terms, parsed.subject_terms,
+                    parsed.labels):
+            assert all(isinstance(x, str) for x in lst)
+        # parsing is stable: re-parsing a bare text term keeps it a term
+        for term in parsed.text_terms:
+            if term and ":" not in term and '"' not in term and " " not in term:
+                again = parse_query(term)
+                assert term in again.text_terms
+
+    run()
