@@ -46,6 +46,7 @@ _PRIORITY = [
     "c4_pipeline_stats",
     "media_resize_plan",
     "media_frame_sample",
+    "snapshot_diff_versions",
     # --- round-3 gate window (all driver-green in r3) ---
     "rp_project_embeddings",
     "label_centroids",

@@ -1341,6 +1341,74 @@ def snapshot_merge_timetravel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "snapshot_diff_versions",
+    """
+WITH upd AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS docs,
+           CAST(SUM(CAST(1000000 AS BIGINT)) AS BIGINT) AS delta_chars
+    FROM documents WHERE doc_id % 10 = 3
+),
+ins AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS docs,
+           CAST(SUM(CAST(7 AS BIGINT)) AS BIGINT) AS delta_chars
+    FROM documents WHERE doc_id % 17 = 0
+)
+SELECT 'inserted' AS change_type, docs, delta_chars FROM ins
+UNION ALL
+SELECT 'updated', docs, delta_chars FROM upd
+ORDER BY change_type
+""",
+)
+def snapshot_diff_versions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC change feed between two committed versions (Delta CDF /
+    Iceberg changelog shape; sources/snapshots.snapshot_diff): v2 = one
+    MERGE carrying updates (n_chars +1e6 for doc_id%10==3) AND inserts
+    (doc_id+1e6 with n_chars=7 for doc_id%17==0). The diff derives
+    inserted/updated rows from a full-outer join of the two pinned file
+    lists — no snapshot mutated, no table re-scan by consumers — rolled
+    up per change_type with the exact BIGINT delta mass. The 'deleted'
+    leg of the operator is pinned by tests/test_pipeline_ops.py (merges
+    never delete, so this scenario cannot produce one)."""
+    import tempfile
+
+    from msgvault_spark.sources.merge import merge_upsert
+    from msgvault_spark.sources.snapshots import snapshot_diff
+
+    key = (spark.sparkContext.applicationId, sf_dir, "diff")
+    if key not in _SNAP_MEMO:
+        lake = tempfile.mkdtemp(prefix="msgvault_snapdiff_") + "/t"
+        docs = load_table(spark, sf_dir, "documents").select(
+            "doc_id", "n_chars"
+        )
+        merge_upsert(spark, lake, docs.repartitionByRange(4, "doc_id"), "doc_id")
+        upd = docs.filter(F.col("doc_id") % 10 == 3).select(
+            "doc_id", (F.col("n_chars") + 1000000).alias("n_chars")
+        )
+        ins = docs.filter(F.col("doc_id") % 17 == 0).select(
+            (F.col("doc_id") + 1000000).alias("doc_id"),
+            F.lit(7).cast("long").alias("n_chars"),
+        )
+        merge_upsert(spark, lake, upd.unionByName(ins), "doc_id")
+        _SNAP_MEMO[key] = lake
+    lake = _SNAP_MEMO[key]
+
+    diff = snapshot_diff(spark, lake, 1, 2, "doc_id", ["n_chars"])
+    return (
+        diff.groupBy("change_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("docs"),
+            F.sum(
+                F.coalesce(F.col("new_n_chars"), F.lit(0))
+                - F.coalesce(F.col("old_n_chars"), F.lit(0))
+            )
+            .cast("long")
+            .alias("delta_chars"),
+        )
+        .transform(present_sorted, "change_type")
+    )
+
+
+@register(
     "snapshot_optimize_vacuum",
     """
 SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,

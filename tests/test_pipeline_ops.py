@@ -347,3 +347,46 @@ def test_global_shuffle_shards_deterministic_and_balanced(spark):
     s0 = sorted((p, i) for i, (s, p) in rows.items() if s == 0)
     head = [i for _, i in s0[:3]]
     assert head != sorted(i for i, (s, _) in rows.items() if s == 0)[:3]
+
+
+def test_snapshot_diff_all_three_change_types(spark, tmp_path):
+    """snapshot_diff must classify inserted/deleted/updated correctly —
+    including the 'deleted' leg the catalog's merge scenario can't
+    produce (merges never delete). v2 here is committed directly from a
+    frame that drops key 2, changes key 3, keeps key 1, adds key 9."""
+    from pyspark.sql import functions as F
+
+    from msgvault_spark.sources.snapshots import (
+        commit_snapshot,
+        snapshot_diff,
+    )
+
+    lake = str(tmp_path / "t")
+    v1 = spark.createDataFrame(
+        [(1, 10), (2, 20), (3, 30)], "k long, v long"
+    )
+    v2 = spark.createDataFrame(
+        [(1, 10), (3, 99), (9, 90)], "k long, v long"
+    )
+    import os
+
+    g1 = os.path.join(lake, "gen1"); v1.write.parquet(g1)
+    commit_snapshot(spark, lake, files=[
+        os.path.join(g1, f) for f in os.listdir(g1) if f.endswith(".parquet")
+    ])
+    g2 = os.path.join(lake, "gen2"); v2.write.parquet(g2)
+    commit_snapshot(spark, lake, files=[
+        os.path.join(g2, f) for f in os.listdir(g2) if f.endswith(".parquet")
+    ])
+
+    got = {
+        r["k"]: (r["change_type"], r["old_v"], r["new_v"])
+        for r in snapshot_diff(spark, lake, 1, 2, "k", ["v"]).collect()
+    }
+    assert got == {
+        2: ("deleted", 20, None),
+        3: ("updated", 30, 99),
+        9: ("inserted", None, 90),
+    }
+    # unchanged key 1 must NOT appear in the change feed
+    assert 1 not in got
