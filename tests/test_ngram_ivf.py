@@ -231,3 +231,43 @@ def test_exact_knn_join_partitioning_independent(spark):
                 ).collect()
             ]
             assert sorted(by_q[qid]) == sorted(want), (parts, qid)
+
+
+def test_ivf_knn_join_matches_per_seed_search(spark):
+    """Batch IVF retrieval (ivf_knn_join) must return, per query, exactly
+    what the serving path (ivf_search) returns for that seed — the
+    batch=serving equivalence the recall report relies on."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from msgvault_spark.similarity.ivf import (
+        build_ivf_index,
+        ivf_knn_join,
+        ivf_search,
+    )
+    from msgvault_spark.similarity.knn import _as_double
+
+    random.seed(5)
+    dim = 8
+    rows = [(i, [random.uniform(-1, 1) for _ in range(dim)])
+            for i in range(150)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    index = build_ivf_index(emb, n_cells=4)
+    cents = emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("cid"), _as_double(F.col("embedding")).alias("cvec")
+    )
+    qset = emb.filter(F.col("vec_id") < 3)
+    batch = ivf_knn_join(index, cents, qset, k=5, nprobe=2)
+    by_q = {}
+    for r in batch.collect():
+        by_q.setdefault(r["qid"], []).append((r["id"], r["score"]))
+    for qid in (0, 1, 2):
+        want = [
+            (r["id"], r["score"])
+            for r in ivf_search(
+                index, emb, rows[qid][1], k=5, n_cells=4, nprobe=2,
+                exclude_id=qid,
+            ).collect()
+        ]
+        assert sorted(by_q.get(qid, [])) == sorted(want), qid

@@ -390,3 +390,47 @@ def test_snapshot_diff_all_three_change_types(spark, tmp_path):
     }
     # unchanged key 1 must NOT appear in the change feed
     assert 1 not in got
+
+
+def test_snapshot_diff_feed_reconstructs_target_version(spark, tmp_path):
+    """The CDC contract: v1 patched with the change feed (delete the
+    'deleted' keys, upsert the 'updated'/'inserted' new values) must
+    reconstruct v2 EXACTLY — the invariant that lets a downstream replica
+    consume the feed instead of re-reading the table."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from msgvault_spark.sources.snapshots import commit_snapshot, snapshot_diff
+
+    lake = str(tmp_path / "t")
+    v1 = spark.createDataFrame(
+        [(i, i * 10) for i in range(50)], "k long, v long"
+    )
+    # v2: drop multiples of 7, bump multiples of 5, add 100..104
+    v2 = (
+        v1.filter(F.col("k") % 7 != 0)
+        .select("k", F.when(F.col("k") % 5 == 0, F.col("v") + 1)
+                .otherwise(F.col("v")).alias("v"))
+        .unionByName(spark.createDataFrame(
+            [(100 + i, i) for i in range(5)], "k long, v long"))
+    )
+    for gen, df in (("gen1", v1), ("gen2", v2)):
+        d = os.path.join(lake, gen); df.write.parquet(d)
+        commit_snapshot(spark, lake, files=[
+            os.path.join(d, f) for f in os.listdir(d) if f.endswith(".parquet")
+        ])
+
+    feed = snapshot_diff(spark, lake, 1, 2, "k", ["v"])
+    deleted = feed.filter(F.col("change_type") == "deleted").select("k")
+    upserts = feed.filter(F.col("change_type") != "deleted").select(
+        "k", F.col("new_v").alias("v")
+    )
+    patched = (
+        v1.join(deleted, "k", "left_anti")
+        .join(upserts.select("k"), "k", "left_anti")
+        .unionByName(upserts)
+    )
+    got = sorted((r["k"], r["v"]) for r in patched.collect())
+    want = sorted((r["k"], r["v"]) for r in v2.collect())
+    assert got == want
