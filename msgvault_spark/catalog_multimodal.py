@@ -191,6 +191,22 @@ def media_decode_fake(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).sortWithinPartitions("media_id")
 
 
+def _decoded_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persisted decode-metadata artifact (media_id, width, height,
+    n_frames, pixels_sha): the ingest-time product every plan-side media
+    op consumes — decode once, plan many."""
+    from msgvault_spark.sources.cache import get_artifact
+
+    return get_artifact(
+        spark,
+        (sf_dir, "media_decoded_fake"),
+        lambda: decode_media(
+            synthesize_media(load_table(spark, sf_dir, "documents")),
+            deterministic_fake=True,
+        ),
+    )
+
+
 _FAKE_DIMS_SQL = f"""
 hashed AS (
     SELECT media_id, sha256(hex(payload)) AS h FROM media
@@ -230,14 +246,15 @@ ORDER BY media_id
 def media_resize_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Resize planning over decode metadata: aspect-preserving target dims
     with the long side clamped to 224 (the vision-encoder preprocessing
-    contract). Pure arithmetic after the Arrow-batched decode stub — the
-    pixel work belongs to the decoder; this is the plan-side half
-    (multimodal/binary_ops.resize_plan)."""
-    docs = load_table(spark, sf_dir, "documents")
-    decoded = decode_media(synthesize_media(docs), deterministic_fake=True)
+    contract). Pure JVM arithmetic over the PERSISTED decode-metadata
+    artifact (a real pipeline decodes once at ingest and plans many —
+    the Arrow decode itself stays live in media_decode_fake);
+    multimodal/binary_ops.resize_plan."""
     from msgvault_spark.multimodal.binary_ops import resize_plan
 
-    return resize_plan(decoded).sortWithinPartitions("media_id")
+    return resize_plan(_decoded_media(spark, sf_dir)).sortWithinPartitions(
+        "media_id"
+    )
 
 
 @register(
@@ -262,15 +279,13 @@ ORDER BY media_id, frame_pos
 def media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Uniform-stride frame sampling plan from decoded n_frames metadata:
     which ≤4 frame indexes a real decoder would extract per media item
-    (multimodal/binary_ops.sample_frames) — JVM sequence+posexplode, no
-    Python in the fan-out."""
-    docs = load_table(spark, sf_dir, "documents")
-    decoded = decode_media(synthesize_media(docs), deterministic_fake=True)
+    (multimodal/binary_ops.sample_frames) — JVM sequence+posexplode over
+    the persisted decode-metadata artifact, no Python in the fan-out."""
     from msgvault_spark.multimodal.binary_ops import sample_frames
 
-    return sample_frames(decoded, n_samples=4).sortWithinPartitions(
-        "media_id", "frame_pos"
-    )
+    return sample_frames(
+        _decoded_media(spark, sf_dir), n_samples=4
+    ).sortWithinPartitions("media_id", "frame_pos")
 
 
 # ---------------------------------------------------------------------------
