@@ -27,15 +27,105 @@ def allpairs_near_dups(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_to: int = 6,
+    group_rows: int = 2048,
 ) -> DataFrame:
-    """(id_a, id_b, cos) for pairs with cosine ≥ threshold, id_a < id_b."""
-    a = embeddings.select(
+    """(id_a, id_b, cos) for pairs with cosine ≥ threshold, id_a < id_b.
+
+    Two phases. Candidates come from a blocked matrix product: rows are
+    hash-bucketed into groups of ~``group_rows``, group pairs (ga ≤ gb) are
+    joined, and one Arrow batch per group pair runs a float64 GEMM — the
+    O(N²·d) work at BLAS speed instead of one interpreted fold per pair.
+    A pair survives if its GEMM cosine clears ``threshold`` minus a margin
+    wider than both the fp-reassociation gap and the half-ulp the final
+    rounding can add, so the candidate set has no false negatives. Survivors
+    (a tiny set) are then re-scored by the SAME JVM-fold expression the
+    single-phase version used, keeping the emitted ``cos`` bit-identical to
+    the sequential-fold/round semantics the oracle pins.
+
+    Task memory is bounded by 2·group_rows vectors per GEMM tile regardless
+    of corpus size; group count grows as N/group_rows, so the block-pair
+    join fans out to (N/group_rows)²/2 independent tasks — the right shape
+    for an exactness baseline (the LSH variant below remains the 100 TB
+    candidate-pruning path).
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import (
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    emb = embeddings.select(F.col(id_col), F.col(vec_col))
+    n = emb.count()
+    n_groups = max(1, -(-n // group_rows))
+    blocks = emb.groupBy(
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_groups)).alias("g")
+    ).agg(
+        F.collect_list(F.col(id_col)).alias("ids"),
+        F.collect_list(F.col(vec_col)).alias("vecs"),
+    )
+    ba = blocks.select(
+        F.col("g").alias("ga"),
+        F.col("ids").alias("ids_a"),
+        F.col("vecs").alias("vecs_a"),
+    )
+    bb = blocks.select(
+        F.col("g").alias("gb"),
+        F.col("ids").alias("ids_b"),
+        F.col("vecs").alias("vecs_b"),
+    )
+    tiles = ba.join(bb, F.col("ga") <= F.col("gb"))
+
+    # margin: half-ulp of the final rounding (rounding can only raise a
+    # just-under value by 0.5·10^-round_to) plus fp-reassociation slack.
+    cut = threshold - (0.5 * 10.0 ** (-round_to) + 1e-9)
+
+    def _gemm_tile(batches):
+        for pdf in batches:
+            for row in pdf.itertuples(index=False):
+                ids_a = np.asarray(row.ids_a, dtype=np.int64)
+                ids_b = np.asarray(row.ids_b, dtype=np.int64)
+                A = np.asarray(
+                    [np.asarray(v, dtype=np.float64) for v in row.vecs_a]
+                )
+                B = np.asarray(
+                    [np.asarray(v, dtype=np.float64) for v in row.vecs_b]
+                )
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    na = np.sqrt((A * A).sum(axis=1))
+                    nb = np.sqrt((B * B).sum(axis=1))
+                    cos = (A @ B.T) / np.outer(na, nb)
+                cond = cos >= cut
+                if row.ga == row.gb:
+                    # diagonal tile: each unordered pair appears as (i,j)
+                    # AND (j,i) — keep the upper triangle only
+                    cond &= ids_a[:, None] < ids_b[None, :]
+                ii, jj = np.nonzero(cond)
+                if ii.size == 0:
+                    continue
+                lo = np.minimum(ids_a[ii], ids_b[jj])
+                hi = np.maximum(ids_a[ii], ids_b[jj])
+                keep = lo < hi
+                yield pd.DataFrame(
+                    {"id_a": lo[keep], "id_b": hi[keep]}
+                )
+
+    cand_schema = StructType(
+        [
+            StructField("id_a", LongType()),
+            StructField("id_b", LongType()),
+        ]
+    )
+    cand = tiles.mapInPandas(_gemm_tile, schema=cand_schema)
+
+    a = emb.select(
         F.col(id_col).alias("id_a"), F.col(vec_col).alias("va")
     )
-    b = embeddings.select(
+    b = emb.select(
         F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb")
     )
-    pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+    pairs = cand.join(a, "id_a").join(b, "id_b")
     cos = cosine(_as_double(F.col("va")), _as_double(F.col("vb")))
     return (
         pairs.withColumn("cos", F.round(cos, round_to))

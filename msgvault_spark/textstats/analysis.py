@@ -133,20 +133,122 @@ def fingerprint(text: Column) -> Column:
     return F.md5(F.trim(F.regexp_replace(F.lower(text), r"\s+", " ")))
 
 
+def _stop_hits(ws: Column, markers: list[str]) -> Column:
+    # closure keeps the filter lambda single-arg (see _marker_ratio note)
+    return F.size(F.filter(ws, lambda w: w.isin(markers)))
+
+
 def text_profile(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """Full per-document profile: features + language + fingerprint."""
+    """Full per-document profile: features + language + fingerprint.
+
+    Staged selects so every shared subexpression — the lowered word array,
+    the per-language stopword hit counts, the rounded ratios — is computed
+    ONCE and referenced by name downstream. The naive composition
+    (quality_score re-deriving quality_features, four lang filters each
+    re-splitting the text) evaluates the split ~10× per row; Catalyst's
+    CollapseProject keeps non-cheap multi-referenced projections staged, so
+    this shape really does the work once. Values are bit-identical to the
+    single-select composition (same expressions, same fold order)."""
     t = F.col(text_col)
-    feats = quality_features(t)
-    cols = [F.col(id_col).alias("doc_id")]
-    cols += [c.alias(name) for name, c in feats.items()]
-    cols += [
-        token_count_whitespace(t).alias("ws_tokens"),
-        token_count_bpe_ish(t).alias("bpe_tokens"),
-        quality_score(t).alias("quality"),
-        detect_language(t).alias("lang_guess"),
-        fingerprint(t).alias("fingerprint"),
-    ]
-    return df.select(*cols)
+    s1 = df.select(
+        F.col(id_col).alias("doc_id"),
+        t.alias("_t"),
+        words(t).alias("_ws"),
+    )
+    tt, ws = F.col("_t"), F.col("_ws")
+    markers = {k: list(v) for k, v in LANG_MARKERS.items()}
+    s2 = s1.select(
+        "doc_id",
+        F.length(tt).alias("_n_chars"),
+        F.size(ws).alias("_n_words"),
+        *[
+            _stop_hits(ws, m).alias(f"_stop_{k}")
+            for k, m in markers.items()
+        ],
+        F.size(
+            F.regexp_extract_all(tt, F.lit(r"[!-/:-@\[-`{-~]"), F.lit(0))
+        ).alias("_n_punct"),
+        F.size(F.regexp_extract_all(tt, F.lit("[A-Z]"), F.lit(0))).alias(
+            "_n_upper"
+        ),
+        F.aggregate(ws, F.lit(0.0), lambda acc, w: acc + F.length(w)).alias(
+            "_word_chars"
+        ),
+        token_count_whitespace(tt).alias("ws_tokens"),
+        token_count_bpe_ish(tt).alias("bpe_tokens"),
+        fingerprint(tt).alias("fingerprint"),
+    )
+    n_chars, n_words = F.col("_n_chars"), F.col("_n_words")
+    nw_d, nc_d = n_words.cast("double"), n_chars.cast("double")
+    s3 = s2.select(
+        "doc_id",
+        n_chars.cast("long").alias("n_chars"),
+        n_words.cast("long").alias("n_words"),
+        F.round(
+            F.when(n_words > 0, F.col("_word_chars") / n_words).otherwise(
+                F.lit(0.0)
+            ),
+            6,
+        ).alias("mean_word_len"),
+        F.round(
+            F.when(n_words > 0, F.col("_stop_en") / nw_d).otherwise(0.0), 6
+        ).alias("stopword_ratio"),
+        F.round(
+            F.when(n_chars > 0, F.col("_n_punct") / nc_d).otherwise(0.0), 6
+        ).alias("punct_ratio"),
+        F.round(
+            F.when(n_chars > 0, F.col("_n_upper") / nc_d).otherwise(0.0), 6
+        ).alias("upper_ratio"),
+        "ws_tokens",
+        "bpe_tokens",
+        *[
+            F.when(n_words > 0, F.col(f"_stop_{k}") / nw_d)
+            .otherwise(0.0)
+            .alias(f"_s_{k}")
+            for k in markers
+        ],
+        "fingerprint",
+    )
+    # language argmax, first-max-wins in sorted code order (de,en,es,fr) —
+    # the same tie-break as detect_language's fold
+    s_de, s_en = F.col("_s_de"), F.col("_s_en")
+    s_es, s_fr = F.col("_s_es"), F.col("_s_fr")
+    lang = (
+        F.when(
+            (s_de >= s_en) & (s_de >= s_es) & (s_de >= s_fr) & (s_de > 0),
+            F.lit("de"),
+        )
+        .when((s_en >= s_es) & (s_en >= s_fr) & (s_en > 0), F.lit("en"))
+        .when((s_es >= s_fr) & (s_es > 0), F.lit("es"))
+        .when(s_fr > 0, F.lit("fr"))
+        .otherwise(F.lit("und"))
+    )
+    quality = F.round(
+        (
+            F.when(
+                (F.col("mean_word_len") >= 2) & (F.col("mean_word_len") <= 12),
+                1.0,
+            ).otherwise(0.0)
+            + F.when(F.col("punct_ratio") <= 0.2, 1.0).otherwise(0.0)
+            + F.when(F.col("n_chars") >= 100, 1.0).otherwise(0.0)
+        )
+        / 3.0,
+        6,
+    )
+    return s3.select(
+        "doc_id",
+        "n_chars",
+        "n_words",
+        "mean_word_len",
+        "stopword_ratio",
+        "punct_ratio",
+        "upper_ratio",
+        "ws_tokens",
+        "bpe_tokens",
+        quality.alias("quality"),
+        lang.alias("lang_guess"),
+        "fingerprint",
+    )
 
 
 # ---------------------------------------------------------------------------
