@@ -495,11 +495,18 @@ def quantized_knn_seed0(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer dot-product ranking (similarity/quantize.py). Integer scores
     make the approximate path itself hash-verifiable cross-engine — both
     engines must produce byte-identical codes."""
-    from msgvault_spark.similarity.quantize import quantized_knn
+    from msgvault_spark.similarity.quantize import quantize_codes, quantized_knn
+    from msgvault_spark.sources.cache import get_artifact
 
-    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") != 0)
+    codes = get_artifact(
+        spark,
+        (sf_dir, "sq8_codes"),
+        lambda: quantize_codes(load_table(spark, sf_dir, "embeddings")),
+    ).filter(F.col("vec_id") != 0)
     seed = _seed_vector(spark, sf_dir, 0)
-    return quantized_knn(emb, seed, k=10).withColumnRenamed("vec_id", "id")
+    return quantized_knn(
+        None, seed, k=10, codes=codes
+    ).withColumnRenamed("vec_id", "id")
 
 
 # ---------------------------------------------------------------------------

@@ -47,14 +47,25 @@ def redact_pii(
     SEQUENTIAL: each class is counted on the text with earlier classes
     already redacted, so Σ counts == placeholder tokens in the output
     (an email inside a URL counts as URL, not both)."""
-    out = F.col(text_col)
-    counts = []
+    # one select per class: the count and the replace for class k both read
+    # the materialized output of class k-1, so each regex pass runs exactly
+    # once (the single-select nesting re-evaluates every earlier replace
+    # inside each later count unless codegen CSE happens to rescue it)
+    cur = df.select(F.col(id_col), F.col(text_col).alias("_r"))
+    count_names = []
     for name, pat, token in PATTERNS:
-        counts.append(
-            F.size(F.regexp_extract_all(out, F.lit(pat), 0)).alias(f"n_{name}")
+        cur = cur.select(
+            F.col(id_col),
+            *count_names,
+            F.size(
+                F.regexp_extract_all(F.col("_r"), F.lit(pat), 0)
+            ).alias(f"n_{name}"),
+            F.regexp_replace(F.col("_r"), pat, token).alias("_r"),
         )
-        out = F.regexp_replace(out, pat, token)
-    return df.select(F.col(id_col), *counts, out.alias("redacted_text"))
+        count_names.append(f"n_{name}")
+    return cur.select(
+        F.col(id_col), *count_names, F.col("_r").alias("redacted_text")
+    )
 
 
 def redact_oracle_exprs(text_sql: str) -> tuple[list[str], str]:
