@@ -398,3 +398,65 @@ def test_kmv_overlap_tracks_exact_jaccard(spark):
     assert small[("A", "B")]["k_eff"] == 16
     assert small[("A", "B")]["jaccard_est"] > 0.1
     assert small[("A", "C")]["matched"] == 0
+
+
+def test_allpairs_blocked_gemm_matches_naive(spark):
+    """The blocked-GEMM candidate phase must be exactness-preserving: every
+    pair the naive theta-join cosine emits (and nothing else), including
+    same-group pairs (the diagonal tile emits each pair twice pre-mask),
+    zero vectors (NULL cosine drops), and pairs whose unrounded cosine
+    sits just under the threshold but ROUNDS up to it (the margin must be
+    wider than the rounding half-ulp)."""
+    import math
+
+    from msgvault_spark.dedup.embedding import allpairs_near_dups
+
+    def vec(theta):
+        return [math.cos(theta), math.sin(theta), 0.0]
+
+    rows = []
+    # a tight bundle: many mutual near-dups (some will share a hash group,
+    # exercising the diagonal-tile upper-triangle mask)
+    for i in range(12):
+        rows.append((i, vec(0.001 * i)))
+    # far-away singletons: no pairs
+    rows.append((100, vec(2.0)))
+    rows.append((101, vec(4.0)))
+    # zero vector: cosine NULL against everything, never emitted
+    rows.append((200, [0.0, 0.0, 0.0]))
+    # rounding-boundary pair: cos just under 0.45 that rounds to 0.45
+    # (angle whose cosine is 0.4499996) against the x-axis seed
+    rows.append((300, [1.0, 0.0, 0.0]))
+    th = math.acos(0.4499996)
+    rows.append((301, [math.cos(th), math.sin(th), 0.0]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    # force multiple groups so diagonal AND off-diagonal tiles both occur
+    got = {
+        (r["id_a"], r["id_b"]): r["cos"]
+        for r in allpairs_near_dups(emb, 0.45, group_rows=4).collect()
+    }
+
+    # naive reference: the original single-phase theta-join expression
+    from pyspark.sql import functions as F
+    from msgvault_spark.similarity.knn import cosine, _as_double
+
+    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
+    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
+    naive = (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn(
+            "cos", F.round(cosine(_as_double(F.col("va")), _as_double(F.col("vb"))), 6)
+        )
+        .filter(F.col("cos") >= 0.45)
+        .select("id_a", "id_b", "cos")
+    )
+    want = {(r["id_a"], r["id_b"]): r["cos"] for r in naive.collect()}
+
+    assert got == want
+    assert (300, 301) in got  # the round-up boundary pair survived
+    assert not any(200 in p for p in got)  # zero vector never pairs
+    # no duplicate emission: dict equality above already proves values,
+    # but assert the DataFrame itself has no repeated (id_a, id_b) rows
+    df = allpairs_near_dups(emb, 0.45, group_rows=4)
+    assert df.count() == df.select("id_a", "id_b").distinct().count()
