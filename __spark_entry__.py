@@ -47,6 +47,11 @@ _PRIORITY = [
     "media_resize_plan",
     "media_frame_sample",
     "snapshot_diff_versions",
+    "sq8_rerank_knn",
+    "embedding_near_dups",
+    "text_profile_docs",
+    "quantized_knn_seed0",
+    "redact_pii_docs",
     # --- round-3 gate window (all driver-green in r3) ---
     "rp_project_embeddings",
     "label_centroids",

@@ -509,6 +509,65 @@ def quantized_knn_seed0(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumnRenamed("vec_id", "id")
 
 
+@register(
+    "sq8_rerank_knn",
+    f"""
+WITH codes AS (
+    SELECT vec_id, {_SQ8} AS c
+    FROM (SELECT vec_id, embedding,
+                 list_max(list_transform(embedding,
+                          x -> abs(CAST(x AS DOUBLE)))) AS m
+          FROM embeddings)
+),
+q AS (SELECT c AS qv FROM codes WHERE vec_id = 0),
+cand AS (
+    SELECT codes.vec_id AS id,
+           CAST(list_sum(list_transform(list_zip(codes.c, q.qv),
+                p -> p[1] * p[2])) AS BIGINT) AS qscore
+    FROM codes, q
+    WHERE codes.vec_id != 0
+    ORDER BY qscore DESC, id ASC
+    LIMIT 50
+),
+fq AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+SELECT e.vec_id AS id,
+  round(
+    list_sum(list_transform(list_zip(e.embedding, fq.qv),
+             x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+    / (sqrt(list_sum(list_transform(e.embedding,
+             v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))) *
+       sqrt(list_sum(list_transform(fq.qv,
+             v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))), 6) AS score
+FROM embeddings e JOIN cand ON e.vec_id = cand.id, fq
+ORDER BY score DESC, id ASC
+LIMIT 10
+""",
+)
+def sq8_rerank_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The two-stage retrieve-rerank every production ANN stack runs
+    (similarity/quantize.py docstring; FAISS SQ8 + rerank shape): integer
+    dot products over the persisted code artifact pick a 50-candidate
+    short list (floats never leave disk), then the exact-cosine rerank
+    touches only those 50 rows via a broadcast semi-join against the
+    normed-embeddings artifact. At 100 TB stage 1 scans ¼ the bytes of
+    the float corpus and stage 2 is candidate-bounded."""
+    from msgvault_spark.similarity.knn import knn_bruteforce_normed
+    from msgvault_spark.similarity.quantize import quantize_codes, quantized_knn
+    from msgvault_spark.sources.cache import get_artifact
+
+    codes = get_artifact(
+        spark,
+        (sf_dir, "sq8_codes"),
+        lambda: quantize_codes(load_table(spark, sf_dir, "embeddings")),
+    ).filter(F.col("vec_id") != 0)
+    seed = _seed_vector(spark, sf_dir, 0)
+    cand = quantized_knn(None, seed, k=50, codes=codes).select("vec_id")
+    shortlist = _normed_emb(spark, sf_dir).join(F.broadcast(cand), "vec_id")
+    return knn_bruteforce_normed(
+        shortlist, seed, k=10, round_to=6, exclude_id=0
+    )
+
+
 # ---------------------------------------------------------------------------
 # Phrase query (round 2): positional postings + adjacency fold
 # ---------------------------------------------------------------------------

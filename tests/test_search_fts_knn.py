@@ -310,3 +310,16 @@ def test_bm25_sql_contribution_bitwise_equals_column_form(spark):
     assert both
     for r in both:
         assert struct.pack("d", r["old"]) == struct.pack("d", r["new"]), r
+
+
+def test_quantize_vector_binds_maxabs_once(spark):
+    """Interpreted higher-order lambdas re-evaluate captured expression
+    subtrees per element: referencing the max-abs fold inside the
+    per-element scale lambda makes quantization O(d²) per row. The
+    let-binding (single-element transform) must keep exactly ONE
+    aggregate fold in the expression tree."""
+    from pyspark.sql import functions as F
+    from msgvault_spark.similarity.quantize import quantize_vector
+
+    expr_sql = quantize_vector(F.col("embedding"))._jc.toString()
+    assert expr_sql.count("aggregate(") == 1, expr_sql
