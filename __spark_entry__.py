@@ -150,7 +150,6 @@ _PRIORITY = [
     "pack_training_sequences",
     "hist_quantile_orders",
     "chunk_documents",
-    "redact_pii_docs",
     "dedup_line_segments",
     "tfidf_top_terms",
     "train_val_test_split",
@@ -171,7 +170,8 @@ def _ordered() -> list[str]:
     rest = [k for k in CATALOG if k not in seen]
     with_oracle = [k for k in rest if CATALOG[k].oracle_sql is not None]
     rows_only = [k for k in rest if CATALOG[k].oracle_sql is None]
-    return [k for k in _PRIORITY if k in CATALOG] + with_oracle + rows_only
+    front = list(dict.fromkeys(k for k in _PRIORITY if k in CATALOG))
+    return front + with_oracle + rows_only
 
 
 def entry(spark: SparkSession) -> DataFrame:
