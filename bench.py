@@ -94,6 +94,11 @@ def main() -> None:
         # best of max(2, runs-1) with the plan memo cleared per run
         "warm_best_of": runs,
         "cold_best_of": max(2, runs - 1),
+        # this VM carries ±30% ambient noisy-neighbor drift between
+        # sessions; cross-round deltas are only attributable via the
+        # interleaved A/B protocol recorded in BENCH_AB_r4.json
+        "noise_note": "single-run absolutes drift +/-30% on this box; "
+        "see BENCH_AB_r4.json for interleaved A/B vs the prior round",
     }
     print(json.dumps(out))
 
