@@ -48,6 +48,7 @@ _PRIORITY = [
     "media_frame_sample",
     "snapshot_diff_versions",
     "sq8_rerank_knn",
+    "sq8_recall_report",
     "embedding_near_dups",
     "text_profile_docs",
     "quantized_knn_seed0",

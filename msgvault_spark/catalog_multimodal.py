@@ -545,6 +545,123 @@ def ivf_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _sq8_recall_oracle() -> str:
+    sq8 = (
+        "CASE WHEN m > 0 THEN list_transform(embedding, "
+        "x -> CAST(floor(CAST(x AS DOUBLE) * 127.0 / m + 0.5) AS BIGINT)) "
+        "ELSE list_transform(embedding, x -> CAST(0 AS BIGINT)) END"
+    )
+
+    def cos(emb: str, qv: str) -> str:
+        return (
+            f"round(list_sum(list_transform(list_zip({emb}, {qv}), "
+            "x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) "
+            f"/ (sqrt(list_sum(list_transform({emb}, "
+            "v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))) * "
+            f"sqrt(list_sum(list_transform({qv}, "
+            "v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))), 6)"
+        )
+
+    return f"""
+WITH codes AS (
+    SELECT vec_id, {sq8} AS c
+    FROM (SELECT vec_id, embedding,
+                 list_max(list_transform(embedding,
+                          x -> abs(CAST(x AS DOUBLE)))) AS m
+          FROM embeddings)
+),
+q AS (SELECT vec_id AS qid, c AS qc FROM codes WHERE vec_id < {_NQ}),
+approx AS (
+    SELECT qid, id FROM (
+        SELECT q.qid, k.vec_id AS id,
+               ROW_NUMBER() OVER (
+                   PARTITION BY q.qid
+                   ORDER BY CAST(list_sum(list_transform(list_zip(k.c, q.qc),
+                            p -> p[1] * p[2])) AS BIGINT) DESC,
+                            k.vec_id ASC
+               ) AS rn
+        FROM codes k, q WHERE k.vec_id != q.qid
+    ) WHERE rn <= {_RK}
+),
+qf AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
+       WHERE vec_id < {_NQ}),
+exact AS (
+    SELECT qid, id FROM (
+        SELECT qf.qid, e.vec_id AS id,
+               ROW_NUMBER() OVER (
+                   PARTITION BY qf.qid
+                   ORDER BY {cos('e.embedding', 'qf.qv')} DESC, e.vec_id ASC
+               ) AS rn
+        FROM embeddings e, qf
+        WHERE e.vec_id != qf.qid
+    ) WHERE rn <= {_RK}
+)
+SELECT x.qid,
+       CAST(COUNT(a.id) AS BIGINT) AS matched,
+       CAST(COUNT(*) AS BIGINT) AS k,
+       CAST(COUNT(a.id) AS DOUBLE) / COUNT(*) AS recall
+FROM exact x LEFT JOIN approx a ON a.qid = x.qid AND a.id = x.id
+GROUP BY x.qid
+ORDER BY x.qid
+"""
+
+
+@register("sq8_recall_report", _sq8_recall_oracle())
+def sq8_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of the SQ8 integer-dot candidate path against exact
+    cosine ground truth — completes the evaluation matrix over the three
+    approximate retrieval families (LSH `ann_recall_report`, IVF
+    `ivf_recall_report`, SQ8 here), so the quantizer's precision loss is
+    measured by the same harness that tunes banding and probe counts.
+    Shares the persisted SQ8 code artifact with the serving entries
+    (`quantized_knn_seed0`, `sq8_rerank_knn`): the report measures
+    exactly what serving ranks. Per-query candidate ranking is a 20-row
+    broadcast against the code table — one scan of the codes, no corpus
+    self-join."""
+    from pyspark.sql.window import Window
+
+    from msgvault_spark.similarity.knnjoin import exact_knn_join
+    from msgvault_spark.similarity.quantize import int_dot, quantize_codes
+    from msgvault_spark.sources.cache import get_artifact
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    codes = get_artifact(
+        spark,
+        (sf_dir, "sq8_codes"),
+        lambda: quantize_codes(load_table(spark, sf_dir, "embeddings")),
+    )
+    qcodes = codes.filter(F.col("vec_id") < _NQ).select(
+        F.col("vec_id").alias("qid"), F.col("codes").alias("qc")
+    )
+    scored = codes.join(
+        F.broadcast(qcodes), F.col("vec_id") != F.col("qid")
+    ).select(
+        "qid",
+        F.col("vec_id").alias("id"),
+        int_dot(F.col("codes"), F.col("qc")).alias("qscore"),
+    )
+    w = Window.partitionBy("qid").orderBy(
+        F.col("qscore").desc(), F.col("id").asc()
+    )
+    approx = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _RK)
+        .select("qid", "id", F.lit(1).alias("hit"))
+    )
+    exact = exact_knn_join(emb, emb.filter(F.col("vec_id") < _NQ), k=_RK)
+    return (
+        exact.select("qid", "id")
+        .join(approx, ["qid", "id"], "left")
+        .groupBy("qid")
+        .agg(
+            F.count("hit").cast("long").alias("matched"),
+            F.count(F.lit(1)).cast("long").alias("k"),
+            (F.count("hit").cast("double") / F.count(F.lit(1))).alias("recall"),
+        )
+        .transform(present_sorted, "qid")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Round-2: random-projection dim reduction + per-label centroids
 # ---------------------------------------------------------------------------
