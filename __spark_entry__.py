@@ -49,6 +49,7 @@ _PRIORITY = [
     "snapshot_diff_versions",
     "sq8_rerank_knn",
     "sq8_recall_report",
+    "pq_recall_report",
     "embedding_near_dups",
     "text_profile_docs",
     "quantized_knn_seed0",

@@ -662,6 +662,146 @@ def sq8_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _pq_recall_oracle(m: int = 4, n_codes: int = 16, dim: int = 64) -> str:
+    from msgvault_spark.similarity.pq import _dot_scaled_sql, _l2sq_sql
+
+    sub = dim // m
+
+    def cos(emb: str, qv: str) -> str:
+        return (
+            f"round(list_sum(list_transform(list_zip({emb}, {qv}), "
+            "x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) "
+            f"/ (sqrt(list_sum(list_transform({emb}, "
+            "v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))) * "
+            f"sqrt(list_sum(list_transform({qv}, "
+            "v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))), 6)"
+        )
+
+    return f"""
+WITH subs AS (SELECT CAST(j AS INT) AS j FROM range(0, {m}) t(j)),
+cb AS (
+    SELECT s.j, e.vec_id AS code,
+           list_slice(e.embedding, s.j * {sub} + 1, (s.j + 1) * {sub}) AS cw
+    FROM embeddings e CROSS JOIN subs s
+    WHERE e.vec_id < {n_codes}
+),
+assigned AS (
+    SELECT vec_id, j, code FROM (
+        SELECT e.vec_id, c.j, c.code,
+               ROW_NUMBER() OVER (
+                   PARTITION BY e.vec_id, c.j
+                   ORDER BY {_l2sq_sql(
+                       f'list_slice(e.embedding, c.j * {sub} + 1, (c.j + 1) * {sub})',
+                       'c.cw')} ASC, c.code ASC
+               ) AS rn
+        FROM embeddings e CROSS JOIN cb c
+    ) WHERE rn = 1
+),
+q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
+      WHERE vec_id < {_NQ}),
+lut AS (
+    SELECT q.qid, c.j, c.code,
+           {_dot_scaled_sql(
+               f'list_slice(q.qv, c.j * {sub} + 1, (c.j + 1) * {sub})',
+               'c.cw')} AS val
+    FROM cb c CROSS JOIN q
+),
+scored AS (
+    SELECT l.qid, a.vec_id AS id, CAST(SUM(l.val) AS BIGINT) AS s
+    FROM assigned a
+    JOIN lut l ON l.j = a.j AND l.code = a.code
+    WHERE a.vec_id != l.qid
+    GROUP BY l.qid, a.vec_id
+),
+approx AS (
+    SELECT qid, id FROM (
+        SELECT qid, id,
+               ROW_NUMBER() OVER (
+                   PARTITION BY qid ORDER BY s DESC, id ASC
+               ) AS rn
+        FROM scored
+    ) WHERE rn <= {_RK}
+),
+exact AS (
+    SELECT qid, id FROM (
+        SELECT q.qid, e.vec_id AS id,
+               ROW_NUMBER() OVER (
+                   PARTITION BY q.qid
+                   ORDER BY {cos('e.embedding', 'q.qv')} DESC, e.vec_id ASC
+               ) AS rn
+        FROM embeddings e, q
+        WHERE e.vec_id != q.qid
+    ) WHERE rn <= {_RK}
+)
+SELECT x.qid,
+       CAST(COUNT(a.id) AS BIGINT) AS matched,
+       CAST(COUNT(*) AS BIGINT) AS k,
+       CAST(COUNT(a.id) AS DOUBLE) / COUNT(*) AS recall
+FROM exact x LEFT JOIN approx a ON a.qid = x.qid AND a.id = x.id
+GROUP BY x.qid
+ORDER BY x.qid
+"""
+
+
+@register("pq_recall_report", _pq_recall_oracle())
+def pq_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of the PQ asymmetric-distance path against exact cosine
+    ground truth — with `ann_recall_report` (LSH), `ivf_recall_report`,
+    and `sq8_recall_report` this measures every approximate retrieval
+    family in the repo under one harness. Batch shape: the 20 per-query
+    integer LUTs (m×n_codes ints each) are a 20-row broadcast table
+    joined against the persisted m-byte codes — the float corpus is only
+    read by the exact ground-truth side."""
+    from pyspark.sql.window import Window
+
+    from msgvault_spark.catalog_search import get_pq_index
+    from msgvault_spark.similarity.knn import _as_double
+    from msgvault_spark.similarity.knnjoin import exact_knn_join
+    from msgvault_spark.similarity.pq import adc_lut
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    books, codes = get_pq_index(spark, sf_dir)
+    qrows = (
+        emb.filter(F.col("vec_id") < _NQ)
+        .select(F.col("vec_id").alias("qid"), _as_double(F.col("embedding")).alias("v"))
+        .collect()
+    )
+    m = len(books)
+    luts = [
+        (int(r["qid"]), *[lut_j for lut_j in adc_lut(books, list(r["v"]))])
+        for r in qrows
+    ]
+    lut_cols = ", ".join(f"lut_{j} array<long>" for j in range(m))
+    luts_df = spark.createDataFrame(luts, f"qid long, {lut_cols}")
+    score = None
+    for j in range(m):
+        term = F.element_at(F.col(f"lut_{j}"), F.col(f"code_{j}") + 1)
+        score = term if score is None else score + term
+    scored = (
+        codes.crossJoin(F.broadcast(luts_df))
+        .filter(F.col("id") != F.col("qid"))
+        .select("qid", "id", score.alias("s"))
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("s").desc(), F.col("id").asc())
+    approx = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _RK)
+        .select("qid", "id", F.lit(1).alias("hit"))
+    )
+    exact = exact_knn_join(emb, emb.filter(F.col("vec_id") < _NQ), k=_RK)
+    return (
+        exact.select("qid", "id")
+        .join(approx, ["qid", "id"], "left")
+        .groupBy("qid")
+        .agg(
+            F.count("hit").cast("long").alias("matched"),
+            F.count(F.lit(1)).cast("long").alias("k"),
+            (F.count("hit").cast("double") / F.count(F.lit(1))).alias("recall"),
+        )
+        .transform(present_sorted, "qid")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Round-2: random-projection dim reduction + per-label centroids
 # ---------------------------------------------------------------------------

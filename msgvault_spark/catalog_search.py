@@ -335,14 +335,9 @@ from msgvault_spark.similarity.pq import (  # noqa: E402
 _PQ_MEMO: dict[tuple, object] = {}
 
 
-@register("pq_knn_seed0", pq_oracle_sql(0, k=10, m=4, n_codes=16, dim=64))
-def pq_knn_seed0(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PQ find-similar (similarity/pq.py): 4 subspaces × 16 codewords,
-    asymmetric-distance scoring over the m-byte codes table only — the
-    float corpus is never scanned at query time. Codebooks + codes are
-    memoized ETL artifacts (kilobytes + pure-map encode); approximate by
-    construction, hash-exact because the oracle replays the identical
-    codebooks and integer LUT arithmetic."""
+def get_pq_index(spark: SparkSession, sf_dir: str):
+    """Memoized PQ ETL artifacts: (codebooks, persisted codes table) —
+    kilobytes of driver-side codewords plus the pure-map m-byte encode."""
     key = (spark.sparkContext.applicationId, sf_dir)
     if key not in _PQ_MEMO:
         from pyspark import StorageLevel
@@ -354,7 +349,18 @@ def pq_knn_seed0(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         codes.count()
         _PQ_MEMO[key] = (books, codes)
-    books, codes = _PQ_MEMO[key]
+    return _PQ_MEMO[key]
+
+
+@register("pq_knn_seed0", pq_oracle_sql(0, k=10, m=4, n_codes=16, dim=64))
+def pq_knn_seed0(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ find-similar (similarity/pq.py): 4 subspaces × 16 codewords,
+    asymmetric-distance scoring over the m-byte codes table only — the
+    float corpus is never scanned at query time. Codebooks + codes are
+    memoized ETL artifacts (kilobytes + pure-map encode); approximate by
+    construction, hash-exact because the oracle replays the identical
+    codebooks and integer LUT arithmetic."""
+    books, codes = get_pq_index(spark, sf_dir)
     lut = adc_lut(books, [float(v) for v in _seed_vector(spark, sf_dir, 0)])
     return pq_search(codes, lut, k=10, exclude_id=0)
 
