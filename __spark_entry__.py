@@ -50,6 +50,7 @@ _PRIORITY = [
     "sq8_rerank_knn",
     "sq8_recall_report",
     "pq_recall_report",
+    "quality_dedup_survivors",
     "embedding_near_dups",
     "text_profile_docs",
     "quantized_knn_seed0",

@@ -741,6 +741,90 @@ def fuzzy_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _quality_survivor_oracle() -> str:
+    pairs_sql = minhash_oracle_sql("SELECT doc_id, text FROM documents").strip()
+    return f"""
+WITH RECURSIVE pairs AS (
+    SELECT id_a, id_b FROM ({pairs_sql}) t
+),
+sym AS (SELECT id_a AS a, id_b AS b FROM pairs
+        UNION SELECT id_b, id_a FROM pairs),
+nodes AS (SELECT DISTINCT a AS node FROM sym),
+cc AS (
+    SELECT node, node AS label FROM nodes
+    UNION
+    SELECT s.b AS node, cc.label FROM cc JOIN sym s ON s.a = cc.node
+),
+comp AS (SELECT node, MIN(label) AS component FROM cc GROUP BY node),
+tokens AS (
+    SELECT doc_id,
+           unnest(string_split_regex(lower(COALESCE(text, '')),
+                  '[^a-z0-9]+')) AS term
+    FROM documents
+),
+ntok AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens
+         FROM tokens WHERE term != '' GROUP BY doc_id),
+ranked AS (
+    SELECT c.component, c.node, COALESCE(n.n_tokens, 0) AS n_tokens
+    FROM comp c LEFT JOIN ntok n ON n.doc_id = c.node
+)
+SELECT component,
+       MAX_BY(node, n_tokens * 10000000 - node) AS survivor_id,
+       CAST(COUNT(*) AS BIGINT) AS n_members,
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+FROM ranked
+GROUP BY component
+ORDER BY component
+"""
+
+
+@register("quality_dedup_survivors", _quality_survivor_oracle())
+def quality_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep-the-most-complete-copy survivor selection: within each fuzzy
+    near-dup cluster (shared minhash-pairs component artifact), the
+    member with the MOST tokens survives — truncated/partial copies drop,
+    the fullest text wins (the curation rule real pipelines apply to
+    near-dup clusters, vs `fuzzy_dedup_survivors`' source-priority rule).
+    Token counts come from the memoized FTS postings, so the query is two
+    artifact scans + one agg; the argmax is integer-combined
+    (n_tokens·10⁷ − id: complete copies first, lowest id on ties) and
+    therefore engine-exact."""
+    from msgvault_spark.dedup.minhash import build_minhash_index, pairs_from_index
+    from msgvault_spark.sources.cache import get_components, get_text_index
+
+    docs = load_table(spark, sf_dir, "documents")
+
+    def edges():
+        pairs = pairs_from_index(build_minhash_index(docs, "doc_id", "text"))
+        return pairs.select(
+            F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+        )
+
+    comp = get_components(spark, (sf_dir, "minhash_pairs"), edges)
+    postings, _stats = get_text_index(
+        spark, sf_dir, "documents", "doc_id", "text"
+    )
+    ntok = postings.groupBy("doc_id").agg(
+        F.sum("tf").cast("long").alias("n_tokens")
+    )
+    ranked = comp.join(
+        ntok.select(F.col("doc_id").alias("node"), "n_tokens"),
+        "node",
+        "left",
+    ).withColumn("n_tokens", F.coalesce(F.col("n_tokens"), F.lit(0)))
+    return (
+        ranked.groupBy("component")
+        .agg(
+            F.max_by(
+                F.col("node"), F.col("n_tokens") * 10000000 - F.col("node")
+            ).alias("survivor_id"),
+            F.count(F.lit(1)).cast("long").alias("n_members"),
+            F.sum("n_tokens").cast("long").alias("total_tokens"),
+        )
+        .sortWithinPartitions("component")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Unigram-LM quality score (round 2)
 # ---------------------------------------------------------------------------
