@@ -51,6 +51,7 @@ _PRIORITY = [
     "sq8_recall_report",
     "pq_recall_report",
     "quality_dedup_survivors",
+    "token_budget_mix_plan",
     "embedding_near_dups",
     "text_profile_docs",
     "quantized_knn_seed0",

@@ -1145,6 +1145,105 @@ def temperature_mix_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "token_budget_mix_plan",
+    """
+WITH tokens AS (
+    SELECT doc_id,
+           unnest(string_split_regex(lower(COALESCE(text, '')),
+                  '[^a-z0-9]+')) AS term
+    FROM documents
+),
+ntok AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens
+         FROM tokens WHERE term != '' GROUP BY doc_id),
+per_src AS (
+    SELECT d.source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(COALESCE(n.n_tokens, 0)) AS BIGINT) AS n_tokens
+    FROM documents d LEFT JOIN ntok n ON n.doc_id = d.doc_id
+    GROUP BY d.source
+),
+w AS (SELECT source, n_docs, n_tokens,
+             CAST(floor(sqrt(n_tokens) * 1000000) AS BIGINT) AS weight
+      FROM per_src),
+tot AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS tot_tok,
+               CAST(SUM(weight) AS BIGINT) AS tot_w FROM w),
+plan AS (
+    SELECT source, n_docs, n_tokens, weight,
+           CAST(floor(0.5 * CAST(tot_tok AS DOUBLE)
+                      * CAST(weight AS DOUBLE)
+                      / CAST(tot_w AS DOUBLE)) AS BIGINT) AS target_tokens
+    FROM w CROSS JOIN tot)
+SELECT source, n_docs, n_tokens, weight, target_tokens,
+       CASE WHEN n_tokens > 0
+            THEN CAST(floor(CAST(target_tokens AS DOUBLE) * 1000000.0
+                            / CAST(n_tokens AS DOUBLE)) AS BIGINT)
+            ELSE 0 END AS epochs_micro
+FROM plan
+ORDER BY source
+""",
+)
+def token_budget_mix_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget mixture planning — the recipe step a training-data
+    pipeline runs BEFORE sampling: per-source token counts (from the
+    memoized FTS postings, not a re-tokenize), √-temperature weights
+    (T=2; sqrt is the one power IEEE-correctly-rounds everywhere, same
+    discipline as temperature_mix), and for a budget of half the corpus
+    tokens: the per-source token target and the fixed-point epoch factor
+    (>10⁶ = upsample, <10⁶ = downsample) that epoch_upsample /
+    temperature_mix then execute. Pure aggregation over artifact scans;
+    per-source rows are dim-sized at any corpus scale."""
+    from msgvault_spark.sources.cache import get_text_index
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    postings, _stats = get_text_index(
+        spark, sf_dir, "documents", "doc_id", "text"
+    )
+    ntok = postings.groupBy("doc_id").agg(
+        F.sum("tf").cast("long").alias("n_tokens")
+    )
+    per_src = (
+        docs.join(ntok, "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(F.coalesce(F.col("n_tokens"), F.lit(0)))
+            .cast("long")
+            .alias("n_tokens"),
+        )
+    )
+    w = per_src.withColumn(
+        "weight", F.floor(F.sqrt(F.col("n_tokens")) * 1_000_000).cast("long")
+    )
+    tot = w.agg(
+        F.sum("n_tokens").cast("long").alias("tot_tok"),
+        F.sum("weight").cast("long").alias("tot_w"),
+    )
+    target = F.floor(
+        F.lit(0.5)
+        * F.col("tot_tok").cast("double")
+        * F.col("weight").cast("double")
+        / F.col("tot_w").cast("double")
+    ).cast("long")
+    staged = w.crossJoin(F.broadcast(tot)).select(
+        "source", "n_docs", "n_tokens", "weight",
+        target.alias("target_tokens"),
+    )
+    epochs = (
+        F.when(
+            F.col("n_tokens") > 0,
+            F.floor(
+                F.col("target_tokens").cast("double")
+                * F.lit(1000000.0)
+                / F.col("n_tokens").cast("double")
+            ).cast("long"),
+        )
+        .otherwise(F.lit(0).cast("long"))
+    )
+    return staged.withColumn("epochs_micro", epochs).transform(
+        present_sorted, "source"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Round-2: bloom-filter semi-join reduction
 # ---------------------------------------------------------------------------

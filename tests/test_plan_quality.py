@@ -510,7 +510,7 @@ def test_broadcast_sites_are_ratcheted():
         "catalog.py": 17,
         "catalog_dedup.py": 3,
         "catalog_etl.py": 9,
-        "catalog_pipeline.py": 1,
+        "catalog_pipeline.py": 2,  # + 1-row token-budget totals
         # 20-row SQ8 recall query-code set + 20-row PQ recall LUT table
         "catalog_multimodal.py": 2,
         "catalog_search.py": 1,  # 50-row SQ8 rerank shortlist
