@@ -767,12 +767,20 @@ ntok AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens
 ranked AS (
     SELECT c.component, c.node, COALESCE(n.n_tokens, 0) AS n_tokens
     FROM comp c LEFT JOIN ntok n ON n.doc_id = c.node
+),
+rr AS (
+    SELECT component, node, n_tokens,
+           ROW_NUMBER() OVER (
+               PARTITION BY component
+               ORDER BY n_tokens DESC, node ASC
+           ) AS rn
+    FROM ranked
 )
 SELECT component,
-       MAX_BY(node, n_tokens * 10000000 - node) AS survivor_id,
+       MAX(CASE WHEN rn = 1 THEN node END) AS survivor_id,
        CAST(COUNT(*) AS BIGINT) AS n_members,
        CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
-FROM ranked
+FROM rr
 GROUP BY component
 ORDER BY component
 """
@@ -785,12 +793,15 @@ def quality_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     member with the MOST tokens survives — truncated/partial copies drop,
     the fullest text wins (the curation rule real pipelines apply to
     near-dup clusters, vs `fuzzy_dedup_survivors`' source-priority rule).
-    Token counts come from the memoized FTS postings, so the query is two
-    artifact scans + one agg; the argmax is integer-combined
-    (n_tokens·10⁷ − id: complete copies first, lowest id on ties) and
-    therefore engine-exact."""
+    Token counts are the FTS index's per-doc lengths (doc_stats.dl — no
+    re-aggregation of postings), so the query is two artifact scans; the
+    argmax is a rank within the component partition (n_tokens desc, id
+    asc), integer-ordered and therefore engine-exact at ANY id range —
+    a combined-key trick like tokens·10⁷−id silently flips the winner
+    once ids cross the scale constant."""
     from msgvault_spark.dedup.minhash import build_minhash_index, pairs_from_index
     from msgvault_spark.sources.cache import get_components, get_text_index
+    from pyspark.sql.window import Window
 
     docs = load_table(spark, sf_dir, "documents")
 
@@ -801,23 +812,25 @@ def quality_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     comp = get_components(spark, (sf_dir, "minhash_pairs"), edges)
-    postings, _stats = get_text_index(
+    _postings, stats = get_text_index(
         spark, sf_dir, "documents", "doc_id", "text"
     )
-    ntok = postings.groupBy("doc_id").agg(
-        F.sum("tf").cast("long").alias("n_tokens")
+    ntok = stats.select(
+        F.col("doc_id").alias("node"), F.col("dl").cast("long").alias("n_tokens")
     )
-    ranked = comp.join(
-        ntok.select(F.col("doc_id").alias("node"), "n_tokens"),
-        "node",
-        "left",
-    ).withColumn("n_tokens", F.coalesce(F.col("n_tokens"), F.lit(0)))
+    ranked = comp.join(ntok, "node", "left").withColumn(
+        "n_tokens", F.coalesce(F.col("n_tokens"), F.lit(0))
+    )
+    w = Window.partitionBy("component").orderBy(
+        F.col("n_tokens").desc(), F.col("node").asc()
+    )
     return (
-        ranked.groupBy("component")
+        ranked.withColumn("rn", F.row_number().over(w))
+        .groupBy("component")
         .agg(
-            F.max_by(
-                F.col("node"), F.col("n_tokens") * 10000000 - F.col("node")
-            ).alias("survivor_id"),
+            F.max(F.when(F.col("rn") == 1, F.col("node"))).alias(
+                "survivor_id"
+            ),
             F.count(F.lit(1)).cast("long").alias("n_members"),
             F.sum("n_tokens").cast("long").alias("total_tokens"),
         )

@@ -350,6 +350,45 @@ def knn_join_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
 _RK = 10  # recall@k
 
 
+def _exact_gt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Memoized exact ground truth for the recall harness: top-_RK exact
+    cosine neighbors of the _NQ-seed eval set (two-level top-k, no
+    corpus-sized window partition). Four recall reports (LSH/IVF/SQ8/PQ)
+    compare against this one persisted frame instead of each re-running
+    the Q×N brute-force scan."""
+    from msgvault_spark.similarity.knnjoin import exact_knn_join
+    from msgvault_spark.sources.cache import get_artifact
+
+    return get_artifact(
+        spark,
+        (sf_dir, f"ann_exact_gt_{_NQ}_{_RK}"),
+        lambda: exact_knn_join(
+            load_table(spark, sf_dir, "embeddings"),
+            load_table(spark, sf_dir, "embeddings").filter(
+                F.col("vec_id") < _NQ
+            ),
+            k=_RK,
+        ),
+    )
+
+
+def _recall_output(exact: DataFrame, approx: DataFrame) -> DataFrame:
+    """(qid, matched, k, recall) from a ground-truth (qid, id) frame and
+    an approximate (qid, id, hit=1) frame — the shared tail of every
+    recall report."""
+    return (
+        exact.select("qid", "id")
+        .join(approx, ["qid", "id"], "left")
+        .groupBy("qid")
+        .agg(
+            F.count("hit").cast("long").alias("matched"),
+            F.count(F.lit(1)).cast("long").alias("k"),
+            (F.count("hit").cast("double") / F.count(F.lit(1))).alias("recall"),
+        )
+        .transform(present_sorted, "qid")
+    )
+
+
 def _ann_recall_oracle() -> str:
     keys_all = ", ".join(_bucket_sql("embedding", b) for b in range(_BANDS))
 
@@ -416,25 +455,14 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     sized window partition); approximate side shares the serving path's
     deterministic banding, so the report measures exactly what serving
     does."""
-    from msgvault_spark.similarity.knnjoin import exact_knn_join, knn_join
+    from msgvault_spark.similarity.knnjoin import knn_join
 
     emb = load_table(spark, sf_dir, "embeddings")
     qset = emb.filter(F.col("vec_id") < _NQ)
     approx = knn_join(
         emb, qset, k=_RK, dim=_DIM, bands=_BANDS, planes_per_band=_PLANES
     ).select("qid", "id", F.lit(1).alias("hit"))
-    exact = exact_knn_join(emb, qset, k=_RK)
-    return (
-        exact.select("qid", "id")
-        .join(approx, ["qid", "id"], "left")
-        .groupBy("qid")
-        .agg(
-            F.count("hit").cast("long").alias("matched"),
-            F.count(F.lit(1)).cast("long").alias("k"),
-            (F.count("hit").cast("double") / F.count(F.lit(1))).alias("recall"),
-        )
-        .transform(present_sorted, "qid")
-    )
+    return _recall_output(_exact_gt(spark, sf_dir), approx)
 
 
 _IVF_CELLS = 8
@@ -516,7 +544,6 @@ def ivf_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     from msgvault_spark.catalog_search import get_ivf_index
     from msgvault_spark.similarity.ivf import ivf_knn_join
     from msgvault_spark.similarity.knn import _as_double
-    from msgvault_spark.similarity.knnjoin import exact_knn_join
 
     emb = load_table(spark, sf_dir, "embeddings")
     qset = emb.filter(F.col("vec_id") < _NQ)
@@ -531,18 +558,7 @@ def ivf_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=_RK,
         nprobe=_IVF_PROBE,
     ).select("qid", "id", F.lit(1).alias("hit"))
-    exact = exact_knn_join(emb, qset, k=_RK)
-    return (
-        exact.select("qid", "id")
-        .join(approx, ["qid", "id"], "left")
-        .groupBy("qid")
-        .agg(
-            F.count("hit").cast("long").alias("matched"),
-            F.count(F.lit(1)).cast("long").alias("k"),
-            (F.count("hit").cast("double") / F.count(F.lit(1))).alias("recall"),
-        )
-        .transform(present_sorted, "qid")
-    )
+    return _recall_output(_exact_gt(spark, sf_dir), approx)
 
 
 def _sq8_recall_oracle() -> str:
@@ -617,14 +633,12 @@ def sq8_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     (`quantized_knn_seed0`, `sq8_rerank_knn`): the report measures
     exactly what serving ranks. Per-query candidate ranking is a 20-row
     broadcast against the code table — one scan of the codes, no corpus
-    self-join."""
-    from pyspark.sql.window import Window
-
-    from msgvault_spark.similarity.knnjoin import exact_knn_join
+    self-join — reduced by the same two-level top-k as the ground truth
+    (no corpus-sized window partition)."""
+    from msgvault_spark.similarity.knnjoin import two_level_topk
     from msgvault_spark.similarity.quantize import int_dot, quantize_codes
     from msgvault_spark.sources.cache import get_artifact
 
-    emb = load_table(spark, sf_dir, "embeddings")
     codes = get_artifact(
         spark,
         (sf_dir, "sq8_codes"),
@@ -640,26 +654,10 @@ def sq8_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("id"),
         int_dot(F.col("codes"), F.col("qc")).alias("qscore"),
     )
-    w = Window.partitionBy("qid").orderBy(
-        F.col("qscore").desc(), F.col("id").asc()
+    approx = two_level_topk(scored, _RK, score_col="qscore").select(
+        "qid", "id", F.lit(1).alias("hit")
     )
-    approx = (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= _RK)
-        .select("qid", "id", F.lit(1).alias("hit"))
-    )
-    exact = exact_knn_join(emb, emb.filter(F.col("vec_id") < _NQ), k=_RK)
-    return (
-        exact.select("qid", "id")
-        .join(approx, ["qid", "id"], "left")
-        .groupBy("qid")
-        .agg(
-            F.count("hit").cast("long").alias("matched"),
-            F.count(F.lit(1)).cast("long").alias("k"),
-            (F.count("hit").cast("double") / F.count(F.lit(1))).alias("recall"),
-        )
-        .transform(present_sorted, "qid")
-    )
+    return _recall_output(_exact_gt(spark, sf_dir), approx)
 
 
 def _pq_recall_oracle(m: int = 4, n_codes: int = 16, dim: int = 64) -> str:
@@ -751,12 +749,11 @@ def pq_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     family in the repo under one harness. Batch shape: the 20 per-query
     integer LUTs (m×n_codes ints each) are a 20-row broadcast table
     joined against the persisted m-byte codes — the float corpus is only
-    read by the exact ground-truth side."""
-    from pyspark.sql.window import Window
-
+    read by the exact ground-truth side. Ranking is two-level top-k (no
+    corpus-sized window partition)."""
     from msgvault_spark.catalog_search import get_pq_index
     from msgvault_spark.similarity.knn import _as_double
-    from msgvault_spark.similarity.knnjoin import exact_knn_join
+    from msgvault_spark.similarity.knnjoin import two_level_topk
     from msgvault_spark.similarity.pq import adc_lut
 
     emb = load_table(spark, sf_dir, "embeddings")
@@ -782,24 +779,10 @@ def pq_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("id") != F.col("qid"))
         .select("qid", "id", score.alias("s"))
     )
-    w = Window.partitionBy("qid").orderBy(F.col("s").desc(), F.col("id").asc())
-    approx = (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= _RK)
-        .select("qid", "id", F.lit(1).alias("hit"))
+    approx = two_level_topk(scored, _RK, score_col="s").select(
+        "qid", "id", F.lit(1).alias("hit")
     )
-    exact = exact_knn_join(emb, emb.filter(F.col("vec_id") < _NQ), k=_RK)
-    return (
-        exact.select("qid", "id")
-        .join(approx, ["qid", "id"], "left")
-        .groupBy("qid")
-        .agg(
-            F.count("hit").cast("long").alias("matched"),
-            F.count(F.lit(1)).cast("long").alias("k"),
-            (F.count("hit").cast("double") / F.count(F.lit(1))).alias("recall"),
-        )
-        .transform(present_sorted, "qid")
-    )
+    return _recall_output(_exact_gt(spark, sf_dir), approx)
 
 
 # ---------------------------------------------------------------------------

@@ -1195,12 +1195,11 @@ def token_budget_mix_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     from msgvault_spark.sources.cache import get_text_index
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
-    postings, _stats = get_text_index(
+    _postings, stats = get_text_index(
         spark, sf_dir, "documents", "doc_id", "text"
     )
-    ntok = postings.groupBy("doc_id").agg(
-        F.sum("tf").cast("long").alias("n_tokens")
-    )
+    # doc_stats.dl IS the per-doc token count — no postings re-aggregation
+    ntok = stats.select("doc_id", F.col("dl").cast("long").alias("n_tokens"))
     per_src = (
         docs.join(ntok, "doc_id", "left")
         .groupBy("source")

@@ -101,26 +101,43 @@ def exact_knn_join(
     c = corpus.select(
         F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("vec")
     )
-    scored = (
-        c.join(F.broadcast(q), F.col("id") != F.col("qid"))
-        .select(
-            "qid",
-            "id",
-            F.round(cosine(F.col("vec"), F.col("qvec")), round_to).alias("score"),
-        )
-        .withColumn("__part", F.spark_partition_id())
+    scored = c.join(F.broadcast(q), F.col("id") != F.col("qid")).select(
+        "qid",
+        "id",
+        F.round(cosine(F.col("vec"), F.col("qvec")), round_to).alias("score"),
     )
-    w1 = Window.partitionBy("qid", "__part").orderBy(
-        F.col("score").desc(), F.col("id").asc()
+    return two_level_topk(scored, k, score_col="score")
+
+
+def two_level_topk(
+    scored: DataFrame,
+    k: int,
+    *,
+    qid_col: str = "qid",
+    id_col: str = "id",
+    score_col: str = "score",
+) -> DataFrame:
+    """Top-k rows per ``qid_col`` by (score desc, id asc) WITHOUT a
+    corpus-sized window partition: level 1 keeps k per (qid, input
+    partition) — any superset of the true top-k survives, so the result
+    is partitioning-independent — level 2 reduces the ≤ partitions·k
+    survivors per qid. The shape every batch ranking over a per-query
+    corpus-sized candidate set must use (exact ground truth, SQ8/PQ
+    recall rankings)."""
+    with_part = scored.withColumn("__part", F.spark_partition_id())
+    w1 = Window.partitionBy(qid_col, "__part").orderBy(
+        F.col(score_col).desc(), F.col(id_col).asc()
     )
     local = (
-        scored.withColumn("rn", F.row_number().over(w1))
+        with_part.withColumn("rn", F.row_number().over(w1))
         .filter(F.col("rn") <= k)
         .drop("__part", "rn")
     )
-    w2 = Window.partitionBy("qid").orderBy(F.col("score").desc(), F.col("id").asc())
+    w2 = Window.partitionBy(qid_col).orderBy(
+        F.col(score_col).desc(), F.col(id_col).asc()
+    )
     return (
         local.withColumn("rn", F.row_number().over(w2))
         .filter(F.col("rn") <= k)
-        .select("qid", "id", "score")
+        .select(qid_col, id_col, score_col)
     )

@@ -323,3 +323,15 @@ def test_quantize_vector_binds_maxabs_once(spark):
 
     expr_sql = quantize_vector(F.col("embedding"))._jc.toString()
     assert expr_sql.count("aggregate(") == 1, expr_sql
+
+
+def test_sq8_oracle_literal_matches_serving_macro():
+    """The SQ8 recall oracle re-declares the quantization SQL (importing
+    catalog_search at catalog_multimodal import time would reorder
+    catalog registration); this pin keeps the two literals identical so
+    a quantizer change cannot silently diverge the recall oracle from
+    the serving-path oracle it claims to measure."""
+    from msgvault_spark.catalog_multimodal import _sq8_recall_oracle
+    from msgvault_spark.catalog_search import _SQ8
+
+    assert _SQ8 in _sq8_recall_oracle()

@@ -57,14 +57,14 @@ def main() -> None:
             ).alias("embedding"),
         )
         base = base.unionByName(dups).persist()
-        base.count()
+        total = base.count()
         t0 = time.perf_counter()
         out = allpairs_near_dups(base, 0.6)
         pairs = out.count()
         dt = time.perf_counter() - t0
         print(
-            f"N={n:>6}  pairs={pairs:>8}  wall={dt:6.2f}s  "
-            f"({n * (n - 1) / 2 / 1e6:.1f}M candidate pairs)"
+            f"N={total:>6}  pairs={pairs:>8}  wall={dt:6.2f}s  "
+            f"({total * (total - 1) / 2 / 1e6:.1f}M candidate pairs)"
         )
         base.unpersist()
 
