@@ -685,12 +685,19 @@ ranked AS (
            CASE d.source WHEN 'src0' THEN 0 WHEN 'src1' THEN 1
                          WHEN 'src2' THEN 2 ELSE 9 END AS prank
     FROM comp c JOIN documents d ON d.doc_id = c.node
+),
+rr AS (
+    SELECT component, node,
+           ROW_NUMBER() OVER (
+               PARTITION BY component ORDER BY prank ASC, node ASC
+           ) AS rn
+    FROM ranked
 )
 SELECT component,
-       MIN_BY(node, prank * 100000 + node) AS survivor_id,
+       MAX(CASE WHEN rn = 1 THEN node END) AS survivor_id,
        CAST(COUNT(*) AS BIGINT) AS n_members,
        CAST(COUNT(*) - 1 AS BIGINT) AS n_dropped
-FROM ranked
+FROM rr
 GROUP BY component
 ORDER BY component
 """
@@ -728,12 +735,21 @@ def fuzzy_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.select(F.col("doc_id").alias("node"), prank.alias("prank")),
         "node",
     )
+    # survivor = rank 1 within the component (prank asc, node asc) — a
+    # combined key (prank·C + node) silently flips the winner once ids
+    # cross the scale constant C; the rank form is exact at any id range
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("component").orderBy(
+        F.col("prank").asc(), F.col("node").asc()
+    )
     return (
-        ranked.groupBy("component")
+        ranked.withColumn("rn", F.row_number().over(w))
+        .groupBy("component")
         .agg(
-            F.min_by(
-                F.col("node"), F.col("prank") * 100000 + F.col("node")
-            ).alias("survivor_id"),
+            F.max(F.when(F.col("rn") == 1, F.col("node"))).alias(
+                "survivor_id"
+            ),
             F.count(F.lit(1)).cast("long").alias("n_members"),
             (F.count(F.lit(1)) - 1).cast("long").alias("n_dropped"),
         )

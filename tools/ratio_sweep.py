@@ -1,0 +1,96 @@
+"""Full-catalog perf sweep: EVERY oracle-backed entry timed warm
+(best of 2) in Spark and in DuckDB on the same parquet, sorted by ratio.
+
+The bench headliners get per-round tracking via bench.py; this sweep is
+the long tail — it catches an entry that is correct but structurally slow
+before a user does (round 4 found a 67s interpreted all-pairs this way).
+
+    python tools/ratio_sweep.py [sf_dir] [out_md]
+
+Writes a markdown table (default RATIOS.md) and prints the >2x offenders.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    out_md = sys.argv[2] if len(sys.argv) > 2 else "RATIOS.md"
+
+    import duckdb
+
+    from msgvault_spark.catalog import CATALOG
+    from msgvault_spark.session import get_spark
+
+    os.environ.setdefault("SPARK_GRAFT_AQE", "false")
+    os.environ.setdefault("SPARK_GRAFT_CONSTRAINTS", "false")
+    spark = get_spark("msgvault_ratio_sweep")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+        )
+
+    # streaming entries execute real work with side effects on invocation;
+    # their latency is a class property (pinned in tests), not a query time
+    SKIP = {"stream_rollup_daily", "stream_dedup_count", "stream_user_sessions"}
+
+    rows = []
+    for name, spec in CATALOG.items():
+        if spec.oracle_sql is None or name in SKIP:
+            continue
+        try:
+            spec.fn(spark, sf_dir).collect()  # warm caches/artifacts
+            ts = []
+            for _ in range(2):
+                t0 = time.perf_counter()
+                spec.fn(spark, sf_dir).collect()
+                ts.append(time.perf_counter() - t0)
+            s_t = min(ts)
+            con.execute(spec.oracle_sql).fetchall()
+            ts = []
+            for _ in range(2):
+                t0 = time.perf_counter()
+                con.execute(spec.oracle_sql).fetchall()
+                ts.append(time.perf_counter() - t0)
+            d_t = min(ts)
+        except Exception as e:  # noqa: BLE001
+            print(f"ERR {name}: {type(e).__name__}: {e}")
+            continue
+        rows.append((name, s_t, d_t, s_t / d_t if d_t > 0 else float("inf")))
+        print(f"{s_t/d_t if d_t else 0:7.1f}x {name}: spark={s_t:.3f} duck={d_t:.3f}")
+
+    rows.sort(key=lambda r: -r[3])
+    sf = os.path.basename(sf_dir.rstrip("/"))
+    with open(out_md, "w") as f:
+        f.write(
+            f"# Full-catalog Spark-vs-DuckDB warm ratios ({sf}, best of 2,"
+            f" single box — absolutes carry this VM's ±30% ambient noise;"
+            f" ratios are same-moment and therefore comparable)\n\n"
+            f"| ratio | entry | spark s | duckdb s |\n|---|---|---|---|\n"
+        )
+        for name, s_t, d_t, r in rows:
+            f.write(f"| {r:.2f}x | {name} | {s_t:.3f} | {d_t:.3f} |\n")
+        over = [x for x in rows if x[3] > 2.0]
+        f.write(
+            f"\n{len(rows)} entries; {len(over)} above 2x "
+            f"(floor notes in SCALING.md).\n"
+        )
+    print(f"\nwrote {out_md}: {len(rows)} entries, {len(over)} above 2x")
+
+
+if __name__ == "__main__":
+    main()
