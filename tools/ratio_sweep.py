@@ -46,7 +46,10 @@ def main() -> None:
 
     # streaming entries execute real work with side effects on invocation;
     # their latency is a class property (pinned in tests), not a query time
-    SKIP = {"stream_rollup_daily", "stream_dedup_count", "stream_user_sessions"}
+    SKIP = {
+        "stream_rollup_daily", "stream_dedup_count",
+        "stream_user_sessions", "stream_stream_join_funnel",
+    }
 
     rows = []
     for name, spec in CATALOG.items():
