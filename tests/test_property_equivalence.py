@@ -316,3 +316,52 @@ def test_kmv_sketches_match_bruteforce_bottom_k(spark, docs, k, salt):
         for r in kmv_sketches(df, k=k, k_shingle=3, salt=salt).collect()
     }
     assert got == want
+
+
+vectors_strategy = st.lists(
+    st.lists(
+        st.floats(-1.0, 1.0, allow_nan=False, width=32),
+        min_size=4,
+        max_size=4,
+    ),
+    min_size=0,
+    max_size=24,
+)
+
+
+@given(vecs=vectors_strategy, threshold=st.sampled_from([0.3, 0.7]))
+@settings(**_SETTINGS)
+def test_blocked_allpairs_matches_naive_reference(spark, vecs, threshold):
+    """Property: the blocked-GEMM two-phase all-pairs equals the naive
+    theta-join single-phase expression on arbitrary float corpora —
+    including zero vectors, repeated vectors (hash-group collisions),
+    and thresholds on both sides of typical cosine mass."""
+    from msgvault_spark.dedup.embedding import allpairs_near_dups
+    from msgvault_spark.similarity.knn import cosine, _as_double
+
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(vecs)]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>"
+    ) if rows else spark.createDataFrame([], "vec_id long, embedding array<float>")
+
+    got = {
+        (r["id_a"], r["id_b"], r["cos"])
+        for r in allpairs_near_dups(emb, threshold, group_rows=8).collect()
+    }
+    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
+    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
+    want = {
+        (r["id_a"], r["id_b"], r["cos"])
+        for r in (
+            a.join(b, F.col("id_a") < F.col("id_b"))
+            .withColumn(
+                "cos",
+                F.round(
+                    cosine(_as_double(F.col("va")), _as_double(F.col("vb"))), 6
+                ),
+            )
+            .filter(F.col("cos") >= threshold)
+            .select("id_a", "id_b", "cos")
+        ).collect()
+    }
+    assert got == want
