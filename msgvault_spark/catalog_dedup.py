@@ -735,23 +735,23 @@ def fuzzy_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.select(F.col("doc_id").alias("node"), prank.alias("prank")),
         "node",
     )
-    # survivor = rank 1 within the component (prank asc, node asc) — a
-    # combined key (prank·C + node) silently flips the winner once ids
-    # cross the scale constant C; the rank form is exact at any id range
-    from pyspark.sql.window import Window
-
-    w = Window.partitionBy("component").orderBy(
-        F.col("prank").asc(), F.col("node").asc()
-    )
+    # survivor = lexicographic min of (prank, node) — a combined key
+    # (prank·C + node) silently flips the winner once ids cross the scale
+    # constant C, and a row_number window funnels a whole component onto
+    # one reducer; the struct min is exact at any id range AND keeps
+    # map-side partial aggregation (the dedup/lines.py pattern)
     return (
-        ranked.withColumn("rn", F.row_number().over(w))
-        .groupBy("component")
+        ranked.groupBy("component")
         .agg(
-            F.max(F.when(F.col("rn") == 1, F.col("node"))).alias(
-                "survivor_id"
-            ),
+            F.min(F.struct("prank", "node")).alias("_m"),
             F.count(F.lit(1)).cast("long").alias("n_members"),
             (F.count(F.lit(1)) - 1).cast("long").alias("n_dropped"),
+        )
+        .select(
+            "component",
+            F.col("_m.node").alias("survivor_id"),
+            "n_members",
+            "n_dropped",
         )
         .sortWithinPartitions("component")
     )
@@ -811,13 +811,13 @@ def quality_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     near-dup clusters, vs `fuzzy_dedup_survivors`' source-priority rule).
     Token counts are the FTS index's per-doc lengths (doc_stats.dl — no
     re-aggregation of postings), so the query is two artifact scans; the
-    argmax is a rank within the component partition (n_tokens desc, id
-    asc), integer-ordered and therefore engine-exact at ANY id range —
-    a combined-key trick like tokens·10⁷−id silently flips the winner
-    once ids cross the scale constant."""
+    argmax is a lexicographic struct min ((−n_tokens, id): most tokens
+    first, lowest id on ties), engine-exact at ANY id range — a combined
+    key like tokens·10⁷−id silently flips the winner once ids cross the
+    scale constant, and a rank window would funnel whole components onto
+    single reducers."""
     from msgvault_spark.dedup.minhash import build_minhash_index, pairs_from_index
     from msgvault_spark.sources.cache import get_components, get_text_index
-    from pyspark.sql.window import Window
 
     docs = load_table(spark, sf_dir, "documents")
 
@@ -837,18 +837,26 @@ def quality_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranked = comp.join(ntok, "node", "left").withColumn(
         "n_tokens", F.coalesce(F.col("n_tokens"), F.lit(0))
     )
-    w = Window.partitionBy("component").orderBy(
-        F.col("n_tokens").desc(), F.col("node").asc()
-    )
+    # lexicographic min of (-n_tokens, node): most tokens first, lowest id
+    # on ties — struct min keeps map-side partial aggregation (no window
+    # funnel) and is exact at any id range (no combined integer key)
     return (
-        ranked.withColumn("rn", F.row_number().over(w))
-        .groupBy("component")
+        ranked.groupBy("component")
         .agg(
-            F.max(F.when(F.col("rn") == 1, F.col("node"))).alias(
-                "survivor_id"
-            ),
+            F.min(
+                F.struct(
+                    (-F.col("n_tokens")).alias("neg_tok"),
+                    F.col("node").alias("node"),
+                )
+            ).alias("_m"),
             F.count(F.lit(1)).cast("long").alias("n_members"),
             F.sum("n_tokens").cast("long").alias("total_tokens"),
+        )
+        .select(
+            "component",
+            F.col("_m.node").alias("survivor_id"),
+            "n_members",
+            "total_tokens",
         )
         .sortWithinPartitions("component")
     )

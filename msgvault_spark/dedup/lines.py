@@ -100,13 +100,19 @@ WITH segs AS (
     FROM ({segs})
 ),
 firsts AS (
-    SELECT seg,
-           MIN(doc_id * 1000000 + seg_no) AS first_key
-    FROM segs GROUP BY seg
+    -- lexicographic (doc_id, seg_no) first occurrence — a combined
+    -- integer key (doc_id*C + seg_no) flips order once seg_no crosses C
+    SELECT seg, doc_id AS f_doc, seg_no AS f_seg FROM (
+        SELECT seg, doc_id, seg_no,
+               ROW_NUMBER() OVER (
+                   PARTITION BY seg ORDER BY doc_id, seg_no
+               ) AS rn
+        FROM segs
+    ) WHERE rn = 1
 ),
 marked AS (
     SELECT s.doc_id, s.seg_no, s.seg,
-           (s.doc_id * 1000000 + s.seg_no) = f.first_key AS kept
+           (s.doc_id = f.f_doc AND s.seg_no = f.f_seg) AS kept
     FROM segs s JOIN firsts f ON f.seg = s.seg
 )
 SELECT doc_id,

@@ -52,6 +52,7 @@ def main() -> None:
     }
 
     rows = []
+    errors = []
     for name, spec in CATALOG.items():
         if spec.oracle_sql is None or name in SKIP:
             continue
@@ -72,9 +73,11 @@ def main() -> None:
             d_t = min(ts)
         except Exception as e:  # noqa: BLE001
             print(f"ERR {name}: {type(e).__name__}: {e}")
+            errors.append((name, f"{type(e).__name__}: {e}"))
             continue
-        rows.append((name, s_t, d_t, s_t / d_t if d_t > 0 else float("inf")))
-        print(f"{s_t/d_t if d_t else 0:7.1f}x {name}: spark={s_t:.3f} duck={d_t:.3f}")
+        ratio = s_t / d_t if d_t > 0 else float("inf")
+        rows.append((name, s_t, d_t, ratio))
+        print(f"{ratio:7.1f}x {name}: spark={s_t:.3f} duck={d_t:.3f}")
 
     rows.sort(key=lambda r: -r[3])
     sf = os.path.basename(sf_dir.rstrip("/"))
@@ -82,17 +85,33 @@ def main() -> None:
         f.write(
             f"# Full-catalog Spark-vs-DuckDB warm ratios ({sf}, best of 2,"
             f" single box — absolutes carry this VM's ±30% ambient noise;"
-            f" ratios are same-moment and therefore comparable)\n\n"
+            f" ratios are same-moment and therefore comparable). Entries"
+            f" whose DuckDB\ntime is under ~20ms measure Spark's per-job"
+            f" scheduling floor, not plan\nquality — at cluster scale that"
+            f" constant amortizes to zero against\nper-row work; the"
+            f" structural reading is the ABSOLUTE Spark time and the\n"
+            f"plan shape (SCALING.md).\n\n"
             f"| ratio | entry | spark s | duckdb s |\n|---|---|---|---|\n"
         )
         for name, s_t, d_t, r in rows:
             f.write(f"| {r:.2f}x | {name} | {s_t:.3f} | {d_t:.3f} |\n")
         over = [x for x in rows if x[3] > 2.0]
         f.write(
-            f"\n{len(rows)} entries; {len(over)} above 2x "
-            f"(floor notes in SCALING.md).\n"
+            f"\n{len(rows)} batch entries ({len(SKIP)} streaming entries"
+            f" excluded — their per-invocation micro-batch setup is a class"
+            f" property pinned in tests, not a query time); {len(over)}"
+            f" above 2x (floor notes in SCALING.md).\n"
         )
-    print(f"\nwrote {out_md}: {len(rows)} entries, {len(over)} above 2x")
+        if errors:
+            f.write("\n## ERRORS — entries that failed to run\n\n")
+            for name, msg in errors:
+                f.write(f"- `{name}`: {msg}\n")
+    print(
+        f"\nwrote {out_md}: {len(rows)} entries, {len(over)} above 2x, "
+        f"{len(errors)} errors"
+    )
+    if errors:
+        raise SystemExit(1)
 
 
 if __name__ == "__main__":
