@@ -308,9 +308,13 @@ ORDER BY id_a, id_b
 )
 def embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact all-pairs cosine ≥ 0.45 (near-dup baseline; LSH variant in
-    dedup/embedding.py is the scale path)."""
+    dedup/embedding.py is the scale path). Corpus size for GEMM-tile
+    sizing is a memoized catalog statistic — no per-plan count job."""
+    from msgvault_spark.sources.cache import get_scalar
+
     emb = load_table(spark, sf_dir, "embeddings")
-    return allpairs_near_dups(emb, 0.45)
+    n = get_scalar(spark, (sf_dir, "embeddings_count"), emb.count)
+    return allpairs_near_dups(emb, 0.45, n_rows=n)
 
 
 # ---------------------------------------------------------------------------

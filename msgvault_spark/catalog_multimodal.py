@@ -542,15 +542,11 @@ def ivf_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     memoized IVF index (catalog_search.get_ivf_index) and the two-level
     exact batch top-k."""
     from msgvault_spark.catalog_search import get_ivf_index
-    from msgvault_spark.similarity.ivf import ivf_knn_join
-    from msgvault_spark.similarity.knn import _as_double
+    from msgvault_spark.similarity.ivf import ivf_knn_join, seed_centroids
 
     emb = load_table(spark, sf_dir, "embeddings")
     qset = emb.filter(F.col("vec_id") < _NQ)
-    cents = emb.filter(F.col("vec_id") < _IVF_CELLS).select(
-        F.col("vec_id").alias("cid"),
-        _as_double(F.col("embedding")).alias("cvec"),
-    )
+    cents = seed_centroids(emb, _IVF_CELLS)
     approx = ivf_knn_join(
         get_ivf_index(spark, sf_dir, _IVF_CELLS),
         cents,

@@ -1461,7 +1461,10 @@ def snapshot_diff_versions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CDC change feed between two committed versions (Delta CDF /
     Iceberg changelog shape; sources/snapshots.snapshot_diff): v2 = one
     MERGE carrying updates (n_chars +1e6 for doc_id%10==3) AND inserts
-    (doc_id+1e6 with n_chars=7 for doc_id%17==0). The diff derives
+    (key −doc_id−1, the negative id space, with n_chars=7 for
+    doc_id%17==0 — an additive offset like doc_id+1e6 collides with real
+    ids once the corpus passes the constant, silently turning inserts
+    into updates). The diff derives
     inserted/updated rows from a full-outer join of the two pinned file
     lists — no snapshot mutated, no table re-scan by consumers — rolled
     up per change_type with the exact BIGINT delta mass. The 'deleted'
@@ -1483,7 +1486,7 @@ def snapshot_diff_versions(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id", (F.col("n_chars") + 1000000).alias("n_chars")
         )
         ins = docs.filter(F.col("doc_id") % 17 == 0).select(
-            (F.col("doc_id") + 1000000).alias("doc_id"),
+            (-F.col("doc_id") - 1).alias("doc_id"),
             F.lit(7).cast("long").alias("n_chars"),
         )
         merge_upsert(spark, lake, upd.unionByName(ins), "doc_id")

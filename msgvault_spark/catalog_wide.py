@@ -198,8 +198,8 @@ WHERE {_EMAIL_ONLY}
         JOIN participants p2 ON p2.id = mr2.participant_id
         WHERE mr2.message_id = msg.id
           AND mr2.recipient_type IN ('to', 'cc', 'bcc')
-          AND (p2.email_address ILIKE '%@nation_2.example.com%' ESCAPE '\\'
-               OR p2.phone_number ILIKE '%@nation_2.example.com%' ESCAPE '\\'))
+          AND (p2.email_address ILIKE '%@nation\\_2.example.com%' ESCAPE '\\'
+               OR p2.phone_number ILIKE '%@nation\\_2.example.com%' ESCAPE '\\'))
 ORDER BY msg.sent_at DESC, msg.id DESC
 LIMIT 100
 """

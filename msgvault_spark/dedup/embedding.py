@@ -28,6 +28,7 @@ def allpairs_near_dups(
     vec_col: str = "embedding",
     round_to: int = 6,
     group_rows: int = 2048,
+    n_rows: int | None = None,
 ) -> DataFrame:
     """(id_a, id_b, cos) for pairs with cosine ≥ threshold, id_a < id_b.
 
@@ -57,7 +58,10 @@ def allpairs_near_dups(
     )
 
     emb = embeddings.select(F.col(id_col), F.col(vec_col))
-    n = emb.count()
+    # pass n_rows (e.g. a memoized catalog statistic) to avoid an eager
+    # count job during plan construction; only the GROUP COUNT depends on
+    # it, so a stale-but-close value is fine
+    n = embeddings.count() if n_rows is None else n_rows
     n_groups = max(1, -(-n // group_rows))
     blocks = emb.groupBy(
         F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_groups)).alias("g")

@@ -111,6 +111,16 @@ def compile_search_wide(
     # inside whole-stage codegen, where the array-exists higher-order
     # function drops to interpreted evaluation (~4× slower per scan).
     for addr in q.to_addrs + q.cc_addrs + q.bcc_addrs:
+        if addr == "":
+            # join-path parity: an empty operator value ('to:') matches
+            # messages with at least one recipient row whose email OR
+            # phone is non-NULL ('' ILIKE '%%' is true, NULL is not);
+            # '%%' over the concat would instead match EVERY message
+            df = df.filter(
+                (F.size(F.col("recipient_emails")) > 0)
+                | (F.size(F.col("recipient_phones")) > 0)
+            )
+            continue
         pat = "%" + escape_like(addr) + "%"
         if "\n" in addr:
             df = df.filter(

@@ -28,6 +28,22 @@ from msgvault_spark.functions.arrays import lit_double_array
 from msgvault_spark.similarity.knn import _as_double, cosine
 
 
+def seed_centroids(
+    embeddings: DataFrame,
+    n_cells: int,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(cid, cvec) — the coarse-quantizer seed rule (lowest-id rows, cast
+    double). ONE source of truth: probe-side callers must derive
+    centroids with the same rule the index build used, or probe
+    assignment silently disagrees with cell assignment."""
+    return embeddings.filter(F.col(id_col) < n_cells).select(
+        F.col(id_col).alias("cid"), _as_double(F.col(vec_col)).alias("cvec")
+    )
+
+
 def build_ivf_index(
     embeddings: DataFrame,
     *,
@@ -38,9 +54,7 @@ def build_ivf_index(
 ) -> DataFrame:
     """(id, vec, cell) — the corpus with cell assignments. Persist/bucket by
     ``cell`` at ETL time; centroids are rows with id < n_cells."""
-    cents = embeddings.filter(F.col(id_col) < n_cells).select(
-        F.col(id_col).alias("cid"), _as_double(F.col(vec_col)).alias("cvec")
-    )
+    cents = seed_centroids(embeddings, n_cells, id_col=id_col, vec_col=vec_col)
     scored = (
         embeddings.select(
             F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("vec")

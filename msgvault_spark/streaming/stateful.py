@@ -52,8 +52,13 @@ def _track(key, pdf_iter, state: GroupState):
         state.get if state.exists else (0, 0, 0, None)
     )
     gap_us = 30 * 60 * 1_000_000
-    for pdf in pdf_iter:
-        pdf = pdf.sort_values("ts")
+    # a group arrives as an ITERATOR of Arrow chunks in shuffle order;
+    # last_ts carries across chunks, so sorting per chunk is NOT enough —
+    # concat then sort once, or a group straddling a chunk boundary
+    # under-counts sessions vs the batch-replay oracle
+    chunks = list(pdf_iter)
+    if chunks:
+        pdf = pd.concat(chunks, ignore_index=True).sort_values("ts")
         ts_us = (pdf["ts"].astype("int64") // 1000).tolist()
         for t in ts_us:
             if last_us is None or t - last_us > gap_us:

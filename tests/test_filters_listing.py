@@ -138,7 +138,11 @@ def test_wide_recipient_filters_match_join_path(spark, archive):
     from msgvault_spark.sources.cache import build_wide_messages
 
     wide = build_wide_messages(archive)
-    for q in ("to:@y.com", "to:2666", "cc:2666", "bcc:nobody", "to:a@x.com"):
+    # 'to:' (empty operator value) must mean "has at least one recipient"
+    # on BOTH paths — the wide path's ILIKE '%%' over a concat would
+    # instead match every message, recipients or not
+    for q in ("to:@y.com", "to:2666", "cc:2666", "bcc:nobody", "to:a@x.com",
+              "to:"):
         join_ids = sorted(r["id"] for r in search_fast(archive, q).collect())
         wide_ids = sorted(r["id"] for r in search_fast_wide(wide, q).collect())
         assert wide_ids == join_ids, (q, wide_ids, join_ids)

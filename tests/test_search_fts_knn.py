@@ -335,3 +335,26 @@ def test_sq8_oracle_literal_matches_serving_macro():
     from msgvault_spark.catalog_search import _SQ8
 
     assert _SQ8 in _sq8_recall_oracle()
+
+
+def test_cosine_sql_twins_stay_identical():
+    """Three oracles carry the bit-sensitive rounded-cosine SQL; they must
+    stay character-identical (modulo whitespace) to similarity/ivf._cos_sql
+    so a precision/cast tweak cannot silently diverge cross-engine
+    scores. (They can't import each other at module import time without
+    reordering catalog registration — hence a pin, not a refactor.)"""
+    from msgvault_spark import catalog_llmops
+    from msgvault_spark.catalog_multimodal import (
+        _ann_recall_oracle,
+        _pq_recall_oracle,
+        _sq8_recall_oracle,
+    )
+    from msgvault_spark.similarity.ivf import _cos_sql
+
+    def norm(s):
+        return "".join(s.split())
+
+    assert catalog_llmops._SEM_COS == _cos_sql("e.embedding", "b.embedding")
+    assert norm(_cos_sql("e.embedding", "q.qv")) in norm(_ann_recall_oracle())
+    assert norm(_cos_sql("e.embedding", "qf.qv")) in norm(_sq8_recall_oracle())
+    assert norm(_cos_sql("e.embedding", "q.qv")) in norm(_pq_recall_oracle())

@@ -207,3 +207,38 @@ def test_watermark_drops_data_beyond_horizon(spark, tmp_path):
     assert "2024-01-05" not in days2   # beyond-horizon row dropped
     assert "2024-01-09" in days2       # within-horizon late row kept
     assert "2024-01-11" in days2       # fresh row kept
+
+
+def test_session_tracker_sorts_across_arrow_chunks():
+    """A group reaches _track as an ITERATOR of Arrow chunks in shuffle
+    order; last_ts carries across chunks, so the tracker must globally
+    sort the batch. Two out-of-order chunks straddling a session gap must
+    count the same sessions as one sorted chunk."""
+    import pandas as pd
+
+    from msgvault_spark.streaming.stateful import _track
+
+    class _State:
+        exists = False
+        hasTimedOut = False
+
+        def update(self, v):
+            self.val = v
+
+        def remove(self):
+            pass
+
+    hour = 3_600_000_000_000  # ns
+    mk = lambda ts_ns: pd.DataFrame(
+        {"ts": pd.Series(ts_ns, dtype="int64"), "value": [1.0] * len(ts_ns)}
+    )
+    # chunk order delivers the LATER timestamp first: sorted-globally the
+    # gaps are [0h -> 2h] (one 2h gap = 2 sessions); per-chunk sorting
+    # with carry-over would see 2h then 0h (negative delta) = 1 session
+    out_split = list(
+        _track((1,), iter([mk([2 * hour]), mk([0])]), _State())
+    )[0]
+    out_one = list(_track((1,), iter([mk([0, 2 * hour])]), _State()))[0]
+    assert out_split["sessions"].iloc[0] == 2
+    assert out_split["sessions"].iloc[0] == out_one["sessions"].iloc[0]
+    assert out_split["events"].iloc[0] == 2
