@@ -107,8 +107,17 @@ def stream_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     (streaming/stateful.py), Trigger.AvailableNow one-shot. Update-mode
     emits one cumulative row per (user, batch); the final state per user
     is the row with the largest event count (cumulative counters are
-    monotone), reduced with max/max_by so a multi-batch run collapses to
-    the same answer as the single-batch one."""
+    monotone), reduced with max/max_by.
+
+    The lag-window oracle additionally assumes each user's events reach
+    the tracker in ts order ACROSS batches — the tracker sorts within a
+    batch and carries last_ts forward, so a multi-batch run over files
+    with interleaved timestamps could count session boundaries
+    differently. run_available_now asserts the run consumed a single
+    data batch (true for the one-file testdata glob with no
+    maxFilesPerTrigger) rather than leaving that as an unchecked
+    convention; multi-shard production layouts should sort shards by
+    event time or widen the session gap tolerance."""
     from msgvault_spark.streaming.stateful import user_session_stats
 
     stream = read_events_stream(spark, _events_glob(sf_dir))
@@ -116,6 +125,7 @@ def stream_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         user_session_stats(stream),
         queryName=f"sessions_{uuid.uuid4().hex[:8]}",
         output_mode="update",
+        assert_max_input_batches=1,
     )
     return (
         got.groupBy("user_id")

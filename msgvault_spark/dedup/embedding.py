@@ -83,7 +83,13 @@ def allpairs_near_dups(
 
     # margin: half-ulp of the final rounding (rounding can only raise a
     # just-under value by 0.5·10^-round_to) plus fp-reassociation slack.
-    cut = threshold - (0.5 * 10.0 ** (-round_to) + 1e-9)
+    # The slack is dimension-scaled per tile, not a fixed constant: cosine
+    # is scale-invariant, and for any input magnitude the numerator error
+    # of either evaluation order is ≤ γ_d·Σ|aᵢbᵢ| ≤ γ_d·‖a‖‖b‖ (Cauchy–
+    # Schwarz), i.e. ≤ ~d·eps relative to the cosine denominator; norms
+    # contribute the same order again. 8·d·eps covers GEMM-vs-sequential-
+    # JVM-fold divergence with >2× headroom at any vector scale.
+    half_ulp = 0.5 * 10.0 ** (-round_to)
 
     def _gemm_tile(batches):
         for pdf in batches:
@@ -95,6 +101,10 @@ def allpairs_near_dups(
                 )
                 B = np.asarray(
                     [np.asarray(v, dtype=np.float64) for v in row.vecs_b]
+                )
+                d = A.shape[1] if A.ndim == 2 else 1
+                cut = threshold - (
+                    half_ulp + 8.0 * d * np.finfo(np.float64).eps
                 )
                 with np.errstate(divide="ignore", invalid="ignore"):
                     na = np.sqrt((A * A).sum(axis=1))

@@ -217,7 +217,15 @@ def aggregate_wide(
     drill-down keeps the in-plan total."""
     opts = opts or AggregateOptions()
     df = wide
-    for cond in _base_message_predicates(opts):
+    preds = _base_message_predicates(opts)
+    if total_unique is not None and preds:
+        # the ETL-captured statistic is only valid for the unfiltered corpus
+        # scope; enforce the docstring's rule instead of trusting callers
+        raise ValueError(
+            "total_unique is an unfiltered-corpus statistic; drill-downs "
+            "with base-message predicates must keep the in-plan total"
+        )
+    for cond in preds:
         df = df.filter(cond)
 
     # sender views gate on has_from_row so the wide path matches the join

@@ -127,6 +127,7 @@ def run_available_now(
     queryName: str = "msgvault_stream",
     output_mode: str = "append",
     timeout_s: int = 300,
+    assert_max_input_batches: int | None = None,
 ) -> DataFrame:
     """Run a streaming DataFrame to completion with Trigger.AvailableNow
     into an in-memory sink and return the result as a batch DataFrame.
@@ -155,6 +156,23 @@ def run_available_now(
         raise TimeoutError(
             f"streaming query {queryName} did not finish in {timeout_s}s"
         )
+    if assert_max_input_batches is not None:
+        # callers whose batch-replay oracle depends on per-key event-time
+        # order being preserved across micro-batches (e.g. a session state
+        # machine) pin the number of data-carrying batches instead of
+        # trusting that the file source happened to pack everything into
+        # one trigger (maxFilesPerTrigger / multi-shard layouts would
+        # silently break the assumption otherwise)
+        data_batches = sum(
+            1 for p in q.recentProgress if (p.get("numInputRows") or 0) > 0
+        )
+        if data_batches > assert_max_input_batches:
+            raise AssertionError(
+                f"streaming query {queryName} processed {data_batches} "
+                f"data batches (> {assert_max_input_batches}); the "
+                "batch-replay oracle assumes per-key ts order, which only "
+                "holds within a single micro-batch"
+            )
     return spark.table(queryName)
 
 
