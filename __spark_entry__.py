@@ -23,6 +23,10 @@ from msgvault_spark.catalog import CATALOG
 # registration order, rows-only entries last. Union(r1, r2) then covers
 # every oracle-backed entry with a driver row.
 _PRIORITY = [
+    # --- new in round 6 (catalog_curation.py) ---
+    "dsir_importance_select",
+    "length_bucket_report",
+    "ngram_diversity_by_source",
     # --- round-4 gate window. The r3 verdict's ask #1: these 7 are the
     # only oracle-backed entries never verified by a driver row (judge
     # ran them green at sf0.01 under the identical protocol in r3); with

@@ -687,6 +687,7 @@ import msgvault_spark.catalog_pipeline  # noqa: E402,F401
 import msgvault_spark.catalog_lookup  # noqa: E402,F401
 import msgvault_spark.catalog_llmops  # noqa: E402,F401
 import msgvault_spark.catalog_tpch  # noqa: E402,F401
+import msgvault_spark.catalog_curation  # noqa: E402,F401
 
 
 # ---------------------------------------------------------------------------

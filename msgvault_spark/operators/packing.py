@@ -69,6 +69,136 @@ def bin_stats(packed: DataFrame) -> DataFrame:
     )
 
 
+def length_bucket_report(
+    docs: DataFrame,
+    id_col: str,
+    tokens_col: str,
+    *,
+    bucket_width: int = 8,
+    max_bucket: int = 12,
+    batch_size: int = 16,
+) -> DataFrame:
+    """Padded-batch economics per length bucket — the complement of
+    pack_sequences: when the serving/training stack pads each batch to
+    its longest member instead of packing, grouping similar lengths is
+    what controls wasted compute. Reports, per bucket of
+    ``bucket_width`` tokens (capped at ``max_bucket``):
+
+      (bucket, n_docs, n_batches, real_tokens, padded_tokens, waste_ppm)
+
+    where docs are assigned to ``ceil(n_docs / batch_size)`` batches by a
+    portable hash of their id (md5-hex6 mod n_batches — the repo's
+    engine-portable hash, dedup/minhash.py), each batch pads to its max
+    length, and waste_ppm = (padded − real)·1e6 / padded in integer math.
+
+    Scale shape: bucket assignment is a map; the per-bucket doc counts
+    are a ≤(max_bucket+1)-row broadcast; batch membership is hash-derived
+    (NO per-bucket sort or row_number — the naive length-sorted batching
+    is a global sort that funnels each bucket through one reducer); the
+    (bucket, batch) rollup and the bucket rollup both combine map-side.
+    Hash batching trades intra-batch tightness for a shuffle-free
+    assignment — exactly the report's point: the numbers say whether the
+    bucketing is tight enough before anyone pays for a sort."""
+    base = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(tokens_col).cast("long").alias("n_tokens"),
+    ).withColumn(
+        "bucket",
+        F.least(
+            F.expr(f"n_tokens div {bucket_width}"),
+            F.lit(max_bucket).cast("long"),
+        ),
+    )
+    counts = base.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    )
+    counts = counts.withColumn(
+        "n_batches",
+        F.expr(f"(n_docs + {batch_size - 1}) div {batch_size}"),
+    )
+    assigned = base.join(F.broadcast(counts), "bucket").withColumn(
+        "batch",
+        F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 6), 16, 10
+        ).cast("long")
+        % F.col("n_batches"),
+    )
+    per_batch = assigned.groupBy("bucket", "batch").agg(
+        F.count(F.lit(1)).cast("long").alias("bd"),
+        F.max("n_tokens").alias("bmax"),
+        F.sum("n_tokens").cast("long").alias("bsum"),
+    )
+    return (
+        per_batch.groupBy("bucket")
+        .agg(
+            F.sum("bd").cast("long").alias("n_docs"),
+            F.count(F.lit(1)).cast("long").alias("n_batches"),
+            F.sum("bsum").cast("long").alias("real_tokens"),
+            F.sum(F.col("bd") * F.col("bmax")).cast("long").alias(
+                "padded_tokens"
+            ),
+        )
+        .withColumn(
+            "waste_ppm",
+            F.expr(
+                "CAST((padded_tokens - real_tokens) * 1000000 AS BIGINT) "
+                "div padded_tokens"
+            ),
+        )
+        .sortWithinPartitions("bucket")
+    )
+
+
+def length_bucket_oracle_sql(
+    source_select: str,
+    *,
+    bucket_width: int = 8,
+    max_bucket: int = 12,
+    batch_size: int = 16,
+) -> str:
+    """DuckDB replica of length_bucket_report; ``source_select`` yields
+    (doc_id, n_tokens). Integer division and md5-hex6 hashing match the
+    Spark expressions digit-for-digit."""
+    return f"""
+WITH src AS ({source_select}),
+base AS (
+    SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+           LEAST(CAST(n_tokens AS BIGINT) // {bucket_width},
+                 {max_bucket}) AS bucket
+    FROM src
+),
+counts AS (
+    SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST((COUNT(*) + {batch_size - 1}) // {batch_size} AS BIGINT)
+               AS n_batches
+    FROM base GROUP BY 1
+),
+assigned AS (
+    SELECT b.bucket, b.n_tokens,
+           ('0x' || substr(md5(CAST(b.doc_id AS VARCHAR)), 1, 6))::BIGINT
+               % c.n_batches AS batch
+    FROM base b JOIN counts c ON c.bucket = b.bucket
+),
+per_batch AS (
+    SELECT bucket, batch,
+           CAST(COUNT(*) AS BIGINT) AS bd,
+           MAX(n_tokens) AS bmax,
+           CAST(SUM(n_tokens) AS BIGINT) AS bsum
+    FROM assigned GROUP BY 1, 2
+)
+SELECT bucket,
+       CAST(SUM(bd) AS BIGINT) AS n_docs,
+       CAST(COUNT(*) AS BIGINT) AS n_batches,
+       CAST(SUM(bsum) AS BIGINT) AS real_tokens,
+       CAST(SUM(bd * bmax) AS BIGINT) AS padded_tokens,
+       CAST((SUM(bd * bmax) - SUM(bsum)) * 1000000 AS BIGINT)
+           // CAST(SUM(bd * bmax) AS BIGINT) AS waste_ppm
+FROM per_batch
+GROUP BY 1
+ORDER BY bucket
+"""
+
+
 def packing_oracle_sql(
     source_select: str, *, budget: int, n_shards: int = 8
 ) -> str:

@@ -315,3 +315,52 @@ def repetition_profile(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         & (F.col("dup_word_frac") < 0.40)
         & (F.col("top_bigram_frac") < 0.40),
     )
+
+
+def ngram_instances(text: Column, n: int = 3) -> Column:
+    """ALL n-gram instances (with multiplicity — unlike
+    dedup/minhash.word_shingles, which deduplicates per doc): the unit of
+    the corpus-diversity measures below. Docs shorter than n yield their
+    single whole-text gram, matching word_shingles' short-doc rule."""
+    ws = words(text)
+    return F.when(
+        F.size(ws) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(ws) - (n - 1)),
+            lambda i: F.concat_ws(" ", F.slice(ws, i, n)),
+        ),
+    ).otherwise(F.array(F.concat_ws(" ", ws)))
+
+
+def ngram_diversity_by_group(
+    df: DataFrame, group_col: str, text_col: str, *, n: int = 3
+) -> DataFrame:
+    """Type-token ratio of word n-grams per group — the standard corpus
+    diversity diagnostic (low ratio = templated/self-repetitive source;
+    the per-corpus complement of the per-document Gopher repetition
+    filters above). Returns
+    (group, total_ngrams, distinct_ngrams, diversity_ppm) with
+    diversity_ppm = distinct·1e6 div total (integer, engine-exact).
+
+    Scale shape: explode is a map; COUNT(DISTINCT gram) per group expands
+    to a two-phase aggregate keyed by (group, gram) — the wide first
+    phase absorbs gram skew map-side, and no per-group sort or window
+    exists. At 100 TB swap the exact distinct for the per-source KMV
+    sketch artifact (operators/kmv.py) — the ratio only needs ~1%
+    accuracy to rank sources."""
+    grams = df.select(
+        F.col(group_col).alias("grp"),
+        F.explode(ngram_instances(F.col(text_col), n)).alias("gram"),
+    )
+    return (
+        grams.groupBy("grp")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("total_ngrams"),
+            F.countDistinct("gram").cast("long").alias("distinct_ngrams"),
+        )
+        .withColumn(
+            "diversity_ppm",
+            F.expr("(distinct_ngrams * 1000000) div total_ngrams"),
+        )
+        .sortWithinPartitions("grp")
+    )

@@ -1,0 +1,114 @@
+"""Round-6 curation operators: DSIR importance selection, length-bucket
+padding report, n-gram diversity. Catalog-entry exactness is pinned by the
+DuckDB oracle gate (tools/verify_oracle.py); these tests pin the semantic
+properties the hash compare can't express."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from msgvault_spark.operators.dsir import (
+    bucket_llr,
+    dsir_select,
+    hash_bucket,
+    importance_weights,
+)
+from msgvault_spark.operators.packing import length_bucket_report
+from msgvault_spark.textstats.analysis import ngram_diversity_by_group
+
+
+def _postings(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, term string, tf long")
+
+
+def test_dsir_ranks_target_vocabulary_first(spark):
+    # target docs (0, 1) speak "alpha/beta"; the rest speak "gamma/delta".
+    # A candidate doc 10 written in target vocabulary must outrank doc 11
+    # written in raw-only vocabulary.
+    rows = []
+    for d in (0, 1):
+        rows += [(d, "alpha", 5), (d, "beta", 5)]
+    for d in (2, 3, 4, 5):
+        rows += [(d, "gamma", 5), (d, "delta", 5)]
+    rows += [(10, "alpha", 4), (10, "beta", 4)]
+    rows += [(11, "gamma", 4), (11, "delta", 4)]
+    postings = _postings(spark, rows)
+    target = spark.createDataFrame([(0,), (1,)], "doc_id long")
+    got = {
+        r["doc_id"]: r["weight_micro"]
+        for r in dsir_select(postings, target, n_buckets=64, top_n=100).collect()
+    }
+    assert got[10] > 0 > got[11]
+    assert got[0] > got[11] and got[1] > got[11]
+
+
+def test_dsir_llr_table_is_bucket_bounded(spark):
+    rows = [(d, f"t{d}_{i}", 1) for d in range(20) for i in range(30)]
+    postings = _postings(spark, rows)
+    target = spark.createDataFrame([(0,)], "doc_id long")
+    llr = bucket_llr(
+        postings.select("doc_id", hash_bucket(F.col("term"), 16), "tf"),
+        target,
+        n_buckets=16,
+    )
+    assert llr.count() <= 16  # the broadcast side is K rows, never corpus
+
+
+def test_dsir_weight_is_tf_linear(spark):
+    # doubling every tf of a doc doubles its weight: the weight is a pure
+    # integer dot product of (tf, llr_micro) — no hidden normalization
+    rows = [(0, "a", 2), (0, "b", 3), (1, "a", 4), (1, "b", 6),
+            (2, "c", 5), (3, "d", 5)]
+    postings = _postings(spark, rows)
+    target = spark.createDataFrame([(2,)], "doc_id long")
+    feat = postings.select("doc_id", hash_bucket(F.col("term"), 32), "tf")
+    llr = bucket_llr(feat, target, n_buckets=32)
+    w = {
+        r["doc_id"]: r["weight_micro"]
+        for r in importance_weights(feat, llr).collect()
+    }
+    assert w[1] == 2 * w[0]
+
+
+def test_length_bucket_report_invariants(spark):
+    docs = spark.range(200).select(
+        F.col("id").alias("doc_id"),
+        (F.pmod(F.col("id") * 37, F.lit(90)) + 10).alias("dl"),
+    )
+    rep = length_bucket_report(docs, "doc_id", "dl").collect()
+    assert sum(r["n_docs"] for r in rep) == 200
+    for r in rep:
+        assert r["padded_tokens"] >= r["real_tokens"] > 0
+        assert 0 <= r["waste_ppm"] < 1_000_000
+        # realized batches never exceed the ceil(n/16) plan (hash
+        # assignment may leave a planned batch empty, never overflow it)
+        assert r["n_batches"] <= -(-r["n_docs"] // 16)
+        assert r["bucket"] <= 12
+
+
+def test_length_bucket_caps_long_tail(spark):
+    docs = spark.createDataFrame(
+        [(1, 5), (2, 500), (3, 5000)], "doc_id long, dl long"
+    )
+    rep = {r["bucket"]: r for r in length_bucket_report(docs, "doc_id", "dl").collect()}
+    assert set(rep) == {0, 12}  # 5→bucket 0; 500 and 5000 both cap at 12
+    assert rep[12]["n_docs"] == 2
+
+
+def test_ngram_diversity_orders_template_below_fresh(spark):
+    template = " ".join(["the same line over and over"] * 30)
+    fresh = " ".join(f"word{i}" for i in range(180))
+    docs = spark.createDataFrame(
+        [("rep", template), ("rep", template), ("uniq", fresh)],
+        "source string, text string",
+    )
+    got = {
+        r["grp"]: r for r in ngram_diversity_by_group(docs, "source", "text").collect()
+    }
+    assert got["rep"]["diversity_ppm"] < got["uniq"]["diversity_ppm"]
+    assert got["uniq"]["distinct_ngrams"] == got["uniq"]["total_ngrams"] == 178
+    # short-doc rule: a doc below n grams contributes its whole text once
+    tiny = spark.createDataFrame([("s", "two words")], "source string, text string")
+    row = ngram_diversity_by_group(tiny, "source", "text").collect()[0]
+    assert row["total_ngrams"] == 1 and row["distinct_ngrams"] == 1

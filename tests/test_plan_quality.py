@@ -519,8 +519,10 @@ def test_broadcast_sites_are_ratcheted():
         "dedup/deletion_vectors.py": 1,
         "operators/bloomjoin.py": 1,
         "operators/cms.py": 1,
+        "operators/dsir.py": 2,  # 1-row corpus totals + K-row LLR table
         "operators/incremental_agg.py": 1,
         "operators/kmv.py": 1,
+        "operators/packing.py": 1,  # ≤(max_bucket+1)-row bucket counts
         "operators/sampling.py": 2,
         "operators/timeseries.py": 1,
         "operators/zorder.py": 1,
