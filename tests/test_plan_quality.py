@@ -400,6 +400,16 @@ def test_headline_exchange_counts_pinned(spark, catalog):
                                           # HAVING-agg and the re-join
         "waiting_suppliers_q21": 3,       # late-once + semi/anti share the
                                           # l_orderkey exchange + present
+        # round-6 curation entries
+        "dsir_importance_select": 1,      # one doc-keyed weight agg; the
+                                          # K-row LLR branch rides the
+                                          # broadcast side; TakeOrdered
+        "length_bucket_report": 3,        # bucket counts + (bucket,batch)
+                                          # rollup + bucket rollup; batch
+                                          # membership hash-derived (no
+                                          # window/sort exchange)
+        "ngram_diversity_by_source": 3,   # two-phase distinct ((grp,gram)
+                                          # then grp) + presentation
     }
     # measure a FRESH (unexecuted) plan: once AQE executes the memoized
     # DataFrame (earlier tests collect it), the string flips to the final
