@@ -138,3 +138,198 @@ def ngram_diversity_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_diversity_by_group(docs, "source", "text", n=3).transform(
         present_sorted, "grp"
     )
+
+
+# ---------------------------------------------------------------------------
+# batch 2: hard negatives, relative quality threshold, cluster-balanced
+# sampling
+# ---------------------------------------------------------------------------
+
+_HN_NQ = 20  # query set: vec_id < 20 (the batch-KNN eval-seed convention)
+_HN_K = 5
+
+
+def _hard_negative_oracle() -> str:
+    from msgvault_spark.similarity.ivf import _cos_sql
+
+    cos = _cos_sql("e.embedding", "q.qv")
+    return f"""
+WITH q AS (
+    SELECT vec_id AS qid, embedding AS qv, label AS ql
+    FROM embeddings WHERE vec_id < {_HN_NQ}
+)
+SELECT qid, id, score FROM (
+    SELECT q.qid, e.vec_id AS id, {cos} AS score,
+           ROW_NUMBER() OVER (
+               PARTITION BY q.qid ORDER BY {cos} DESC, e.vec_id ASC
+           ) AS rn
+    FROM embeddings e JOIN q ON e.vec_id != q.qid AND e.label != q.ql
+) WHERE rn <= {_HN_K}
+"""
+
+
+@register("hard_negative_mining", _hard_negative_oracle())
+def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive embedding training: for each
+    of the 20 lowest-id vectors, the 5 nearest neighbors with a DIFFERENT
+    label — the confusable wrong-class examples a triplet/InfoNCE loss
+    wants. Broadcast query set, label mismatch inside the join condition,
+    two-level top-k (no corpus-sized window partition;
+    similarity/knnjoin.py:hard_negative_join)."""
+    from msgvault_spark.similarity.knnjoin import hard_negative_join
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return hard_negative_join(
+        emb, emb.filter(F.col("vec_id") < _HN_NQ), k=_HN_K
+    )
+
+
+_UNIGRAM_SCORES_SQL = """
+tokens AS (
+    SELECT doc_id,
+           unnest(string_split_regex(lower(COALESCE(text, '')),
+                  '[^a-z0-9]+')) AS term
+    FROM documents
+),
+tc AS (SELECT doc_id, term FROM tokens WHERE term != ''),
+postings AS (SELECT doc_id, term, COUNT(*) AS tf FROM tc GROUP BY 1, 2),
+ctf AS (SELECT term, CAST(SUM(tf) AS BIGINT) AS ctf FROM postings GROUP BY 1),
+tot AS (SELECT CAST(SUM(ctf) AS BIGINT) AS t FROM ctf),
+contrib AS (
+    SELECT p.doc_id, p.tf,
+           CAST(floor(p.tf * ln(CAST(tot.t AS DOUBLE) / c.ctf) * 1000000
+                      + 0.5) AS BIGINT) AS cs
+    FROM postings p JOIN ctf c ON c.term = p.term CROSS JOIN tot
+),
+scores AS (
+    SELECT doc_id,
+           CAST(SUM(cs) AS BIGINT) // CAST(SUM(tf) AS BIGINT) AS nll_micro
+    FROM contrib GROUP BY doc_id
+)"""
+
+
+@register(
+    "quality_median_filter",
+    f"""
+WITH {_UNIGRAM_SCORES_SQL},
+sc AS (
+    SELECT s.doc_id, d.source, s.nll_micro
+    FROM scores s JOIN documents d USING (doc_id)
+),
+med AS (
+    SELECT source,
+           CAST(2 * quantile_cont(nll_micro, 0.5) AS BIGINT) AS median_x2
+    FROM sc GROUP BY 1
+)
+SELECT sc.source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COUNT(*) FILTER (2 * sc.nll_micro < m.median_x2) AS BIGINT)
+           AS n_kept,
+       m.median_x2
+FROM sc JOIN med m USING (source)
+GROUP BY sc.source, m.median_x2
+ORDER BY sc.source
+""",
+)
+def quality_median_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relative quality thresholding: keep each source's below-median half
+    by unigram-LM negative log-likelihood (low = typical text; the weird
+    tail is dropped PER SOURCE, so a noisy source cannot starve a clean
+    one — the relative-filter rule real curation pipelines use instead of
+    one global cutoff). Exact per-source median via percentile (doubled
+    into an exact integer — the median of BIGINTs is integral or .5 — so
+    the keep test is pure integer comparison). At 100 TB exact per-group
+    percentile buffers each group's values; swap for the mergeable
+    histogram-quantile sketch artifact (operators/histsketch.py) — the
+    report shape and the broadcast-threshold join are unchanged."""
+    from msgvault_spark.operators.present import present_sorted
+    from msgvault_spark.sources.cache import get_text_index
+    from msgvault_spark.textstats.analysis import unigram_nll_scores
+
+    postings, _stats = get_text_index(
+        spark, sf_dir, "documents", "doc_id", "text"
+    )
+    sc = unigram_nll_scores(postings).join(
+        load_table(spark, sf_dir, "documents").select("doc_id", "source"),
+        "doc_id",
+    )
+    med = sc.groupBy("source").agg(
+        (F.percentile("nll_micro", F.lit(0.5)) * 2)
+        .cast("long")
+        .alias("median_x2")
+    )
+    return (
+        sc.join(F.broadcast(med), "source")
+        .groupBy("source", "median_x2")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(
+                F.when(
+                    F.col("nll_micro") * 2 < F.col("median_x2"), 1
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_kept"),
+        )
+        .select("source", "n_docs", "n_kept", "median_x2")
+        .transform(present_sorted, "source")
+    )
+
+
+_CBS_QUOTA = 40
+_CBS_CELLS = 8
+_CBS_HASH = "((vec_id % 2147483647) * 1327217885) % 2147483647"
+
+
+def _cluster_sample_oracle() -> str:
+    from msgvault_spark.similarity.ivf import _cos_sql
+
+    return f"""
+WITH cents AS (
+    SELECT vec_id AS cid, embedding AS cvec FROM embeddings
+    WHERE vec_id < {_CBS_CELLS}
+),
+assigned AS (
+    SELECT vec_id, cid FROM (
+        SELECT e.vec_id, c.cid,
+               ROW_NUMBER() OVER (
+                   PARTITION BY e.vec_id
+                   ORDER BY {_cos_sql('e.embedding', 'c.cvec')} DESC,
+                            c.cid ASC
+               ) AS rn
+        FROM embeddings e CROSS JOIN cents c
+    ) WHERE rn = 1
+),
+ranked AS (
+    SELECT cid, vec_id,
+           ROW_NUMBER() OVER (
+               PARTITION BY cid
+               ORDER BY {_CBS_HASH} ASC, vec_id ASC
+           ) AS rn
+    FROM assigned
+)
+SELECT cid AS cell, vec_id FROM ranked WHERE rn <= {_CBS_QUOTA}
+ORDER BY cell, vec_id
+"""
+
+
+@register("cluster_balanced_sample", _cluster_sample_oracle())
+def cluster_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-balanced subset selection: at most 40 vectors per IVF cell,
+    chosen by deterministic hash order — the embedding-space analog of
+    per-language quotas (over-represented clusters are capped, small ones
+    kept whole; the diversity-preserving downsample a pretraining corpus
+    wants after dedup). Rides the persisted IVF assignment artifact and
+    the BOUNDED two-level bottom-k sampler
+    (operators/sampling.py:bounded_stratified_sample) — a hot cell fans
+    across 32 salt buckets; no per-cell sort window exists."""
+    from msgvault_spark.catalog_search import get_ivf_index
+    from msgvault_spark.operators.present import present_sorted
+    from msgvault_spark.operators.sampling import bounded_stratified_sample
+
+    index = get_ivf_index(spark, sf_dir, _CBS_CELLS).select(
+        F.col("cell"), F.col("id").alias("vec_id")
+    )
+    return bounded_stratified_sample(
+        index, ["cell"], "vec_id", _CBS_QUOTA
+    ).transform(present_sorted, "cell", "vec_id")

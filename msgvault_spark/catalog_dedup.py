@@ -909,30 +909,10 @@ def unigram_quality_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     the per-doc sum is order-free; final mean is an integer division —
     the whole score is engine-exact despite the ln()."""
     from msgvault_spark.sources.cache import get_text_index
+    from msgvault_spark.textstats.analysis import unigram_nll_scores
 
     postings, _stats = get_text_index(spark, sf_dir, "documents", "doc_id", "text")
-    ctf = postings.groupBy("term").agg(F.sum("tf").cast("long").alias("ctf"))
-    tot = ctf.agg(F.sum("ctf").cast("long").alias("t"))
-    contrib = (
-        postings.join(ctf, "term")
-        .join(F.broadcast(tot))
-        .select(
-            "doc_id",
-            "tf",
-            F.floor(
-                F.col("tf")
-                * F.log(F.col("t").cast("double") / F.col("ctf"))
-                * 1000000
-                + 0.5
-            ).cast("long").alias("cs"),
-        )
-    )
-    return contrib.groupBy("doc_id").agg(
-        F.sum("tf").cast("long").alias("n_tokens"),
-        F.expr("CAST(sum(cs) AS BIGINT) div CAST(sum(tf) AS BIGINT)").alias(
-            "nll_micro"
-        ),
-    )
+    return unigram_nll_scores(postings)
 
 
 # ---------------------------------------------------------------------------

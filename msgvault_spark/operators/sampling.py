@@ -192,3 +192,50 @@ def epoch_upsample(
         n_copies > 0, F.sequence(F.lit(0), n_copies - 1)
     ).otherwise(F.array().cast("array<int>"))
     return df.withColumn("epoch", F.explode(seq))
+
+
+def bounded_stratified_sample(
+    df: DataFrame,
+    strata: list[str],
+    key: str,
+    quota: int,
+    *,
+    salt_buckets: int = 32,
+) -> DataFrame:
+    """stratified_sample's 100 TB shape: same contract (at most ``quota``
+    rows per stratum, chosen by deterministic hash order) WITHOUT a
+    per-stratum sort window. The window variant above ships every stratum
+    member through one rank partition — fine when strata are small, a
+    funnel when one stratum is half the corpus.
+
+    Two-level bottom-k instead (the operators/kmv.py build pattern): level
+    1 groups by (strata, salt) where salt = hash(key) mod ``salt_buckets``
+    and keeps the ``quota`` hash-smallest members — any global bottom-k
+    element is bottom-k within its salt bucket, so no survivor is lost;
+    level 2 merges ≤ salt_buckets·quota candidates per stratum. A hot
+    stratum fans across ``salt_buckets`` tasks; per-group agg state is the
+    bucket's member structs (salting divides it), merged output is
+    quota-bounded. Returns the strata columns + ``key``."""
+    h = rowhash(key)
+    member = F.struct(h.alias("h"), F.col(key).cast("long").alias("k"))
+    lvl1 = (
+        df.select(*strata, F.col(key))
+        .withColumn("__salt", F.pmod(h, F.lit(salt_buckets)))
+        .groupBy(*strata, "__salt")
+        .agg(
+            F.slice(
+                F.sort_array(F.collect_list(member)), 1, quota
+            ).alias("__cand")
+        )
+    )
+    merged = (
+        lvl1.groupBy(*strata)
+        .agg(
+            F.slice(
+                F.sort_array(F.flatten(F.collect_list("__cand"))), 1, quota
+            ).alias("__top")
+        )
+        .select(*strata, F.explode("__top").alias("__m"))
+        .select(*strata, F.col("__m.k").alias(key))
+    )
+    return merged

@@ -141,3 +141,42 @@ def two_level_topk(
         .filter(F.col("rn") <= k)
         .select(qid_col, id_col, score_col)
     )
+
+
+def hard_negative_join(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    round_to: int = 6,
+) -> DataFrame:
+    """Hard-negative mining for embedding-model training: for every query
+    row, the k nearest corpus rows whose LABEL DIFFERS — the most
+    confusable wrong-class examples, the contrastive-training counterpart
+    of exact_knn_join's eval dump. Same scale shape: broadcast query set,
+    label-mismatch pushed into the join condition (the filter prunes
+    before any scoring), two-level top-k so no corpus-sized window
+    partition exists. Null labels never match (SQL != semantics), so
+    unlabeled rows produce no negatives."""
+    q = queries.select(
+        F.col(id_col).alias("qid"),
+        _as_double(F.col(vec_col)).alias("qvec"),
+        F.col(label_col).alias("qlabel"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("id"),
+        _as_double(F.col(vec_col)).alias("vec"),
+        F.col(label_col).alias("clabel"),
+    )
+    scored = c.join(
+        F.broadcast(q),
+        (F.col("id") != F.col("qid")) & (F.col("clabel") != F.col("qlabel")),
+    ).select(
+        "qid",
+        "id",
+        F.round(cosine(F.col("vec"), F.col("qvec")), round_to).alias("score"),
+    )
+    return two_level_topk(scored, k, score_col="score")

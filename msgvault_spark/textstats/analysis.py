@@ -364,3 +364,35 @@ def ngram_diversity_by_group(
         )
         .sortWithinPartitions("grp")
     )
+
+
+def unigram_nll_scores(postings: DataFrame) -> DataFrame:
+    """(doc_id, n_tokens, nll_micro) from an inverted-index postings table
+    (doc_id, term, tf): mean negative log-likelihood under the corpus
+    unigram distribution, as engine-exact fixed-point integers — the
+    scoring core of catalog_dedup.unigram_quality_docs, factored out so
+    relative-threshold filters can reuse it. Per-term contributions are
+    floor(tf·ln(T/ctf)·1e6 + 0.5) (identical in both engines), the
+    per-doc sum is order-free, the mean an integer division."""
+    ctf = postings.groupBy("term").agg(F.sum("tf").cast("long").alias("ctf"))
+    tot = ctf.agg(F.sum("ctf").cast("long").alias("t"))
+    contrib = (
+        postings.join(ctf, "term")
+        .join(F.broadcast(tot))
+        .select(
+            "doc_id",
+            "tf",
+            F.floor(
+                F.col("tf")
+                * F.log(F.col("t").cast("double") / F.col("ctf"))
+                * 1000000
+                + 0.5
+            ).cast("long").alias("cs"),
+        )
+    )
+    return contrib.groupBy("doc_id").agg(
+        F.sum("tf").cast("long").alias("n_tokens"),
+        F.expr("CAST(sum(cs) AS BIGINT) div CAST(sum(tf) AS BIGINT)").alias(
+            "nll_micro"
+        ),
+    )

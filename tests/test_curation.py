@@ -112,3 +112,57 @@ def test_ngram_diversity_orders_template_below_fresh(spark):
     tiny = spark.createDataFrame([("s", "two words")], "source string, text string")
     row = ngram_diversity_by_group(tiny, "source", "text").collect()[0]
     assert row["total_ngrams"] == 1 and row["distinct_ngrams"] == 1
+
+
+def test_hard_negatives_exclude_same_label(spark):
+    rows = [
+        (0, [1.0, 0.0], 7),     # query
+        (1, [0.99, 0.14], 7),   # nearest but SAME label — must be excluded
+        (2, [0.9, 0.44], 8),
+        (3, [0.0, 1.0], 9),
+        (4, [0.8, 0.6], 7),
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label int"
+    )
+    from msgvault_spark.similarity.knnjoin import hard_negative_join
+
+    got = hard_negative_join(
+        emb, emb.filter(F.col("vec_id") == 0), k=2
+    ).collect()
+    ids = [r["id"] for r in got]
+    assert ids == [2, 3] or set(ids) == {2, 3}  # 1 and 4 share label 7
+    assert all(r["qid"] == 0 for r in got)
+
+
+def test_bounded_stratified_sample_matches_window_variant(spark):
+    # the bounded two-level bottom-k must select EXACTLY the same members
+    # as the window-rank variant — same hash order, same quota
+    from msgvault_spark.operators.sampling import (
+        bounded_stratified_sample,
+        stratified_sample,
+    )
+
+    df = spark.range(500).select(
+        F.col("id").alias("k"),
+        (F.pmod(F.col("id"), F.lit(7))).alias("g"),
+    )
+    want = {
+        (r["g"], r["k"])
+        for r in stratified_sample(df, ["g"], "k", quota=11).collect()
+    }
+    got = {
+        (r["g"], r["k"])
+        for r in bounded_stratified_sample(df, ["g"], "k", 11).collect()
+    }
+    assert got == want and len(got) == 7 * 11
+
+
+def test_bounded_stratified_sample_small_groups_kept_whole(spark):
+    from msgvault_spark.operators.sampling import bounded_stratified_sample
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "a"), (3, "b")], "k long, g string"
+    )
+    got = bounded_stratified_sample(df, ["g"], "k", 10).collect()
+    assert len(got) == 3

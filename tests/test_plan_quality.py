@@ -410,6 +410,14 @@ def test_headline_exchange_counts_pinned(spark, catalog):
                                           # window/sort exchange)
         "ngram_diversity_by_source": 3,   # two-phase distinct ((grp,gram)
                                           # then grp) + presentation
+        "hard_negative_mining": 2,        # two-level top-k: (qid,part)
+                                          # then qid — never corpus-wide
+        "quality_median_filter": 3,       # doc_id score join + source
+                                          # rollup + presentation; median
+                                          # table rides the broadcast side
+        "cluster_balanced_sample": 3,     # salted bottom-k (cell,salt) +
+                                          # cell merge + presentation; no
+                                          # per-cell sort window
     }
     # measure a FRESH (unexecuted) plan: once AQE executes the memoized
     # DataFrame (earlier tests collect it), the string flips to the final
@@ -518,7 +526,8 @@ def test_broadcast_sites_are_ratcheted():
             counts[str(p.relative_to(root))] = n
     PINNED = {
         "catalog.py": 17,
-        "catalog_dedup.py": 3,
+        "catalog_curation.py": 1,  # ≤n_sources-row median-threshold table
+        "catalog_dedup.py": 2,
         "catalog_etl.py": 9,
         "catalog_pipeline.py": 2,  # + 1-row token-budget totals
         # 20-row SQ8 recall query-code set + 20-row PQ recall LUT table
@@ -545,10 +554,12 @@ def test_broadcast_sites_are_ratcheted():
         "search/fts.py": 4,
         "search/hybrid.py": 2,
         "similarity/ivf.py": 5,  # + batch join: centroid set, probe set
-        "similarity/knnjoin.py": 2,  # bucket-join query side + eval seeds
+        "similarity/knnjoin.py": 3,  # bucket-join query side + eval seeds
+                                     # + hard-negative query set
         "sources/build_cache.py": 1,
         "sources/cache.py": 4,
         "sources/merge.py": 2,
+        "textstats/analysis.py": 1,  # 1-row corpus-token total
         "textstats/tfidf.py": 1,
     }
     assert counts == PINNED, {
