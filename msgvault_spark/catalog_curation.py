@@ -333,3 +333,34 @@ def cluster_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bounded_stratified_sample(
         index, ["cell"], "vec_id", _CBS_QUOTA
     ).transform(present_sorted, "cell", "vec_id")
+
+
+def _source_divergence_oracle() -> str:
+    from msgvault_spark.operators.dsir import source_divergence_oracle_sql
+
+    return source_divergence_oracle_sql(n_buckets=_DSIR_BUCKETS)
+
+
+@register("source_divergence_matrix", _source_divergence_oracle())
+def source_divergence_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Jensen–Shannon divergence between sources' hashed unigram
+    distributions — the mixture-design companion to weighted/temperature
+    mixing and the KMV overlap sketch: overlap says how much two sources
+    SHARE, divergence says how differently they SPEAK. One corpus-scale
+    (source, bucket) aggregate; all pair math runs on the S·K-row
+    distribution table (operators/dsir.py:source_divergence_matrix)."""
+    from msgvault_spark.operators.dsir import (
+        source_divergence_matrix as _jsd,
+    )
+    from msgvault_spark.operators.present import present_sorted
+    from msgvault_spark.sources.cache import get_text_index
+
+    postings, _stats = get_text_index(
+        spark, sf_dir, "documents", "doc_id", "text"
+    )
+    sources = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source"
+    )
+    return _jsd(postings, sources, n_buckets=_DSIR_BUCKETS).transform(
+        present_sorted, "source_a", "source_b"
+    )

@@ -197,3 +197,142 @@ FROM w
 ORDER BY weight_micro DESC, doc_id ASC
 LIMIT {top_n}
 """
+
+
+def source_divergence_matrix(
+    postings: DataFrame,
+    doc_sources: DataFrame,
+    *,
+    n_buckets: int = 256,
+    id_col: str = "doc_id",
+    term_col: str = "term",
+) -> DataFrame:
+    """(source_a, source_b, jsd_nano): Jensen–Shannon divergence between
+    every source pair's hashed unigram distribution — the mixture-design
+    diagnostic next to DSIR (how far apart are my sources? which are
+    near-duplicates of each other distribution-wise? which add diversity
+    to the mix?). Same hashed-feature machinery as dsir_select, with
+    add-one smoothing over a DENSE source × bucket grid (unobserved
+    buckets still carry probability mass, and two sources of different
+    size disagree there).
+
+    Engine-exact numerics: probabilities are single exactly-rounded
+    divisions of exact integers; each bucket's JSD contribution is
+    fixed-point nano (floor(x·1e9 + 0.5)) so the per-pair sum is
+    order-free. ln() follows the unigram_quality_docs precedent.
+
+    Scale shape: ONE corpus-scale groupBy((source, bucket)) with map-side
+    combine; everything after runs on the S·K-row distribution table
+    (S sources × K buckets — sketch-sized however big the corpus), and
+    the pair join is bucket-keyed over that tiny table. At 100 TB the
+    distribution table is an ETL artifact refreshed with the corpus."""
+    spark = postings.sparkSession
+    feat = postings.select(
+        F.col(id_col),
+        hash_bucket(F.col(term_col), n_buckets),
+        F.col("tf"),
+    )
+    cnt = (
+        feat.join(doc_sources, id_col)
+        .groupBy("source", "b")
+        .agg(F.sum("tf").cast("long").alias("n"))
+    )
+    tot = cnt.groupBy("source").agg(F.sum("n").cast("long").alias("t"))
+    buckets = spark.range(n_buckets).select(F.col("id").alias("b"))
+    k = F.lit(n_buckets).cast("long")
+    # everything below cnt runs on S·K-row tables (bounded by sources ×
+    # buckets regardless of corpus size), so the dense-grid decoration and
+    # the pair join broadcast legitimately — no shuffle after the corpus agg
+    p = (
+        tot.crossJoin(F.broadcast(buckets))
+        .join(F.broadcast(cnt), ["source", "b"], "left")
+        .select(
+            "source",
+            "b",
+            (
+                (F.coalesce(F.col("n"), F.lit(0)) + 1).cast("double")
+                / (F.col("t") + k)
+            ).alias("p"),
+        )
+    )
+    a = p.select(
+        F.col("source").alias("source_a"), "b", F.col("p").alias("pa")
+    )
+    bb = F.broadcast(
+        p.select(
+            F.col("source").alias("source_b"),
+            F.col("b").alias("b2"),
+            F.col("p").alias("pb"),
+        )
+    )
+    pa, pb = F.col("pa"), F.col("pb")
+    m = (pa + pb) / F.lit(2)
+    contrib = F.floor(
+        (
+            F.lit(0.5) * pa * F.log(pa / m)
+            + F.lit(0.5) * pb * F.log(pb / m)
+        )
+        * F.lit(1000000000)
+        + F.lit(0.5)
+    ).cast("long")
+    return (
+        a.join(
+            bb,
+            (F.col("b") == F.col("b2"))
+            & (F.col("source_a") < F.col("source_b")),
+        )
+        .select("source_a", "source_b", contrib.alias("c"))
+        .groupBy("source_a", "source_b")
+        .agg(F.sum("c").cast("long").alias("jsd_nano"))
+    )
+
+
+def source_divergence_oracle_sql(
+    *,
+    n_buckets: int = 256,
+    token_re: str = "[^a-z0-9]+",
+) -> str:
+    """DuckDB twin of source_divergence_matrix: identical tokenization,
+    md5-hex6 bucketing, dense grid, smoothing, and fixed-point JSD."""
+    return f"""
+WITH tokens AS (
+    SELECT doc_id,
+           unnest(string_split_regex(lower(COALESCE(text, '')),
+                  '{token_re}')) AS term
+    FROM documents
+),
+postings AS (
+    SELECT doc_id, term, COUNT(*) AS tf FROM tokens
+    WHERE term != '' GROUP BY 1, 2
+),
+feat AS (
+    SELECT doc_id,
+           ('0x' || substr(md5(term), 1, 6))::BIGINT % {n_buckets} AS b,
+           tf
+    FROM postings
+),
+cnt AS (
+    SELECT d.source, f.b, CAST(SUM(f.tf) AS BIGINT) AS n
+    FROM feat f JOIN documents d USING (doc_id)
+    GROUP BY 1, 2
+),
+tot AS (SELECT source, CAST(SUM(n) AS BIGINT) AS t FROM cnt GROUP BY 1),
+p AS (
+    SELECT s.source, g.b,
+           CAST(COALESCE(c.n, 0) + 1 AS DOUBLE) / (s.t + {n_buckets}) AS p
+    FROM tot s
+    CROSS JOIN range({n_buckets}) g(b)
+    LEFT JOIN cnt c ON c.source = s.source AND c.b = g.b
+),
+pairs AS (
+    SELECT a.source AS source_a, b2.source AS source_b,
+           CAST(floor((0.5 * a.p * ln(a.p / ((a.p + b2.p) / 2))
+                       + 0.5 * b2.p * ln(b2.p / ((a.p + b2.p) / 2)))
+                      * 1000000000 + 0.5) AS BIGINT) AS c
+    FROM p a JOIN p b2 ON a.b = b2.b AND a.source < b2.source
+)
+SELECT source_a, source_b, CAST(SUM(c) AS BIGINT) AS jsd_nano
+FROM pairs
+GROUP BY 1, 2
+ORDER BY source_a, source_b
+"""

@@ -166,3 +166,37 @@ def test_bounded_stratified_sample_small_groups_kept_whole(spark):
     )
     got = bounded_stratified_sample(df, ["g"], "k", 10).collect()
     assert len(got) == 3
+
+
+def test_source_divergence_separates_shared_from_disjoint_vocab(spark):
+    from msgvault_spark.operators.dsir import source_divergence_matrix
+
+    # sources a and b share a vocabulary; c is disjoint. JSD(a,b) must be
+    # far below JSD(a,c), and every value non-negative.
+    rows = []
+    for d, src, terms in (
+        (0, "a", ["x", "y", "z"]),
+        (1, "a", ["x", "y", "w"]),
+        (2, "b", ["x", "y", "z"]),
+        (3, "b", ["y", "z", "w"]),
+        (4, "c", ["q1", "q2", "q3"]),
+        (5, "c", ["q2", "q3", "q4"]),
+    ):
+        rows += [(d, t, 3) for t in terms]
+    postings = spark.createDataFrame(
+        rows, "doc_id long, term string, tf long"
+    )
+    srcs = spark.createDataFrame(
+        [(0, "a"), (1, "a"), (2, "b"), (3, "b"), (4, "c"), (5, "c")],
+        "doc_id long, source string",
+    )
+    got = {
+        (r["source_a"], r["source_b"]): r["jsd_nano"]
+        for r in source_divergence_matrix(
+            postings, srcs, n_buckets=64
+        ).collect()
+    }
+    assert set(got) == {("a", "b"), ("a", "c"), ("b", "c")}
+    assert all(v >= 0 for v in got.values())
+    assert got[("a", "b")] < got[("a", "c")]
+    assert got[("a", "b")] < got[("b", "c")]

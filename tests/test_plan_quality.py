@@ -418,6 +418,10 @@ def test_headline_exchange_counts_pinned(spark, catalog):
         "cluster_balanced_sample": 3,     # salted bottom-k (cell,salt) +
                                           # cell merge + presentation; no
                                           # per-cell sort window
+        "source_divergence_matrix": 3,    # one corpus (source,bucket) agg
+                                          # + tiny source-total and pair
+                                          # aggs; grid/pair joins ride
+                                          # broadcasts of S·K-row tables
     }
     # measure a FRESH (unexecuted) plan: once AQE executes the memoized
     # DataFrame (earlier tests collect it), the string flips to the final
@@ -538,7 +542,9 @@ def test_broadcast_sites_are_ratcheted():
         "dedup/deletion_vectors.py": 1,
         "operators/bloomjoin.py": 1,
         "operators/cms.py": 1,
-        "operators/dsir.py": 2,  # 1-row corpus totals + K-row LLR table
+        "operators/dsir.py": 5,  # 1-row corpus totals + K-row LLR table
+                                 # + JSD dense grid: K-row bucket spine,
+                                 # S·K-row counts, S·K-row pair side
         "operators/incremental_agg.py": 1,
         "operators/kmv.py": 1,
         "operators/packing.py": 1,  # ≤(max_bucket+1)-row bucket counts
