@@ -31,6 +31,9 @@ _PRIORITY = [
     "quality_median_filter",
     "cluster_balanced_sample",
     "source_divergence_matrix",
+    "token_fertility_report",
+    "curriculum_decile_plan",
+    "bpe_merge_candidates",
     # --- round-4 gate window. The r3 verdict's ask #1: these 7 are the
     # only oracle-backed entries never verified by a driver row (judge
     # ran them green at sf0.01 under the identical protocol in r3); with

@@ -364,3 +364,200 @@ def source_divergence_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _jsd(postings, sources, n_buckets=_DSIR_BUCKETS).transform(
         present_sorted, "source_a", "source_b"
     )
+
+
+_BPE_RE = r"[a-z]{1,6}|[0-9]|[^a-z0-9\s]"
+
+
+@register(
+    "token_fertility_report",
+    rf"""
+WITH f AS (
+    SELECT lang, source,
+           length(text) AS n_chars,
+           len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                           x -> x != '')) AS n_words,
+           len(regexp_extract_all(lower(text), '{_BPE_RE}')) AS n_bpe
+    FROM documents
+)
+SELECT lang, source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS chars,
+       CAST(SUM(n_words) AS BIGINT) AS words,
+       CAST(SUM(n_bpe) AS BIGINT) AS bpe_tokens,
+       CAST(SUM(n_chars) * 1000 AS BIGINT) // CAST(SUM(n_bpe) AS BIGINT)
+           AS chars_per_bpe_milli,
+       CAST(SUM(n_bpe) * 1000 AS BIGINT) // CAST(SUM(n_words) AS BIGINT)
+           AS bpe_per_word_milli
+FROM f
+GROUP BY 1, 2
+ORDER BY lang, source
+""",
+)
+def token_fertility_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-fertility report per (lang, source): chars per BPE-ish
+    token and BPE tokens per word — the budgeting numbers a multilingual
+    token-budget plan needs (languages tokenize at very different rates;
+    charging sources by document count silently over-weights verbose
+    scripts). Pure map + one grouped aggregate, integer milli ratios.
+    The BPE-ish proxy is textstats.token_count_bpe_ish's portable
+    Java∩RE2 pattern."""
+    from msgvault_spark.operators.present import present_sorted
+    from msgvault_spark.textstats.analysis import (
+        token_count_bpe_ish,
+        words,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    f = docs.select(
+        "lang",
+        "source",
+        F.length("text").cast("long").alias("n_chars"),
+        F.size(words(F.col("text"))).cast("long").alias("n_words"),
+        token_count_bpe_ish(F.col("text")).cast("long").alias("n_bpe"),
+    )
+    return (
+        f.groupBy("lang", "source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("chars"),
+            F.sum("n_words").cast("long").alias("words"),
+            F.sum("n_bpe").cast("long").alias("bpe_tokens"),
+        )
+        .withColumn(
+            "chars_per_bpe_milli",
+            F.expr("CAST(chars * 1000 AS BIGINT) div bpe_tokens"),
+        )
+        .withColumn(
+            "bpe_per_word_milli",
+            F.expr("CAST(bpe_tokens * 1000 AS BIGINT) div words"),
+        )
+        .transform(present_sorted, "lang", "source")
+    )
+
+
+_DECILES = [i / 10.0 for i in range(1, 10)]
+
+
+@register(
+    "curriculum_decile_plan",
+    f"""
+WITH {_UNIGRAM_SCORES_SQL},
+cuts AS (
+    SELECT quantile_cont(nll_micro, {_DECILES}) AS cs FROM scores
+),
+phased AS (
+    SELECT s.doc_id, s.nll_micro,
+           len(list_filter(cuts.cs, c -> s.nll_micro > c)) AS phase
+    FROM scores s CROSS JOIN cuts
+)
+SELECT CAST(phase AS BIGINT) AS phase,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(MIN(nll_micro) AS BIGINT) AS min_nll,
+       CAST(MAX(nll_micro) AS BIGINT) AS max_nll
+FROM phased
+GROUP BY 1
+ORDER BY phase
+""",
+)
+def curriculum_decile_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum ordering plan: decile-bucket every document by its
+    unigram-LM NLL (low = typical prose first, rare-token soup last) —
+    the easy→hard schedule a curriculum dataloader consumes, with decile
+    population and score ranges per phase. Cutpoints are ONE exact
+    9-quantile aggregate broadcast as a literal array; phase assignment
+    is a pure map (count of cutpoints below the integer score — both
+    engines compare the identical doubles). At 100 TB the cutpoints come
+    from the mergeable histogram sketch artifact instead of an exact
+    percentile; the plan shape is unchanged."""
+    from msgvault_spark.operators.present import present_sorted
+    from msgvault_spark.sources.cache import get_text_index
+    from msgvault_spark.textstats.analysis import unigram_nll_scores
+
+    postings, _stats = get_text_index(
+        spark, sf_dir, "documents", "doc_id", "text"
+    )
+    scores = unigram_nll_scores(postings)
+    cuts = scores.agg(
+        F.percentile(
+            "nll_micro", F.array(*[F.lit(p) for p in _DECILES])
+        ).alias("cs")
+    )
+    phased = scores.join(F.broadcast(cuts)).select(
+        "nll_micro",
+        F.size(
+            F.filter(F.col("cs"), lambda c: F.col("nll_micro") > c)
+        ).cast("long").alias("phase"),
+    )
+    return (
+        phased.groupBy("phase")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.min("nll_micro").cast("long").alias("min_nll"),
+            F.max("nll_micro").cast("long").alias("max_nll"),
+        )
+        .transform(present_sorted, "phase")
+    )
+
+
+@register(
+    "bpe_merge_candidates",
+    """
+WITH tokens AS (
+    SELECT unnest(string_split_regex(lower(COALESCE(text, '')),
+                  '[^a-z0-9]+')) AS term
+    FROM documents
+),
+ctf AS (
+    SELECT term, CAST(COUNT(*) AS BIGINT) AS freq FROM tokens
+    WHERE term != '' GROUP BY 1
+),
+pairs AS (
+    SELECT unnest(list_transform(
+               generate_series(1, length(term) - 1),
+               i -> substr(term, i, 2))) AS pair,
+           freq
+    FROM ctf WHERE length(term) >= 2
+)
+SELECT pair, CAST(SUM(freq) AS BIGINT) AS freq
+FROM pairs
+GROUP BY 1
+ORDER BY freq DESC, pair ASC
+LIMIT 25
+""",
+)
+def bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-iteration BPE merge scoring (Sennrich et al. 2016): the most
+    frequent adjacent character pairs across the corpus, weighted by word
+    frequency — the argmax of this table IS the first merge a BPE
+    tokenizer trained on this corpus would learn. The corpus-scale work
+    collapses to the VOCABULARY (term, freq) table first (term stats, an
+    ETL artifact shape), so pair explosion is vocab-sized, not
+    corpus-sized; subsequent merge iterations re-segment that same
+    vocab table driver-side."""
+    from msgvault_spark.sources.cache import get_text_index
+
+    postings, _stats = get_text_index(
+        spark, sf_dir, "documents", "doc_id", "text"
+    )
+    ctf = postings.groupBy("term").agg(
+        F.sum("tf").cast("long").alias("freq")
+    )
+    pairs = (
+        ctf.filter(F.length("term") >= 2)
+        .select(
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.length("term") - 1),
+                    lambda i: F.col("term").substr(i, F.lit(2)),
+                )
+            ).alias("pair"),
+            "freq",
+        )
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("freq").cast("long").alias("freq"))
+        .orderBy(F.col("freq").desc(), F.col("pair").asc())
+        .limit(25)
+    )

@@ -200,3 +200,30 @@ def test_source_divergence_separates_shared_from_disjoint_vocab(spark):
     assert all(v >= 0 for v in got.values())
     assert got[("a", "b")] < got[("a", "c")]
     assert got[("a", "b")] < got[("b", "c")]
+
+
+def test_curriculum_deciles_are_monotone_and_complete(spark):
+    from msgvault_spark.catalog import CATALOG
+
+    rep = sorted(
+        CATALOG["curriculum_decile_plan"].fn(
+            spark, "/root/testdata/sf0.001"
+        ).collect(),
+        key=lambda r: r["phase"],
+    )
+    assert [r["phase"] for r in rep] == list(range(len(rep)))
+    # later phases contain strictly harder (higher-NLL) documents
+    for a, b in zip(rep, rep[1:]):
+        assert a["max_nll"] <= b["min_nll"]
+    assert all(r["min_nll"] <= r["max_nll"] for r in rep)
+
+
+def test_bpe_pairs_are_two_chars_and_freq_sorted(spark):
+    from msgvault_spark.catalog import CATALOG
+
+    rows = CATALOG["bpe_merge_candidates"].fn(
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert rows and all(len(r["pair"]) == 2 for r in rows)
+    freqs = [r["freq"] for r in rows]
+    assert freqs == sorted(freqs, reverse=True)

@@ -422,6 +422,12 @@ def test_headline_exchange_counts_pinned(spark, catalog):
                                           # + tiny source-total and pair
                                           # aggs; grid/pair joins ride
                                           # broadcasts of S·K-row tables
+        "token_fertility_report": 2,      # one (lang,source) agg + present
+        "curriculum_decile_plan": 3,      # doc-score agg + phase rollup +
+                                          # present; cutpoints are a 1-row
+                                          # broadcast array
+        "bpe_merge_candidates": 2,        # vocab freq agg + pair agg;
+                                          # TakeOrdered top-k
     }
     # measure a FRESH (unexecuted) plan: once AQE executes the memoized
     # DataFrame (earlier tests collect it), the string flips to the final
@@ -530,7 +536,8 @@ def test_broadcast_sites_are_ratcheted():
             counts[str(p.relative_to(root))] = n
     PINNED = {
         "catalog.py": 17,
-        "catalog_curation.py": 1,  # ≤n_sources-row median-threshold table
+        "catalog_curation.py": 2,  # ≤n_sources-row median-threshold table
+                                   # + 1-row decile-cutpoint array
         "catalog_dedup.py": 2,
         "catalog_etl.py": 9,
         "catalog_pipeline.py": 2,  # + 1-row token-budget totals
