@@ -91,7 +91,18 @@ def length_bucket_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     _postings, stats = get_text_index(
         spark, sf_dir, "documents", "doc_id", "text"
     )
-    return _report(stats, "doc_id", "dl").transform(present_sorted, "bucket")
+    # the stats artifact only has rows for docs with ≥1 token; the report
+    # (like its oracle) must count token-less docs in bucket 0, so anchor
+    # on the documents table and coalesce the artifact's dl to 0
+    lengths = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .join(stats, "doc_id", "left")
+        .select("doc_id", F.coalesce(F.col("dl"), F.lit(0)).alias("dl"))
+    )
+    return _report(lengths, "doc_id", "dl").transform(
+        present_sorted, "bucket"
+    )
 
 
 @register(
@@ -109,7 +120,9 @@ g AS (
                 THEN list_transform(
                      generate_series(1, len(w) - 2),
                      i -> list_aggregate(w[i:i+2], 'string_agg', ' '))
-                ELSE [list_aggregate(w, 'string_agg', ' ')]
+                WHEN len(w) >= 1
+                THEN [list_aggregate(w, 'string_agg', ' ')]
+                ELSE []
            END AS grams
     FROM m
 ),

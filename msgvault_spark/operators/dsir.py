@@ -41,13 +41,12 @@ from pyspark.sql import functions as F
 
 
 def hash_bucket(col: Column, n_buckets: int) -> Column:
-    """Portable feature hash: first 6 md5 hex digits → integer mod K.
-    Positive by construction (hex6 < 2^24), so plain % matches DuckDB's
-    ('0x' || substr(md5(x), 1, 6))::BIGINT % K exactly."""
-    return (
-        F.conv(F.substring(F.md5(col), 1, 6), 16, 10).cast("long")
-        % F.lit(n_buckets)
-    ).alias("b")
+    """Portable feature hash: md5-hex6 integer (functions/portable.py —
+    the one shared to-long form) mod K; plain % suffices because the hash
+    is non-negative by construction."""
+    from msgvault_spark.functions.portable import md5_hex6_long
+
+    return (md5_hex6_long(col) % F.lit(n_buckets)).alias("b")
 
 
 def bucket_llr(
@@ -68,8 +67,15 @@ def bucket_llr(
     tgt_feat = feat.join(target_ids, id_col, "left_semi")
     raw = feat.groupBy("b").agg(F.sum("tf").cast("long").alias("nr"))
     tgt = tgt_feat.groupBy("b").agg(F.sum("tf").cast("long").alias("nt"))
+    # an empty (or token-less) target set must yield t=0, not NULL — the
+    # oracle's COALESCE(SUM(nt), 0); without it every LLR and every
+    # importance weight silently degrades to NULL
     tot = raw.agg(F.sum("nr").cast("long").alias("r")).crossJoin(
-        tgt.agg(F.sum("nt").cast("long").alias("t"))
+        tgt.agg(
+            F.coalesce(F.sum("nt").cast("long"), F.lit(0).cast("long")).alias(
+                "t"
+            )
+        )
     )
     k = F.lit(n_buckets).cast("long")
     return (
@@ -148,6 +154,9 @@ def dsir_oracle_sql(
     """DuckDB twin: identical tokenization (the inverted index's regex),
     identical md5-hex6 bucketing, identical exact-integer-ratio →
     double-division → ln → fixed-point arithmetic."""
+    from msgvault_spark.functions.portable import MD5_HEX6_SQL
+
+    h = MD5_HEX6_SQL.format(x="term")
     return f"""
 WITH tokens AS (
     SELECT doc_id,
@@ -161,7 +170,7 @@ postings AS (
 ),
 feat AS (
     SELECT doc_id,
-           ('0x' || substr(md5(term), 1, 6))::BIGINT % {n_buckets} AS b,
+           {h} % {n_buckets} AS b,
            tf
     FROM postings
 ),
@@ -294,6 +303,9 @@ def source_divergence_oracle_sql(
 ) -> str:
     """DuckDB twin of source_divergence_matrix: identical tokenization,
     md5-hex6 bucketing, dense grid, smoothing, and fixed-point JSD."""
+    from msgvault_spark.functions.portable import MD5_HEX6_SQL
+
+    h = MD5_HEX6_SQL.format(x="term")
     return f"""
 WITH tokens AS (
     SELECT doc_id,
@@ -307,7 +319,7 @@ postings AS (
 ),
 feat AS (
     SELECT doc_id,
-           ('0x' || substr(md5(term), 1, 6))::BIGINT % {n_buckets} AS b,
+           {h} % {n_buckets} AS b,
            tf
     FROM postings
 ),

@@ -116,12 +116,11 @@ def length_bucket_report(
         "n_batches",
         F.expr(f"(n_docs + {batch_size - 1}) div {batch_size}"),
     )
+    from msgvault_spark.functions.portable import md5_hex6_long
+
     assigned = base.join(F.broadcast(counts), "bucket").withColumn(
         "batch",
-        F.conv(
-            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 6), 16, 10
-        ).cast("long")
-        % F.col("n_batches"),
+        md5_hex6_long(F.col("doc_id").cast("string")) % F.col("n_batches"),
     )
     per_batch = assigned.groupBy("bucket", "batch").agg(
         F.count(F.lit(1)).cast("long").alias("bd"),
@@ -145,7 +144,9 @@ def length_bucket_report(
                 "div padded_tokens"
             ),
         )
-        .sortWithinPartitions("bucket")
+        # no internal sort: the ≤(max_bucket+1)-row output's presentation
+        # order is the caller's (catalog entries apply present_sorted,
+        # which repartitions and re-sorts anyway)
     )
 
 
@@ -159,6 +160,9 @@ def length_bucket_oracle_sql(
     """DuckDB replica of length_bucket_report; ``source_select`` yields
     (doc_id, n_tokens). Integer division and md5-hex6 hashing match the
     Spark expressions digit-for-digit."""
+    from msgvault_spark.functions.portable import MD5_HEX6_SQL
+
+    h = MD5_HEX6_SQL.format(x="CAST(b.doc_id AS VARCHAR)")
     return f"""
 WITH src AS ({source_select}),
 base AS (
@@ -175,8 +179,7 @@ counts AS (
 ),
 assigned AS (
     SELECT b.bucket, b.n_tokens,
-           ('0x' || substr(md5(CAST(b.doc_id AS VARCHAR)), 1, 6))::BIGINT
-               % c.n_batches AS batch
+           {h} % c.n_batches AS batch
     FROM base b JOIN counts c ON c.bucket = b.bucket
 ),
 per_batch AS (

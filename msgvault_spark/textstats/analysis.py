@@ -320,8 +320,13 @@ def repetition_profile(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 def ngram_instances(text: Column, n: int = 3) -> Column:
     """ALL n-gram instances (with multiplicity — unlike
     dedup/minhash.word_shingles, which deduplicates per doc): the unit of
-    the corpus-diversity measures below. Docs shorter than n yield their
-    single whole-text gram, matching word_shingles' short-doc rule."""
+    the corpus-diversity measures below. Docs with 1..n-1 words yield
+    their single whole-text gram (word_shingles' short-doc rule); docs
+    with NO words (NULL text, no alphanumerics) yield an EMPTY array —
+    explode drops them, and the oracle's three-way CASE matches. (The
+    two-way form emitted a '' gram here, which DuckDB's list_aggregate
+    turns into NULL — counted by COUNT(*) but not COUNT(DISTINCT), an
+    engine-parity split on degenerate docs.)"""
     ws = words(text)
     return F.when(
         F.size(ws) >= n,
@@ -329,7 +334,9 @@ def ngram_instances(text: Column, n: int = 3) -> Column:
             F.sequence(F.lit(1), F.size(ws) - (n - 1)),
             lambda i: F.concat_ws(" ", F.slice(ws, i, n)),
         ),
-    ).otherwise(F.array(F.concat_ws(" ", ws)))
+    ).when(
+        F.size(ws) >= 1, F.array(F.concat_ws(" ", ws))
+    ).otherwise(F.array().cast("array<string>"))
 
 
 def ngram_diversity_by_group(
@@ -362,7 +369,8 @@ def ngram_diversity_by_group(
             "diversity_ppm",
             F.expr("(distinct_ngrams * 1000000) div total_ngrams"),
         )
-        .sortWithinPartitions("grp")
+        # presentation order is the caller's (the catalog entry applies
+        # present_sorted, which repartitions and re-sorts)
     )
 
 

@@ -227,3 +227,46 @@ def test_bpe_pairs_are_two_chars_and_freq_sorted(spark):
     assert rows and all(len(r["pair"]) == 2 for r in rows)
     freqs = [r["freq"] for r in rows]
     assert freqs == sorted(freqs, reverse=True)
+
+
+def test_dsir_empty_target_yields_zero_weights_not_null(spark):
+    # review finding: an empty target set must mirror the oracle's
+    # COALESCE(SUM(nt), 0) — finite weights, never NULL
+    rows = [(0, "a", 2), (1, "b", 3)]
+    postings = _postings(spark, rows)
+    empty_target = spark.createDataFrame([], "doc_id long")
+    got = dsir_select(postings, empty_target, n_buckets=16, top_n=10).collect()
+    assert len(got) == 2
+    assert all(r["weight_micro"] is not None for r in got)
+
+
+def test_ngram_instances_degenerate_docs_contribute_nothing(spark):
+    from msgvault_spark.textstats.analysis import ngram_instances
+
+    docs = spark.createDataFrame(
+        [(None,), ("!!!",), ("alpha beta gamma delta",)], "text string"
+    )
+    got = docs.select(
+        F.size(ngram_instances(F.col("text"), 3)).alias("n")
+    ).collect()
+    assert sorted(r["n"] for r in got) == [0, 0, 2]
+
+
+def test_length_bucket_entry_counts_tokenless_docs(spark, tmp_path):
+    # review finding: docs with no alphanumeric tokens must land in
+    # bucket 0 (the oracle counts every documents row)
+    import os
+    docs = spark.createDataFrame(
+        [(0, "hello world sample text here okay", "en", "s", 34),
+         (1, "!!!", "en", "s", 3),
+         (2, None, "en", "s", 0)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    sf = str(tmp_path / "sf")
+    os.makedirs(sf, exist_ok=True)
+    docs.coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(sf, "documents.parquet")
+    )
+    from msgvault_spark.catalog import CATALOG
+    rep = {r["bucket"]: r for r in CATALOG["length_bucket_report"].fn(spark, sf).collect()}
+    assert rep[0]["n_docs"] == 3  # token-less + NULL-text docs included
