@@ -365,3 +365,80 @@ def test_blocked_allpairs_matches_naive_reference(spark, vecs, threshold):
         ).collect()
     }
     assert got == want
+
+
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 500), st.integers(0, 4)),
+        min_size=0,
+        max_size=60,
+        unique_by=lambda t: t[0],
+    ),
+    quota=st.sampled_from([1, 3, 8]),
+    salt=st.sampled_from([2, 16]),
+)
+@settings(**_SETTINGS)
+def test_bounded_stratified_sample_matches_window_reference(
+    spark, rows, quota, salt
+):
+    """The salted two-level bottom-k must pick member-for-member the same
+    rows as the per-stratum hash-rank window, for any quota/salt split —
+    including quotas above group sizes and single-row groups."""
+    from msgvault_spark.operators.sampling import (
+        bounded_stratified_sample,
+        stratified_sample,
+    )
+
+    if not rows:
+        return
+    df = spark.createDataFrame(rows, "k long, g long")
+    want = {
+        (r["g"], r["k"])
+        for r in stratified_sample(df, ["g"], "k", quota=quota).collect()
+    }
+    got = {
+        (r["g"], r["k"])
+        for r in bounded_stratified_sample(
+            df, ["g"], "k", quota, salt_buckets=salt
+        ).collect()
+    }
+    assert got == want
+
+
+@given(
+    texts=st.lists(
+        st.text(
+            alphabet="ab c!",  # tiny alphabet exercises empty/short paths
+            min_size=0,
+            max_size=30,
+        ),
+        min_size=1,
+        max_size=6,
+    ),
+    n=st.sampled_from([2, 3]),
+)
+@settings(**_SETTINGS)
+def test_ngram_instances_match_reference(spark, texts, n):
+    """ngram_instances (multiplicity-preserving, short-doc single gram,
+    degenerate-doc empty) vs a direct Python re-implementation."""
+    import re
+
+    from msgvault_spark.textstats.analysis import ngram_instances
+
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)],
+                               "i long, text string")
+    got = {
+        r["i"]: r["grams"]
+        for r in df.select(
+            "i", ngram_instances(F.col("text"), n).alias("grams")
+        ).collect()
+    }
+    for i, t in enumerate(texts):
+        ws = [w for w in re.split(r"[^a-z0-9]+", t.lower()) if w]
+        if len(ws) >= n:
+            ref = [" ".join(ws[j : j + n]) for j in range(len(ws) - n + 1)]
+        elif ws:
+            ref = [" ".join(ws)]
+        else:
+            ref = []
+        assert got[i] == ref, (t, got[i], ref)
