@@ -574,3 +574,145 @@ def bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("freq").desc(), F.col("pair").asc())
         .limit(25)
     )
+
+
+# ---------------------------------------------------------------------------
+# batch 4: substring-evidence dedup, graph centrality, ranking eval,
+# bigram LM scoring
+# ---------------------------------------------------------------------------
+
+_SPAN_W = 8
+_SPAN_TOP = 100
+
+
+def _span_oracle() -> str:
+    from msgvault_spark.dedup.substrings import span_coverage_oracle_sql
+
+    return span_coverage_oracle_sql(w=_SPAN_W, top_n=_SPAN_TOP)
+
+
+@register("repeated_span_coverage", _span_oracle())
+def repeated_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lee et al. 2022 substring dedup, Spark-shaped: fraction of each
+    document's tokens inside 8-token shingles that occur >= 2 times
+    corpus-wide (any duplicated >= 15-token run necessarily contains
+    one).  Exact interval union via the per-doc LAG telescope — no range
+    join, no corpus-sized window (dedup/substrings.py for the 100 TB
+    shuffle inventory)."""
+    from msgvault_spark.dedup.substrings import (
+        duplicated_span_coverage,
+        duplicated_starts,
+    )
+    from msgvault_spark.sources.cache import get_artifact
+
+    docs = load_table(spark, sf_dir, "documents")
+    # the corpus-scale work (shingle groupBy + mark join) is the memoized
+    # ETL artifact; the query is the per-doc LAG telescope + top-N
+    marked = get_artifact(
+        spark,
+        (sf_dir, "dup_spans", _SPAN_W),
+        lambda: duplicated_starts(docs, "doc_id", "text", w=_SPAN_W),
+    )
+    return duplicated_span_coverage(
+        docs, "doc_id", "text", w=_SPAN_W, top_n=_SPAN_TOP, marked=marked
+    )
+
+
+def _pagerank_oracle() -> str:
+    from msgvault_spark.dedup.minhash import minhash_oracle_sql
+    from msgvault_spark.operators.pagerank import pagerank_oracle_sql
+
+    pairs_sql = minhash_oracle_sql("SELECT doc_id, text FROM documents").strip()
+    return pagerank_oracle_sql(pairs_sql)
+
+
+@register("pagerank_dup_graph", _pagerank_oracle())
+def pagerank_dup_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Centrality triage of the near-duplicate graph: 5 rounds of
+    all-integer damped PageRank (operators/pagerank.py) over the
+    MinHash-LSH pair graph — hubs are template/boilerplate attractors,
+    the docs a "delete the hub, audit the fringe" policy removes first.
+    The iterative sibling of the pointer-jumping components entry:
+    per-round one edge join + one map-side-combining aggregate, rank
+    state localCheckpoint'ed (constant plan size)."""
+    from msgvault_spark.dedup.minhash import pairs_from_index
+    from msgvault_spark.operators.pagerank import pagerank
+    from msgvault_spark.operators.present import present_sorted
+    from msgvault_spark.sources.cache import get_minhash_index
+
+    docs = load_table(spark, sf_dir, "documents")
+    # the band index is the shared ETL artifact (same key as
+    # cross_source_dup_report) — the query pays pair verify + 5 rank
+    # rounds only
+    idx = get_minhash_index(
+        spark,
+        (sf_dir, "documents_raw"),
+        lambda: docs.select("doc_id", "text"),
+        "doc_id",
+        "text",
+    )
+    pairs = pairs_from_index(idx)
+    edges = pairs.select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    )
+    return pagerank(edges).transform(present_sorted, "node")
+
+
+_NDCG_NQ = 20
+_NDCG_K = 10
+
+
+def _ndcg_oracle() -> str:
+    from msgvault_spark.similarity.ndcg import ndcg_oracle_sql
+
+    return ndcg_oracle_sql(nq=_NDCG_NQ, k=_NDCG_K)
+
+
+@register("ndcg_eval_knn", _ndcg_oracle())
+def ndcg_eval_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """nDCG@10 of exact cosine retrieval with label-match relevance —
+    the ORDER-sensitive eval the recall@k reports can't see (TREC/BEIR
+    protocol).  Discount constants are Python-precomputed fixed-point
+    literals inlined into BOTH engines, so DCG is an order-free integer
+    sum and no libm call enters the comparison
+    (similarity/ndcg.py)."""
+    from msgvault_spark.catalog_multimodal import _exact_gt
+    from msgvault_spark.similarity.ndcg import ndcg_report
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    # rank the recall harness' shared persisted ground truth — one
+    # brute-force scan serves all five eval reports
+    return ndcg_report(
+        emb,
+        emb.filter(F.col("vec_id") < _NDCG_NQ),
+        k=_NDCG_K,
+        topk=_exact_gt(spark, sf_dir),
+    )
+
+
+_BACKOFF_REF_PRED = "source IN ('src0', 'src1', 'src2')"
+
+
+def _backoff_oracle() -> str:
+    from msgvault_spark.textstats.backoff import backoff_oracle_sql
+
+    return backoff_oracle_sql(_BACKOFF_REF_PRED)
+
+
+@register("bigram_backoff_quality", _backoff_oracle())
+def bigram_backoff_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stupid-Backoff bigram LM scoring (Brants et al. 2007 — the
+    MapReduce-native LM): every document's mean negative log score under
+    a bigram model counted over the trusted src0-src2 slice, alpha=0.4
+    backoff to add-one-smoothed unigrams.  Word ORDER now matters —
+    shuffled boilerplate separates from fluent text the unigram scorer
+    can't tell apart.  All log arguments are single divisions of exact
+    integers; contributions are non-negative fixed-point longs
+    (textstats/backoff.py)."""
+    from msgvault_spark.operators.present import present_sorted
+    from msgvault_spark.textstats.backoff import bigram_backoff_scores
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bigram_backoff_scores(docs, _BACKOFF_REF_PRED).transform(
+        present_sorted, "doc_id"
+    )

@@ -1,0 +1,213 @@
+"""Repeated-substring span coverage: how much of each document is made of
+token runs that occur elsewhere in the corpus (or again in the same doc).
+
+Published shape: Lee et al. 2022, "Deduplicating Training Data Makes
+Language Models Better" find duplicated >=50-token substrings with a
+corpus-wide suffix array and delete them.  A suffix array is a global
+sorted structure with no good shuffle decomposition; the Spark-first
+equivalent used by at-scale pipelines is fixed-width shingle matching:
+any duplicated run of >= 2w-1 tokens is guaranteed to contain a
+duplicated w-token shingle, so w-shingle coverage is a sound detector
+with resolution w.  The reference engine (wesm/msgvault) has no
+counterpart; this extends the dedup family (minhash.py, winnow.py,
+lines.py) from set- and fingerprint-similarity down to exact substring
+evidence.
+
+Exact interval union without a range join: a duplicated shingle starting
+at s covers tokens [s, s+w-1].  Sorted by s per document, the union of
+fixed-length intervals telescopes —
+
+    covered = sum over duplicated starts of min(w, s - prev_s)
+
+(first start contributes w).  That is one LAG window partitioned by
+document, never by anything corpus-sized.
+
+Scale shape (100 TB): tokenize+shingle is a pure map; the duplicate test
+is ONE corpus-wide groupBy(shingle-hash) with map-side combine (hot
+shingles collapse to a count before the shuffle); marking instances is a
+hash-keyed shuffle join (AQE skew-split handles viral shingles); the
+interval union is a per-doc window.  The shingle-count table is the ETL
+artifact to persist when the corpus is stable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def shingle_starts(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    w: int = 8,
+) -> DataFrame:
+    """(doc_id, n_tokens, start, h): every w-token shingle instance with
+    its 1-based start position and md5 hash (the portable hash — the
+    DuckDB twin replays it bit-for-bit).  Docs with < w tokens emit
+    nothing here; the report re-anchors on the doc table so they still
+    appear with zero coverage."""
+    from msgvault_spark.textstats.analysis import words
+
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        words(F.coalesce(F.col(text_col), F.lit(""))).alias("ws"),
+    ).filter(F.size("ws") >= w)
+    toks = toks.select("doc_id", "ws", F.size("ws").alias("n_tokens"))
+    # plain column reference inside the lambda (winnow.py binding rule)
+    sh = toks.select(
+        "doc_id",
+        "n_tokens",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.col("n_tokens") - (w - 1)),
+                lambda i: F.struct(
+                    i.alias("start"),
+                    F.md5(F.concat_ws(" ", F.slice(F.col("ws"), i, w))).alias(
+                        "h"
+                    ),
+                ),
+            )
+        ).alias("s"),
+    )
+    return sh.select("doc_id", "n_tokens", "s.start", "s.h")
+
+
+def duplicated_starts(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    w: int = 8,
+) -> DataFrame:
+    """(doc_id, n_tokens, start): shingle instances whose hash occurs
+    >= 2 times corpus-wide — the ETL artifact of this operator (the
+    corpus-scale groupBy + join live here; everything after is a per-doc
+    window).  'Duplicated' counts TOTAL occurrences, so a doc repeating
+    its own paragraph is flagged too (Lee et al. include
+    self-repetition)."""
+    sh = shingle_starts(docs, id_col, text_col, w=w)
+    dup = (
+        sh.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") >= 2)
+        .select("h")
+    )
+    return sh.join(dup, "h").select("doc_id", "n_tokens", "start")
+
+
+def duplicated_span_coverage(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    w: int = 8,
+    top_n: int = 100,
+    marked: DataFrame | None = None,
+) -> DataFrame:
+    """(doc_id, n_tokens, dup_starts, covered_tokens, covered_ppm): the
+    top-N documents by fraction of tokens inside duplicated w-shingles
+    (ties by doc_id).  Pass ``marked`` (a persisted duplicated_starts
+    frame) to serve from the artifact instead of re-deriving it."""
+    if marked is None:
+        marked = duplicated_starts(docs, id_col, text_col, w=w)
+    win = Window.partitionBy("doc_id").orderBy("start")
+    gap = F.col("start") - F.lag("start").over(win)
+    cover = F.when(gap.isNull() | (gap >= w), F.lit(w)).otherwise(gap)
+    per_doc = (
+        marked.select("doc_id", "start", cover.alias("cov"))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("dup_starts"),
+            F.sum("cov").cast("long").alias("covered_tokens"),
+        )
+    )
+    # the anchor (every doc with >= w tokens) is a pure map over the doc
+    # table — no shingling, so serving from the artifact stays cheap
+    from msgvault_spark.textstats.analysis import words
+
+    base = (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.size(
+                words(F.coalesce(F.col(text_col), F.lit("")))
+            ).alias("n_tokens"),
+        )
+        .filter(F.col("n_tokens") >= w)
+    )
+    out = (
+        base.join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.coalesce(F.col("dup_starts"), F.lit(0)).cast("long").alias(
+                "dup_starts"
+            ),
+            F.coalesce(F.col("covered_tokens"), F.lit(0)).cast("long").alias(
+                "covered_tokens"
+            ),
+        )
+        .withColumn(
+            "covered_ppm",
+            F.expr("(covered_tokens * 1000000) div n_tokens"),
+        )
+    )
+    return out.orderBy(
+        F.col("covered_ppm").desc(), F.col("doc_id").asc()
+    ).limit(top_n)
+
+
+def span_coverage_oracle_sql(
+    *,
+    w: int = 8,
+    top_n: int = 100,
+    token_re: str = "[^a-z0-9]+",
+) -> str:
+    """DuckDB twin: identical tokenization, shingling (1-based inclusive
+    list slice of w tokens), md5 hashing, >=2 duplicate rule, and LAG
+    telescoping interval union."""
+    return f"""
+WITH m AS (
+    SELECT doc_id,
+           list_filter(string_split_regex(lower(COALESCE(text, '')),
+                       '{token_re}'), x -> x != '') AS ws
+    FROM documents
+),
+d AS (
+    SELECT doc_id, len(ws) AS n_tokens, ws FROM m WHERE len(ws) >= {w}
+),
+sh0 AS (
+    SELECT doc_id, n_tokens, ws,
+           unnest(generate_series(1, len(ws) - {w - 1})) AS s
+    FROM d
+),
+sh AS (
+    SELECT doc_id, n_tokens, s,
+           md5(list_aggregate(ws[s:s + {w - 1}], 'string_agg', ' ')) AS h
+    FROM sh0
+),
+dup AS (SELECT h FROM sh GROUP BY h HAVING COUNT(*) >= 2),
+ds AS (SELECT sh.doc_id, sh.s FROM sh JOIN dup USING (h)),
+g AS (
+    SELECT doc_id, s,
+           s - lag(s) OVER (PARTITION BY doc_id ORDER BY s) AS gap
+    FROM ds
+),
+c AS (
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS dup_starts,
+           CAST(SUM(CASE WHEN gap IS NULL OR gap >= {w}
+                         THEN {w} ELSE gap END) AS BIGINT) AS covered_tokens
+    FROM g GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(d.n_tokens AS BIGINT) AS n_tokens,
+       COALESCE(c.dup_starts, 0) AS dup_starts,
+       COALESCE(c.covered_tokens, 0) AS covered_tokens,
+       (COALESCE(c.covered_tokens, 0) * 1000000) // d.n_tokens
+           AS covered_ppm
+FROM d LEFT JOIN c USING (doc_id)
+ORDER BY covered_ppm DESC, doc_id ASC
+LIMIT {top_n}
+"""

@@ -428,6 +428,28 @@ def test_headline_exchange_counts_pinned(spark, catalog):
                                           # broadcast array
         "bpe_merge_candidates": 2,        # vocab freq agg + pair agg;
                                           # TakeOrdered top-k
+        # round-6 batch 4
+        "repeated_span_coverage": 1,      # per-doc LAG window over the
+                                          # dup-starts artifact; anchor
+                                          # join rides broadcast;
+                                          # TakeOrdered top-k
+        "pagerank_dup_graph": 1,          # final-round edge join + rank
+                                          # agg (earlier rounds behind
+                                          # the localCheckpoint barrier)
+        "ndcg_eval_knn": 3,               # label-count agg + dcg agg +
+                                          # present; ranking reads the
+                                          # recall harness' persisted
+                                          # ground-truth artifact, and the
+                                          # retrieved set / query labels /
+                                          # dcg ride broadcasts
+        "bigram_backoff_quality": 9,      # corpus pays only posting agg,
+                                          # one score join, doc agg,
+                                          # present; the other exchanges
+                                          # are vocab-sized (type/count
+                                          # tables joined among
+                                          # themselves — correct at scale
+                                          # where bigram vocab outgrows
+                                          # broadcast)
     }
     # measure a FRESH (unexecuted) plan: once AQE executes the memoized
     # DataFrame (earlier tests collect it), the string flips to the final
@@ -569,6 +591,10 @@ def test_broadcast_sites_are_ratcheted():
         "similarity/ivf.py": 5,  # + batch join: centroid set, probe set
         "similarity/knnjoin.py": 3,  # bucket-join query side + eval seeds
                                      # + hard-negative query set
+        "similarity/ndcg.py": 4,     # Q-row query-label set + Q·k-row
+                                     # retrieved set + label-dim count
+                                     # table + Q-row dcg frame
+        "textstats/backoff.py": 1,   # 1-row reference-corpus totals
         "sources/build_cache.py": 1,
         "sources/cache.py": 4,
         "sources/merge.py": 2,
