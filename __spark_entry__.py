@@ -23,6 +23,11 @@ from msgvault_spark.catalog import CATALOG
 # registration order, rows-only entries last. Union(r1, r2) then covers
 # every oracle-backed entry with a driver row.
 _PRIORITY = [
+    # --- new in round 6, batch 5 (catalog_curation.py) ---
+    "span_clean_docs",
+    "incremental_span_coverage",
+    "triplet_margin_eval",
+    "zipf_slope_by_source",
     # --- new in round 6, batch 4 (catalog_curation.py) ---
     "repeated_span_coverage",
     "pagerank_dup_graph",

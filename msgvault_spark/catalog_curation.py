@@ -716,3 +716,126 @@ def bigram_backoff_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bigram_backoff_scores(docs, _BACKOFF_REF_PRED).transform(
         present_sorted, "doc_id"
     )
+
+
+# ---------------------------------------------------------------------------
+# batch 5: span deletion, incremental span dedup, triplet-margin eval,
+# Zipf profiling
+# ---------------------------------------------------------------------------
+
+
+def _clean_oracle() -> str:
+    from msgvault_spark.dedup.substrings import clean_spans_oracle_sql
+
+    return clean_spans_oracle_sql(w=_SPAN_W)
+
+
+@register("span_clean_docs", _clean_oracle())
+def span_clean_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DELETION half of Lee et al. 2022: every token covered by a
+    corpus-duplicated 8-shingle is cut; emits per-doc kept-token counts
+    and the md5 of the cleaned text (scalar-small driver payload, full
+    content check).  Shares the dup-start ETL artifact with
+    repeated_span_coverage — the query is a per-doc position filter
+    against each doc's own start array (dedup/substrings.py:clean_spans)."""
+    from msgvault_spark.dedup.substrings import clean_spans, duplicated_starts
+    from msgvault_spark.operators.present import present_sorted
+    from msgvault_spark.sources.cache import get_artifact
+
+    docs = load_table(spark, sf_dir, "documents")
+    marked = get_artifact(
+        spark,
+        (sf_dir, "dup_spans", _SPAN_W),
+        lambda: duplicated_starts(docs, "doc_id", "text", w=_SPAN_W),
+    )
+    return clean_spans(docs, "doc_id", "text", w=_SPAN_W, marked=marked).transform(
+        present_sorted, "doc_id"
+    )
+
+
+_SPAN_BATCH_PRED = "doc_id % 10 = 7"
+
+
+def _inc_span_oracle() -> str:
+    from msgvault_spark.dedup.substrings import incremental_coverage_oracle_sql
+
+    return incremental_coverage_oracle_sql(_SPAN_BATCH_PRED, w=_SPAN_W)
+
+
+@register("incremental_span_coverage", _inc_span_oracle())
+def incremental_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental substring dedup: docs with doc_id % 10 = 7 stand in
+    for today's ingest batch; their span coverage is probed against the
+    FROZEN shingle-hash index of the other 90% — each ingest pays
+    O(batch shingles), never re-scanning the old corpus (the
+    minhash_incremental_pairs shape, carried down to substring
+    evidence)."""
+    from msgvault_spark.dedup.substrings import (
+        coverage_against_index,
+        shingle_starts,
+    )
+    from msgvault_spark.operators.present import present_sorted
+    from msgvault_spark.sources.cache import get_artifact
+
+    docs = load_table(spark, sf_dir, "documents")
+    batch = docs.filter(F.expr(_SPAN_BATCH_PRED))
+    idx = get_artifact(
+        spark,
+        (sf_dir, "span_index_old", _SPAN_W),
+        lambda: shingle_starts(
+            docs.filter(~F.expr(_SPAN_BATCH_PRED)), "doc_id", "text", w=_SPAN_W
+        ).select("h").distinct(),
+    )
+    return coverage_against_index(
+        batch, idx, "doc_id", "text", w=_SPAN_W
+    ).transform(present_sorted, "doc_id")
+
+
+def _triplet_oracle() -> str:
+    from msgvault_spark.similarity.triplet import triplet_oracle_sql
+
+    return triplet_oracle_sql(nq=_NDCG_NQ)
+
+
+@register("triplet_margin_eval", _triplet_oracle())
+def triplet_margin_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metric-learning QA on the embedding space: per probe query, how
+    many WRONG-label vectors outscore the best same-label vector — the
+    outright top-of-ranking inversions nDCG averages away, and the
+    failure cases hard_negative_mining feeds back into training.  Two
+    map-side-combined aggregates over the scored join; the Q-row
+    best-positive table broadcasts back
+    (similarity/triplet.py)."""
+    from msgvault_spark.similarity.triplet import triplet_margin_report
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return triplet_margin_report(emb, emb.filter(F.col("vec_id") < _NDCG_NQ))
+
+
+def _zipf_oracle() -> str:
+    from msgvault_spark.textstats.zipf import zipf_oracle_sql
+
+    return zipf_oracle_sql(top_k=100)
+
+
+@register("zipf_slope_by_source", _zipf_oracle())
+def zipf_slope_by_source_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf-slope screen per source: OLS slope of (ln rank, ln freq)
+    over each source's top-100 terms — natural text sits near -1,
+    templated sources flatten, token soup breaks the line.  The ln-rank
+    coordinates are Python-precomputed literals in BOTH engines and the
+    OLS sums are exact integer arithmetic, so the slope is one double
+    division of identical longs (textstats/zipf.py)."""
+    from msgvault_spark.sources.cache import get_text_index
+    from msgvault_spark.textstats.zipf import zipf_slope_by_source
+
+    postings, _stats = get_text_index(
+        spark, sf_dir, "documents", "doc_id", "text"
+    )
+    docs = load_table(spark, sf_dir, "documents")
+    tf = (
+        postings.join(docs.select("doc_id", "source"), "doc_id")
+        .groupBy("source", "term")
+        .agg(F.sum("tf").cast("long").alias("freq"))
+    )
+    return zipf_slope_by_source(tf, top_k=100)

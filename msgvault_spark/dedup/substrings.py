@@ -211,3 +211,225 @@ FROM d LEFT JOIN c USING (doc_id)
 ORDER BY covered_ppm DESC, doc_id ASC
 LIMIT {top_n}
 """
+
+
+def clean_spans(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    w: int = 8,
+    marked: DataFrame | None = None,
+) -> DataFrame:
+    """(doc_id, n_tokens, kept_tokens, cleaned_hash): the DELETION half
+    of Lee et al. 2022 — drop every token covered by a duplicated
+    w-shingle, keep the rest in order, and emit md5 of the cleaned
+    space-joined text (the hash keeps driver payloads scalar-small; the
+    cleaned text itself is the same concat both engines compute).
+
+    Per-doc work is a position filter against the doc's own duplicated
+    START ARRAY — O(n·|starts|) per doc worst case, bounded by document
+    length like the text itself (a sorted-merge bitmap is the constant-
+    factor upgrade if pathological docs dominate; the shuffle shape is
+    already minimal: the one corpus groupBy lives in the
+    duplicated_starts artifact).  Every doc with >= 1 token appears;
+    docs shorter than w keep everything."""
+    from msgvault_spark.textstats.analysis import words
+
+    if marked is None:
+        marked = duplicated_starts(docs, id_col, text_col, w=w)
+    sa = marked.groupBy("doc_id").agg(
+        F.sort_array(F.collect_list("start")).alias("sa")
+    )
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        words(F.coalesce(F.col(text_col), F.lit(""))).alias("ws"),
+    ).filter(F.size("ws") >= 1)
+    j = toks.join(sa, "doc_id", "left").select(
+        "doc_id",
+        "ws",
+        F.coalesce(F.col("sa"), F.array().cast("array<int>")).alias("sa"),
+    )
+    kept = F.filter(
+        F.sequence(F.lit(1), F.size(F.col("ws"))),
+        lambda p: ~F.exists(
+            F.col("sa"), lambda s: (s <= p) & (p < s + w)
+        ),
+    )
+    j = j.select(
+        "doc_id",
+        F.size("ws").cast("long").alias("n_tokens"),
+        F.transform(kept, lambda p: F.element_at(F.col("ws"), p)).alias(
+            "kept"
+        ),
+    )
+    return j.select(
+        "doc_id",
+        "n_tokens",
+        F.size("kept").cast("long").alias("kept_tokens"),
+        F.md5(F.concat_ws(" ", F.col("kept"))).alias("cleaned_hash"),
+    )
+
+
+def clean_spans_oracle_sql(
+    *,
+    w: int = 8,
+    token_re: str = "[^a-z0-9]+",
+) -> str:
+    """DuckDB twin of clean_spans.  Two empty-input parity rules:
+    string_agg over an empty kept list yields NULL where Spark's
+    concat_ws yields '' (hash argument coalesces to ''), and
+    list_bool_or over an EMPTY list yields NULL where Spark's
+    F.exists yields false — without the COALESCE(..., FALSE) the NOT
+    turns NULL and an unduplicated doc loses every token."""
+    return f"""
+WITH m AS (
+    SELECT doc_id,
+           list_filter(string_split_regex(lower(COALESCE(text, '')),
+                       '{token_re}'), x -> x != '') AS ws
+    FROM documents
+),
+d AS (
+    SELECT doc_id, len(ws) AS n_tokens, ws FROM m WHERE len(ws) >= {w}
+),
+sh0 AS (
+    SELECT doc_id, ws,
+           unnest(generate_series(1, len(ws) - {w - 1})) AS s
+    FROM d
+),
+sh AS (
+    SELECT doc_id, s,
+           md5(list_aggregate(ws[s:s + {w - 1}], 'string_agg', ' ')) AS h
+    FROM sh0
+),
+dup AS (SELECT h FROM sh GROUP BY h HAVING COUNT(*) >= 2),
+sa AS (
+    SELECT sh.doc_id, list_sort(list(sh.s)) AS sa
+    FROM sh JOIN dup USING (h) GROUP BY sh.doc_id
+),
+base AS (SELECT doc_id, ws FROM m WHERE len(ws) >= 1),
+j AS (
+    SELECT b.doc_id, b.ws, COALESCE(sa.sa, []) AS sa
+    FROM base b LEFT JOIN sa USING (doc_id)
+),
+k AS (
+    SELECT doc_id,
+           CAST(len(ws) AS BIGINT) AS n_tokens,
+           list_transform(
+               list_filter(generate_series(1, len(ws)),
+                   p -> NOT COALESCE(list_bool_or(
+                       list_transform(sa,
+                           s -> s <= p AND p < s + {w})), FALSE)),
+               p -> ws[p]) AS kept
+    FROM j
+)
+SELECT doc_id, n_tokens,
+       CAST(len(kept) AS BIGINT) AS kept_tokens,
+       md5(COALESCE(list_aggregate(kept, 'string_agg', ' '), ''))
+           AS cleaned_hash
+FROM k
+"""
+
+
+def coverage_against_index(
+    batch: DataFrame,
+    index_hashes: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    w: int = 8,
+) -> DataFrame:
+    """Incremental variant: span coverage of a NEW ingest batch against a
+    FROZEN shingle-hash index (the duplicated_starts artifact's input,
+    distilled to its distinct hash set) — each ingest pays O(batch
+    shingles) probing the index, never re-scanning the old corpus (the
+    minhash incremental_pairs shape).  ``index_hashes`` must have column
+    ``h``."""
+    sh = shingle_starts(batch, id_col, text_col, w=w)
+    hit = sh.join(index_hashes.select("h").distinct(), "h")
+    win = Window.partitionBy("doc_id").orderBy("start")
+    gap = F.col("start") - F.lag("start").over(win)
+    cover = F.when(gap.isNull() | (gap >= w), F.lit(w)).otherwise(gap)
+    per_doc = (
+        hit.select("doc_id", "start", cover.alias("cov"))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("dup_starts"),
+            F.sum("cov").cast("long").alias("covered_tokens"),
+        )
+    )
+    base = sh.select("doc_id", "n_tokens").distinct()
+    return (
+        base.join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            F.coalesce(F.col("dup_starts"), F.lit(0)).cast("long").alias(
+                "dup_starts"
+            ),
+            F.coalesce(F.col("covered_tokens"), F.lit(0)).cast("long")
+            .alias("covered_tokens"),
+        )
+        .withColumn(
+            "covered_ppm",
+            F.expr("(covered_tokens * 1000000) div n_tokens"),
+        )
+    )
+
+
+def incremental_coverage_oracle_sql(
+    batch_pred: str,
+    *,
+    w: int = 8,
+    token_re: str = "[^a-z0-9]+",
+) -> str:
+    """DuckDB twin: the index is every shingle hash of the NON-batch
+    docs; batch docs' coverage counts a start iff its hash is in the
+    index."""
+    return f"""
+WITH m AS (
+    SELECT doc_id,
+           list_filter(string_split_regex(lower(COALESCE(text, '')),
+                       '{token_re}'), x -> x != '') AS ws,
+           ({batch_pred}) AS is_batch
+    FROM documents
+),
+d AS (
+    SELECT doc_id, len(ws) AS n_tokens, ws, is_batch
+    FROM m WHERE len(ws) >= {w}
+),
+sh0 AS (
+    SELECT doc_id, n_tokens, ws, is_batch,
+           unnest(generate_series(1, len(ws) - {w - 1})) AS s
+    FROM d
+),
+sh AS (
+    SELECT doc_id, n_tokens, s, is_batch,
+           md5(list_aggregate(ws[s:s + {w - 1}], 'string_agg', ' ')) AS h
+    FROM sh0
+),
+idx AS (SELECT DISTINCT h FROM sh WHERE NOT is_batch),
+hit AS (
+    SELECT sh.doc_id, sh.s FROM sh JOIN idx USING (h) WHERE sh.is_batch
+),
+g AS (
+    SELECT doc_id, s,
+           s - lag(s) OVER (PARTITION BY doc_id ORDER BY s) AS gap
+    FROM hit
+),
+c AS (
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS dup_starts,
+           CAST(SUM(CASE WHEN gap IS NULL OR gap >= {w}
+                         THEN {w} ELSE gap END) AS BIGINT) AS covered_tokens
+    FROM g GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(d.n_tokens AS BIGINT) AS n_tokens,
+       COALESCE(c.dup_starts, 0) AS dup_starts,
+       COALESCE(c.covered_tokens, 0) AS covered_tokens,
+       (COALESCE(c.covered_tokens, 0) * 1000000) // d.n_tokens
+           AS covered_ppm
+FROM d LEFT JOIN c USING (doc_id)
+WHERE d.is_batch
+"""

@@ -90,10 +90,11 @@ def bigram_backoff_scores(
         F.count(F.lit(1)).cast("long").alias("tf")
     )
 
-    ref_ids = docs.filter(F.expr(ref_pred)).select(
-        F.col(id_col).alias("doc_id")
+    # the reference slice re-tokenizes behind a pushed-down filter — a
+    # pure map over the (small) slice, not a corpus join on doc_id
+    ref_tok = docs.filter(F.expr(ref_pred)).select(
+        words(F.coalesce(F.col(text_col), F.lit(""))).alias("ws")
     )
-    ref_tok = tok.join(ref_ids, "doc_id")
     ref_inst = ref_tok.select(
         F.explode(bigram_pairs(F.col("ws"))).alias("g")
     ).select("g.prev", "g.cur")

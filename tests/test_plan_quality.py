@@ -442,6 +442,20 @@ def test_headline_exchange_counts_pinned(spark, catalog):
                                           # ground-truth artifact, and the
                                           # retrieved set / query labels /
                                           # dcg ride broadcasts
+        "span_clean_docs": 2,             # start-array rollup + anchor
+                                          # join/present; per-doc position
+                                          # filter is a pure map over the
+                                          # shared dup-start artifact
+        "incremental_span_coverage": 3,   # index probe join + doc window
+                                          # + present; batch-sized sides
+        "triplet_margin_eval": 4,         # best-positive agg + violation
+                                          # agg + final join + present;
+                                          # query set and Q-row threshold
+                                          # table ride broadcasts
+        "zipf_slope_by_source": 3,        # (source,term) freq agg +
+                                          # vocab-sized rank window + OLS
+                                          # agg/present; ln-rank table is
+                                          # an inline literal array
         "bigram_backoff_quality": 9,      # corpus pays only posting agg,
                                           # one score join, doc agg,
                                           # present; the other exchanges
@@ -591,6 +605,8 @@ def test_broadcast_sites_are_ratcheted():
         "similarity/ivf.py": 5,  # + batch join: centroid set, probe set
         "similarity/knnjoin.py": 3,  # bucket-join query side + eval seeds
                                      # + hard-negative query set
+        "similarity/triplet.py": 2,  # Q-row probe query set + Q-row
+                                     # best-positive threshold table
         "similarity/ndcg.py": 4,     # Q-row query-label set + Q·k-row
                                      # retrieved set + label-dim count
                                      # table + Q-row dcg frame

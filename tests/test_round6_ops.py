@@ -272,3 +272,176 @@ def test_backoff_fluent_text_beats_unseen_soup(spark):
         for r in bigram_backoff_scores(docs, "source = 'ref'").collect()
     }
     assert got[1] < got[2]  # in-model text scores lower NLL
+
+
+# ---------------------------------------------------------------------------
+# span deletion (clean_spans)
+# ---------------------------------------------------------------------------
+
+
+def _py_clean(texts: dict[int, str], w: int) -> dict[int, tuple]:
+    import hashlib
+
+    toks = {
+        d: [t for t in re.split(r"[^a-z0-9]+", s.lower()) if t]
+        for d, s in texts.items()
+    }
+    counts: dict[tuple, int] = {}
+    for ws in toks.values():
+        for i in range(len(ws) - w + 1):
+            key = tuple(ws[i : i + w])
+            counts[key] = counts.get(key, 0) + 1
+    out = {}
+    for d, ws in toks.items():
+        if not ws:
+            continue
+        covered: set[int] = set()
+        for i in range(len(ws) - w + 1):
+            if counts[tuple(ws[i : i + w])] >= 2:
+                covered.update(range(i, i + w))
+        kept = [t for i, t in enumerate(ws) if i not in covered]
+        out[d] = (
+            len(ws),
+            len(kept),
+            hashlib.md5(" ".join(kept).encode()).hexdigest(),
+        )
+    return out
+
+
+def test_clean_spans_matches_bruteforce(spark):
+    from msgvault_spark.dedup.substrings import clean_spans
+
+    shared = "one two three four five six seven eight nine ten"
+    texts = {
+        0: "head words " + shared + " tail alpha",
+        1: shared + " completely different ending here",
+        2: "no duplicate content at all in this document",
+        3: "tiny",
+    }
+    docs = spark.createDataFrame(
+        [(d, t) for d, t in texts.items()], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["kept_tokens"], r["cleaned_hash"])
+        for r in clean_spans(docs, "doc_id", "text", w=4).collect()
+    }
+    assert got == _py_clean(texts, 4)
+    # the unduplicated doc keeps EVERY token (the empty-start-array edge
+    # that silently deleted everything in the first oracle draft)
+    assert got[2][1] == got[2][0]
+    assert got[3] == _py_clean(texts, 4)[3]  # below shingle width: kept whole
+
+
+def test_incremental_coverage_probes_index_only(spark):
+    from msgvault_spark.dedup.substrings import (
+        coverage_against_index,
+        shingle_starts,
+    )
+
+    old = spark.createDataFrame(
+        [(0, "alpha beta gamma delta epsilon zeta eta theta")],
+        "doc_id long, text string",
+    )
+    batch = spark.createDataFrame(
+        [
+            (10, "alpha beta gamma delta epsilon zeta eta theta"),  # full copy
+            (11, "fresh new words never seen before anywhere else"),
+            # 12+13 duplicate EACH OTHER but not the index: must NOT count
+            (12, "intra batch duplicate run apple pear plum fig"),
+            (13, "intra batch duplicate run apple pear plum fig"),
+        ],
+        "doc_id long, text string",
+    )
+    idx = shingle_starts(old, "doc_id", "text", w=4).select("h").distinct()
+    got = {
+        r["doc_id"]: (r["covered_tokens"], r["n_tokens"])
+        for r in coverage_against_index(
+            batch, idx, "doc_id", "text", w=4
+        ).collect()
+    }
+    assert got[10] == (8, 8)  # full copy fully covered
+    assert got[11][0] == 0
+    assert got[12][0] == 0 and got[13][0] == 0  # frozen index: intra-batch invisible
+
+
+# ---------------------------------------------------------------------------
+# triplet-margin eval
+# ---------------------------------------------------------------------------
+
+
+def test_triplet_margin_counts_inversions(spark):
+    from msgvault_spark.similarity.triplet import triplet_margin_report
+
+    # query 0 (label 0): its only positive (id 1) sits at cos≈0.707 while
+    # two label-1 vectors sit closer — exactly 2 violations. Query 5
+    # (label 2) has its positive nearest — 0 violations.
+    rows = [
+        (0, [1.0, 0.0], 0),
+        (1, [1.0, 1.0], 0),        # best positive for q0
+        (2, [1.0, 0.1], 1),        # closer than the positive
+        (3, [1.0, 0.2], 1),        # closer than the positive
+        (5, [0.0, 1.0], 2),
+        (6, [0.01, 1.0], 2),       # best positive for q5, nearest overall
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    got = {
+        r["qid"]: (r["n_pos"], r["n_violations"])
+        for r in triplet_margin_report(
+            emb, emb.filter(F.col("vec_id").isin(0, 5))
+        ).collect()
+    }
+    assert got[0] == (1, 2)
+    assert got[5] == (1, 0)
+
+
+def test_triplet_queries_without_positives_are_dropped(spark):
+    from msgvault_spark.similarity.triplet import triplet_margin_report
+
+    rows = [(0, [1.0, 0.0], 9)] + [(i, [0.5, 0.5], 1) for i in range(1, 4)]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    out = triplet_margin_report(
+        emb, emb.filter(F.col("vec_id") == 0)
+    ).collect()
+    assert out == []
+
+
+# ---------------------------------------------------------------------------
+# Zipf slope
+# ---------------------------------------------------------------------------
+
+
+def _py_zipf_slope(freqs: list[int], top_k: int = 100) -> float:
+    from msgvault_spark.textstats.zipf import ln_rank_micro
+
+    xs = ln_rank_micro(top_k)
+    pts = [
+        (xs[i], int(math.floor(math.log(f) * 1e6 + 0.5)))
+        for i, f in enumerate(sorted(freqs, reverse=True)[:top_k])
+    ]
+    n = len(pts)
+    sx = sum(x for x, _ in pts)
+    sy = sum(y for _, y in pts)
+    sxy = sum(x * y for x, y in pts)
+    sxx = sum(x * x for x, _ in pts)
+    return round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6)
+
+
+def test_zipf_slope_matches_python_reference_and_is_near_minus_one(spark):
+    from msgvault_spark.textstats.zipf import zipf_slope_by_source
+
+    zipf_freqs = [100000 // r for r in range(1, 51)]
+    flat_freqs = [500] * 50
+    rows = [("z", f"t{i}", f) for i, f in enumerate(zipf_freqs)]
+    rows += [("flat", f"t{i}", f) for i, f in enumerate(flat_freqs)]
+    tf = spark.createDataFrame(rows, "source string, term string, freq long")
+    got = {
+        r["source"]: r["slope"]
+        for r in zipf_slope_by_source(tf, top_k=100).collect()
+    }
+    assert got["z"] == _py_zipf_slope(zipf_freqs)
+    assert got["flat"] == 0.0
+    assert -1.05 < got["z"] < -0.95
