@@ -23,6 +23,13 @@ from msgvault_spark.catalog import CATALOG
 # registration order, rows-only entries last. Union(r1, r2) then covers
 # every oracle-backed entry with a driver row.
 _PRIORITY = [
+    # --- new in round 6, batch 6 (catalog_curation.py) ---
+    "mrr_eval_knn",
+    "gopher_rules_docs",
+    "kmeans_cells_report",
+    "edit_distance_pairs",
+    "span_corruption_plan",
+    "length_psi_drift",
     # --- new in round 6, batch 5 (catalog_curation.py) ---
     "span_clean_docs",
     "incremental_span_coverage",

@@ -839,3 +839,236 @@ def zipf_slope_by_source_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("tf").cast("long").alias("freq"))
     )
     return zipf_slope_by_source(tf, top_k=100)
+
+
+# ---------------------------------------------------------------------------
+# batch 6: MRR eval, Gopher quality rules
+# ---------------------------------------------------------------------------
+
+
+def _mrr_oracle() -> str:
+    from msgvault_spark.similarity.mrr import mrr_oracle_sql
+
+    return mrr_oracle_sql(nq=_NDCG_NQ, k=_NDCG_K)
+
+
+@register("mrr_eval_knn", _mrr_oracle())
+def mrr_eval_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MRR@10 of exact cosine retrieval with label-match relevance — the
+    where-does-the-FIRST-hit-land metric (recall grades the set, nDCG
+    the whole order; MRR is what search QA pages on).  Reciprocal-rank
+    constants are Python-precomputed fixed-point literals inlined into
+    BOTH engines; the per-query reduction is a MIN over integer ranks,
+    so no float enters the comparison (similarity/mrr.py).  Ranks the
+    recall harness' shared persisted ground truth — one brute-force scan
+    serves all six eval reports."""
+    from msgvault_spark.catalog_multimodal import _exact_gt
+    from msgvault_spark.similarity.mrr import mrr_report
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return mrr_report(
+        emb,
+        emb.filter(F.col("vec_id") < _NDCG_NQ),
+        k=_NDCG_K,
+        topk=_exact_gt(spark, sf_dir),
+    )
+
+
+def _gopher_oracle() -> str:
+    from msgvault_spark.textstats.analysis import gopher_oracle_sql
+
+    return gopher_oracle_sql()
+
+
+@register("gopher_rules_docs", _gopher_oracle())
+def gopher_rules_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher quality rules (Rae et al. 2021) as a per-document rule
+    table with a final keep bit — the named heuristic filter suite next
+    to c4_pipeline_stats and repetition_filter_docs.  Every threshold is
+    integer cross-multiplied (no float ratio exists in either engine);
+    the whole entry is a pure map over one scan
+    (textstats/analysis.py:gopher_rules)."""
+    from msgvault_spark.textstats.analysis import gopher_rules
+
+    docs = load_table(spark, sf_dir, "documents")
+    return gopher_rules(docs, "doc_id", "text").sortWithinPartitions(
+        "doc_id"
+    )
+
+
+_KM_CELLS = 8
+_KM_ITER = 2
+
+
+def _kmeans_oracle() -> str:
+    from msgvault_spark.similarity.ivf import kmeans_cells_oracle_sql
+
+    return kmeans_cells_oracle_sql(n_cells=_KM_CELLS, n_iter=_KM_ITER)
+
+
+@register("kmeans_cells_report", _kmeans_oracle())
+def kmeans_cells_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lloyd's k-means as a first-class entry: 2 training rounds over the
+    embedding corpus (broadcast centroids → argmax assignment → per-cell
+    elementwise mean, the production coarse-quantizer build IVF seeds
+    stand in for), then a final assignment pass reduced to per-cell
+    integer stats.  The iterative-algorithm showcase next to PageRank:
+    per-round state is K tiny centroids (collected and re-literaled —
+    lineage stays constant-size), every discrete choice shared with the
+    oracle via the rounded-cosine argmax rule
+    (similarity/ivf.py:train_centroids_kmeans)."""
+    from msgvault_spark.operators.present import present_sorted
+    from msgvault_spark.similarity.ivf import assign_cells, train_centroids_kmeans
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = train_centroids_kmeans(
+        emb, n_cells=_KM_CELLS, n_iter=_KM_ITER
+    )
+    return (
+        assign_cells(emb, cents)
+        .groupBy(F.col("cell").alias("cid"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_members"),
+            F.min("id").cast("long").alias("min_id"),
+            F.max("id").cast("long").alias("max_id"),
+        )
+        .transform(present_sorted, "cid")
+    )
+
+
+def _edit_pairs_oracle() -> str:
+    from msgvault_spark.dedup.minhash import minhash_oracle_sql
+
+    pairs = minhash_oracle_sql(
+        "SELECT doc_id, text FROM documents", jaccard_threshold=0.5
+    ).strip()
+    return f"""
+WITH pairs AS ({pairs})
+SELECT p.id_a, p.id_b,
+       CAST(levenshtein(da.text, db.text) AS BIGINT) AS edit_dist,
+       CAST(greatest(length(da.text), length(db.text)) AS BIGINT)
+           AS max_len,
+       (CAST(greatest(length(da.text), length(db.text))
+             - levenshtein(da.text, db.text) AS BIGINT) * 1000000)
+           // CAST(greatest(length(da.text), length(db.text)) AS BIGINT)
+           AS sim_ppm
+FROM pairs p
+JOIN documents da ON da.doc_id = p.id_a
+JOIN documents db ON db.doc_id = p.id_b
+ORDER BY p.id_a, p.id_b
+"""
+
+
+@register("edit_distance_pairs", _edit_pairs_oracle())
+def edit_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact character-level verification of the MinHash candidate set:
+    Levenshtein distance + integer similarity (ppm of the longer text)
+    per surviving pair — the edit-distance complement to shingle
+    Jaccard, and the metric template-detection rules key on (two docs
+    can share every 3-shingle yet differ by a critical negation).  The
+    propose/verify discipline is what makes this scale: the O(len²) DP
+    runs ONLY on LSH-surviving pairs, never all-pairs, and per-pair cost
+    is bounded by document length.  Decoration joins broadcast the PAIR
+    side (the cross_source_dup_report rule — the doc→text corpus map
+    streams)."""
+    from msgvault_spark.dedup.minhash import pairs_from_index
+    from msgvault_spark.operators.present import present_sorted
+    from msgvault_spark.sources.cache import get_minhash_index
+
+    docs = load_table(spark, sf_dir, "documents")
+    idx = get_minhash_index(
+        spark,
+        (sf_dir, "documents_raw"),
+        lambda: docs.select("doc_id", "text"),
+        "doc_id",
+        "text",
+    )
+    pairs = pairs_from_index(idx, jaccard_threshold=0.5).select(
+        "id_a", "id_b"
+    )
+    a = docs.select(
+        F.col("doc_id").alias("id_a"), F.col("text").alias("text_a")
+    )
+    b = docs.select(
+        F.col("doc_id").alias("id_b"), F.col("text").alias("text_b")
+    )
+    dist = F.levenshtein("text_a", "text_b").cast("long")
+    max_len = F.greatest(F.length("text_a"), F.length("text_b")).cast("long")
+    return (
+        b.join(F.broadcast(a.join(F.broadcast(pairs), "id_a")), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            dist.alias("edit_dist"),
+            max_len.alias("max_len"),
+        )
+        .withColumn(
+            "sim_ppm",
+            F.expr(
+                "CAST((max_len - edit_dist) * 1000000 AS BIGINT)"
+                " div max_len"
+            ),
+        )
+        .transform(present_sorted, "id_a", "id_b")
+    )
+
+
+# ---------------------------------------------------------------------------
+# batch 7: span-corruption planning, PSI drift monitor
+# ---------------------------------------------------------------------------
+
+_MASK_W = 3
+_MASK_RATE = 20
+
+
+def _spanmask_oracle() -> str:
+    from msgvault_spark.operators.spanmask import span_corruption_oracle_sql
+
+    return span_corruption_oracle_sql(w=_MASK_W, rate=_MASK_RATE)
+
+
+@register("span_corruption_plan", _spanmask_oracle())
+def span_corruption_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5 span-corruption planning (Raffel et al. 2020): per document,
+    the hash-selected mask spans a denoising objective would cut — span
+    starts, merged spans (= sentinel count), exact masked-token union
+    (the dedup interval telescope reused as a training-objective
+    planner), and the masked fraction that decides sequence budgets.
+    Deterministic via the portable hash; ~15% mask at w=3, rate=1/20
+    (operators/spanmask.py)."""
+    from msgvault_spark.operators.present import present_sorted
+    from msgvault_spark.operators.spanmask import span_corruption_plan as _plan
+
+    docs = load_table(spark, sf_dir, "documents")
+    return _plan(docs, "doc_id", "text", w=_MASK_W, rate=_MASK_RATE).transform(
+        present_sorted, "doc_id"
+    )
+
+
+def _psi_oracle() -> str:
+    from msgvault_spark.operators.psi import psi_oracle_sql
+
+    return psi_oracle_sql()
+
+
+@register("length_psi_drift", _psi_oracle())
+def length_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index over token-length buckets between the
+    even-doc_id half (frozen baseline) and the odd half (incoming batch)
+    — the standard dataops drift gate (PSI ≥ 0.1 investigate, ≥ 0.25
+    act) a 100 TB pipeline runs per ingest before any expensive stage.
+    Per-bucket contributions are fixed-point nano with every log
+    argument a single division of exact integers, so the report is
+    engine-exact (operators/psi.py)."""
+    from msgvault_spark.operators.present import present_sorted
+    from msgvault_spark.operators.psi import psi_report
+    from msgvault_spark.textstats.analysis import words
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id",
+        F.size(words(F.coalesce(F.col("text"), F.lit("")))).alias("v"),
+    )
+    return psi_report(
+        scored, F.col("doc_id") % 2 == 0, F.col("v")
+    ).transform(present_sorted, "bucket")

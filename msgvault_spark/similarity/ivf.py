@@ -44,17 +44,19 @@ def seed_centroids(
     )
 
 
-def build_ivf_index(
+def assign_cells(
     embeddings: DataFrame,
+    cents: DataFrame,
     *,
-    n_cells: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_to: int = 6,
 ) -> DataFrame:
-    """(id, vec, cell) — the corpus with cell assignments. Persist/bucket by
-    ``cell`` at ETL time; centroids are rows with id < n_cells."""
-    cents = seed_centroids(embeddings, n_cells, id_col=id_col, vec_col=vec_col)
+    """(id, vec, cell) — nearest-centroid assignment against an arbitrary
+    (cid, cvec) frame: argmax rounded cosine, ties → lowest cell id.
+    One broadcast join fans each vector out K ways; the rn=1 window
+    shuffles by vector id once (K rows per key — uniform by
+    construction)."""
     scored = (
         embeddings.select(
             F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("vec")
@@ -69,6 +71,22 @@ def build_ivf_index(
         scored.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
         .select("id", "vec", F.col("cid").alias("cell"))
+    )
+
+
+def build_ivf_index(
+    embeddings: DataFrame,
+    *,
+    n_cells: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int = 6,
+) -> DataFrame:
+    """(id, vec, cell) — the corpus with cell assignments. Persist/bucket by
+    ``cell`` at ETL time; centroids are rows with id < n_cells."""
+    cents = seed_centroids(embeddings, n_cells, id_col=id_col, vec_col=vec_col)
+    return assign_cells(
+        embeddings, cents, id_col=id_col, vec_col=vec_col, round_to=round_to
     )
 
 
@@ -293,3 +311,70 @@ def ivf_knn_join(
         .filter(F.col("rn") <= k)
         .select("qid", "id", "score")
     )
+
+
+def kmeans_cells_oracle_sql(*, n_cells: int = 8, n_iter: int = 2) -> str:
+    """DuckDB replica of train_centroids_kmeans + a final assign_cells
+    pass, reduced to per-cell integer stats.  Lloyd rounds are UNROLLED
+    as CTE pairs (assignment → per-dimension mean); the assignment rule
+    is the shared rounded-cosine argmax (ties → lowest cid), so both
+    engines make identical discrete choices and the final member counts
+    are exact integers.  Empty cells keep their previous centroid
+    (LEFT JOIN + COALESCE, mirroring the Spark dict fallback)."""
+    parts = [
+        f"""
+WITH dims AS (
+    SELECT unnest(generate_series(1,
+        (SELECT max(len(embedding)) FROM embeddings))) AS pos
+),
+v AS (
+    SELECT vec_id AS id,
+           list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+    FROM embeddings
+),
+c0 AS (SELECT id AS cid, vec AS cvec FROM v WHERE id < {n_cells})"""
+    ]
+    for i in range(1, n_iter + 1):
+        cos = _cos_sql("v.vec", "c.cvec")
+        parts.append(
+            f""",
+a{i} AS (
+    SELECT id, cid FROM (
+        SELECT v.id, c.cid,
+               ROW_NUMBER() OVER (
+                   PARTITION BY v.id ORDER BY {cos} DESC, c.cid ASC
+               ) AS rn
+        FROM v CROSS JOIN c{i - 1} c
+    ) WHERE rn = 1
+),
+m{i} AS (
+    SELECT a.cid, d.pos, avg(v.vec[d.pos]) AS m
+    FROM a{i} a JOIN v ON v.id = a.id CROSS JOIN dims d
+    GROUP BY 1, 2
+),
+c{i} AS (
+    SELECT p.cid, COALESCE(g.nv, p.cvec) AS cvec
+    FROM c{i - 1} p LEFT JOIN (
+        SELECT cid, list(m ORDER BY pos) AS nv FROM m{i} GROUP BY cid
+    ) g USING (cid)
+)"""
+        )
+    cos_final = _cos_sql("v.vec", "c.cvec")
+    parts.append(
+        f""",
+afinal AS (
+    SELECT id, cid FROM (
+        SELECT v.id, c.cid,
+               ROW_NUMBER() OVER (
+                   PARTITION BY v.id ORDER BY {cos_final} DESC, c.cid ASC
+               ) AS rn
+        FROM v CROSS JOIN c{n_iter} c
+    ) WHERE rn = 1
+)
+SELECT cid,
+       CAST(COUNT(*) AS BIGINT) AS n_members,
+       CAST(MIN(id) AS BIGINT) AS min_id,
+       CAST(MAX(id) AS BIGINT) AS max_id
+FROM afinal GROUP BY cid ORDER BY cid"""
+    )
+    return "".join(parts)

@@ -404,3 +404,122 @@ def unigram_nll_scores(postings: DataFrame) -> DataFrame:
             "nll_micro"
         ),
     )
+
+
+_GOPHER_STOPS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+_GOPHER_MIN_WORDS = 50
+_GOPHER_MAX_WORDS = 100000
+_GOPHER_SYMBOL_RE = r"#|\.\.\."
+
+
+def gopher_rules(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Gopher quality rules (Rae et al. 2021, Table A1) as a per-document
+    rule table: word count in [50, 100k]; mean word length in [3, 10];
+    symbol-to-word ratio (# and ...) <= 0.1; >= 80% of words contain an
+    alphabetic character; >= 2 distinct Gopher stop words present.  The
+    published heuristic pretraining filter, next to the C4 and
+    repetition entries.
+
+    Engine-exact: every threshold is evaluated in integer cross-
+    multiplied form (word_chars >= 3*n_words, 5*n_alpha >= 4*n_words,
+    10*n_sym <= n_words) — no ratio is ever materialized as a float, so
+    the rule flags and the keep bit hash identically in both engines.
+
+    Scale shape: a pure map over one scan (stage-local, no shuffle); the
+    word array and its counts are staged selects so the split runs once
+    per row.
+    """
+    t = F.col(text_col)
+    s1 = df.select(
+        F.col(id_col).alias("doc_id"), t.alias("_t"), words(t).alias("_ws")
+    )
+    ws = F.col("_ws")
+    s2 = s1.select(
+        "doc_id",
+        F.size(ws).cast("long").alias("n_words"),
+        F.aggregate(
+            ws, F.lit(0).cast("long"), lambda acc, w: acc + F.length(w)
+        ).alias("word_chars"),
+        F.size(
+            F.regexp_extract_all(F.col("_t"), F.lit(_GOPHER_SYMBOL_RE), F.lit(0))
+        ).cast("long").alias("n_sym"),
+        F.size(F.filter(ws, lambda w: w.rlike("[a-z]")))
+        .cast("long")
+        .alias("n_alpha_words"),
+        F.size(
+            F.array_intersect(ws, F.array(*[F.lit(s) for s in _GOPHER_STOPS]))
+        ).cast("long").alias("n_stop_distinct"),
+    )
+    nw = F.col("n_words")
+    rules = {
+        "r_wordcount": (nw >= _GOPHER_MIN_WORDS) & (nw <= _GOPHER_MAX_WORDS),
+        "r_mean_word_len": (nw > 0)
+        & (F.col("word_chars") >= 3 * nw)
+        & (F.col("word_chars") <= 10 * nw),
+        "r_symbol": (nw > 0) & (10 * F.col("n_sym") <= nw),
+        "r_alpha": (nw > 0) & (5 * F.col("n_alpha_words") >= 4 * nw),
+        "r_stopwords": F.col("n_stop_distinct") >= 2,
+    }
+    flags = [
+        F.when(cond, F.lit(1)).otherwise(F.lit(0)).cast("int").alias(name)
+        for name, cond in rules.items()
+    ]
+    s3 = s2.select(
+        "doc_id", "n_words", "word_chars", "n_sym", "n_alpha_words",
+        "n_stop_distinct", *flags,
+    )
+    keep = F.when(
+        sum(F.col(n) for n in rules) == len(rules), F.lit(1)
+    ).otherwise(F.lit(0))
+    return s3.withColumn("keep", keep.cast("int"))
+
+
+def gopher_oracle_sql(table: str = "documents") -> str:
+    """DuckDB twin of :func:`gopher_rules` — same tokenizer as the
+    text_profile oracle, same integer cross-multiplied thresholds."""
+    stops = ", ".join(f"'{s}'" for s in _GOPHER_STOPS)
+    return f"""
+WITH w AS (
+    SELECT doc_id,
+           list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                       x -> x != '') AS ws,
+           text
+    FROM {table}
+),
+c AS (
+    SELECT doc_id,
+           CAST(len(ws) AS BIGINT) AS n_words,
+           CAST(COALESCE(list_sum(list_transform(ws, x -> length(x))), 0)
+                AS BIGINT) AS word_chars,
+           CAST(len(regexp_extract_all(text, '#|\\.\\.\\.')) AS BIGINT)
+               AS n_sym,
+           CAST(len(list_filter(ws, x -> regexp_matches(x, '[a-z]')))
+                AS BIGINT) AS n_alpha_words,
+           CAST(len(list_intersect(ws, [{stops}])) AS BIGINT)
+               AS n_stop_distinct
+    FROM w
+)
+SELECT doc_id, n_words, word_chars, n_sym, n_alpha_words, n_stop_distinct,
+       CAST(CASE WHEN n_words >= {_GOPHER_MIN_WORDS}
+                  AND n_words <= {_GOPHER_MAX_WORDS}
+                 THEN 1 ELSE 0 END AS INT) AS r_wordcount,
+       CAST(CASE WHEN n_words > 0 AND word_chars >= 3 * n_words
+                  AND word_chars <= 10 * n_words
+                 THEN 1 ELSE 0 END AS INT) AS r_mean_word_len,
+       CAST(CASE WHEN n_words > 0 AND 10 * n_sym <= n_words
+                 THEN 1 ELSE 0 END AS INT) AS r_symbol,
+       CAST(CASE WHEN n_words > 0 AND 5 * n_alpha_words >= 4 * n_words
+                 THEN 1 ELSE 0 END AS INT) AS r_alpha,
+       CAST(CASE WHEN n_stop_distinct >= 2 THEN 1 ELSE 0 END AS INT)
+           AS r_stopwords,
+       CAST(CASE WHEN n_words >= {_GOPHER_MIN_WORDS}
+                  AND n_words <= {_GOPHER_MAX_WORDS}
+                  AND n_words > 0 AND word_chars >= 3 * n_words
+                  AND word_chars <= 10 * n_words
+                  AND 10 * n_sym <= n_words
+                  AND 5 * n_alpha_words >= 4 * n_words
+                  AND n_stop_distinct >= 2
+                 THEN 1 ELSE 0 END AS INT) AS keep
+FROM c
+ORDER BY doc_id
+"""

@@ -452,6 +452,31 @@ def test_headline_exchange_counts_pinned(spark, catalog):
                                           # agg + final join + present;
                                           # query set and Q-row threshold
                                           # table ride broadcasts
+        # round-6 batch 6
+        "mrr_eval_knn": 2,                # hits agg + present; ranked
+                                          # set / query labels / hits all
+                                          # ride broadcasts over the
+                                          # persisted ground-truth
+                                          # artifact
+        "gopher_rules_docs": 0,           # pure one-scan map (integer
+                                          # cross-multiplied thresholds)
+        "kmeans_cells_report": 3,         # final-assignment id window +
+                                          # cell stats agg + present
+                                          # (training rounds collapse to
+                                          # K-row literals at build time)
+        "edit_distance_pairs": 2,         # pair candidate distinct +
+                                          # present; both text-decoration
+                                          # joins broadcast the PAIR side
+        # round-6 batch 7
+        "span_corruption_plan": 2,        # per-doc start window + anchor
+                                          # join/present; the hash filter
+                                          # drops (rate-1)/rate of the
+                                          # position explode BEFORE the
+                                          # shuffle
+        "length_psi_drift": 7,            # one corpus (half,bucket) agg;
+                                          # the rest are 2·K-row grid hops
+                                          # (tiny at ANY corpus size) +
+                                          # present
         "zipf_slope_by_source": 3,        # (source,term) freq agg +
                                           # vocab-sized rank window + OLS
                                           # agg/present; ln-rank table is
@@ -572,8 +597,11 @@ def test_broadcast_sites_are_ratcheted():
             counts[str(p.relative_to(root))] = n
     PINNED = {
         "catalog.py": 17,
-        "catalog_curation.py": 2,  # ≤n_sources-row median-threshold table
+        "catalog_curation.py": 4,  # ≤n_sources-row median-threshold table
                                    # + 1-row decile-cutpoint array
+                                   # + edit_distance_pairs: LSH-survivor
+                                   # pair list into both text joins (the
+                                   # corpus text map streams)
         "catalog_dedup.py": 2,
         "catalog_etl.py": 9,
         "catalog_pipeline.py": 2,  # + 1-row token-budget totals
@@ -591,6 +619,8 @@ def test_broadcast_sites_are_ratcheted():
         "operators/incremental_agg.py": 1,
         "operators/kmv.py": 1,
         "operators/packing.py": 1,  # ≤(max_bucket+1)-row bucket counts
+        "operators/psi.py": 3,      # K-row bucket spine + 2·K-row count
+                                    # grid + K-row actual-half pivot
         "operators/sampling.py": 2,
         "operators/timeseries.py": 1,
         "operators/zorder.py": 1,
@@ -610,6 +640,10 @@ def test_broadcast_sites_are_ratcheted():
         "similarity/ndcg.py": 4,     # Q-row query-label set + Q·k-row
                                      # retrieved set + label-dim count
                                      # table + Q-row dcg frame
+        "similarity/mrr.py": 3,      # Q·k-row retrieved set + Q-row
+                                     # query-label set + Q-row hits
+                                     # frame (labels NEVER broadcast —
+                                     # they are corpus-granular)
         "textstats/backoff.py": 1,   # 1-row reference-corpus totals
         "sources/build_cache.py": 1,
         "sources/cache.py": 4,
