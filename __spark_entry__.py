@@ -30,6 +30,10 @@ _PRIORITY = [
     "edit_distance_pairs",
     "span_corruption_plan",
     "length_psi_drift",
+    "pmi_collocations",
+    "weighted_sample_sources",
+    "oov_rate_by_source",
+    "boilerplate_prefixes",
     # --- new in round 6, batch 5 (catalog_curation.py) ---
     "span_clean_docs",
     "incremental_span_coverage",

@@ -1072,3 +1072,235 @@ def length_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return psi_report(
         scored, F.col("doc_id") % 2 == 0, F.col("v")
     ).transform(present_sorted, "bucket")
+
+
+# ---------------------------------------------------------------------------
+# batch 8: PMI collocations, weighted sampling without replacement
+# ---------------------------------------------------------------------------
+
+_PMI_MIN = 5
+_PMI_TOP = 25
+
+
+def _pmi_oracle() -> str:
+    from msgvault_spark.textstats.pmi import pmi_oracle_sql
+
+    return pmi_oracle_sql(min_count=_PMI_MIN, top_n=_PMI_TOP)
+
+
+@register("pmi_collocations", _pmi_oracle())
+def pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PMI collocation mining (Church & Hanks 1990): adjacent word pairs
+    ranked by pointwise mutual information with a min-count floor — the
+    association-strength complement to top_bigrams_corpus' raw
+    frequency (frequency surfaces "of the"; PMI surfaces multi-word
+    expressions).  Counts collapse to vocab-sized type tables before any
+    join; the log argument is the identical double expression tree in
+    both engines, floored to fixed-point nano
+    (textstats/pmi.py)."""
+    from msgvault_spark.textstats.pmi import pmi_collocations as _pmi
+
+    docs = load_table(spark, sf_dir, "documents")
+    return _pmi(docs, "doc_id", "text", min_count=_PMI_MIN, top_n=_PMI_TOP)
+
+
+_WSAMPLE_QUOTA = 20
+
+
+def _wsample_oracle() -> str:
+    from msgvault_spark.functions.portable import MD5_HEX6_SQL
+
+    h = MD5_HEX6_SQL.format(x="CAST(doc_id AS VARCHAR)")
+    return f"""
+WITH t AS (
+    SELECT doc_id, source,
+           len(list_filter(string_split_regex(lower(COALESCE(text, '')),
+               '[^a-z0-9]+'), x -> x != '')) AS n_tokens
+    FROM documents
+),
+k AS (
+    SELECT source, doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(floor(-ln(({h} + 1) / 16777217.0)
+                      / CAST(n_tokens AS DOUBLE) * 1000000000 + 0.5)
+                AS BIGINT) AS key_nano
+    FROM t WHERE n_tokens > 0
+)
+SELECT source, doc_id, n_tokens, key_nano FROM (
+    SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY source ORDER BY key_nano, doc_id) AS rn
+    FROM k
+) WHERE rn <= {_WSAMPLE_QUOTA}
+ORDER BY source, key_nano, doc_id
+"""
+
+
+@register("weighted_sample_sources", _wsample_oracle())
+def weighted_sample_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement, 20 docs per source with
+    inclusion probability proportional to token count — the
+    Efraimidis–Spirakis exponential-key scheme, deterministic via the
+    portable hash so reruns and engines agree bit-for-bit.  The
+    token-mass-aware cousin of cluster_balanced_sample (long docs carry
+    more training signal; uniform row sampling under-weights them).
+    Salted two-level bottom-k, no per-source sort window
+    (operators/sampling.py:weighted_sample_wor)."""
+    from msgvault_spark.operators.present import present_sorted
+    from msgvault_spark.operators.sampling import weighted_sample_wor
+    from msgvault_spark.textstats.analysis import words
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id",
+        "source",
+        F.size(words(F.coalesce(F.col("text"), F.lit("")))).alias(
+            "n_tokens"
+        ),
+    )
+    return weighted_sample_wor(
+        scored, "source", "doc_id", "n_tokens", _WSAMPLE_QUOTA
+    ).transform(present_sorted, "source", "key_nano", "doc_id")
+
+
+# ---------------------------------------------------------------------------
+# batch 9: tokenizer OOV-rate gate, boilerplate prefix detection
+# ---------------------------------------------------------------------------
+
+_OOV_VOCAB = 500
+
+
+def _oov_oracle() -> str:
+    return f"""
+WITH tokens AS (
+    SELECT doc_id,
+           unnest(string_split_regex(lower(COALESCE(text, '')),
+                  '[^a-z0-9]+')) AS term
+    FROM documents
+),
+tc AS (SELECT doc_id, term FROM tokens WHERE term != ''),
+postings AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+             FROM tc GROUP BY 1, 2),
+ctf AS (SELECT term, CAST(SUM(tf) AS BIGINT) AS ctf
+        FROM postings GROUP BY 1),
+vocab AS (SELECT term FROM ctf ORDER BY ctf DESC, term ASC
+          LIMIT {_OOV_VOCAB}),
+j AS (
+    SELECT d.source, p.tf,
+           CASE WHEN v.term IS NULL THEN p.tf ELSE 0 END AS oov
+    FROM postings p
+    JOIN documents d USING (doc_id)
+    LEFT JOIN vocab v ON v.term = p.term
+)
+SELECT source,
+       CAST(SUM(tf) AS BIGINT) AS total_tokens,
+       CAST(SUM(oov) AS BIGINT) AS oov_tokens,
+       (CAST(SUM(oov) AS BIGINT) * 1000000) // CAST(SUM(tf) AS BIGINT)
+           AS oov_ppm
+FROM j GROUP BY source ORDER BY source
+"""
+
+
+@register("oov_rate_by_source", _oov_oracle())
+def oov_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-coverage gate: the fraction of each source's token
+    instances falling outside a frozen top-500 vocabulary — the "will
+    this source UNK-flood my tokenizer" screen run before any training
+    budget is spent (the instance-rate complement to
+    token_fertility_report's per-token cost).  Served from the postings
+    artifact; the vocab is a V-row TakeOrdered result broadcast into the
+    flag join; the only corpus-scale shuffle is the per-source rollup
+    with map-side combine."""
+    from msgvault_spark.operators.present import present_sorted
+    from msgvault_spark.sources.cache import get_text_index
+
+    postings, _stats = get_text_index(
+        spark, sf_dir, "documents", "doc_id", "text"
+    )
+    ctf = postings.groupBy("term").agg(
+        F.sum("tf").cast("long").alias("ctf")
+    )
+    vocab = (
+        ctf.orderBy(F.col("ctf").desc(), F.col("term").asc())
+        .limit(_OOV_VOCAB)
+        .select("term", F.lit(1).alias("in_vocab"))
+    )
+    src = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    return (
+        postings.join(F.broadcast(vocab), "term", "left")
+        .join(src, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.sum("tf").cast("long").alias("total_tokens"),
+            F.sum(
+                F.when(F.col("in_vocab").isNull(), F.col("tf")).otherwise(
+                    F.lit(0)
+                )
+            )
+            .cast("long")
+            .alias("oov_tokens"),
+        )
+        .withColumn(
+            "oov_ppm", F.expr("(oov_tokens * 1000000) div total_tokens")
+        )
+        .transform(present_sorted, "source")
+    )
+
+
+_PREFIX_K = 8
+_PREFIX_TOP = 25
+
+
+def _prefix_oracle() -> str:
+    return f"""
+WITH ws AS (
+    SELECT doc_id, source,
+           list_filter(string_split_regex(lower(COALESCE(text, '')),
+                       '[^a-z0-9]+'), x -> x != '') AS w
+    FROM documents
+),
+p AS (
+    SELECT doc_id, source,
+           list_aggregate(w[1:{_PREFIX_K}], 'string_agg', ' ') AS prefix
+    FROM ws WHERE len(w) >= 1
+)
+SELECT prefix,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+       CAST(MIN(doc_id) AS BIGINT) AS example_doc_id
+FROM p GROUP BY prefix
+ORDER BY n_docs DESC, prefix ASC
+LIMIT {_PREFIX_TOP}
+"""
+
+
+@register("boilerplate_prefixes", _prefix_oracle())
+def boilerplate_prefixes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate header detection: the most repeated first-8-token
+    prefixes across the corpus, with how many sources share each and an
+    example doc — the template-removal recon step (C4 strips repeated
+    headers/footers; this finds them BEFORE writing removal rules).
+    Prefix build is a pure map; one groupBy with map-side combine
+    (COUNT(DISTINCT source) is a small per-group domain); top-25 via
+    TakeOrdered."""
+    from msgvault_spark.textstats.analysis import words
+
+    docs = load_table(spark, sf_dir, "documents")
+    ws = docs.select(
+        "doc_id",
+        "source",
+        words(F.coalesce(F.col("text"), F.lit(""))).alias("w"),
+    ).filter(F.size("w") >= 1)
+    return (
+        ws.select(
+            "doc_id",
+            "source",
+            F.concat_ws(" ", F.slice("w", 1, _PREFIX_K)).alias("prefix"),
+        )
+        .groupBy("prefix")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.count_distinct("source").cast("long").alias("n_sources"),
+            F.min("doc_id").cast("long").alias("example_doc_id"),
+        )
+        .orderBy(F.col("n_docs").desc(), F.col("prefix").asc())
+        .limit(_PREFIX_TOP)
+    )

@@ -239,3 +239,66 @@ def bounded_stratified_sample(
         .select(*strata, F.col("__m.k").alias(key))
     )
     return merged
+
+
+def weighted_sample_wor(
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    weight_col: str,
+    quota: int,
+    *,
+    salt_buckets: int = 32,
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement, ``quota`` per
+    group — the Efraimidis–Spirakis A-ES scheme (exponential-key order
+    statistics): each row draws key = −ln(u)/w from its portable-hash
+    uniform u, and the quota smallest keys win; inclusion probability is
+    proportional to weight, the draw is rerun-stable and engine-portable.
+    The weighted cousin of bounded_stratified_sample, with the SAME
+    salted two-level bottom-k (no per-group sort window — a hot group
+    fans across ``salt_buckets`` tasks, merge state is quota-bounded).
+
+    Keys are fixed-point nano longs (floor(−ln(u)/w·1e9 + 0.5)); u is a
+    single division of exact integers, so both engines draw identical
+    keys bit-for-bit.  Rows with weight <= 0 are excluded (they carry no
+    mass; −ln(u)/0 is undefined).  Ties break on the id.  Returns
+    (group, id, weight, key_nano)."""
+    from msgvault_spark.functions.portable import md5_hex6_long
+
+    h = md5_hex6_long(F.col(id_col).cast("string"))
+    u = (h + F.lit(1)).cast("double") / F.lit(16777217.0)
+    key_nano = F.floor(
+        -F.log(u) / F.col(weight_col).cast("double") * F.lit(1e9) + F.lit(0.5)
+    ).cast("long")
+    member = F.struct(
+        F.col("__key").alias("k"),
+        F.col(id_col).cast("long").alias("i"),
+        F.col(weight_col).cast("long").alias("w"),
+    )
+    base = (
+        df.filter(F.col(weight_col) > 0)
+        .select(F.col(group_col), F.col(id_col), F.col(weight_col))
+        .withColumn("__key", key_nano)
+        .withColumn("__salt", F.pmod(F.col("__key"), F.lit(salt_buckets)))
+    )
+    lvl1 = base.groupBy(group_col, "__salt").agg(
+        F.slice(F.sort_array(F.collect_list(member)), 1, quota).alias(
+            "__cand"
+        )
+    )
+    return (
+        lvl1.groupBy(group_col)
+        .agg(
+            F.slice(
+                F.sort_array(F.flatten(F.collect_list("__cand"))), 1, quota
+            ).alias("__top")
+        )
+        .select(F.col(group_col), F.explode("__top").alias("__m"))
+        .select(
+            F.col(group_col),
+            F.col("__m.i").alias(id_col),
+            F.col("__m.w").alias(weight_col),
+            F.col("__m.k").alias("key_nano"),
+        )
+    )

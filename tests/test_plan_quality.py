@@ -477,6 +477,25 @@ def test_headline_exchange_counts_pinned(spark, catalog):
                                           # the rest are 2·K-row grid hops
                                           # (tiny at ANY corpus size) +
                                           # present
+        # round-6 batch 8
+        "pmi_collocations": 7,            # 2 corpus type aggs (unigram,
+                                          # bigram); the other exchanges
+                                          # join vocab-sized tables among
+                                          # themselves (the backoff rule);
+                                          # totals are 1-row broadcasts;
+                                          # TakeOrdered top-k
+        "weighted_sample_sources": 3,     # salted (source,salt) bottom-k
+                                          # + source merge + present; no
+                                          # per-source sort window
+        # round-6 batch 9
+        "oov_rate_by_source": 2,          # doc-keyed source join + source
+                                          # rollup; vocab is a V-row
+                                          # TakeOrdered broadcast over the
+                                          # postings artifact
+        "boilerplate_prefixes": 2,        # prefix agg (the distinct-source
+                                          # two-phase expansion); prefix
+                                          # build is a pure map;
+                                          # TakeOrdered top-k
         "zipf_slope_by_source": 3,        # (source,term) freq agg +
                                           # vocab-sized rank window + OLS
                                           # agg/present; ln-rank table is
@@ -597,11 +616,12 @@ def test_broadcast_sites_are_ratcheted():
             counts[str(p.relative_to(root))] = n
     PINNED = {
         "catalog.py": 17,
-        "catalog_curation.py": 4,  # ≤n_sources-row median-threshold table
+        "catalog_curation.py": 5,  # ≤n_sources-row median-threshold table
                                    # + 1-row decile-cutpoint array
                                    # + edit_distance_pairs: LSH-survivor
                                    # pair list into both text joins (the
                                    # corpus text map streams)
+                                   # + oov_rate: V-row TakeOrdered vocab
         "catalog_dedup.py": 2,
         "catalog_etl.py": 9,
         "catalog_pipeline.py": 2,  # + 1-row token-budget totals
@@ -645,6 +665,7 @@ def test_broadcast_sites_are_ratcheted():
                                      # frame (labels NEVER broadcast —
                                      # they are corpus-granular)
         "textstats/backoff.py": 1,   # 1-row reference-corpus totals
+        "textstats/pmi.py": 2,       # two 1-row totals (N_uni, N_bi)
         "sources/build_cache.py": 1,
         "sources/cache.py": 4,
         "sources/merge.py": 2,

@@ -745,3 +745,207 @@ def test_psi_shifted_distribution_is_positive_and_localized(spark):
     total = sum(r["psi_nano"] for r in out.values())
     assert total > 250_000_000  # PSI far beyond the 0.25 action line
     assert out[3]["psi_nano"] == 0  # untouched bucket contributes nothing
+
+
+# ---------------------------------------------------------------------------
+# PMI collocations
+# ---------------------------------------------------------------------------
+
+
+def _py_pmi(texts: list[str], min_count: int, top_n: int):
+    import math as m
+
+    uni: dict[str, int] = {}
+    cb: dict[tuple, int] = {}
+    for s in texts:
+        ws = [t for t in re.split(r"[^a-z0-9]+", s.lower()) if t]
+        for t in ws:
+            uni[t] = uni.get(t, 0) + 1
+        for a, b in zip(ws, ws[1:]):
+            cb[(a, b)] = cb.get((a, b), 0) + 1
+    nu = sum(uni.values())
+    nb = sum(cb.values())
+    rows = []
+    for (a, b), c in cb.items():
+        if c < min_count:
+            continue
+        ratio = ((c * nu) / (uni[a] * uni[b])) * (nu / nb)
+        rows.append((a, b, c, int(m.floor(m.log(ratio) * 1e9 + 0.5))))
+    rows.sort(key=lambda r: (-r[3], r[0], r[1]))
+    return rows[:top_n]
+
+
+def test_pmi_matches_python_reference_and_ranks_collocations(spark):
+    from msgvault_spark.textstats.pmi import pmi_collocations
+
+    # "san francisco" always co-occurs (true collocation); "the" is
+    # frequent but promiscuous — frequency ranks "the x" pairs high,
+    # PMI must rank the exclusive pair first
+    texts = (
+        ["we visited san francisco last may"] * 6
+        + ["the cat saw the dog near the park"] * 10
+        + ["the sun and the moon and the stars"] * 10
+    )
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = [
+        (r["w1"], r["w2"], r["pair_count"], r["pmi_nano"])
+        for r in pmi_collocations(docs, min_count=5, top_n=10).collect()
+    ]
+    assert got == _py_pmi(texts, 5, 10)
+    assert (got[0][0], got[0][1]) in {("san", "francisco"),
+                                      ("visited", "san"),
+                                      ("francisco", "last"),
+                                      ("we", "visited"),
+                                      ("last", "may")}
+    the_pairs = [g for g in got if g[0] == "the" or g[1] == "the"]
+    exclusive = [g for g in got if g[0] == "san"]
+    assert exclusive and the_pairs
+    assert exclusive[0][3] > max(p[3] for p in the_pairs)
+
+
+# ---------------------------------------------------------------------------
+# weighted sampling without replacement
+# ---------------------------------------------------------------------------
+
+
+def _py_weighted_sample(rows, quota):
+    import hashlib
+    import math as m
+
+    out: dict[str, list] = {}
+    for g, i, w in rows:
+        if w <= 0:
+            continue
+        h = int(hashlib.md5(str(i).encode()).hexdigest()[:6], 16)
+        u = (h + 1) / 16777217.0
+        k = int(m.floor(-m.log(u) / w * 1e9 + 0.5))
+        out.setdefault(g, []).append((k, i, w))
+    res = []
+    for g in sorted(out):
+        for k, i, w in sorted(out[g])[:quota]:
+            res.append((g, i, w, k))
+    return res
+
+
+def test_weighted_sample_matches_python_reference(spark):
+    from msgvault_spark.operators.sampling import weighted_sample_wor
+
+    rows = [("a", i, (i % 7) + 1) for i in range(200)]
+    rows += [("b", 1000 + i, 50) for i in range(15)]   # under-quota group
+    rows += [("c", 2000, 0), ("c", 2001, 3)]           # zero weight dropped
+    df = spark.createDataFrame(rows, "grp string, doc_id long, w long")
+    got = [
+        (r["grp"], r["doc_id"], r["w"], r["key_nano"])
+        for r in weighted_sample_wor(df, "grp", "doc_id", "w", 20)
+        .orderBy("grp", "key_nano", "doc_id")
+        .collect()
+    ]
+    want = _py_weighted_sample([(g, i, w) for g, i, w in rows], 20)
+    assert got == want
+    assert len([g for g in got if g[0] == "b"]) == 15  # all kept
+    assert [g for g in got if g[0] == "c"] == [
+        w for w in want if w[0] == "c"
+    ]
+    assert all(g[1] != 2000 for g in got)  # zero-weight row excluded
+
+
+def test_weighted_sample_prefers_heavy_rows(spark):
+    from msgvault_spark.operators.sampling import weighted_sample_wor
+
+    # weight 1000 vs weight 1: across 40 groups of 10+10, heavy rows
+    # should dominate the quota-5 picks by a wide margin
+    rows = []
+    for g in range(40):
+        rows += [(f"g{g}", g * 100 + i, 1000) for i in range(10)]
+        rows += [(f"g{g}", g * 100 + 50 + i, 1) for i in range(10)]
+    df = spark.createDataFrame(rows, "grp string, doc_id long, w long")
+    got = weighted_sample_wor(df, "grp", "doc_id", "w", 5).collect()
+    heavy = sum(1 for r in got if r["w"] == 1000)
+    assert heavy / len(got) > 0.9
+
+
+# ---------------------------------------------------------------------------
+# OOV rate / boilerplate prefixes
+# ---------------------------------------------------------------------------
+
+
+def test_oov_rate_flags_out_of_vocab_source(spark):
+    from msgvault_spark.sources.cache import get_text_index
+
+    # build a corpus where src_common uses only 2 terms and src_rare is
+    # all hapax terms — with vocab = top 2, src_rare must be ~100% OOV.
+    # Exercise the entry's core join logic directly on a local index.
+    from pyspark.sql import functions as F2
+
+    docs = spark.createDataFrame(
+        [(i, "alpha beta alpha beta", "src_common") for i in range(10)]
+        + [(100 + i, f"rare{i}x uniq{i}y", "src_rare") for i in range(5)],
+        "doc_id long, text string, source string",
+    )
+    from msgvault_spark.textstats.analysis import words
+
+    postings = (
+        docs.select(
+            "doc_id", F2.explode(words(F2.col("text"))).alias("term")
+        )
+        .groupBy("doc_id", "term")
+        .agg(F2.count(F2.lit(1)).cast("long").alias("tf"))
+    )
+    ctf = postings.groupBy("term").agg(F2.sum("tf").alias("ctf"))
+    vocab = (
+        ctf.orderBy(F2.col("ctf").desc(), F2.col("term").asc())
+        .limit(2)
+        .select("term", F2.lit(1).alias("in_vocab"))
+    )
+    out = {
+        r["source"]: r
+        for r in postings.join(F2.broadcast(vocab), "term", "left")
+        .join(docs.select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(
+            F2.sum("tf").cast("long").alias("total"),
+            F2.sum(
+                F2.when(F2.col("in_vocab").isNull(), F2.col("tf")).otherwise(
+                    F2.lit(0)
+                )
+            ).cast("long").alias("oov"),
+        )
+        .collect()
+    }
+    assert out["src_common"]["oov"] == 0
+    assert out["src_rare"]["oov"] == out["src_rare"]["total"] == 10
+
+
+def test_boilerplate_prefixes_surface_shared_headers(spark):
+    from msgvault_spark.catalog import CATALOG  # noqa: F401  (idiom check)
+    from msgvault_spark.textstats.analysis import words
+
+    header = "subscribe to our newsletter for the latest updates today"
+    docs = spark.createDataFrame(
+        [(i, header + f" body {i} varies", "s%d" % (i % 3)) for i in range(9)]
+        + [(100, "completely unique document text here", "s9")],
+        "doc_id long, text string, source string",
+    )
+    ws = docs.select(
+        "doc_id", "source", words(F.col("text")).alias("w")
+    ).filter(F.size("w") >= 1)
+    out = (
+        ws.select(
+            "doc_id", "source",
+            F.concat_ws(" ", F.slice("w", 1, 8)).alias("prefix"),
+        )
+        .groupBy("prefix")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count_distinct("source").alias("n_sources"),
+            F.min("doc_id").alias("example_doc_id"),
+        )
+        .orderBy(F.col("n_docs").desc(), F.col("prefix").asc())
+        .collect()
+    )
+    top = out[0]
+    assert top["prefix"] == "subscribe to our newsletter for the latest updates"
+    assert top["n_docs"] == 9 and top["n_sources"] == 3
+    assert top["example_doc_id"] == 0
