@@ -34,6 +34,8 @@ _PRIORITY = [
     "weighted_sample_sources",
     "oov_rate_by_source",
     "boilerplate_prefixes",
+    "token_entropy_docs",
+    "length_mad_outliers",
     # --- new in round 6, batch 5 (catalog_curation.py) ---
     "span_clean_docs",
     "incremental_span_coverage",

@@ -1304,3 +1304,152 @@ def boilerplate_prefixes(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_docs").desc(), F.col("prefix").asc())
         .limit(_PREFIX_TOP)
     )
+
+
+# ---------------------------------------------------------------------------
+# batch 10: per-doc token entropy, MAD length-outlier screen
+# ---------------------------------------------------------------------------
+
+
+def _entropy_oracle() -> str:
+    return """
+WITH tokens AS (
+    SELECT doc_id,
+           unnest(string_split_regex(lower(COALESCE(text, '')),
+                  '[^a-z0-9]+')) AS term
+    FROM documents
+),
+tc AS (SELECT doc_id, term FROM tokens WHERE term != ''),
+postings AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+             FROM tc GROUP BY 1, 2),
+dls AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl,
+               CAST(COUNT(*) AS BIGINT) AS distinct_terms
+        FROM postings GROUP BY 1),
+contrib AS (
+    SELECT p.doc_id,
+           CAST(floor(p.tf * ln(CAST(d.dl AS DOUBLE) / p.tf) * 1000000
+                      + 0.5) AS BIGINT) AS cs
+    FROM postings p JOIN dls d USING (doc_id)
+),
+agg AS (SELECT doc_id, CAST(SUM(cs) AS BIGINT) AS s
+        FROM contrib GROUP BY 1)
+SELECT d.doc_id, d.dl AS n_tokens, d.distinct_terms,
+       a.s // d.dl AS entropy_micro,
+       CASE WHEN d.dl >= 2
+            THEN (a.s * 1000000)
+                 // (d.dl * CAST(floor(ln(CAST(d.dl AS DOUBLE)) * 1000000
+                                       + 0.5) AS BIGINT))
+            ELSE 0 END AS uniformity_ppm
+FROM dls d JOIN agg a USING (doc_id)
+ORDER BY d.doc_id
+"""
+
+
+@register("token_entropy_docs", _entropy_oracle())
+def token_entropy_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document unigram Shannon entropy + length-normalized
+    uniformity: the self-referential repetitiveness feature (a doc of
+    one looping token scores 0; all-distinct scores 1e6) next to the
+    corpus-LM NLL and backoff scores.  Served from the postings
+    artifact; engine-exact fixed point throughout
+    (textstats/analysis.py:token_entropy_scores)."""
+    from msgvault_spark.sources.cache import get_text_index
+    from msgvault_spark.textstats.analysis import token_entropy_scores
+
+    postings, _stats = get_text_index(
+        spark, sf_dir, "documents", "doc_id", "text"
+    )
+    return token_entropy_scores(postings).sortWithinPartitions("doc_id")
+
+
+_MAD_K = 3
+
+
+def _mad_oracle() -> str:
+    return f"""
+WITH t AS (
+    SELECT doc_id, source,
+           CAST(len(list_filter(string_split_regex(lower(COALESCE(text,
+                '')), '[^a-z0-9]+'), x -> x != '')) AS BIGINT) AS v
+    FROM documents
+),
+med AS (
+    SELECT source,
+           CAST(2 * quantile_cont(v, 0.5) AS BIGINT) AS med_x2
+    FROM t GROUP BY source
+),
+dev AS (
+    SELECT t.source, t.doc_id, t.v, m.med_x2,
+           abs(2 * t.v - m.med_x2) AS d2
+    FROM t JOIN med m USING (source)
+),
+mad AS (
+    SELECT source,
+           CAST(2 * quantile_cont(d2, 0.5) AS BIGINT) AS mad_x4
+    FROM dev GROUP BY source
+)
+SELECT d.source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(MIN(d.med_x2) AS BIGINT) AS median_x2,
+       CAST(MIN(m.mad_x4) AS BIGINT) AS mad_x4,
+       CAST(SUM(CASE WHEN 2 * d.d2 > {_MAD_K} * m.mad_x4
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+       (CAST(SUM(CASE WHEN 2 * d.d2 > {_MAD_K} * m.mad_x4
+                 THEN 1 ELSE 0 END) AS BIGINT) * 1000000)
+           // CAST(COUNT(*) AS BIGINT) AS outlier_ppm
+FROM dev d JOIN mad m USING (source)
+GROUP BY d.source ORDER BY d.source
+"""
+
+
+@register("length_mad_outliers", _mad_oracle())
+def length_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-source outlier screen: documents whose token length
+    sits more than 3 median-absolute-deviations from their source's
+    median — the screen that survives the heavy tails that break
+    mean/stddev z-scores (truncation artifacts and concatenation blobs
+    are exactly the tails).  Exact medians doubled into integers (the
+    exact-quantile parity recipe), so the whole report is engine-exact
+    integer arithmetic.  Two source-keyed aggs + two ≤S-row broadcast
+    joins; at 100 TB the medians come from the mergeable
+    histogram-quantile sketch artifact, same shape."""
+    from msgvault_spark.operators.present import present_sorted
+    from msgvault_spark.textstats.analysis import words
+
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id",
+        "source",
+        F.size(words(F.coalesce(F.col("text"), F.lit("")))).cast(
+            "long"
+        ).alias("v"),
+    )
+    med = t.groupBy("source").agg(
+        (2 * F.percentile("v", F.lit(0.5))).cast("long").alias("med_x2")
+    )
+    dev = t.join(F.broadcast(med), "source").withColumn(
+        "d2", F.abs(2 * F.col("v") - F.col("med_x2"))
+    )
+    mad = dev.groupBy("source").agg(
+        (2 * F.percentile("d2", F.lit(0.5))).cast("long").alias("mad_x4")
+    )
+    flagged = dev.join(F.broadcast(mad), "source")
+    return (
+        flagged.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.min("med_x2").cast("long").alias("median_x2"),
+            F.min("mad_x4").cast("long").alias("mad_x4"),
+            F.sum(
+                F.when(
+                    2 * F.col("d2") > _MAD_K * F.col("mad_x4"), F.lit(1)
+                ).otherwise(F.lit(0))
+            )
+            .cast("long")
+            .alias("n_outliers"),
+        )
+        .withColumn(
+            "outlier_ppm", F.expr("(n_outliers * 1000000) div n_docs")
+        )
+        .transform(present_sorted, "source")
+    )

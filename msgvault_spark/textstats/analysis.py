@@ -523,3 +523,66 @@ SELECT doc_id, n_words, word_chars, n_sym, n_alpha_words, n_stop_distinct,
 FROM c
 ORDER BY doc_id
 """
+
+
+def token_entropy_scores(postings: DataFrame) -> DataFrame:
+    """(doc_id, n_tokens, distinct_terms, entropy_micro, uniformity_ppm)
+    from an inverted-index postings table (doc_id, term, tf): the doc's
+    own unigram Shannon entropy H = Σ (tf/dl)·ln(dl/tf) — the
+    SELF-referential quality feature next to unigram_nll_scores' corpus
+    NLL (low entropy = token loops the corpus LM can still find fluent;
+    uniformity = H / ln(dl) normalizes length away, 1e6 = all-distinct).
+
+    Engine-exact: per-term contributions are floor(tf·ln(dl/tf)·1e6+0.5)
+    (every ln argument one division of exact integers), the per-doc sum
+    is order-free, entropy the integer division by dl, uniformity an
+    all-integer ratio of two floored fixed points.  Zero-token docs have
+    no postings row and are absent by construction on both engines.
+
+    Scale shape: one doc-keyed self-rollup of the postings artifact plus
+    the contribution map — no corpus table touched."""
+    dls = postings.groupBy("doc_id").agg(
+        F.sum("tf").cast("long").alias("dl"),
+        F.count(F.lit(1)).cast("long").alias("distinct_terms"),
+    )
+    contrib = postings.join(dls, "doc_id").select(
+        "doc_id",
+        F.floor(
+            F.col("tf")
+            * F.log(F.col("dl").cast("double") / F.col("tf"))
+            * 1000000
+            + 0.5
+        )
+        .cast("long")
+        .alias("cs"),
+    )
+    s = contrib.groupBy("doc_id").agg(F.sum("cs").cast("long").alias("s"))
+    ln_dl_micro = F.floor(
+        F.log(F.col("dl").cast("double")) * 1000000 + 0.5
+    ).cast("long")
+    return (
+        dls.join(s, "doc_id")
+        .select(
+            "doc_id",
+            F.col("dl").alias("n_tokens"),
+            "distinct_terms",
+            F.expr("s div dl").alias("entropy_micro"),
+            F.when(
+                F.col("dl") >= 2,
+                F.expr("s * 1000000").cast("long"),
+            )
+            .otherwise(F.lit(0))
+            .alias("_num"),
+            ln_dl_micro.alias("_lnd"),
+        )
+        .withColumn(
+            "uniformity_ppm",
+            F.when(
+                F.col("n_tokens") >= 2,
+                F.expr("_num div (n_tokens * _lnd)"),
+            )
+            .otherwise(F.lit(0))
+            .cast("long"),
+        )
+        .drop("_num", "_lnd")
+    )

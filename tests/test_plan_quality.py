@@ -496,6 +496,14 @@ def test_headline_exchange_counts_pinned(spark, catalog):
                                           # two-phase expansion); prefix
                                           # build is a pure map;
                                           # TakeOrdered top-k
+        # round-6 batch 10
+        "token_entropy_docs": 1,          # one doc-keyed self-rollup of
+                                          # the postings artifact (dls and
+                                          # contributions reuse it)
+        "length_mad_outliers": 5,         # two exact-quantile source aggs
+                                          # + flag rollup + present; the
+                                          # ≤S-row median/MAD tables ride
+                                          # broadcasts
         "zipf_slope_by_source": 3,        # (source,term) freq agg +
                                           # vocab-sized rank window + OLS
                                           # agg/present; ln-rank table is
@@ -616,12 +624,14 @@ def test_broadcast_sites_are_ratcheted():
             counts[str(p.relative_to(root))] = n
     PINNED = {
         "catalog.py": 17,
-        "catalog_curation.py": 5,  # ≤n_sources-row median-threshold table
+        "catalog_curation.py": 7,  # ≤n_sources-row median-threshold table
                                    # + 1-row decile-cutpoint array
                                    # + edit_distance_pairs: LSH-survivor
                                    # pair list into both text joins (the
                                    # corpus text map streams)
                                    # + oov_rate: V-row TakeOrdered vocab
+                                   # + MAD screen: two ≤S-row quantile
+                                   # tables (median, MAD per source)
         "catalog_dedup.py": 2,
         "catalog_etl.py": 9,
         "catalog_pipeline.py": 2,  # + 1-row token-budget totals

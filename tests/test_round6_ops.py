@@ -949,3 +949,109 @@ def test_boilerplate_prefixes_surface_shared_headers(spark):
     assert top["prefix"] == "subscribe to our newsletter for the latest updates"
     assert top["n_docs"] == 9 and top["n_sources"] == 3
     assert top["example_doc_id"] == 0
+
+
+# ---------------------------------------------------------------------------
+# token entropy / MAD outliers
+# ---------------------------------------------------------------------------
+
+
+def _py_entropy(texts: dict[int, str]):
+    import math as m
+
+    out = {}
+    for d, s in texts.items():
+        ws = [t for t in re.split(r"[^a-z0-9]+", s.lower()) if t]
+        if not ws:
+            continue
+        dl = len(ws)
+        tfs: dict[str, int] = {}
+        for t in ws:
+            tfs[t] = tfs.get(t, 0) + 1
+        ssum = sum(
+            int(m.floor(tf * m.log(dl / tf) * 1e6 + 0.5))
+            for tf in tfs.values()
+        )
+        ent = ssum // dl
+        if dl >= 2:
+            lnd = int(m.floor(m.log(dl) * 1e6 + 0.5))
+            uni = (ssum * 1_000_000) // (dl * lnd)
+        else:
+            uni = 0
+        out[d] = (dl, len(tfs), ent, uni)
+    return out
+
+
+def test_token_entropy_matches_python_reference(spark):
+    from msgvault_spark.textstats.analysis import token_entropy_scores
+
+    texts = {
+        0: "spam " * 50,                                  # loop → H = 0
+        1: " ".join(f"u{i}" for i in range(64)),          # all distinct
+        2: "a a b b c c d d",                             # uniform over 4
+        3: "solo",                                        # dl = 1 edge
+        4: "",                                            # absent (no row)
+    }
+    docs = spark.createDataFrame(
+        [(d, t) for d, t in texts.items()], "doc_id long, text string"
+    )
+    postings = (
+        docs.select(
+            "doc_id",
+            F.explode(
+                F.filter(
+                    F.split(F.lower("text"), "[^a-z0-9]+"),
+                    lambda w: w != "",
+                )
+            ).alias("term"),
+        )
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
+    got = {
+        r["doc_id"]: (
+            r["n_tokens"], r["distinct_terms"],
+            r["entropy_micro"], r["uniformity_ppm"],
+        )
+        for r in token_entropy_scores(postings).collect()
+    }
+    assert got == _py_entropy(texts)
+    assert got[0][2] == 0 and got[0][3] == 0          # loop scores zero
+    assert got[1][3] == 1_000_000                     # all-distinct = 1e6
+    assert 4 not in got                               # empty doc absent
+    assert got[3] == (1, 1, 0, 0)                     # single token
+
+
+def test_mad_outliers_flag_extremes_only(spark):
+    from msgvault_spark.catalog import CATALOG
+    import os
+    import tempfile
+
+    # build a tiny parquet lake the entry can read: one tight source with
+    # two wild outliers, one constant source with a single deviant
+    rows = []
+    for i in range(40):
+        rows.append((i, " ".join(["w"] * (20 + (i % 3))), "en", "tight", 0))
+    rows.append((100, " ".join(["w"] * 500), "en", "tight", 0))
+    rows.append((101, "w", "en", "tight", 0))
+    for i in range(30):
+        rows.append((200 + i, " ".join(["w"] * 10), "en", "const", 0))
+    rows.append((300, " ".join(["w"] * 11), "en", "const", 0))
+    import pandas as pd
+
+    with tempfile.TemporaryDirectory() as d:
+        pdf = pd.DataFrame(
+            rows, columns=["doc_id", "text", "lang", "source", "n_chars"]
+        )
+        pdf["n_chars"] = pdf["text"].str.len()
+        pdf.to_parquet(os.path.join(d, "documents.parquet"))
+        out = {
+            r["source"]: r
+            for r in CATALOG["length_mad_outliers"].fn(spark, d).collect()
+        }
+    tight = out["tight"]
+    assert tight["median_x2"] == 2 * 21
+    assert tight["n_outliers"] == 2          # 500 and 1, nothing else
+    const = out["const"]
+    assert const["mad_x4"] == 0
+    assert const["n_outliers"] == 1          # any deviation from constant
