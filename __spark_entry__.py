@@ -36,6 +36,8 @@ _PRIORITY = [
     "boilerplate_prefixes",
     "token_entropy_docs",
     "length_mad_outliers",
+    "embedding_near_dups_lsh",
+    "quality_zscore_by_lang",
     # --- new in round 6, batch 5 (catalog_curation.py) ---
     "span_clean_docs",
     "incremental_span_coverage",

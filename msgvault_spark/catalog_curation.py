@@ -1453,3 +1453,121 @@ def length_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .transform(present_sorted, "source")
     )
+
+
+# ---------------------------------------------------------------------------
+# batch 11: LSH embedding near-dup scale path, per-language quality z-score
+# ---------------------------------------------------------------------------
+
+_EMB_DIM = 64  # testdata embedding width (the ann_lsh _DIM convention)
+_LSH_ND_THRESHOLD = 0.45  # same bar as the exact all-pairs entry
+_LSH_ND_PLANES = 8
+
+
+def _lsh_nd_oracle() -> str:
+    from msgvault_spark.dedup.embedding import lsh_near_dups_oracle_sql
+
+    return lsh_near_dups_oracle_sql(
+        _LSH_ND_THRESHOLD, dim=_EMB_DIM, n_planes=_LSH_ND_PLANES
+    )
+
+
+@register("embedding_near_dups_lsh", _lsh_nd_oracle())
+def embedding_near_dups_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SCALE PATH of embedding_near_dups, now under the gate: random-
+    hyperplane signatures bucket the corpus, only same-bucket pairs pay
+    the exact cosine rescore — O(N²) becomes O(Σ bucket²), recall traded
+    via n_planes. The exact all-pairs twin (blocked GEMM) remains the
+    parity baseline; at 100 TB THIS is the operator that runs
+    (dedup/embedding.py:lsh_near_dups; plane coefficients are shared
+    Python literals so both engines bucket identically)."""
+    from msgvault_spark.dedup.embedding import lsh_near_dups
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return lsh_near_dups(
+        emb, _LSH_ND_THRESHOLD, dim=_EMB_DIM, n_planes=_LSH_ND_PLANES
+    )
+
+
+def _zscore_oracle() -> str:
+    return f"""
+WITH {_UNIGRAM_SCORES_SQL},
+sc AS (
+    SELECT s.doc_id, d.lang, s.nll_micro
+    FROM scores s JOIN documents d USING (doc_id)
+),
+st AS (
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(nll_micro) AS BIGINT) AS a,
+           CAST(SUM(nll_micro * nll_micro) AS BIGINT) AS b
+    FROM sc GROUP BY lang
+)
+SELECT sc.doc_id, sc.lang, sc.nll_micro,
+       CASE WHEN st.n >= 2
+                 AND (st.n * CAST(st.b AS DOUBLE) - CAST(st.a AS DOUBLE)
+                      * CAST(st.a AS DOUBLE)) > 0
+            THEN CAST(floor(
+                 (CAST(sc.nll_micro AS DOUBLE) * st.n - CAST(st.a AS DOUBLE))
+                 / (st.n * sqrt((st.n * CAST(st.b AS DOUBLE)
+                                 - CAST(st.a AS DOUBLE)
+                                   * CAST(st.a AS DOUBLE))
+                                / (CAST(st.n AS DOUBLE) * (st.n - 1))))
+                 * 1000 + 0.5) AS BIGINT)
+            ELSE 0 END AS z_milli
+FROM sc JOIN st USING (lang)
+ORDER BY sc.doc_id
+"""
+
+
+@register("quality_zscore_by_lang", _zscore_oracle())
+def quality_zscore_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language calibration of the unigram quality score: a raw NLL
+    threshold over-filters whichever language the reference corpus
+    under-represents, so cross-lingual pipelines compare z-scores within
+    language instead (textstats/calibrate.py holds the float serving
+    paths, JVM and Pandas, pinned equivalent by test).  Engine-exact
+    here: group stats are exact integer sums (n, Σx, Σx²), the sample
+    variance and sqrt build from identical double trees, z is floored to
+    fixed-point milli.  Singleton or zero-variance groups emit 0.  One
+    doc-keyed decoration join + one ≤L-row stats broadcast."""
+    from msgvault_spark.sources.cache import get_text_index
+    from msgvault_spark.textstats.analysis import unigram_nll_scores
+
+    postings, _stats = get_text_index(
+        spark, sf_dir, "documents", "doc_id", "text"
+    )
+    sc = (
+        unigram_nll_scores(postings)
+        .select("doc_id", "nll_micro")
+        .join(
+            load_table(spark, sf_dir, "documents").select("doc_id", "lang"),
+            "doc_id",
+        )
+    )
+    st = sc.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("nll_micro").cast("long").alias("a"),
+        F.sum(F.col("nll_micro") * F.col("nll_micro"))
+        .cast("long")
+        .alias("b"),
+    )
+    n, a, b = F.col("n"), F.col("a").cast("double"), F.col("b").cast("double")
+    var_num = n * b - a * a
+    sd = F.sqrt(var_num / (n.cast("double") * (n - 1)))
+    z = F.floor(
+        (F.col("nll_micro").cast("double") * n - a) / (n * sd) * 1000 + 0.5
+    ).cast("long")
+    return (
+        sc.join(F.broadcast(st), "lang")
+        .select(
+            "doc_id",
+            "lang",
+            "nll_micro",
+            F.when((n >= 2) & (var_num > 0), z)
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("z_milli"),
+        )
+        .sortWithinPartitions("doc_id")
+    )

@@ -204,3 +204,45 @@ def lsh_near_dups(
         .distinct()
         .sortWithinPartitions("id_a", "id_b")
     )
+
+
+def lsh_near_dups_oracle_sql(
+    threshold: float,
+    *,
+    dim: int,
+    n_planes: int = 8,
+    round_to: int = 6,
+) -> str:
+    """DuckDB twin of lsh_near_dups: the plane coefficients are the SAME
+    Python-computed literals the Spark plan folds in (_plane_coeff), so
+    both engines compute identical signature bits; the rescoring cosine
+    is the shared rounded form."""
+    cases = []
+    for p in range(n_planes):
+        coeffs = ", ".join(repr(_plane_coeff(p, d)) for d in range(dim))
+        dot = (
+            f"list_sum(list_transform(list_zip(embedding, [{coeffs}]), "
+            "x -> CAST(x[1] AS DOUBLE) * x[2]))"
+        )
+        cases.append(
+            f"(CASE WHEN {dot} >= 0 THEN '1' ELSE '0' END)"
+        )
+    sig = " || ".join(cases)
+    cos = (
+        "round(list_sum(list_transform(list_zip(a.embedding, b.embedding), "
+        "x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) / "
+        "(sqrt(list_sum(list_transform(a.embedding, "
+        "v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))) * "
+        "sqrt(list_sum(list_transform(b.embedding, "
+        f"v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))), {round_to})"
+    )
+    return f"""
+WITH sig AS (
+    SELECT vec_id, embedding, {sig} AS bucket
+    FROM embeddings
+)
+SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b, {cos} AS cos
+FROM sig a JOIN sig b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+WHERE {cos} >= {threshold}
+ORDER BY id_a, id_b
+"""

@@ -504,6 +504,15 @@ def test_headline_exchange_counts_pinned(spark, catalog):
                                           # + flag rollup + present; the
                                           # ≤S-row median/MAD tables ride
                                           # broadcasts
+        # round-6 batch 11
+        "embedding_near_dups_lsh": 1,     # one signature-bucket exchange
+                                          # shared by both self-join
+                                          # sides; candidates bounded by
+                                          # bucket population
+        "quality_zscore_by_lang": 1,      # doc-keyed lang decoration
+                                          # join rides the postings
+                                          # rollup exchange; ≤L-row stats
+                                          # table broadcasts back
         "zipf_slope_by_source": 3,        # (source,term) freq agg +
                                           # vocab-sized rank window + OLS
                                           # agg/present; ln-rank table is
@@ -624,7 +633,7 @@ def test_broadcast_sites_are_ratcheted():
             counts[str(p.relative_to(root))] = n
     PINNED = {
         "catalog.py": 17,
-        "catalog_curation.py": 7,  # ≤n_sources-row median-threshold table
+        "catalog_curation.py": 8,  # + z-score: <=L-row lang stats  # ≤n_sources-row median-threshold table
                                    # + 1-row decile-cutpoint array
                                    # + edit_distance_pairs: LSH-survivor
                                    # pair list into both text joins (the

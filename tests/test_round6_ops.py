@@ -1055,3 +1055,83 @@ def test_mad_outliers_flag_extremes_only(spark):
     const = out["const"]
     assert const["mad_x4"] == 0
     assert const["n_outliers"] == 1          # any deviation from constant
+
+
+# ---------------------------------------------------------------------------
+# LSH embedding near-dups / quality z-score
+# ---------------------------------------------------------------------------
+
+
+def test_lsh_near_dups_subset_of_exact_and_finds_identicals(spark):
+    from msgvault_spark.dedup.embedding import lsh_near_dups
+
+    import random
+
+    rnd = random.Random(7)
+    rows = [(i, [rnd.uniform(-1, 1) for _ in range(16)]) for i in range(40)]
+    rows.append((100, list(rows[0][1])))       # exact duplicate of vec 0
+    rows.append((101, [x * 1.001 for x in rows[1][1]]))  # near-dup of vec 1
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = {
+        (r["id_a"], r["id_b"]): r["cos"]
+        for r in lsh_near_dups(emb, 0.9, dim=16).collect()
+    }
+    # identical and scaled vectors share every signature bit → both found
+    assert (0, 100) in got and got[(0, 100)] >= 0.999999
+    assert (1, 101) in got
+    # LSH can only MISS exact pairs, never invent them: rescore is exact
+    from msgvault_spark.similarity.knn import cosine, _as_double
+
+    a = emb.select(F.col("vec_id").alias("id_a"),
+                   _as_double("embedding").alias("va"))
+    b = emb.select(F.col("vec_id").alias("id_b"),
+                   _as_double("embedding").alias("vb"))
+    exact = {
+        (r["id_a"], r["id_b"]): r["c"]
+        for r in a.join(b, F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b",
+                F.round(cosine(F.col("va"), F.col("vb")), 6).alias("c"))
+        .filter(F.col("c") >= 0.9)
+        .collect()
+    }
+    assert set(got) <= set(exact)
+    assert all(got[k] == exact[k] for k in got)
+
+
+def test_quality_zscore_matches_float_calibration(spark):
+    from msgvault_spark.textstats.calibrate import calibrate_expr
+
+    rows = [(i, "en", 1_000_000 + i * 10_000) for i in range(20)]
+    rows += [(100 + i, "fr", 2_000_000 + i * 5_000) for i in range(10)]
+    rows += [(200, "zz", 9_999_999)]  # singleton group → z = 0
+    df = spark.createDataFrame(rows, "doc_id long, lang string, x long")
+    # integer-stats fixed-point z (the entry's formula)
+    st = df.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("a"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("b"),
+    )
+    n, a, b = F.col("n"), F.col("a").cast("double"), F.col("b").cast("double")
+    var_num = n * b - a * a
+    sd = F.sqrt(var_num / (n.cast("double") * (n - 1)))
+    z = F.floor(
+        (F.col("x").cast("double") * n - a) / (n * sd) * 1000 + 0.5
+    ).cast("long")
+    fixed = {
+        r["doc_id"]: r["zm"]
+        for r in df.join(F.broadcast(st), "lang")
+        .select(
+            "doc_id",
+            F.when((n >= 2) & (var_num > 0), z).otherwise(F.lit(0)).alias(
+                "zm"
+            ),
+        )
+        .collect()
+    }
+    flt = {
+        r["doc_id"]: r["z"]
+        for r in calibrate_expr(df, "lang", "x").collect()
+    }
+    for d, zm in fixed.items():
+        assert abs(zm - round(flt[d] * 1000)) <= 1, (d, zm, flt[d])
+    assert fixed[200] == 0 and flt[200] == 0.0
