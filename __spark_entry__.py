@@ -38,6 +38,8 @@ _PRIORITY = [
     "length_mad_outliers",
     "embedding_near_dups_lsh",
     "quality_zscore_by_lang",
+    "simhash_hamming_pairs",
+    "stream_static_enrich",
     # --- new in round 6, batch 5 (catalog_curation.py) ---
     "span_clean_docs",
     "incremental_span_coverage",

@@ -1099,3 +1099,54 @@ def kmv_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return kmv_overlap(kmv_sketches(docs, k=64), k=64)
+
+
+def _hamming_oracle() -> str:
+    from msgvault_spark.dedup.simhash import hamming_neighbors_oracle_sql
+
+    inner = hamming_neighbors_oracle_sql(
+        "SELECT doc_id, text FROM documents"
+    ).strip().rstrip()
+    # roll the pair list up to a per-distance histogram: the synthetic
+    # small-vocab corpus saturates a 32-bit fingerprint (thousands of
+    # sub-3-bit pairs), so the driver payload is the distance profile;
+    # the pair-level operator itself is pinned by unit test
+    inner = inner.rsplit("ORDER BY", 1)[0]
+    return f"""
+SELECT hamming, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       CAST(MIN(id_a) AS BIGINT) AS min_id_a,
+       CAST(MAX(id_b) AS BIGINT) AS max_id_b
+FROM ({inner})
+GROUP BY hamming ORDER BY hamming
+"""
+
+
+@register("simhash_hamming_pairs", _hamming_oracle())
+def simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup SEARCH (Manku et al. 2007): all pairs within
+    Hamming distance 3, found by pigeonhole banding — 4 byte-bands of
+    the 32-bit fingerprint; a ≤3-bit difference must leave one band
+    identical, so same-band buckets propose and bit_count(xor) disposes.
+    Completes the SimHash family (simhash_fingerprints builds, this
+    queries); the fingerprint table is the memoized ETL artifact, so the
+    query pays band-join + popcount only
+    (dedup/simhash.py:hamming_neighbors)."""
+    from msgvault_spark.dedup.simhash import hamming_neighbors, simhash
+    from msgvault_spark.sources.cache import get_artifact
+
+    docs = load_table(spark, sf_dir, "documents")
+    fps = get_artifact(
+        spark,
+        (sf_dir, "simhash_fp"),
+        lambda: simhash(docs, "doc_id", "text"),
+    )
+    pairs = hamming_neighbors(fps, max_dist=3, n_bands=4)
+    return (
+        pairs.groupBy("hamming")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.min("id_a").cast("long").alias("min_id_a"),
+            F.max("id_b").cast("long").alias("max_id_b"),
+        )
+        .transform(present_sorted, "hamming")
+    )

@@ -237,3 +237,44 @@ def stream_stream_join_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
         .sortWithinPartitions("user_id")
     )
+
+
+@register(
+    "stream_static_enrich",
+    """
+SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+       c.c_mktsegment AS segment,
+       CAST(COUNT(*) AS BIGINT) AS events,
+       CAST(SUM(CAST(floor(COALESCE(e.value, 0) * 100) AS BIGINT))
+            AS BIGINT) AS total_value_fp
+FROM events e JOIN customer c ON c.c_custkey = e.user_id
+GROUP BY 1, 2
+ORDER BY day ASC, segment ASC
+""",
+    memoize_plan=False,  # runs a streaming query per invocation
+)
+def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment: the events file stream inner-joins the
+    STATIC customer dimension (no join state — the canonical fact-stream
+    × dim pattern, distinct from the stateful stream-stream funnel),
+    then rolls up per (day, market segment) under a watermark.
+    Trigger.AvailableNow into a complete-mode memory sink; fixed-point
+    value mass makes the finished run batch-exact
+    (streaming/incremental.py:enriched_segment_rollup)."""
+    from msgvault_spark.sources.cache import get_table as _load
+
+    stream = read_events_stream(spark, _events_glob(sf_dir))
+    dim = _load(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+    from msgvault_spark.streaming.incremental import enriched_segment_rollup
+
+    got = run_available_now(
+        enriched_segment_rollup(stream, dim),
+        queryName=f"enrich_{uuid.uuid4().hex[:8]}",
+        output_mode="complete",
+    )
+    return got.transform(
+        present_sorted, F.col("day").asc(), F.col("segment").asc()
+    )

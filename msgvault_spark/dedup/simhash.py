@@ -83,3 +83,86 @@ hashed AS (SELECT doc_id, substr(md5(tok), 1, 8) AS th FROM tokens),
 votes AS (SELECT doc_id, {votes_sql} FROM hashed GROUP BY doc_id)
 SELECT doc_id, CAST({fp} AS BIGINT) AS simhash FROM votes
 """
+
+
+def hamming_neighbors(
+    fps: DataFrame,
+    *,
+    max_dist: int = 3,
+    n_bands: int = 4,
+) -> DataFrame:
+    """(id_a, id_b, hamming) — all fingerprint pairs within ``max_dist``
+    bits, via Manku et al. 2007 pigeonhole banding: split the 32-bit
+    fingerprint into ``n_bands`` byte bands; any pair differing in at
+    most n_bands−1 bits (here ≤3) must agree EXACTLY on at least one
+    band, so same-(band, value) buckets propose and an exact popcount
+    disposes — all-pairs never materializes.
+
+    Band extraction is non-negative integer div/mod (no shift-semantics
+    divergence between engines); verification is bit_count(xor), exact
+    in both.  ``fps`` = (doc_id, simhash) — pass the persisted
+    fingerprint artifact."""
+    assert 32 % n_bands == 0
+    width = 2 ** (32 // n_bands)
+    bandcol = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("b"),
+                F.expr(f"(simhash div {width ** b}) % {width}")
+                .cast("long")
+                .alias("v"),
+            )
+            for b in range(n_bands)
+        ]
+    )
+    sig = fps.select("doc_id", "simhash", F.explode(bandcol).alias("bv")).select(
+        "doc_id", "simhash", F.col("bv.b").alias("b"), F.col("bv.v").alias("v")
+    )
+    a = sig.select(
+        "b", "v", F.col("doc_id").alias("id_a"), F.col("simhash").alias("fa")
+    )
+    bb = sig.select(
+        "b", "v", F.col("doc_id").alias("id_b"), F.col("simhash").alias("fb")
+    )
+    cands = (
+        a.join(bb, ["b", "v"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "fa", "fb")
+        .distinct()
+    )
+    return (
+        cands.withColumn(
+            "hamming", F.bit_count(F.col("fa").bitwiseXOR(F.col("fb"))).cast("long")
+        )
+        .filter(F.col("hamming") <= max_dist)
+        .select("id_a", "id_b", "hamming")
+        .sortWithinPartitions("id_a", "id_b")
+    )
+
+
+def hamming_neighbors_oracle_sql(
+    source_select: str, *, max_dist: int = 3, n_bands: int = 4
+) -> str:
+    """DuckDB twin: same banding (integer div/mod), same popcount."""
+    width = 2 ** (32 // n_bands)
+    band_rows = ", ".join(
+        f"({b}, {width**b})" for b in range(n_bands)
+    )
+    fp_sql = simhash_oracle_sql(source_select).strip()
+    return f"""
+WITH fp AS ({fp_sql}),
+bands AS (
+    SELECT f.doc_id, f.simhash, band.b,
+           (f.simhash // band.d) % {width} AS v
+    FROM fp f CROSS JOIN (VALUES {band_rows}) AS band(b, d)
+),
+cands AS (
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+           a.simhash AS fa, b.simhash AS fb
+    FROM bands a JOIN bands b
+      ON a.b = b.b AND a.v = b.v AND a.doc_id < b.doc_id
+)
+SELECT id_a, id_b, CAST(bit_count(xor(fa, fb)) AS BIGINT) AS hamming
+FROM cands WHERE bit_count(xor(fa, fb)) <= {max_dist}
+ORDER BY id_a, id_b
+"""

@@ -245,3 +245,43 @@ def stream_to_lake(
     if not q.awaitTermination(timeout_s):
         q.stop()
         raise TimeoutError(f"stream_to_lake did not finish in {timeout_s}s")
+
+
+def enriched_segment_rollup(
+    events: DataFrame,
+    dim: DataFrame,
+    *,
+    window: str = "1 day",
+    watermark: str = "2 days",
+) -> DataFrame:
+    """STREAM-STATIC enrichment join + windowed rollup: each event picks
+    up its user's market segment from a static dimension (inner join —
+    no streaming state for the join at all; Spark re-reads/broadcasts
+    the static side per micro-batch), then a tumbling-window per-segment
+    aggregate with event-time watermark.  The enrichment pattern every
+    production pipeline runs (fact stream × slowly-refreshed dim) —
+    distinct from the stream-stream funnel join, which must hold
+    both-side state.  ``dim`` = (user_id, segment).  Value mass is
+    order-free fixed-point (Σ floor(value·100)) so the one-shot replay
+    is batch-exact."""
+    enriched = events.join(dim, "user_id")
+    return (
+        enriched.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), F.col("segment"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("events"),
+            F.sum(
+                F.floor(F.coalesce(F.col("value"), F.lit(0.0)) * 100).cast(
+                    "long"
+                )
+            )
+            .cast("long")
+            .alias("total_value_fp"),
+        )
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd").alias("day"),
+            "segment",
+            "events",
+            "total_value_fp",
+        )
+    )

@@ -513,6 +513,12 @@ def test_headline_exchange_counts_pinned(spark, catalog):
                                           # join rides the postings
                                           # rollup exchange; ≤L-row stats
                                           # table broadcasts back
+        # round-6 batch 12
+        "simhash_hamming_pairs": 2,       # (band,value) bucket join over
+                                          # the fingerprint artifact +
+                                          # histogram agg/present; pair
+                                          # candidates bounded by bucket
+                                          # population (pigeonhole)
         "zipf_slope_by_source": 3,        # (source,term) freq agg +
                                           # vocab-sized rank window + OLS
                                           # agg/present; ln-rank table is

@@ -1135,3 +1135,40 @@ def test_quality_zscore_matches_float_calibration(spark):
     for d, zm in fixed.items():
         assert abs(zm - round(flt[d] * 1000)) <= 1, (d, zm, flt[d])
     assert fixed[200] == 0 and flt[200] == 0.0
+
+
+# ---------------------------------------------------------------------------
+# SimHash Hamming-ball search
+# ---------------------------------------------------------------------------
+
+
+def test_hamming_neighbors_exact_within_radius(spark):
+    from msgvault_spark.dedup.simhash import hamming_neighbors
+
+    # constructed fingerprints: pairs at distance 0..5, including a
+    # 4-bit pair whose diffs cluster in one band (still must be EXCLUDED
+    # by the distance filter even though banding proposes it)
+    fps = [
+        (0, 0b10101010_11110000_00001111_01010101),
+        (1, 0b10101010_11110000_00001111_01010101),  # d=0 from 0
+        (2, 0b10101010_11110000_00001111_01010100),  # d=1 from 0/1
+        (3, 0b10101010_11110000_00001111_01011010),  # d=4 in one band
+        (4, 0b01010101_00001111_11110000_10101010),  # far from all
+    ]
+    df = spark.createDataFrame(fps, "doc_id long, simhash long")
+    got = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in hamming_neighbors(df, max_dist=3).collect()
+    }
+    # python brute force within radius 3 — banding with 4 bands must
+    # find EVERY such pair (pigeonhole guarantee), no more, no less
+    want = {}
+    for i in range(len(fps)):
+        for j in range(i + 1, len(fps)):
+            d = bin(fps[i][1] ^ fps[j][1]).count("1")
+            if d <= 3:
+                want[(fps[i][0], fps[j][0])] = d
+    assert got == want
+    assert (0, 1) in got and got[(0, 1)] == 0
+    assert (0, 2) in got and got[(0, 2)] == 1
+    assert (0, 3) not in got  # d=4: proposed by its shared bands, disposed

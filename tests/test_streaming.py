@@ -242,3 +242,35 @@ def test_session_tracker_sorts_across_arrow_chunks():
     assert out_split["sessions"].iloc[0] == 2
     assert out_split["sessions"].iloc[0] == out_one["sessions"].iloc[0]
     assert out_split["events"].iloc[0] == 2
+
+
+def test_enriched_segment_rollup_semantics_batch_mode(spark):
+    """The stream-static rollup's transformation, applied to a batch
+    frame (watermark is a no-op in batch): enrichment is an inner join
+    (unknown users drop), value mass is fixed-point."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from msgvault_spark.streaming.incremental import enriched_segment_rollup
+
+    ev = spark.createDataFrame(
+        [
+            (1, dt.datetime(2024, 1, 1, 10), 1.25),
+            (1, dt.datetime(2024, 1, 1, 11), 2.50),
+            (2, dt.datetime(2024, 1, 2, 9), 4.00),
+            (99, dt.datetime(2024, 1, 2, 9), 8.00),  # no dim row → drops
+        ],
+        "user_id long, ts timestamp, value double",
+    )
+    dim = spark.createDataFrame(
+        [(1, "BUILDING"), (2, "MACHINERY")], "user_id long, segment string"
+    )
+    out = {
+        (r["day"], r["segment"]): r
+        for r in enriched_segment_rollup(ev, dim).collect()
+    }
+    assert out[("2024-01-01", "BUILDING")]["events"] == 2
+    assert out[("2024-01-01", "BUILDING")]["total_value_fp"] == 375
+    assert out[("2024-01-02", "MACHINERY")]["events"] == 1
+    assert len(out) == 2  # the unknown user contributed nothing
