@@ -40,6 +40,7 @@ _PRIORITY = [
     "quality_zscore_by_lang",
     "simhash_hamming_pairs",
     "stream_static_enrich",
+    "word_sampling_plan",
     # --- new in round 6, batch 5 (catalog_curation.py) ---
     "span_clean_docs",
     "incremental_span_coverage",

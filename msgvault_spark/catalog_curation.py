@@ -1571,3 +1571,93 @@ def quality_zscore_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .sortWithinPartitions("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# batch 13: word2vec-style sampling plan
+# ---------------------------------------------------------------------------
+
+_WSP_T_INV = 10000  # subsample threshold t = 1/10000 (the published 1e-4)
+_WSP_TOP = 100
+
+
+def _word_sampling_oracle() -> str:
+    return f"""
+WITH tokens AS (
+    SELECT doc_id,
+           unnest(string_split_regex(lower(COALESCE(text, '')),
+                  '[^a-z0-9]+')) AS term
+    FROM documents
+),
+tc AS (SELECT term FROM tokens WHERE term != ''),
+ctf AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS ctf FROM tc GROUP BY 1),
+tot AS (SELECT CAST(SUM(ctf) AS BIGINT) AS t FROM ctf),
+w AS (
+    SELECT term, ctf,
+           CAST(floor(pow(CAST(ctf AS DOUBLE), 0.75) * 1000 + 0.5)
+                AS BIGINT) AS wfp
+    FROM ctf
+),
+sw AS (SELECT CAST(SUM(wfp) AS BIGINT) AS s FROM w)
+SELECT w.term, w.ctf,
+       CAST(least(1000000, floor(
+           sqrt(CAST(tot.t AS DOUBLE) / ({_WSP_T_INV} * w.ctf))
+           * 1000000 + 0.5)) AS BIGINT) AS keep_ppm,
+       (w.wfp * 1000000) // sw.s AS neg_ppm
+FROM w CROSS JOIN tot CROSS JOIN sw
+ORDER BY w.ctf DESC, w.term ASC
+LIMIT {_WSP_TOP}
+"""
+
+
+@register("word_sampling_plan", _word_sampling_oracle())
+def word_sampling_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """word2vec-style sampling plan (Mikolov et al. 2013) for the top
+    vocabulary: frequent-word subsampling keep probability
+    (keep = min(1, sqrt(t/f)), t = 1e-4) and the unigram^0.75
+    negative-sampling share — the two distributions every embedding
+    trainer derives from corpus counts before training starts.
+    Engine-exact: t/f reduces to ONE division of exact integer products,
+    the ^0.75 weights are floored to fixed point BEFORE summation (so
+    the normalizer is an exact integer, immune to float sum order).
+    Vocab-sized everything, served from the postings artifact; top-100
+    via TakeOrdered."""
+    from msgvault_spark.sources.cache import get_text_index
+
+    postings, _stats = get_text_index(
+        spark, sf_dir, "documents", "doc_id", "text"
+    )
+    ctf = postings.groupBy("term").agg(
+        F.sum("tf").cast("long").alias("ctf")
+    )
+    tot = ctf.agg(F.sum("ctf").cast("long").alias("t"))
+    w = ctf.select(
+        "term",
+        "ctf",
+        F.floor(F.pow(F.col("ctf").cast("double"), 0.75) * 1000 + 0.5)
+        .cast("long")
+        .alias("wfp"),
+    )
+    sw = w.agg(F.sum("wfp").cast("long").alias("s"))
+    keep = F.least(
+        F.lit(1000000).cast("long"),
+        F.floor(
+            F.sqrt(
+                F.col("t").cast("double") / (_WSP_T_INV * F.col("ctf"))
+            )
+            * 1000000
+            + 0.5
+        ).cast("long"),
+    )
+    return (
+        w.crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(sw))
+        .select(
+            "term",
+            "ctf",
+            keep.alias("keep_ppm"),
+            F.expr("(wfp * 1000000) div s").alias("neg_ppm"),
+        )
+        .orderBy(F.col("ctf").desc(), F.col("term").asc())
+        .limit(_WSP_TOP)
+    )

@@ -519,6 +519,10 @@ def test_headline_exchange_counts_pinned(spark, catalog):
                                           # histogram agg/present; pair
                                           # candidates bounded by bucket
                                           # population (pigeonhole)
+        # round-6 batch 13
+        "word_sampling_plan": 1,          # one vocab ctf agg; totals are
+                                          # 1-row broadcasts; TakeOrdered
+                                          # top-k over the vocab table
         "zipf_slope_by_source": 3,        # (source,term) freq agg +
                                           # vocab-sized rank window + OLS
                                           # agg/present; ln-rank table is
@@ -639,7 +643,8 @@ def test_broadcast_sites_are_ratcheted():
             counts[str(p.relative_to(root))] = n
     PINNED = {
         "catalog.py": 17,
-        "catalog_curation.py": 8,  # + z-score: <=L-row lang stats  # ≤n_sources-row median-threshold table
+        "catalog_curation.py": 10,  # + z-score: <=L-row lang stats
+                                    # + sampling plan: two 1-row totals  # ≤n_sources-row median-threshold table
                                    # + 1-row decile-cutpoint array
                                    # + edit_distance_pairs: LSH-survivor
                                    # pair list into both text joins (the

@@ -1172,3 +1172,58 @@ def test_hamming_neighbors_exact_within_radius(spark):
     assert (0, 1) in got and got[(0, 1)] == 0
     assert (0, 2) in got and got[(0, 2)] == 1
     assert (0, 3) not in got  # d=4: proposed by its shared bands, disposed
+
+
+# ---------------------------------------------------------------------------
+# word sampling plan
+# ---------------------------------------------------------------------------
+
+
+def test_word_sampling_plan_reference_values(spark):
+    import math as m
+
+    from msgvault_spark.catalog import CATALOG  # registration side effect
+    from pyspark.sql import functions as F2
+
+    # inline the entry's formula on a constructed count table and check
+    # against python: rare words keep 1e6 (capped), the hot word is
+    # subsampled; neg shares follow ctf^0.75 and sum to ~1e6
+    # T = 10000 exactly: "rare" at ctf 1 sits right AT the t=1e-4
+    # threshold (f = t → keep = 1e6); "the" at 90% is heavily subsampled
+    counts = {"the": 9000, "cat": 900, "mid": 99, "rare": 1}
+    t = sum(counts.values())
+    ctf = spark.createDataFrame(
+        list(counts.items()), "term string, ctf long"
+    )
+    tot = ctf.agg(F2.sum("ctf").cast("long").alias("t"))
+    w = ctf.select(
+        "term", "ctf",
+        F2.floor(F2.pow(F2.col("ctf").cast("double"), 0.75) * 1000 + 0.5)
+        .cast("long").alias("wfp"),
+    )
+    sw = w.agg(F2.sum("wfp").cast("long").alias("s"))
+    keep = F2.least(
+        F2.lit(1000000).cast("long"),
+        F2.floor(
+            F2.sqrt(F2.col("t").cast("double") / (10000 * F2.col("ctf")))
+            * 1000000 + 0.5
+        ).cast("long"),
+    )
+    out = {
+        r["term"]: r
+        for r in w.crossJoin(F2.broadcast(tot))
+        .crossJoin(F2.broadcast(sw))
+        .select("term", "ctf", keep.alias("keep_ppm"),
+                F2.expr("(wfp * 1000000) div s").alias("neg_ppm"))
+        .collect()
+    }
+    wfp = {k: int(m.floor(v ** 0.75 * 1000 + 0.5)) for k, v in counts.items()}
+    s = sum(wfp.values())
+    for k, v in counts.items():
+        assert out[k]["keep_ppm"] == min(
+            1_000_000, int(m.floor(m.sqrt(t / (10000 * v)) * 1e6 + 0.5))
+        )
+        assert out[k]["neg_ppm"] == wfp[k] * 1_000_000 // s
+    assert out["rare"]["keep_ppm"] == 1_000_000      # below threshold
+    assert out["the"]["keep_ppm"] < 1_000_000        # hot word subsampled
+    assert sum(r["neg_ppm"] for r in out.values()) <= 1_000_000
