@@ -41,6 +41,8 @@ _PRIORITY = [
     "simhash_hamming_pairs",
     "stream_static_enrich",
     "word_sampling_plan",
+    "dedup_threshold_sweep",
+    "dup_position_profile",
     # --- new in round 6, batch 5 (catalog_curation.py) ---
     "span_clean_docs",
     "incremental_span_coverage",

@@ -1661,3 +1661,92 @@ def word_sampling_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("ctf").desc(), F.col("term").asc())
         .limit(_WSP_TOP)
     )
+
+
+# ---------------------------------------------------------------------------
+# batch 14: dedup tuning curves
+# ---------------------------------------------------------------------------
+
+_SWEEP_FLOOR = 0.3
+
+
+def _jsweep_oracle() -> str:
+    from msgvault_spark.dedup.minhash import minhash_oracle_sql
+
+    pairs = minhash_oracle_sql(
+        "SELECT doc_id, text FROM documents",
+        jaccard_threshold=_SWEEP_FLOOR,
+    ).strip()
+    return f"""
+WITH pairs AS ({pairs})
+SELECT CAST(floor(jaccard * 10) AS BIGINT) AS decile,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       CAST(SUM(CAST(floor(jaccard * 1000000) AS BIGINT)) AS BIGINT)
+           AS sum_jaccard_fp
+FROM pairs GROUP BY 1 ORDER BY 1
+"""
+
+
+@register("dedup_threshold_sweep", _jsweep_oracle())
+def dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup tuning curve: near-dup pair counts per Jaccard decile above
+    a 0.3 floor — the one-pass answer to "how many pairs does each
+    candidate threshold commit me to", run BEFORE picking the production
+    threshold (moving it from 0.8 to 0.7 on a 100 TB corpus can mean
+    10× the merge volume).  One pass over the shared MinHash band index;
+    the decile rollup is a ≤7-row aggregate."""
+    from msgvault_spark.dedup.minhash import pairs_from_index
+    from msgvault_spark.operators.present import present_sorted
+    from msgvault_spark.sources.cache import get_minhash_index
+
+    docs = load_table(spark, sf_dir, "documents")
+    idx = get_minhash_index(
+        spark,
+        (sf_dir, "documents_raw"),
+        lambda: docs.select("doc_id", "text"),
+        "doc_id",
+        "text",
+    )
+    pairs = pairs_from_index(idx, jaccard_threshold=_SWEEP_FLOOR)
+    return (
+        pairs.select(
+            F.floor(F.col("jaccard") * 10).cast("long").alias("decile"),
+            F.floor(F.col("jaccard") * 1000000).cast("long").alias("jfp"),
+        )
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.sum("jfp").cast("long").alias("sum_jaccard_fp"),
+        )
+        .transform(present_sorted, "decile")
+    )
+
+
+def _dup_pos_oracle() -> str:
+    from msgvault_spark.dedup.substrings import dup_position_oracle_sql
+
+    return dup_position_oracle_sql(w=_SPAN_W)
+
+
+@register("dup_position_profile", _dup_pos_oracle())
+def dup_position_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WHERE duplication lives inside documents: duplicated 8-shingle
+    starts bucketed into each doc's lead/body/tail third — lead- or
+    tail-heavy mass says "strip headers/footers", uniform mass says
+    "span-delete".  Shares the dup-start ETL artifact with the span
+    coverage/deletion entries; the profile is one map + a 3-row rollup
+    (dedup/substrings.py:dup_position_profile)."""
+    from msgvault_spark.dedup.substrings import (
+        dup_position_profile as _profile,
+        duplicated_starts,
+    )
+    from msgvault_spark.operators.present import present_sorted
+    from msgvault_spark.sources.cache import get_artifact
+
+    docs = load_table(spark, sf_dir, "documents")
+    marked = get_artifact(
+        spark,
+        (sf_dir, "dup_spans", _SPAN_W),
+        lambda: duplicated_starts(docs, "doc_id", "text", w=_SPAN_W),
+    )
+    return _profile(marked, w=_SPAN_W).transform(present_sorted, "third")

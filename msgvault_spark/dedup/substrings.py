@@ -433,3 +433,63 @@ SELECT d.doc_id,
 FROM d LEFT JOIN c USING (doc_id)
 WHERE d.is_batch
 """
+
+
+def dup_position_profile(marked: DataFrame, *, w: int = 8) -> DataFrame:
+    """(third, n_starts, n_docs) — WHERE duplicated spans sit inside
+    documents: each duplicated shingle start is bucketed into the
+    lead/body/tail third of its doc's start range.  Template headers and
+    footers show up as lead- or tail-heavy mass, which decides whether
+    the removal rule should be span deletion (uniform) or
+    prefix/suffix stripping (concentrated) — the recon complement of
+    boilerplate_prefixes.  ``marked`` = the duplicated_starts ETL
+    artifact (doc_id, n_tokens, start, 1-based); the profile is one
+    map + one tiny rollup over it."""
+    third = F.least(
+        F.lit(2).cast("long"),
+        F.expr(f"(3 * (start - 1)) div (n_tokens - {w - 1})"),
+    )
+    return (
+        marked.select(
+            "doc_id", third.cast("long").alias("third")
+        )
+        .groupBy("third")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_starts"),
+            F.count_distinct("doc_id").cast("long").alias("n_docs"),
+        )
+    )
+
+
+def dup_position_oracle_sql(
+    *, w: int = 8, token_re: str = "[^a-z0-9]+"
+) -> str:
+    """DuckDB twin of dup_position_profile over the same dup-start
+    derivation as span_coverage_oracle_sql."""
+    return f"""
+WITH m AS (
+    SELECT doc_id,
+           list_filter(string_split_regex(lower(COALESCE(text, '')),
+                       '{token_re}'), x -> x != '') AS ws
+    FROM documents
+),
+d AS (
+    SELECT doc_id, len(ws) AS n_tokens, ws FROM m WHERE len(ws) >= {w}
+),
+sh0 AS (
+    SELECT doc_id, n_tokens, ws,
+           unnest(generate_series(1, len(ws) - {w - 1})) AS s
+    FROM d
+),
+sh AS (
+    SELECT doc_id, n_tokens, s,
+           md5(list_aggregate(ws[s:s + {w - 1}], 'string_agg', ' ')) AS h
+    FROM sh0
+),
+dup AS (SELECT h FROM sh GROUP BY h HAVING COUNT(*) >= 2),
+ds AS (SELECT sh.doc_id, sh.n_tokens, sh.s FROM sh JOIN dup USING (h))
+SELECT least(2, (3 * (s - 1)) // (n_tokens - {w - 1})) AS third,
+       CAST(COUNT(*) AS BIGINT) AS n_starts,
+       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+FROM ds GROUP BY 1 ORDER BY 1
+"""

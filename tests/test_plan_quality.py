@@ -523,6 +523,15 @@ def test_headline_exchange_counts_pinned(spark, catalog):
         "word_sampling_plan": 1,          # one vocab ctf agg; totals are
                                           # 1-row broadcasts; TakeOrdered
                                           # top-k over the vocab table
+        # round-6 batch 14
+        "dedup_threshold_sweep": 3,       # band-index pair distinct +
+                                          # decile rollup + present; the
+                                          # index scan is the shared
+                                          # MinHash artifact
+        "dup_position_profile": 3,        # third rollup's two-phase
+                                          # COUNT(DISTINCT doc) expansion
+                                          # + present over the dup-start
+                                          # artifact
         "zipf_slope_by_source": 3,        # (source,term) freq agg +
                                           # vocab-sized rank window + OLS
                                           # agg/present; ln-rank table is

@@ -1227,3 +1227,50 @@ def test_word_sampling_plan_reference_values(spark):
     assert out["rare"]["keep_ppm"] == 1_000_000      # below threshold
     assert out["the"]["keep_ppm"] < 1_000_000        # hot word subsampled
     assert sum(r["neg_ppm"] for r in out.values()) <= 1_000_000
+
+
+# ---------------------------------------------------------------------------
+# dup position profile / threshold sweep
+# ---------------------------------------------------------------------------
+
+
+def test_dup_position_profile_buckets_lead_mass(spark):
+    from msgvault_spark.dedup.substrings import (
+        dup_position_profile,
+        duplicated_starts,
+    )
+
+    header = "one two three four five six seven eight"  # 8 tokens, w=4
+    docs = spark.createDataFrame(
+        [
+            (i, header + " " + " ".join(f"u{i}x{j}" for j in range(40)))
+            for i in range(4)
+        ],
+        "doc_id long, text string",
+    )
+    marked = duplicated_starts(docs, "doc_id", "text", w=4)
+    out = {r["third"]: r for r in dup_position_profile(marked, w=4).collect()}
+    # the shared header occupies starts 1..5 of a 45-position range —
+    # all in the LEAD third; unique tails contribute nothing
+    assert set(out) == {0}
+    assert out[0]["n_docs"] == 4
+    assert out[0]["n_starts"] == 4 * 5
+
+
+def test_dup_position_profile_tail_heavy_footer(spark):
+    from msgvault_spark.dedup.substrings import (
+        dup_position_profile,
+        duplicated_starts,
+    )
+
+    footer = "unsubscribe link here now"
+    docs = spark.createDataFrame(
+        [
+            (i, " ".join(f"u{i}x{j}" for j in range(40)) + " " + footer)
+            for i in range(4)
+        ],
+        "doc_id long, text string",
+    )
+    marked = duplicated_starts(docs, "doc_id", "text", w=4)
+    out = {r["third"]: r for r in dup_position_profile(marked, w=4).collect()}
+    assert set(out) == {2}  # footer mass lands in the TAIL third
