@@ -43,6 +43,7 @@ _PRIORITY = [
     "word_sampling_plan",
     "dedup_threshold_sweep",
     "dup_position_profile",
+    "ivf_probe_sweep",
     # --- new in round 6, batch 5 (catalog_curation.py) ---
     "span_clean_docs",
     "incremental_span_coverage",

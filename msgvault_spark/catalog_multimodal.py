@@ -853,3 +853,111 @@ def label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .transform(present_sorted, "label", "i")
     )
+
+
+_SWEEP_PROBES = (1, 2, 4)
+
+
+def _ivf_sweep_oracle() -> str:
+    from msgvault_spark.similarity.ivf import _cos_sql
+
+    def one(nprobe: int) -> str:
+        return f"""
+SELECT {nprobe} AS nprobe,
+       CAST(COUNT(a.id) AS BIGINT) AS matched,
+       CAST(COUNT(*) AS BIGINT) AS total,
+       (CAST(COUNT(a.id) AS BIGINT) * 1000000)
+           // CAST(COUNT(*) AS BIGINT) AS recall_ppm
+FROM exact x LEFT JOIN (
+    SELECT qid, id FROM (
+        SELECT p.qid, a.id,
+               ROW_NUMBER() OVER (
+                   PARTITION BY p.qid
+                   ORDER BY {_cos_sql('a.vec', 'p.qv')} DESC, a.id ASC
+               ) AS rn
+        FROM assigned a JOIN (
+            SELECT qid, qv, cell FROM (
+                SELECT q.qid, q.qv, c.cid AS cell,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY q.qid
+                           ORDER BY {_cos_sql('q.qv', 'c.cvec')} DESC,
+                                    c.cid ASC
+                       ) AS rn
+                FROM q, cents c
+            ) WHERE rn <= {nprobe}
+        ) p ON a.cell = p.cell
+        WHERE a.id != p.qid
+    ) WHERE rn <= {_RK}
+) a ON a.qid = x.qid AND a.id = x.id
+"""
+
+    legs = " UNION ALL ".join(f"({one(n)})" for n in _SWEEP_PROBES)
+    return f"""
+WITH cents AS (
+    SELECT vec_id AS cid, embedding AS cvec FROM embeddings
+    WHERE vec_id < {_IVF_CELLS}
+),
+assigned AS (
+    SELECT id, vec, cell FROM (
+        SELECT e.vec_id AS id, e.embedding AS vec, c.cid AS cell,
+               ROW_NUMBER() OVER (
+                   PARTITION BY e.vec_id
+                   ORDER BY {_cos_sql('e.embedding', 'c.cvec')} DESC,
+                            c.cid ASC
+               ) AS rn
+        FROM embeddings e, cents c
+    ) WHERE rn = 1
+),
+q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
+      WHERE vec_id < {_NQ}),
+exact AS (
+    SELECT qid, id FROM (
+        SELECT q.qid, e.vec_id AS id,
+               ROW_NUMBER() OVER (
+                   PARTITION BY q.qid
+                   ORDER BY {_cos_sql('e.embedding', 'q.qv')} DESC,
+                            e.vec_id ASC
+               ) AS rn
+        FROM embeddings e, q
+        WHERE e.vec_id != q.qid
+    ) WHERE rn <= {_RK}
+)
+SELECT * FROM ({legs}) ORDER BY nprobe
+"""
+
+
+@register("ivf_probe_sweep", _ivf_sweep_oracle())
+def ivf_probe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ANN tuning curve: recall@10 of the IVF path at nprobe 1, 2, 4
+    against the shared exact ground truth — the scan-fraction/recall
+    trade quantified BEFORE a production nprobe is chosen (the vector
+    twin of dedup_threshold_sweep).  One persisted index and one ground
+    truth serve all three points; each point is an eval-set-shaped
+    retrieval + a 1-row rollup."""
+    from msgvault_spark.catalog_search import get_ivf_index
+    from msgvault_spark.operators.present import present_sorted
+    from msgvault_spark.similarity.ivf import ivf_knn_join, seed_centroids
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qset = emb.filter(F.col("vec_id") < _NQ)
+    cents = seed_centroids(emb, _IVF_CELLS)
+    idx = get_ivf_index(spark, sf_dir, _IVF_CELLS)
+    gt = _exact_gt(spark, sf_dir).select("qid", "id")
+    legs = []
+    for nprobe in _SWEEP_PROBES:
+        approx = ivf_knn_join(idx, cents, qset, k=_RK, nprobe=nprobe).select(
+            "qid", "id", F.lit(1).alias("hit")
+        )
+        legs.append(
+            gt.join(approx, ["qid", "id"], "left").agg(
+                F.lit(nprobe).cast("long").alias("nprobe"),
+                F.count("hit").cast("long").alias("matched"),
+                F.count(F.lit(1)).cast("long").alias("total"),
+            )
+        )
+    out = legs[0]
+    for leg in legs[1:]:
+        out = out.unionByName(leg)
+    return out.withColumn(
+        "recall_ppm", F.expr("(matched * 1000000) div total")
+    ).transform(present_sorted, "nprobe")

@@ -532,6 +532,12 @@ def test_headline_exchange_counts_pinned(spark, catalog):
                                           # COUNT(DISTINCT doc) expansion
                                           # + present over the dup-start
                                           # artifact
+        # round-6 batch 15
+        "ivf_probe_sweep": 3,             # one qid window per nprobe leg
+                                          # over cell-bounded candidates
+                                          # (probes/gt/queries all ride
+                                          # broadcasts; aggregates are
+                                          # 1-row)
         "zipf_slope_by_source": 3,        # (source,term) freq agg +
                                           # vocab-sized rank window + OLS
                                           # agg/present; ln-rank table is
