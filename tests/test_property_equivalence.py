@@ -442,3 +442,141 @@ def test_ngram_instances_match_reference(spark, texts, n):
         else:
             ref = []
         assert got[i] == ref, (t, got[i], ref)
+
+
+# ---------------------------------------------------------------------------
+# round-6 batches 6-15
+# ---------------------------------------------------------------------------
+
+_word_docs = st.lists(
+    st.lists(st.sampled_from([f"w{i}" for i in range(12)]), min_size=0,
+             max_size=30),
+    min_size=1,
+    max_size=8,
+)
+
+
+@given(docs=_word_docs, w=st.sampled_from([2, 3]), rate=st.sampled_from([3, 5]))
+@settings(**_SETTINGS)
+def test_span_corruption_matches_reference_random(spark, docs, w, rate):
+    import hashlib
+
+    from msgvault_spark.operators.spanmask import span_corruption_plan
+
+    texts = {i: " ".join(ws) for i, ws in enumerate(docs)}
+    df = spark.createDataFrame(
+        [(d, t) for d, t in texts.items()], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: (r["n_starts"], r["n_spans"], r["masked_tokens"])
+        for r in span_corruption_plan(df, w=w, rate=rate).collect()
+    }
+    ref = {}
+    for d, ws in enumerate(docs):
+        if len(ws) < w:
+            continue
+        starts = [
+            i
+            for i in range(len(ws) - w + 1)
+            if int(hashlib.md5(f"{d}:{i}".encode()).hexdigest()[:6], 16)
+            % rate
+            == 0
+        ]
+        covered: set[int] = set()
+        spans, prev = 0, None
+        for s in starts:
+            covered.update(range(s, s + w))
+            if prev is None or s - prev >= w:
+                spans += 1
+            prev = s
+        ref[d] = (len(starts), spans, len(covered))
+    assert got == ref
+
+
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 1), st.integers(0, 500)),  # (group, weight)
+        min_size=1,
+        max_size=30,
+    ),
+    quota=st.sampled_from([3, 7]),
+)
+@settings(**_SETTINGS)
+def test_weighted_sample_matches_reference_random(spark, rows, quota):
+    import hashlib
+    import math as m
+
+    from msgvault_spark.operators.sampling import weighted_sample_wor
+
+    data = [(f"g{g}", i, w) for i, (g, w) in enumerate(rows)]
+    df = spark.createDataFrame(data, "grp string, doc_id long, w long")
+    got = [
+        (r["grp"], r["doc_id"], r["key_nano"])
+        for r in weighted_sample_wor(df, "grp", "doc_id", "w", quota)
+        .orderBy("grp", "key_nano", "doc_id")
+        .collect()
+    ]
+    ref_by_grp: dict[str, list] = {}
+    for g, i, w in data:
+        if w <= 0:
+            continue
+        h = int(hashlib.md5(str(i).encode()).hexdigest()[:6], 16)
+        k = int(m.floor(-m.log((h + 1) / 16777217.0) / w * 1e9 + 0.5))
+        ref_by_grp.setdefault(g, []).append((k, i))
+    ref = []
+    for g in sorted(ref_by_grp):
+        for k, i in sorted(ref_by_grp[g])[:quota]:
+            ref.append((g, i, k))
+    assert got == ref
+
+
+@given(
+    fps=st.lists(st.integers(0, 2**32 - 1), min_size=2, max_size=25,
+                 unique=True),
+    max_dist=st.sampled_from([1, 3]),
+)
+@settings(**_SETTINGS)
+def test_hamming_neighbors_match_reference_random(spark, fps, max_dist):
+    from msgvault_spark.dedup.simhash import hamming_neighbors
+
+    df = spark.createDataFrame(
+        [(i, f) for i, f in enumerate(fps)], "doc_id long, simhash long"
+    )
+    got = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in hamming_neighbors(df, max_dist=max_dist).collect()
+    }
+    ref = {}
+    for i in range(len(fps)):
+        for j in range(i + 1, len(fps)):
+            d = bin(fps[i] ^ fps[j]).count("1")
+            if d <= max_dist:
+                ref[(i, j)] = d
+    assert got == ref
+
+
+@given(
+    # values stay below bucket 4 so the +64 shift (8 buckets) always
+    # moves mass to DIFFERENT buckets — values near the cap would land
+    # both halves in the overflow bucket and legitimately score 0
+    vals=st.lists(st.integers(0, 30), min_size=1, max_size=40),
+)
+@settings(**_SETTINGS)
+def test_psi_zero_iff_identical_and_nonnegative_total(spark, vals):
+    from msgvault_spark.operators.psi import psi_report
+
+    # mirror-split: doc 2i and 2i+1 carry the same value → all-zero PSI
+    rows = [(2 * i, v) for i, v in enumerate(vals)]
+    rows += [(2 * i + 1, v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "doc_id long, v long")
+    out = psi_report(df, F.col("doc_id") % 2 == 0, F.col("v")).collect()
+    assert all(r["psi_nano"] == 0 for r in out)
+    # shifted split: values +64 in the actual half → strictly positive sum
+    rows2 = [(2 * i, v) for i, v in enumerate(vals)]
+    rows2 += [(2 * i + 1, v + 64) for i, v in enumerate(vals)]
+    df2 = spark.createDataFrame(rows2, "doc_id long, v long")
+    total = sum(
+        r["psi_nano"]
+        for r in psi_report(df2, F.col("doc_id") % 2 == 0, F.col("v")).collect()
+    )
+    assert total > 0
