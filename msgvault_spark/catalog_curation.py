@@ -1336,9 +1336,9 @@ agg AS (SELECT doc_id, CAST(SUM(cs) AS BIGINT) AS s
 SELECT d.doc_id, d.dl AS n_tokens, d.distinct_terms,
        a.s // d.dl AS entropy_micro,
        CASE WHEN d.dl >= 2
-            THEN (a.s * 1000000)
-                 // (d.dl * CAST(floor(ln(CAST(d.dl AS DOUBLE)) * 1000000
-                                       + 0.5) AS BIGINT))
+            THEN ((a.s // d.dl) * 1000000)
+                 // CAST(floor(ln(CAST(d.dl AS DOUBLE)) * 1000000
+                               + 0.5) AS BIGINT)
             ELSE 0 END AS uniformity_ppm
 FROM dls d JOIN agg a USING (doc_id)
 ORDER BY d.doc_id

@@ -103,6 +103,10 @@ def hamming_neighbors(
     in both.  ``fps`` = (doc_id, simhash) — pass the persisted
     fingerprint artifact."""
     assert 32 % n_bands == 0
+    # pigeonhole guarantee: max_dist differing bits can zero out at most
+    # max_dist bands, so completeness requires max_dist < n_bands —
+    # out-of-contract arguments would silently DROP pairs, not error
+    assert max_dist < n_bands, f"max_dist {max_dist} needs > {max_dist} bands"
     width = 2 ** (32 // n_bands)
     bandcol = F.array(
         *[

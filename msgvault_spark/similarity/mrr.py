@@ -64,7 +64,11 @@ def mrr_report(
     win = Window.partitionBy("qid").orderBy(
         F.col("score").desc(), F.col("id").asc()
     )
-    ranked = top.withColumn("rn", F.row_number().over(win))
+    # truncate to the top-k: a deeper topk frame must neither index past
+    # the k reciprocal constants nor count relevant hits beyond rank k
+    ranked = top.withColumn("rn", F.row_number().over(win)).filter(
+        F.col("rn") <= k
+    )
     labels = corpus.select(
         F.col(id_col).alias("id"), F.col(label_col).alias("lbl")
     )

@@ -429,7 +429,10 @@ def gopher_rules(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     word array and its counts are staged selects so the split runs once
     per row.
     """
-    t = F.col(text_col)
+    # NULL text must behave like empty text in BOTH engines (the
+    # degenerate-document parity rule): without the guard Spark emits
+    # NULL counts where the oracle's COALESCE emits 0
+    t = F.coalesce(F.col(text_col), F.lit(""))
     s1 = df.select(
         F.col(id_col).alias("doc_id"), t.alias("_t"), words(t).alias("_ws")
     )
@@ -481,9 +484,9 @@ def gopher_oracle_sql(table: str = "documents") -> str:
     return f"""
 WITH w AS (
     SELECT doc_id,
-           list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
-                       x -> x != '') AS ws,
-           text
+           list_filter(string_split_regex(lower(COALESCE(text, '')),
+                       '[^a-z0-9]+'), x -> x != '') AS ws,
+           COALESCE(text, '') AS text
     FROM {table}
 ),
 c AS (
@@ -560,6 +563,11 @@ def token_entropy_scores(postings: DataFrame) -> DataFrame:
     ln_dl_micro = F.floor(
         F.log(F.col("dl").cast("double")) * 1000000 + 0.5
     ).cast("long")
+    # uniformity scales entropy_micro (<= ln(dl)*1e6, ~2e7 for any real
+    # document) rather than the raw sum s — (s * 1e6) overflows BIGINT
+    # around 700k-token concatenation blobs, and the two engines fail
+    # DIFFERENTLY there (Spark wraps, DuckDB raises); flooring to
+    # entropy_micro first keeps every intermediate < 2e13
     return (
         dls.join(s, "doc_id")
         .select(
@@ -567,22 +575,16 @@ def token_entropy_scores(postings: DataFrame) -> DataFrame:
             F.col("dl").alias("n_tokens"),
             "distinct_terms",
             F.expr("s div dl").alias("entropy_micro"),
-            F.when(
-                F.col("dl") >= 2,
-                F.expr("s * 1000000").cast("long"),
-            )
-            .otherwise(F.lit(0))
-            .alias("_num"),
             ln_dl_micro.alias("_lnd"),
         )
         .withColumn(
             "uniformity_ppm",
             F.when(
                 F.col("n_tokens") >= 2,
-                F.expr("_num div (n_tokens * _lnd)"),
+                F.expr("(entropy_micro * 1000000) div _lnd"),
             )
             .otherwise(F.lit(0))
             .cast("long"),
         )
-        .drop("_num", "_lnd")
+        .drop("_lnd")
     )

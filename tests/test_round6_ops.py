@@ -545,14 +545,26 @@ def test_gopher_rules_integer_thresholds_are_exact(spark):
     at3 = " ".join(["the", "and"] + ["abc"] * 48)        # 50 words, mwl 3.0... not exact
     # build exact mwl 3: fifty 3-char words, but need 2 stopwords → 'the'
     # (3 chars) and 'and' (3 chars) keep it exact
-    at10 = " ".join(["abcdefghij"] * 48 + ["the", "and"])  # mwl < 10
+    # exact mwl == 10: 'the'+'and' (6) + 46x10-char + 2x17-char = 500
+    # chars over 50 words — the INCLUSIVE upper bound must pass
+    seventeen = "abcdefghijklmnopq"
+    at10 = " ".join(
+        ["the", "and"] + ["abcdefghij"] * 46 + [seventeen] * 2
+    )
+    over10 = " ".join(
+        ["the", "and"] + ["abcdefghij"] * 45 + ["abcdefghijk"]
+        + [seventeen] * 2
+    )  # 501 chars over 50 words — one char past the bound must fail
     df = spark.createDataFrame(
-        [(0, at3), (1, at10)], "doc_id long, text string"
+        [(0, at3), (1, at10), (2, over10)], "doc_id long, text string"
     )
     out = {r["doc_id"]: r for r in gopher_rules(df, "doc_id", "text").collect()}
     assert out[0]["n_words"] == 50 and out[0]["word_chars"] == 150
     assert out[0]["keep"] == 1
+    assert out[1]["word_chars"] == 500 and out[1]["n_words"] == 50
     assert out[1]["r_mean_word_len"] == 1 and out[1]["keep"] == 1
+    assert out[2]["word_chars"] == 501
+    assert out[2]["r_mean_word_len"] == 0 and out[2]["keep"] == 0
 
 
 # ---------------------------------------------------------------------------
@@ -975,7 +987,7 @@ def _py_entropy(texts: dict[int, str]):
         ent = ssum // dl
         if dl >= 2:
             lnd = int(m.floor(m.log(dl) * 1e6 + 0.5))
-            uni = (ssum * 1_000_000) // (dl * lnd)
+            uni = (ent * 1_000_000) // lnd  # floored first: overflow-proof
         else:
             uni = 0
         out[d] = (dl, len(tfs), ent, uni)
@@ -1274,3 +1286,34 @@ def test_dup_position_profile_tail_heavy_footer(spark):
     marked = duplicated_starts(docs, "doc_id", "text", w=4)
     out = {r["third"]: r for r in dup_position_profile(marked, w=4).collect()}
     assert set(out) == {2}  # footer mass lands in the TAIL third
+
+
+def test_gopher_rules_null_text_counts_zero(spark):
+    from msgvault_spark.textstats.analysis import gopher_rules
+
+    df = spark.createDataFrame(
+        [(0, None), (1, "")], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r for r in gopher_rules(df, "doc_id", "text").collect()}
+    # NULL text must behave like empty text (the parity rule), never NULL
+    for d in (0, 1):
+        assert out[d]["n_words"] == 0 and out[d]["word_chars"] == 0
+        assert out[d]["keep"] == 0
+
+
+def test_mrr_truncates_deep_topk_frames(spark):
+    from msgvault_spark.similarity.mrr import mrr_report
+
+    corpus = spark.createDataFrame(
+        [(0, 0), (1, 1), (2, 1), (3, 0)], "vec_id long, label int"
+    )
+    queries = spark.createDataFrame([(0, 0)], "vec_id long, label int")
+    # topk deeper than k: ranks 1,2 wrong-label, rank 3 relevant — with
+    # k=2 the relevant hit is OUTSIDE the window: rank 0, rr 0, count 0
+    topk = spark.createDataFrame(
+        [(0, 1, 0.9), (0, 2, 0.8), (0, 3, 0.7)],
+        "qid long, id long, score double",
+    )
+    out = mrr_report(corpus, queries, k=2, topk=topk).collect()
+    assert out[0]["first_rel_rank"] == 0
+    assert out[0]["rr_nano"] == 0 and out[0]["n_rel_topk"] == 0
