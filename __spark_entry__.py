@@ -44,6 +44,7 @@ _PRIORITY = [
     "dedup_threshold_sweep",
     "dup_position_profile",
     "ivf_probe_sweep",
+    "unimax_budget_plan",
     # --- new in round 6, batch 5 (catalog_curation.py) ---
     "span_clean_docs",
     "incremental_span_coverage",

@@ -1750,3 +1750,63 @@ def dup_position_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda: duplicated_starts(docs, "doc_id", "text", w=_SPAN_W),
     )
     return _profile(marked, w=_SPAN_W).transform(present_sorted, "third")
+
+
+# ---------------------------------------------------------------------------
+# batch 16: UniMax budget allocation
+# ---------------------------------------------------------------------------
+
+_UNIMAX_CAP_PPM = 700000   # cap each source at 0.7 epochs of its own data
+_UNIMAX_BUDGET_PPM = 800000  # spend 80% of the corpus token mass
+
+
+def _unimax_oracle() -> str:
+    from msgvault_spark.operators.unimax import unimax_oracle_sql
+
+    tokens_sql = """
+SELECT source, CAST(SUM(n) AS BIGINT) AS tokens FROM (
+    SELECT source,
+           len(list_filter(string_split_regex(lower(COALESCE(text, '')),
+               '[^a-z0-9]+'), x -> x != '')) AS n
+    FROM documents
+) GROUP BY source"""
+    return unimax_oracle_sql(
+        tokens_sql,
+        budget_expr=f"(tot.t * {_UNIMAX_BUDGET_PPM}) // 1000000",
+        cap_ppm=_UNIMAX_CAP_PPM,
+    )
+
+
+@register("unimax_budget_plan", _unimax_oracle())
+def unimax_budget_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UniMax sampling (Chung et al. 2023): spread 80% of the corpus
+    token budget UNIFORMLY across sources with a 0.7-epoch per-source
+    cap — the fairer alternative to temperature mixing (which this
+    catalog also carries) for multilingual/multi-source pretraining.
+    The waterfill is exact integer algebra via ONE prefix-sum window
+    over the S-row source table (capped set is a prefix of the
+    cap-ascending order); the only corpus-scale work is the per-source
+    token count, served from the postings artifact
+    (operators/unimax.py)."""
+    from msgvault_spark.operators.present import present_sorted
+    from msgvault_spark.operators.unimax import unimax_plan
+    from msgvault_spark.sources.cache import get_scalar, get_text_index
+
+    postings, _stats = get_text_index(
+        spark, sf_dir, "documents", "doc_id", "text"
+    )
+    src = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    st = (
+        postings.join(src, "doc_id")
+        .groupBy("source")
+        .agg(F.sum("tf").cast("long").alias("tokens"))
+    )
+    total = get_scalar(
+        spark,
+        (sf_dir, "corpus_token_total"),
+        lambda: st.agg(F.sum("tokens")).head()[0],
+    )
+    budget = int(total) * _UNIMAX_BUDGET_PPM // 1000000
+    return unimax_plan(
+        st, budget=budget, cap_ppm=_UNIMAX_CAP_PPM
+    ).transform(present_sorted, "source")

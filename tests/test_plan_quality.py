@@ -538,6 +538,12 @@ def test_headline_exchange_counts_pinned(spark, catalog):
                                           # (probes/gt/queries all ride
                                           # broadcasts; aggregates are
                                           # 1-row)
+        # round-6 batch 16
+        "unimax_budget_plan": 3,          # corpus source-token agg + the
+                                          # S-row waterfill window's
+                                          # single-partition hop (dim-
+                                          # bounded by construction) +
+                                          # present
         "zipf_slope_by_source": 3,        # (source,term) freq agg +
                                           # vocab-sized rank window + OLS
                                           # agg/present; ln-rank table is

@@ -1317,3 +1317,59 @@ def test_mrr_truncates_deep_topk_frames(spark):
     out = mrr_report(corpus, queries, k=2, topk=topk).collect()
     assert out[0]["first_rel_rank"] == 0
     assert out[0]["rr_nano"] == 0 and out[0]["n_rel_topk"] == 0
+
+
+# ---------------------------------------------------------------------------
+# UniMax waterfill
+# ---------------------------------------------------------------------------
+
+
+def _py_unimax(tokens: dict[str, int], budget: int, cap_ppm: int):
+    caps = {s: t * cap_ppm // 1_000_000 for s, t in tokens.items()}
+    order = sorted(caps, key=lambda s: (caps[s], s))
+    S = len(order)
+    p = 0
+    k = 0
+    pk = 0
+    for i, s in enumerate(order, start=1):
+        if caps[s] * (S - i + 1) <= budget - p:
+            k += 1
+            pk += caps[s]
+        p += caps[s]
+    water = (budget - pk) // (S - k) if k < S else 0
+    out = {}
+    for i, s in enumerate(order, start=1):
+        capped = 1 if i <= k else 0
+        out[s] = (tokens[s], caps[s], capped,
+                  caps[s] if capped else water)
+    return out
+
+
+def test_unimax_matches_reference_binding_and_uniform(spark):
+    from msgvault_spark.operators.unimax import unimax_plan
+
+    # skewed sizes: tiny sources must CAP, big sources share the line
+    tokens = {"a": 100, "b": 200, "c": 5000, "d": 9000, "e": 9100}
+    df = spark.createDataFrame(
+        list(tokens.items()), "source string, tokens long"
+    )
+    budget = 10_000
+    got = {
+        r["source"]: (r["tokens"], r["cap"], r["capped"], r["alloc"])
+        for r in unimax_plan(df, budget=budget, cap_ppm=1_000_000).collect()
+    }
+    want = _py_unimax(tokens, budget, 1_000_000)
+    assert got == want
+    assert got["a"][2] == 1 and got["a"][3] == 100   # tiny source capped
+    assert got["d"][2] == 0 and got["d"][3] == got["e"][3]  # shared line
+    total_alloc = sum(v[3] for v in got.values())
+    assert total_alloc <= budget  # integer remainder stays unallocated
+    assert budget - total_alloc < len(tokens)  # ...and is < S tokens
+
+    # budget above the cap sum: everyone capped at their own data
+    got2 = {
+        r["source"]: r
+        for r in unimax_plan(df, budget=10**9, cap_ppm=1_000_000).collect()
+    }
+    assert all(r["capped"] == 1 and r["alloc"] == r["cap"]
+               for r in got2.values())
