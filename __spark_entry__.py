@@ -45,6 +45,7 @@ _PRIORITY = [
     "dup_position_profile",
     "ivf_probe_sweep",
     "unimax_budget_plan",
+    "label_dispersion_report",
     # --- new in round 6, batch 5 (catalog_curation.py) ---
     "span_clean_docs",
     "incremental_span_coverage",

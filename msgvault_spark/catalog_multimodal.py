@@ -961,3 +961,110 @@ def ivf_probe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn(
         "recall_ppm", F.expr("(matched * 1000000) div total")
     ).transform(present_sorted, "nprobe")
+
+
+def _dispersion_oracle() -> str:
+    dot = (
+        "list_sum(list_transform(list_zip(e.embedding, c.cvec), "
+        "x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))"
+    )
+    na = (
+        "sqrt(list_sum(list_transform(e.embedding, "
+        "v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))"
+    )
+    nb = (
+        "sqrt(list_sum(list_transform(c.cvec, "
+        "v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))"
+    )
+    cos_ppm = (
+        f"CASE WHEN {na} * {nb} > 0 THEN "
+        f"CAST(floor({dot} / ({na} * {nb}) * 1000000 + 0.5) AS BIGINT) "
+        "ELSE 0 END"
+    )
+    return f"""
+WITH idx AS (
+    SELECT label, embedding AS v, unnest(range(1, {_DIM} + 1)) AS i
+    FROM embeddings
+),
+cent AS (
+    SELECT label, i,
+           CAST((CAST(SUM(CAST(floor(CAST(v[i] AS DOUBLE) * 1000000)
+                                AS BIGINT)) AS BIGINT) // COUNT(*))
+                AS DOUBLE) / 1000000.0 AS c
+    FROM idx GROUP BY label, i
+),
+carr AS (SELECT label, list(c ORDER BY i) AS cvec FROM cent GROUP BY label),
+scored AS (
+    SELECT e.label, {cos_ppm} AS cp
+    FROM embeddings e JOIN carr c USING (label)
+)
+SELECT label,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(cp) AS BIGINT) // CAST(COUNT(*) AS BIGINT)
+           AS mean_cos_ppm,
+       CAST(MIN(cp) AS BIGINT) AS min_cos_ppm
+FROM scored GROUP BY label ORDER BY label
+"""
+
+
+@register("label_dispersion_report", _dispersion_oracle())
+def label_dispersion_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space health per label: mean and worst cosine of each
+    vector to its OWN label centroid — the collapsed-class / outlier
+    diagnostic next to label_centroids (a label whose members barely
+    align with their centroid carries no class signal; triplet/hard-
+    negative entries then say WHERE it leaks).  Centroids are the shared
+    fixed-point per-dim means; per-vector cosines floor to exact ppm
+    longs, so the label rollup is order-free.  One posexplode agg (the
+    centroid build), one broadcast of the L-row centroid table, one
+    label rollup."""
+    from msgvault_spark.similarity.knn import _as_double, cosine
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = emb.select(
+        "label", F.posexplode(F.col("embedding")).alias("i0", "x")
+    ).select(
+        "label",
+        (F.col("i0") + 1).alias("i"),
+        F.floor(F.col("x").cast("double") * 1000000).cast("long").alias("xs"),
+    )
+    cent = (
+        e.groupBy("label", "i")
+        .agg(F.sum("xs").alias("s"), F.count(F.lit(1)).alias("n"))
+        .select(
+            "label",
+            "i",
+            (F.expr("s div n").cast("double") / 1000000.0).alias("c"),
+        )
+    )
+    carr = cent.groupBy("label").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("i", "c"))),
+            lambda s: s["c"],
+        ).alias("cvec")
+    )
+    v = _as_double(F.col("embedding"))
+    from msgvault_spark.similarity.knn import l2_norm
+
+    norms = l2_norm(v) * l2_norm(F.col("cvec"))
+    cp = F.when(
+        norms > 0,
+        F.floor(
+            (cosine(v, F.col("cvec")) * 1000000) + 0.5
+        ).cast("long"),
+    ).otherwise(F.lit(0))
+    from msgvault_spark.operators.present import present_sorted
+
+    return (
+        emb.join(F.broadcast(carr), "label")
+        .select("label", cp.alias("cp"))
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.expr("CAST(sum(cp) AS BIGINT) div count(1)").alias(
+                "mean_cos_ppm"
+            ),
+            F.min("cp").cast("long").alias("min_cos_ppm"),
+        )
+        .transform(present_sorted, "label")
+    )

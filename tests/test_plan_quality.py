@@ -544,6 +544,12 @@ def test_headline_exchange_counts_pinned(spark, catalog):
                                           # single-partition hop (dim-
                                           # bounded by construction) +
                                           # present
+        # round-6 batch 17
+        "label_dispersion_report": 4,     # (label,dim) centroid agg +
+                                          # L-row array rebuild + label
+                                          # rollup + present; centroid
+                                          # table broadcasts into the
+                                          # scoring join
         "zipf_slope_by_source": 3,        # (source,term) freq agg +
                                           # vocab-sized rank window + OLS
                                           # agg/present; ln-rank table is
@@ -677,7 +683,8 @@ def test_broadcast_sites_are_ratcheted():
         "catalog_etl.py": 9,
         "catalog_pipeline.py": 2,  # + 1-row token-budget totals
         # 20-row SQ8 recall query-code set + 20-row PQ recall LUT table
-        "catalog_multimodal.py": 2,
+        # + L-row label-centroid array table (dispersion report)
+        "catalog_multimodal.py": 3,
         "catalog_search.py": 1,  # 50-row SQ8 rerank shortlist
         "catalog_tpch.py": 24,
         "dedup/decontaminate.py": 2,  # gram set + benchmark vectors

@@ -1373,3 +1373,29 @@ def test_unimax_matches_reference_binding_and_uniform(spark):
     }
     assert all(r["capped"] == 1 and r["alloc"] == r["cap"]
                for r in got2.values())
+
+
+def test_label_dispersion_tight_vs_spread(spark):
+    from msgvault_spark.catalog import CATALOG
+    import os
+    import tempfile
+
+    import pandas as pd
+
+    rows = []
+    for i in range(6):  # tight label: identical direction
+        rows.append((i, [1.0, 0.0, 0.0, 0.0], 0))
+    spread = [[1.0, 0, 0, 0], [-1.0, 0, 0, 0], [0, 1.0, 0, 0], [0, -1.0, 0, 0]]
+    for i, v in enumerate(spread):  # spread label: centroid ~0, low cos
+        rows.append((100 + i, [float(x) for x in v], 1))
+    with tempfile.TemporaryDirectory() as d:
+        pdf = pd.DataFrame(rows, columns=["vec_id", "embedding", "label"])
+        pdf.to_parquet(os.path.join(d, "embeddings.parquet"))
+        out = {
+            r["label"]: r
+            for r in CATALOG["label_dispersion_report"].fn(spark, d).collect()
+        }
+    assert out[0]["n"] == 6
+    assert out[0]["mean_cos_ppm"] == 1_000_000  # identical members
+    assert out[1]["n"] == 4
+    assert out[1]["mean_cos_ppm"] < 500_000     # collapsed/spread class
