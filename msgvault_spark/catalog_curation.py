@@ -1795,11 +1795,24 @@ def unimax_budget_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     postings, _stats = get_text_index(
         spark, sf_dir, "documents", "doc_id", "text"
     )
-    src = load_table(spark, sf_dir, "documents").select("doc_id", "source")
-    st = (
-        postings.join(src, "doc_id")
+    docs = load_table(spark, sf_dir, "documents")
+    counted = (
+        postings.join(docs.select("doc_id", "source"), "doc_id")
         .groupBy("source")
         .agg(F.sum("tf").cast("long").alias("tokens"))
+    )
+    # anchor on the full source domain: a source whose documents all
+    # tokenize to zero tokens has no postings rows but must still appear
+    # (tokens 0, cap 0, alloc 0) — the oracle scans documents and emits
+    # it, so dropping it here would be a row-count parity failure (the
+    # degenerate-document rule)
+    st = (
+        docs.select("source")
+        .distinct()
+        .join(counted, "source", "left")
+        .select(
+            "source", F.coalesce(F.col("tokens"), F.lit(0)).alias("tokens")
+        )
     )
     total = get_scalar(
         spark,

@@ -809,19 +809,51 @@ def rp_project_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ONE source of truth for the fixed-point per-dim centroid convention
+# (floor(x*1e6) sums, integer mean, /1e6) — label_centroids and
+# label_dispersion_report must drift together or not at all, in BOTH
+# engines.
+_CENTROID_CTE = f"""
+idx AS (
+    SELECT label, embedding AS v, unnest(range(1, {_DIM} + 1)) AS i
+    FROM embeddings
+),
+cent AS (
+    SELECT label, i, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST((CAST(SUM(CAST(floor(CAST(v[i] AS DOUBLE) * 1000000)
+                                AS BIGINT)) AS BIGINT) // COUNT(*))
+                AS DOUBLE) / 1000000.0 AS c
+    FROM idx GROUP BY label, i
+)"""
+
+
+def _fixed_point_centroids(emb: DataFrame) -> DataFrame:
+    """(label, i, n, c) — the Spark half of _CENTROID_CTE."""
+    e = emb.select(
+        "label", F.posexplode(F.col("embedding")).alias("i0", "x")
+    ).select(
+        "label",
+        (F.col("i0") + 1).alias("i"),
+        F.floor(F.col("x").cast("double") * 1000000).cast("long").alias("xs"),
+    )
+    return (
+        e.groupBy("label", "i")
+        .agg(F.sum("xs").alias("s"), F.count(F.lit(1)).alias("n"))
+        .select(
+            "label",
+            "i",
+            F.col("n").cast("long").alias("n"),
+            (F.expr("s div n").cast("double") / 1000000.0).alias("c"),
+        )
+    )
+
+
 @register(
     "label_centroids",
     f"""
-WITH e AS (
-    SELECT label, embedding AS v FROM embeddings
-),
-idx AS (SELECT label, v, unnest(range(1, {_DIM} + 1)) AS i FROM e)
-SELECT label, CAST(i AS INT) AS i,
-       CAST(COUNT(*) AS BIGINT) AS n,
-       CAST((CAST(SUM(CAST(floor(CAST(v[i] AS DOUBLE) * 1000000) AS BIGINT))
-                  AS BIGINT) // COUNT(*)) AS DOUBLE) / 1000000.0 AS c
-FROM idx GROUP BY label, i
-ORDER BY label, i
+WITH {_CENTROID_CTE.strip()}
+SELECT label, CAST(i AS INT) AS i, n, c
+FROM cent ORDER BY label, i
 """,
 )
 def label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -835,22 +867,9 @@ def label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     the driver canonicalizer can hash it; callers wanting the packed
     array re-assemble with collect_list over i (one extra tiny agg)."""
     emb = load_table(spark, sf_dir, "embeddings")
-    e = emb.select(
-        "label", F.posexplode(F.col("embedding")).alias("i0", "x")
-    ).select(
-        "label",
-        (F.col("i0") + 1).alias("i"),
-        F.floor(F.col("x").cast("double") * 1000000).cast("long").alias("xs"),
-    )
     return (
-        e.groupBy("label", "i")
-        .agg(F.sum("xs").alias("s"), F.count(F.lit(1)).alias("n"))
-        .select(
-            "label",
-            F.col("i").cast("int").alias("i"),
-            F.col("n").cast("long").alias("n"),
-            (F.expr("s div n").cast("double") / 1000000.0).alias("c"),
-        )
+        _fixed_point_centroids(emb)
+        .select("label", F.col("i").cast("int").alias("i"), "n", "c")
         .transform(present_sorted, "label", "i")
     )
 
@@ -943,6 +962,12 @@ def ivf_probe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents = seed_centroids(emb, _IVF_CELLS)
     idx = get_ivf_index(spark, sf_dir, _IVF_CELLS)
     gt = _exact_gt(spark, sf_dir).select("qid", "id")
+    # each leg re-scores its own (eval-set x probed-cells) candidates;
+    # a shared max-nprobe scoring pass with per-leg probe-rank filters
+    # would compute each cosine once, but every leg here is
+    # eval-set-bounded (Q=20 queries), so the duplicate work is constant
+    # at any corpus size — revisit only if the sweep grows past a few
+    # points
     legs = []
     for nprobe in _SWEEP_PROBES:
         approx = ivf_knn_join(idx, cents, qset, k=_RK, nprobe=nprobe).select(
@@ -982,17 +1007,7 @@ def _dispersion_oracle() -> str:
         "ELSE 0 END"
     )
     return f"""
-WITH idx AS (
-    SELECT label, embedding AS v, unnest(range(1, {_DIM} + 1)) AS i
-    FROM embeddings
-),
-cent AS (
-    SELECT label, i,
-           CAST((CAST(SUM(CAST(floor(CAST(v[i] AS DOUBLE) * 1000000)
-                                AS BIGINT)) AS BIGINT) // COUNT(*))
-                AS DOUBLE) / 1000000.0 AS c
-    FROM idx GROUP BY label, i
-),
+WITH {_CENTROID_CTE.strip()},
 carr AS (SELECT label, list(c ORDER BY i) AS cvec FROM cent GROUP BY label),
 scored AS (
     SELECT e.label, {cos_ppm} AS cp
@@ -1018,42 +1033,24 @@ def label_dispersion_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     longs, so the label rollup is order-free.  One posexplode agg (the
     centroid build), one broadcast of the L-row centroid table, one
     label rollup."""
+    from msgvault_spark.operators.present import present_sorted
     from msgvault_spark.similarity.knn import _as_double, cosine
 
     emb = load_table(spark, sf_dir, "embeddings")
-    e = emb.select(
-        "label", F.posexplode(F.col("embedding")).alias("i0", "x")
-    ).select(
-        "label",
-        (F.col("i0") + 1).alias("i"),
-        F.floor(F.col("x").cast("double") * 1000000).cast("long").alias("xs"),
-    )
-    cent = (
-        e.groupBy("label", "i")
-        .agg(F.sum("xs").alias("s"), F.count(F.lit(1)).alias("n"))
-        .select(
-            "label",
-            "i",
-            (F.expr("s div n").cast("double") / 1000000.0).alias("c"),
-        )
-    )
-    carr = cent.groupBy("label").agg(
+    carr = _fixed_point_centroids(emb).groupBy("label").agg(
         F.transform(
             F.array_sort(F.collect_list(F.struct("i", "c"))),
             lambda s: s["c"],
         ).alias("cvec")
     )
     v = _as_double(F.col("embedding"))
-    from msgvault_spark.similarity.knn import l2_norm
-
-    norms = l2_norm(v) * l2_norm(F.col("cvec"))
-    cp = F.when(
-        norms > 0,
-        F.floor(
-            (cosine(v, F.col("cvec")) * 1000000) + 0.5
-        ).cast("long"),
-    ).otherwise(F.lit(0))
-    from msgvault_spark.operators.present import present_sorted
+    # cosine() is try_divide: zero-norm vectors yield NULL, coalesced to
+    # 0 exactly like the oracle's CASE ... ELSE 0 — no separate norm
+    # guard (which would re-fold both norms a second time per row)
+    cp = F.coalesce(
+        F.floor((cosine(v, F.col("cvec")) * 1000000) + 0.5).cast("long"),
+        F.lit(0),
+    )
 
     return (
         emb.join(F.broadcast(carr), "label")

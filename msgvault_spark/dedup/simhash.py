@@ -106,7 +106,10 @@ def hamming_neighbors(
     # pigeonhole guarantee: max_dist differing bits can zero out at most
     # max_dist bands, so completeness requires max_dist < n_bands —
     # out-of-contract arguments would silently DROP pairs, not error
-    assert max_dist < n_bands, f"max_dist {max_dist} needs > {max_dist} bands"
+    assert max_dist < n_bands, (
+        f"max_dist={max_dist} requires n_bands > max_dist; got "
+        f"n_bands={n_bands}"
+    )
     width = 2 ** (32 // n_bands)
     bandcol = F.array(
         *[

@@ -539,11 +539,13 @@ def test_headline_exchange_counts_pinned(spark, catalog):
                                           # broadcasts; aggregates are
                                           # 1-row)
         # round-6 batch 16
-        "unimax_budget_plan": 3,          # corpus source-token agg + the
-                                          # S-row waterfill window's
-                                          # single-partition hop (dim-
-                                          # bounded by construction) +
-                                          # present
+        "unimax_budget_plan": 4,          # corpus source-token agg + the
+                                          # source-domain distinct (the
+                                          # zero-token-source anchor: a
+                                          # source with no postings must
+                                          # still get a row) + the S-row
+                                          # waterfill window's single-
+                                          # partition hop + present
         # round-6 batch 17
         "label_dispersion_report": 4,     # (label,dim) centroid agg +
                                           # L-row array rebuild + label
