@@ -46,6 +46,7 @@ _PRIORITY = [
     "ivf_probe_sweep",
     "unimax_budget_plan",
     "label_dispersion_report",
+    "lsh_band_recall_sweep",
     # --- new in round 6, batch 5 (catalog_curation.py) ---
     "span_clean_docs",
     "incremental_span_coverage",

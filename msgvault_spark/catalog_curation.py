@@ -1823,3 +1823,91 @@ def unimax_budget_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return unimax_plan(
         st, budget=budget, cap_ppm=_UNIMAX_CAP_PPM
     ).transform(present_sorted, "source")
+
+
+# ---------------------------------------------------------------------------
+# batch 18: LSH banding recall sweep
+# ---------------------------------------------------------------------------
+
+_BAND_CONFIGS = (3, 4, 6)  # bands over the 12-hash signature (rows 4/3/2)
+_BAND_TRUTH = 12           # rows=1: any shared minhash proposes — the
+                           # highest-recall banding of this signature;
+                           # verified pairs under it are the truth set
+
+
+def _band_sweep_oracle() -> str:
+    from msgvault_spark.dedup.minhash import minhash_oracle_sql
+
+    def cnt(bands: int) -> str:
+        inner = minhash_oracle_sql(
+            "SELECT doc_id, text FROM documents",
+            bands=bands,
+            jaccard_threshold=0.5,
+        ).strip()
+        return f"(SELECT CAST(COUNT(*) AS BIGINT) FROM ({inner}))"
+
+    truth = cnt(_BAND_TRUTH)
+    legs = " UNION ALL ".join(
+        f"""(SELECT {b} AS bands, {12 // b} AS rows_per_band,
+        {truth} AS n_true, {cnt(b)} AS n_found)"""
+        for b in _BAND_CONFIGS
+    )
+    return f"""
+SELECT CAST(bands AS BIGINT) AS bands,
+       CAST(rows_per_band AS BIGINT) AS rows_per_band,
+       n_true, n_found,
+       (n_found * 1000000) // n_true AS recall_ppm
+FROM ({legs}) ORDER BY bands
+"""
+
+
+@register("lsh_band_recall_sweep", _band_sweep_oracle())
+def lsh_band_recall_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MinHash banding tuning curve: verified near-dup pairs
+    (jaccard ≥ 0.5) recovered at 3/4/6 bands of the 12-hash signature,
+    against the rows=1 truth set (any shared minhash proposes — the
+    highest-recall banding this signature affords; every coarser
+    banding's verified pairs are a subset, so the ratio IS the banding
+    recall).  More bands = higher recall = more candidate volume: this
+    is the number that sets the production (bands, rows) before a 100 TB
+    dedup commits to it — the propose-side twin of
+    dedup_threshold_sweep's verify-side curve.  At scale each config's
+    band index is an ETL artifact; here each leg is one index + one
+    bucket self-join at eval cost."""
+    from msgvault_spark.dedup.minhash import (
+        build_minhash_index,
+        pairs_from_index,
+    )
+    from msgvault_spark.operators.present import present_sorted
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def verified_count(bands: int):
+        idx = build_minhash_index(docs, "doc_id", "text", bands=bands)
+        return pairs_from_index(idx, jaccard_threshold=0.5).agg(
+            F.count(F.lit(1)).cast("long").alias("c")
+        )
+
+    truth = verified_count(_BAND_TRUTH).select(F.col("c").alias("n_true"))
+    legs = []
+    for b in _BAND_CONFIGS:
+        legs.append(
+            verified_count(b).select(
+                F.lit(b).cast("long").alias("bands"),
+                F.lit(12 // b).cast("long").alias("rows_per_band"),
+                F.col("c").alias("n_found"),
+            )
+        )
+    out = legs[0]
+    for leg in legs[1:]:
+        out = out.unionByName(leg)
+    # ONE 1-row truth broadcast against the unioned 3-row leg table (the
+    # W1 total pattern) — not one cross join per leg
+    return (
+        out.crossJoin(F.broadcast(truth))
+        .withColumn("recall_ppm", F.expr("(n_found * 1000000) div n_true"))
+        .select(
+            "bands", "rows_per_band", "n_true", "n_found", "recall_ppm"
+        )
+        .transform(present_sorted, "bands")
+    )

@@ -552,6 +552,15 @@ def test_headline_exchange_counts_pinned(spark, catalog):
                                           # rollup + present; centroid
                                           # table broadcasts into the
                                           # scoring join
+        # round-6 batch 18
+        "lsh_band_recall_sweep": 9,       # four full propose/verify
+                                          # pipelines (one per banding,
+                                          # ~3 exchanges each: bucket
+                                          # self-join + distinct) +
+                                          # present; at scale the four
+                                          # band indexes are ETL
+                                          # artifacts and each leg pays
+                                          # candidate-join only
         "zipf_slope_by_source": 3,        # (source,term) freq agg +
                                           # vocab-sized rank window + OLS
                                           # agg/present; ln-rank table is
@@ -672,7 +681,8 @@ def test_broadcast_sites_are_ratcheted():
             counts[str(p.relative_to(root))] = n
     PINNED = {
         "catalog.py": 17,
-        "catalog_curation.py": 10,  # + z-score: <=L-row lang stats
+        "catalog_curation.py": 11,  # + z-score: <=L-row lang stats
+                                    # + band sweep: 1-row truth count
                                     # + sampling plan: two 1-row totals  # ≤n_sources-row median-threshold table
                                    # + 1-row decile-cutpoint array
                                    # + edit_distance_pairs: LSH-survivor

@@ -1399,3 +1399,35 @@ def test_label_dispersion_tight_vs_spread(spark):
     assert out[0]["mean_cos_ppm"] == 1_000_000  # identical members
     assert out[1]["n"] == 4
     assert out[1]["mean_cos_ppm"] < 500_000     # collapsed/spread class
+
+
+def test_band_recall_monotone_in_bands(spark):
+    from msgvault_spark.dedup.minhash import (
+        build_minhash_index,
+        pairs_from_index,
+    )
+
+    base = " ".join(f"tok{i}" for i in range(30))
+    docs = spark.createDataFrame(
+        [(i, base) for i in range(4)]                         # exact dups
+        + [(10 + i, base.replace(f"tok{3 * i} ", "z "))        # near dups
+           for i in range(3)]
+        + [(100 + i, " ".join(f"u{100 + i}x{j}" for j in range(30)))
+           for i in range(5)],                                 # uniques
+        "doc_id long, text string",
+    )
+
+    def found(bands):
+        idx = build_minhash_index(docs, "doc_id", "text", bands=bands)
+        return {
+            (r["id_a"], r["id_b"])
+            for r in pairs_from_index(idx, jaccard_threshold=0.5).collect()
+        }
+
+    f3, f4, f6, f12 = found(3), found(4), found(6), found(12)
+    # coarser banding can only MISS pairs, never add them (verify is
+    # exact, and sharing r consecutive hashes implies sharing each one)
+    assert f3 <= f12 and f4 <= f12 and f6 <= f12
+    # identical docs share every hash → found at EVERY banding
+    exact_pairs = {(a, b) for a in range(4) for b in range(4) if a < b}
+    assert exact_pairs <= f3
