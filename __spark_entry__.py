@@ -47,6 +47,7 @@ _PRIORITY = [
     "unimax_budget_plan",
     "label_dispersion_report",
     "lsh_band_recall_sweep",
+    "volume_anomaly_days",
     # --- new in round 6, batch 5 (catalog_curation.py) ---
     "span_clean_docs",
     "incremental_span_coverage",

@@ -1911,3 +1911,88 @@ def lsh_band_recall_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .transform(present_sorted, "bands")
     )
+
+
+# ---------------------------------------------------------------------------
+# batch 19: ingest-volume anomaly screen
+# ---------------------------------------------------------------------------
+
+
+def _volume_anomaly_oracle() -> str:
+    return """
+WITH daily AS (
+    SELECT event_type, strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM events GROUP BY 1, 2
+),
+st AS (
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS d,
+           CAST(SUM(n) AS BIGINT) AS a,
+           CAST(SUM(n * n) AS BIGINT) AS b
+    FROM daily GROUP BY 1
+)
+SELECT dy.event_type, dy.day, dy.n,
+       CASE WHEN st.d >= 2
+                 AND (st.d * CAST(st.b AS DOUBLE)
+                      - CAST(st.a AS DOUBLE) * CAST(st.a AS DOUBLE)) > 0
+            THEN CAST(floor(
+                 (CAST(dy.n AS DOUBLE) * st.d - CAST(st.a AS DOUBLE))
+                 / (st.d * sqrt((st.d * CAST(st.b AS DOUBLE)
+                                 - CAST(st.a AS DOUBLE)
+                                   * CAST(st.a AS DOUBLE))
+                                / (CAST(st.d AS DOUBLE) * (st.d - 1))))
+                 * 1000 + 0.5) AS BIGINT)
+            ELSE 0 END AS z_milli
+FROM daily dy JOIN st USING (event_type)
+ORDER BY dy.event_type, dy.day
+"""
+
+
+@register("volume_anomaly_days", _volume_anomaly_oracle())
+def volume_anomaly_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest-volume anomaly screen: per (event_type, day), the z-score
+    of that day's event count against the type's own daily distribution
+    — the "did a connector break or double-fire" monitor a pipeline
+    checks before trusting an ingest batch (the volume twin of the PSI
+    content-drift gate).  Same engine-exact integer-stats z as
+    quality_zscore_by_lang: n/Σx/Σx² exact longs, identical double
+    trees, fixed-point milli floor.  One corpus (type, day) aggregate
+    with map-side combine; the ≤T-row stats table broadcasts back."""
+    from msgvault_spark.operators.present import present_sorted
+    from msgvault_spark.sources.cache import get_table as _load
+
+    ev = _load(spark, sf_dir, "events")
+    daily = (
+        ev.select(
+            "event_type",
+            F.date_format(F.date_trunc("day", F.col("ts")), "yyyy-MM-dd")
+            .alias("day"),
+        )
+        .groupBy("event_type", "day")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    st = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("d"),
+        F.sum("n").cast("long").alias("a"),
+        F.sum(F.col("n") * F.col("n")).cast("long").alias("b"),
+    )
+    d, a, b = F.col("d"), F.col("a").cast("double"), F.col("b").cast("double")
+    var_num = d * b - a * a
+    sd = F.sqrt(var_num / (d.cast("double") * (d - 1)))
+    z = F.floor(
+        (F.col("n").cast("double") * d - a) / (d * sd) * 1000 + 0.5
+    ).cast("long")
+    return (
+        daily.join(F.broadcast(st), "event_type")
+        .select(
+            "event_type",
+            "day",
+            "n",
+            F.when((d >= 2) & (var_num > 0), z)
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("z_milli"),
+        )
+        .transform(present_sorted, "event_type", "day")
+    )

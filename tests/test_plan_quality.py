@@ -553,6 +553,10 @@ def test_headline_exchange_counts_pinned(spark, catalog):
                                           # table broadcasts into the
                                           # scoring join
         # round-6 batch 18
+        # round-6 batch 19
+        "volume_anomaly_days": 4,         # (type,day) corpus agg + ≤T-row
+                                          # stats agg (broadcast back) +
+                                          # decoration join hop + present
         "lsh_band_recall_sweep": 9,       # four full propose/verify
                                           # pipelines (one per banding,
                                           # ~3 exchanges each: bucket
@@ -681,7 +685,8 @@ def test_broadcast_sites_are_ratcheted():
             counts[str(p.relative_to(root))] = n
     PINNED = {
         "catalog.py": 17,
-        "catalog_curation.py": 11,  # + z-score: <=L-row lang stats
+        "catalog_curation.py": 12,  # + z-score: <=L-row lang stats
+                                    # + anomaly: <=T-row type stats
                                     # + band sweep: 1-row truth count
                                     # + sampling plan: two 1-row totals  # ≤n_sources-row median-threshold table
                                    # + 1-row decile-cutpoint array

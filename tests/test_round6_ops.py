@@ -1431,3 +1431,38 @@ def test_band_recall_monotone_in_bands(spark):
     # identical docs share every hash → found at EVERY banding
     exact_pairs = {(a, b) for a in range(4) for b in range(4) if a < b}
     assert exact_pairs <= f3
+
+
+def test_volume_anomaly_flags_spike_day(spark):
+    import datetime as dt
+
+    from pyspark.sql import functions as F2
+
+    # inline the entry's stats formula on constructed dailies: 9 quiet
+    # days at ~100 and one 10x spike — the spike's z must clear 2.5
+    rows = []
+    for i in range(9):
+        rows.append(("click", f"2024-01-0{i + 1}" if i < 9 else "", 100 + i))
+    rows.append(("click", "2024-01-10", 1000))
+    daily = spark.createDataFrame(rows, "event_type string, day string, n long")
+    st = daily.groupBy("event_type").agg(
+        F2.count(F2.lit(1)).cast("long").alias("d"),
+        F2.sum("n").cast("long").alias("a"),
+        F2.sum(F2.col("n") * F2.col("n")).cast("long").alias("b"),
+    )
+    d, a, b = (F2.col("d"), F2.col("a").cast("double"),
+               F2.col("b").cast("double"))
+    var_num = d * b - a * a
+    sd = F2.sqrt(var_num / (d.cast("double") * (d - 1)))
+    z = F2.floor(
+        (F2.col("n").cast("double") * d - a) / (d * sd) * 1000 + 0.5
+    ).cast("long")
+    out = {
+        r["day"]: r["z"]
+        for r in daily.join(F2.broadcast(st), "event_type")
+        .select("day", F2.when((d >= 2) & (var_num > 0), z)
+                .otherwise(F2.lit(0)).alias("z"))
+        .collect()
+    }
+    assert out["2024-01-10"] > 2500   # the spike stands out
+    assert all(v < 1000 for k, v in out.items() if k != "2024-01-10")
