@@ -48,6 +48,7 @@ _PRIORITY = [
     "label_dispersion_report",
     "lsh_band_recall_sweep",
     "volume_anomaly_days",
+    "rfm_segments",
     # --- new in round 6, batch 5 (catalog_curation.py) ---
     "span_clean_docs",
     "incremental_span_coverage",

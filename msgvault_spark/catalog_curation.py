@@ -1996,3 +1996,121 @@ def volume_anomaly_days(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .transform(present_sorted, "event_type", "day")
     )
+
+
+# ---------------------------------------------------------------------------
+# batch 20: RFM customer segmentation
+# ---------------------------------------------------------------------------
+
+_T1 = 1 / 3
+_T2 = 2 / 3
+
+
+def _rfm_oracle() -> str:
+    return f"""
+WITH cust AS (
+    SELECT o_custkey,
+           CAST(date_diff('day', max(o_orderdate),
+                (SELECT max(o_orderdate) FROM orders)) AS BIGINT) AS r_days,
+           CAST(COUNT(*) AS BIGINT) AS f_orders,
+           CAST(SUM(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS m_cents
+    FROM orders GROUP BY o_custkey
+),
+cuts AS (
+    SELECT quantile_cont(r_days, {_T1!r}) AS r1,
+           quantile_cont(r_days, {_T2!r}) AS r2,
+           quantile_cont(f_orders, {_T1!r}) AS f1,
+           quantile_cont(f_orders, {_T2!r}) AS f2,
+           quantile_cont(m_cents, {_T1!r}) AS m1,
+           quantile_cont(m_cents, {_T2!r}) AS m2
+    FROM cust
+),
+scored AS (
+    SELECT (CASE WHEN r_days <= r1 THEN 3 WHEN r_days <= r2 THEN 2
+                 ELSE 1 END) * 100
+         + (CASE WHEN f_orders <= f1 THEN 1 WHEN f_orders <= f2 THEN 2
+                 ELSE 3 END) * 10
+         + (CASE WHEN m_cents <= m1 THEN 1 WHEN m_cents <= m2 THEN 2
+                 ELSE 3 END) AS segment,
+           m_cents
+    FROM cust CROSS JOIN cuts
+)
+SELECT CAST(segment AS BIGINT) AS segment,
+       CAST(COUNT(*) AS BIGINT) AS n_customers,
+       CAST(SUM(m_cents) AS BIGINT) AS sum_monetary_cents
+FROM scored GROUP BY segment ORDER BY segment
+"""
+
+
+@register("rfm_segments", _rfm_oracle())
+def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation (the classic recency/frequency/monetary
+    BI operator): per-customer days-since-last-order, order count, and
+    fixed-point monetary mass, each cut at exact terciles into a 1–3
+    score, composed into the 27-cell segment code (333 = best).  Exact
+    quantiles are the engine-parity recipe (F.percentile ==
+    quantile_cont bit-for-bit); monetary sums are floor-cents longs.
+    One customer-keyed aggregate; the tercile cutpoints are a 1-row
+    broadcast."""
+    from msgvault_spark.operators.present import present_sorted
+    from msgvault_spark.sources.cache import get_scalar
+    from msgvault_spark.sources.cache import get_table as _load
+
+    orders = _load(spark, sf_dir, "orders")
+    # the corpus max date is a catalog statistic captured once (the
+    # corpus_stats pattern) and folded in as a literal — not a per-query
+    # 1-row cross join
+    mx = get_scalar(
+        spark,
+        (sf_dir, "orders_max_date"),
+        lambda: orders.agg(F.max("o_orderdate")).head()[0],
+    )
+    cust = (
+        orders.groupBy("o_custkey")
+        .agg(
+            F.datediff(F.lit(mx), F.max("o_orderdate"))
+            .cast("long")
+            .alias("r_days"),
+            F.count(F.lit(1)).cast("long").alias("f_orders"),
+            F.sum(F.floor(F.col("o_totalprice") * 100).cast("long"))
+            .cast("long")
+            .alias("m_cents"),
+        )
+    )
+    cuts = cust.agg(
+        F.percentile("r_days", F.lit(_T1)).alias("r1"),
+        F.percentile("r_days", F.lit(_T2)).alias("r2"),
+        F.percentile("f_orders", F.lit(_T1)).alias("f1"),
+        F.percentile("f_orders", F.lit(_T2)).alias("f2"),
+        F.percentile("m_cents", F.lit(_T1)).alias("m1"),
+        F.percentile("m_cents", F.lit(_T2)).alias("m2"),
+    )
+    r = (
+        F.when(F.col("r_days") <= F.col("r1"), 3)
+        .when(F.col("r_days") <= F.col("r2"), 2)
+        .otherwise(1)
+    )
+    f_ = (
+        F.when(F.col("f_orders") <= F.col("f1"), 1)
+        .when(F.col("f_orders") <= F.col("f2"), 2)
+        .otherwise(3)
+    )
+    m = (
+        F.when(F.col("m_cents") <= F.col("m1"), 1)
+        .when(F.col("m_cents") <= F.col("m2"), 2)
+        .otherwise(3)
+    )
+    return (
+        cust.crossJoin(F.broadcast(cuts))
+        .select(
+            (r * 100 + f_ * 10 + m).cast("long").alias("segment"),
+            "m_cents",
+        )
+        .groupBy("segment")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_customers"),
+            F.sum("m_cents").cast("long").alias("sum_monetary_cents"),
+        )
+        .transform(present_sorted, "segment")
+    )

@@ -557,6 +557,12 @@ def test_headline_exchange_counts_pinned(spark, catalog):
         "volume_anomaly_days": 4,         # (type,day) corpus agg + ≤T-row
                                           # stats agg (broadcast back) +
                                           # decoration join hop + present
+        # round-6 batch 20
+        "rfm_segments": 5,                # customer agg + tercile agg
+                                          # (1-row broadcast back) +
+                                          # segment rollup + present; the
+                                          # global max-date folds in as a
+                                          # memoized scalar literal
         "lsh_band_recall_sweep": 9,       # four full propose/verify
                                           # pipelines (one per banding,
                                           # ~3 exchanges each: bucket
@@ -685,7 +691,8 @@ def test_broadcast_sites_are_ratcheted():
             counts[str(p.relative_to(root))] = n
     PINNED = {
         "catalog.py": 17,
-        "catalog_curation.py": 12,  # + z-score: <=L-row lang stats
+        "catalog_curation.py": 14,  # + z-score: <=L-row lang stats
+                                    # + RFM: 1-row max-date + cutpoints
                                     # + anomaly: <=T-row type stats
                                     # + band sweep: 1-row truth count
                                     # + sampling plan: two 1-row totals  # ≤n_sources-row median-threshold table

@@ -1466,3 +1466,48 @@ def test_volume_anomaly_flags_spike_day(spark):
     }
     assert out["2024-01-10"] > 2500   # the spike stands out
     assert all(v < 1000 for k, v in out.items() if k != "2024-01-10")
+
+
+def test_rfm_segments_constructed_population(spark):
+    import datetime as dt
+    import os
+    import tempfile
+
+    import pandas as pd
+
+    from msgvault_spark.catalog import CATALOG
+
+    base = dt.datetime(2024, 6, 30)
+    rows = []
+    okey = 0
+    # 3 archetypes x 3 customers each: champions (recent, frequent, big),
+    # mid, and lapsed one-timers
+    for c in range(3):      # champions
+        for j in range(9):
+            rows.append((okey, c, "O", 900.0, base - dt.timedelta(days=j)))
+            okey += 1
+    for c in range(10, 13):  # mid
+        for j in range(3):
+            rows.append((okey, c, "O", 300.0,
+                         base - dt.timedelta(days=40 + j)))
+            okey += 1
+    for c in range(20, 23):  # lapsed one-timers
+        rows.append((okey, c, "O", 50.0, base - dt.timedelta(days=200)))
+        okey += 1
+    with tempfile.TemporaryDirectory() as d:
+        pdf = pd.DataFrame(
+            rows,
+            columns=["o_orderkey", "o_custkey", "o_orderstatus",
+                     "o_totalprice", "o_orderdate"],
+        )
+        pdf["o_orderpriority"] = "1-URGENT"
+        # micro-second physical type: pandas defaults to nanos, which the
+        # vanilla reader rejects (the loader's nanos probe is testdata-
+        # shaped; fixtures should just write µs)
+        pdf["o_orderdate"] = pdf["o_orderdate"].astype("datetime64[us]")
+        pdf.to_parquet(os.path.join(d, "orders.parquet"))
+        out = {r["segment"]: r
+               for r in CATALOG["rfm_segments"].fn(spark, d).collect()}
+    assert out[333]["n_customers"] == 3     # champions: best on all axes
+    assert out[111]["n_customers"] == 3     # lapsed: worst on all axes
+    assert sum(r["n_customers"] for r in out.values()) == 9
