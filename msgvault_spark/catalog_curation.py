@@ -1152,9 +1152,11 @@ def weighted_sample_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = docs.select(
         "doc_id",
         "source",
-        F.size(words(F.coalesce(F.col("text"), F.lit("")))).alias(
-            "n_tokens"
-        ),
+        # long to match the oracle's CAST(n_tokens AS BIGINT); the
+        # operator now preserves caller types instead of casting
+        F.size(words(F.coalesce(F.col("text"), F.lit(""))))
+        .cast("long")
+        .alias("n_tokens"),
     )
     return weighted_sample_wor(
         scored, "source", "doc_id", "n_tokens", _WSAMPLE_QUOTA

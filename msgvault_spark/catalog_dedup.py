@@ -1104,14 +1104,13 @@ def kmv_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _hamming_oracle() -> str:
     from msgvault_spark.dedup.simhash import hamming_neighbors_oracle_sql
 
-    inner = hamming_neighbors_oracle_sql(
-        "SELECT doc_id, text FROM documents"
-    ).strip().rstrip()
     # roll the pair list up to a per-distance histogram: the synthetic
     # small-vocab corpus saturates a 32-bit fingerprint (thousands of
     # sub-3-bit pairs), so the driver payload is the distance profile;
     # the pair-level operator itself is pinned by unit test
-    inner = inner.rsplit("ORDER BY", 1)[0]
+    inner = hamming_neighbors_oracle_sql(
+        "SELECT doc_id, text FROM documents", order_by=False
+    ).strip()
     return f"""
 SELECT hamming, CAST(COUNT(*) AS BIGINT) AS n_pairs,
        CAST(MIN(id_a) AS BIGINT) AS min_id_a,

@@ -148,14 +148,23 @@ def hamming_neighbors(
 
 
 def hamming_neighbors_oracle_sql(
-    source_select: str, *, max_dist: int = 3, n_bands: int = 4
+    source_select: str,
+    *,
+    max_dist: int = 3,
+    n_bands: int = 4,
+    order_by: bool = True,
 ) -> str:
-    """DuckDB twin: same banding (integer div/mod), same popcount."""
+    """DuckDB twin: same banding (integer div/mod), same popcount.
+
+    ``order_by=False`` emits the unordered SELECT so callers embedding
+    this as a subquery (e.g. the histogram rollup in catalog_dedup) get
+    a clean composable body instead of post-hoc string surgery."""
     width = 2 ** (32 // n_bands)
     band_rows = ", ".join(
         f"({b}, {width**b})" for b in range(n_bands)
     )
     fp_sql = simhash_oracle_sql(source_select).strip()
+    tail = "ORDER BY id_a, id_b" if order_by else ""
     return f"""
 WITH fp AS ({fp_sql}),
 bands AS (
@@ -171,5 +180,5 @@ cands AS (
 )
 SELECT id_a, id_b, CAST(bit_count(xor(fa, fb)) AS BIGINT) AS hamming
 FROM cands WHERE bit_count(xor(fa, fb)) <= {max_dist}
-ORDER BY id_a, id_b
+{tail}
 """

@@ -15,8 +15,9 @@ Numeric design — engine-exact without a single float:
     per-node SUM of longs is order-free — no float summation order to
     disagree on);
   - the damping update is r' = (1-d)·1e6 + (d_pct · Σcontrib) div 100,
-    again all-integer.  All values are non-negative, so Spark's
-    truncating `div` and DuckDB's flooring `//` agree.
+    again all-integer.  Spark's `div` and DuckDB's `//` both truncate
+    toward zero (verified: -7 // 2 = -3 in DuckDB), so they agree for
+    any sign, not just the non-negative values here.
 A fixed iteration count (default 5) replaces convergence detection so
 the DuckDB oracle can replay the exact computation as unrolled CTEs.
 

@@ -271,10 +271,13 @@ def weighted_sample_wor(
     key_nano = F.floor(
         -F.log(u) / F.col(weight_col).cast("double") * F.lit(1e9) + F.lit(0.5)
     ).cast("long")
+    # preserve the caller's id/weight types in the output: casting to
+    # long here would ANSI-fail a string id and silently truncate a
+    # fractional weight that the sampling key above consumed in full
     member = F.struct(
         F.col("__key").alias("k"),
-        F.col(id_col).cast("long").alias("i"),
-        F.col(weight_col).cast("long").alias("w"),
+        F.col(id_col).alias("i"),
+        F.col(weight_col).alias("w"),
     )
     base = (
         df.filter(F.col(weight_col) > 0)

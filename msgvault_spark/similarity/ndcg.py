@@ -78,7 +78,12 @@ def ndcg_report(
     win = Window.partitionBy("qid").orderBy(
         F.col("score").desc(), F.col("id").asc()
     )
-    ranked = top.withColumn("rn", F.row_number().over(win))
+    # truncate to the top-k: a deeper topk frame must not index past the
+    # k-element discount array (ANSI INVALID_ARRAY_INDEX under Spark 4)
+    # nor credit relevant hits beyond rank k — mirrors mrr_report
+    ranked = top.withColumn("rn", F.row_number().over(win)).filter(
+        F.col("rn") <= k
+    )
     labels = corpus.select(
         F.col(id_col).alias("id"), F.col(label_col).alias("lbl")
     )

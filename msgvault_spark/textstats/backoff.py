@@ -19,7 +19,8 @@ vocabulary so the score is total (unseen-unseen words included).
 Engine-exact: every log argument is a SINGLE division of
 exactly-representable integers (ratios are >= 1 by construction, so
 contributions are non-negative and the final integer division matches
-between Spark's truncating `div` and DuckDB's flooring `//`); per-doc
+between Spark's `div` and DuckDB's `//` — both truncate toward zero,
+for any sign, verified -7 // 2 = -3 in DuckDB); per-doc
 sums are fixed-point longs (order-free).
 
 Scale shape (100 TB): the two count tables are corpus groupBys with

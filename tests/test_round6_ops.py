@@ -878,6 +878,23 @@ def test_weighted_sample_prefers_heavy_rows(spark):
     assert heavy / len(got) > 0.9
 
 
+def test_weighted_sample_preserves_id_and_weight_types(spark):
+    """String ids must survive (no ANSI cast failure) and fractional
+    weights must come back untruncated — the operator preserves the
+    caller's column types in the output struct."""
+    from msgvault_spark.operators.sampling import weighted_sample_wor
+
+    rows = [("a", f"doc-{i}", 0.5 + i) for i in range(10)]
+    df = spark.createDataFrame(rows, "grp string, doc_id string, w double")
+    out = weighted_sample_wor(df, "grp", "doc_id", "w", 3)
+    fields = {f.name: f.dataType.simpleString() for f in out.schema.fields}
+    assert fields["doc_id"] == "string" and fields["w"] == "double"
+    got = out.collect()
+    assert len(got) == 3
+    assert all(r["doc_id"].startswith("doc-") for r in got)
+    assert all(r["w"] == 0.5 + int(r["doc_id"][4:]) for r in got)
+
+
 # ---------------------------------------------------------------------------
 # OOV rate / boilerplate prefixes
 # ---------------------------------------------------------------------------
@@ -1317,6 +1334,25 @@ def test_mrr_truncates_deep_topk_frames(spark):
     out = mrr_report(corpus, queries, k=2, topk=topk).collect()
     assert out[0]["first_rel_rank"] == 0
     assert out[0]["rr_nano"] == 0 and out[0]["n_rel_topk"] == 0
+
+
+def test_ndcg_truncates_deep_topk_frames(spark):
+    from msgvault_spark.similarity.ndcg import ndcg_report
+
+    corpus = spark.createDataFrame(
+        [(0, 0), (1, 1), (2, 1), (3, 0)], "vec_id long, label int"
+    )
+    queries = spark.createDataFrame([(0, 0)], "vec_id long, label int")
+    # topk deeper than k=2: the only relevant hit sits at rank 3 — it
+    # must be truncated (dcg 0), not index past the 2-element discount
+    # array (ANSI INVALID_ARRAY_INDEX) or count as gain
+    topk = spark.createDataFrame(
+        [(0, 1, 0.9), (0, 2, 0.8), (0, 3, 0.7)],
+        "qid long, id long, score double",
+    )
+    out = ndcg_report(corpus, queries, k=2, topk=topk).collect()
+    assert out[0]["dcg_nano"] == 0 and out[0]["ndcg_ppm"] == 0
+    assert out[0]["n_rel"] == 1  # corpus has one other label-0 vector
 
 
 # ---------------------------------------------------------------------------
