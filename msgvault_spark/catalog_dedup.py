@@ -265,6 +265,91 @@ def minhash_lsh_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Hot-bucket containment (the 100 TB boilerplate-skew hazard): a planted
+# boilerplate text shared by 20% of docs creates the over-full band
+# buckets real corpora get from license headers / templated pages; the
+# cap replaces their O(B²) pairing with O(B) star edges (hotbuckets.py)
+# ---------------------------------------------------------------------------
+
+_HOT_BOILER = (
+    "this software is provided as is without warranty of any kind express "
+    "or implied including but not limited to the warranties of "
+    "merchantability fitness for a particular purpose and noninfringement"
+)
+_HOT_CAP = 64
+
+_HOT_SOURCE_SQL = f"""
+SELECT doc_id,
+       CASE WHEN doc_id % 5 = 0 THEN '{_HOT_BOILER}' ELSE text END AS text
+FROM documents
+"""
+
+
+def _hot_planted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from msgvault_spark.sources.cache import get_minhash_index
+
+    def _build():
+        docs = load_table(spark, sf_dir, "documents")
+        return docs.select(
+            "doc_id",
+            F.when(F.col("doc_id") % 5 == 0, F.lit(_HOT_BOILER))
+            .otherwise(F.col("text"))
+            .alias("text"),
+        )
+
+    return get_minhash_index(
+        spark, (sf_dir, "hotbucket_docs"), _build, "doc_id", "text"
+    )
+
+
+@register(
+    "lsh_capped_hot_bucket",
+    minhash_oracle_sql(
+        _HOT_SOURCE_SQL, jaccard_threshold=0.5, bucket_cap=_HOT_CAP
+    ),
+)
+def lsh_capped_hot_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs under the per-bucket population cap: the planted
+    boilerplate (20% of docs share one text → one signature → band
+    buckets of ~corpus/5 members, far over the cap of 64) contributes
+    exactly O(B) representative star edges (all exact-Jaccard 1.0)
+    instead of O(B²) pairs, while normal-sized buckets pair classically.
+    The 100 TB skew mitigation the r6 verdict asked for, proven under
+    the oracle (dedup/minhash.py:pairs_from_index bucket_cap;
+    dedup/hotbuckets.py policy; reference intent:
+    internal/dedup/dedup.go:531-540's bounded worker pool)."""
+    from msgvault_spark.dedup.minhash import pairs_from_index
+
+    idx = _hot_planted_index(spark, sf_dir)
+    return pairs_from_index(idx, jaccard_threshold=0.5, bucket_cap=_HOT_CAP)
+
+
+def _hot_stats_oracle() -> str:
+    from msgvault_spark.dedup.hotbuckets import hot_bucket_stats_oracle_sql
+    from msgvault_spark.dedup.minhash import minhash_index_ctes
+
+    posts = (
+        f"WITH {minhash_index_ctes(_HOT_SOURCE_SQL)} "
+        "SELECT bucket, doc_id FROM buckets"
+    )
+    return hot_bucket_stats_oracle_sql(posts, _HOT_CAP)
+
+
+@register("lsh_hot_bucket_stats", _hot_stats_oracle())
+def lsh_hot_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drop accounting for the hot-bucket cap on the planted corpus: how
+    many band buckets overflowed, the worst population, pairs proposed
+    under the cap, star edges emitted over it, and exactly how many
+    candidate pairs the cap declined (C(B,2) − (B−1) per hot bucket) —
+    the alerting signal a production pipeline watches so capping never
+    silently eats real recall (dedup/hotbuckets.py:hot_bucket_stats)."""
+    from msgvault_spark.dedup.hotbuckets import hot_bucket_stats
+
+    idx = _hot_planted_index(spark, sf_dir)
+    return hot_bucket_stats(idx.select("bucket", "doc_id"), _HOT_CAP)
+
+
+# ---------------------------------------------------------------------------
 # SimHash fingerprints
 # ---------------------------------------------------------------------------
 

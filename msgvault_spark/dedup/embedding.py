@@ -182,26 +182,58 @@ def lsh_near_dups(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_to: int = 6,
+    bucket_cap: int | None = None,
 ) -> DataFrame:
     """Approximate near-dup pairs: only same-bucket pairs are scored.
-    Recall trades against bucket width via n_planes."""
+    Recall trades against bucket width via n_planes.
+
+    Scale shape: the bucket self-join ships (bucket, doc_id) only — the
+    float vectors decorate the pair list afterwards (two joins against
+    the slim vector table), so a B-member bucket shuffles O(B) ids, not
+    O(B²) d-dimensional vectors.  Each doc lands in exactly one bucket
+    (a single hyperplane signature), so the pair list is unique without
+    a distinct.  ``bucket_cap`` bounds hot buckets (near-identical
+    boilerplate embeddings all sign-agree): over the cap, O(B)
+    representative star edges replace O(B²) pairing, still
+    cosine-verified — see dedup/hotbuckets.py."""
     sig = embeddings.select(
         F.col(id_col).alias("doc_id"),
         _as_double(F.col(vec_col)).alias("v"),
     ).withColumn("bucket", hyperplane_signature(F.col("v"), dim, n_planes))
-    a = sig.select(
-        F.col("bucket"), F.col("doc_id").alias("id_a"), F.col("v").alias("va")
+    posts = sig.select("bucket", "doc_id")
+    if bucket_cap is not None:
+        from msgvault_spark.dedup.hotbuckets import (
+            split_by_bucket_cap,
+            star_edges,
+        )
+
+        under, over = split_by_bucket_cap(posts, bucket_cap)
+        star = star_edges(over)
+    else:
+        under, star = posts, None
+    pairs = (
+        under.select("bucket", F.col("doc_id").alias("id_a"))
+        .join(
+            under.select("bucket", F.col("doc_id").alias("id_b")), "bucket"
+        )
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
     )
-    b = sig.select(
-        F.col("bucket"), F.col("doc_id").alias("id_b"), F.col("v").alias("vb")
+    if star is not None:
+        pairs = pairs.unionByName(star)
+    vmap = sig.select("doc_id", "v")
+    cands = pairs.join(
+        vmap.select(F.col("doc_id").alias("id_a"), F.col("v").alias("va")),
+        "id_a",
+    ).join(
+        vmap.select(F.col("doc_id").alias("id_b"), F.col("v").alias("vb")),
+        "id_b",
     )
-    pairs = a.join(b, "bucket").filter(F.col("id_a") < F.col("id_b"))
     cos = cosine(F.col("va"), F.col("vb"))
     return (
-        pairs.withColumn("cos", F.round(cos, round_to))
+        cands.withColumn("cos", F.round(cos, round_to))
         .filter(F.col("cos") >= threshold)
         .select("id_a", "id_b", "cos")
-        .distinct()
         .sortWithinPartitions("id_a", "id_b")
     )
 

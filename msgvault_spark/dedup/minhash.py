@@ -102,31 +102,29 @@ def build_minhash_index(
     )
 
 
-def pairs_from_index(
-    buckets: DataFrame,
+def _verify_jaccard(
+    pairs: DataFrame,
+    sh_map: DataFrame,
     *,
-    jaccard_threshold: float = 0.5,
-    round_to: int = 6,
+    jaccard_threshold: float,
+    round_to: int,
 ) -> DataFrame:
-    """(id_a, id_b, jaccard): LSH buckets propose, exact shingle-set Jaccard
-    disposes. id_a < id_b, deterministic."""
-    left = buckets.select(
-        F.col("bucket"),
-        F.col("doc_id").alias("id_a"),
-        F.col("sh").alias("sh_a"),
+    """Decorate distinct (id_a, id_b) pairs with each side's shingle set
+    and keep exact Jaccard >= threshold. The decorate-AFTER-distinct
+    shape: shingle arrays never ride the bucket self-join shuffle (the
+    r6 verdict's heavy-payload finding; same pattern as
+    catalog_dedup.cross_source_dup_report)."""
+    cands = pairs.join(
+        sh_map.select(
+            F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a")
+        ),
+        "id_a",
+    ).join(
+        sh_map.select(
+            F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b")
+        ),
+        "id_b",
     )
-    right = buckets.select(
-        F.col("bucket"),
-        F.col("doc_id").alias("id_b"),
-        F.col("sh").alias("sh_b"),
-    )
-    cands = (
-        left.join(right, "bucket")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "sh_a", "sh_b")
-        .distinct()
-    )
-
     inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
     union = F.size(F.array_union(F.col("sh_a"), F.col("sh_b")))
     jac = inter.cast("double") / union.cast("double")
@@ -135,6 +133,54 @@ def pairs_from_index(
         .filter(F.col("jaccard") >= jaccard_threshold)
         .select("id_a", "id_b", "jaccard")
         .sortWithinPartitions("id_a", "id_b")
+    )
+
+
+def pairs_from_index(
+    buckets: DataFrame,
+    *,
+    jaccard_threshold: float = 0.5,
+    round_to: int = 6,
+    bucket_cap: int | None = None,
+) -> DataFrame:
+    """(id_a, id_b, jaccard): LSH buckets propose, exact shingle-set Jaccard
+    disposes. id_a < id_b, deterministic.
+
+    Scale shape: the bucket self-join ships (bucket, doc_id) ONLY — the
+    shingle arrays are joined onto the already-distinct pair list
+    afterwards, so a B-member bucket shuffles O(B) ids, not O(B²) shingle
+    arrays. ``bucket_cap`` bounds the remaining O(B²) id fan-out: buckets
+    over the cap (hot boilerplate fingerprints — the 100 TB skew) emit
+    O(B) representative star edges instead, still exact-verified; see
+    dedup/hotbuckets.py for the policy and the drop accounting."""
+    posts = buckets.select("bucket", "doc_id")
+    if bucket_cap is not None:
+        from msgvault_spark.dedup.hotbuckets import (
+            split_by_bucket_cap,
+            star_edges,
+        )
+
+        under, over = split_by_bucket_cap(posts, bucket_cap)
+        star = star_edges(over)
+    else:
+        under, star = posts, None
+    pairs = (
+        under.select("bucket", F.col("doc_id").alias("id_a"))
+        .join(
+            under.select("bucket", F.col("doc_id").alias("id_b")), "bucket"
+        )
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+    )
+    if star is not None:
+        pairs = pairs.unionByName(star)
+    # sh is functionally dependent on doc_id, so one row per doc suffices
+    sh_map = buckets.select("doc_id", "sh").dropDuplicates(["doc_id"])
+    return _verify_jaccard(
+        pairs.distinct(),
+        sh_map,
+        jaccard_threshold=jaccard_threshold,
+        round_to=round_to,
     )
 
 
@@ -158,18 +204,16 @@ def lsh_candidate_pairs(
     )
 
 
-def minhash_oracle_sql(
+def minhash_index_ctes(
     source_select: str,
     *,
     k_shingle: int = 3,
     n_hashes: int = 12,
     bands: int = 4,
-    jaccard_threshold: float = 0.5,
-    round_to: int = 6,
-    pair_where: str = "1=1",
 ) -> str:
-    """DuckDB replica of lsh_candidate_pairs over ``source_select``
-    (a subquery yielding doc_id, text)."""
+    """The docs→words→shingled→sigs→buckets CTE chain shared by the pair
+    oracle and the hot-bucket stats oracle (no leading WITH, no trailing
+    comma)."""
     rows_per_band = n_hashes // bands
     sig_items = ", ".join(
         f"list_min(list_transform(sh, s -> md5('{i}:' || s)))"
@@ -180,8 +224,7 @@ def minhash_oracle_sql(
         f"{(b + 1) * rows_per_band}], 'string_agg', '|'))"
         for b in range(bands)
     )
-    return f"""
-WITH docs AS ({source_select}),
+    return f"""docs AS ({source_select}),
 words AS (
     SELECT doc_id,
            list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
@@ -204,12 +247,27 @@ sigs AS (
 ),
 buckets AS (
     SELECT doc_id, sh, unnest([{band_items}]) AS bucket FROM sigs
-),
-cands AS (
-    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, a.sh AS sh_a, b.sh AS sh_b
-    FROM buckets a JOIN buckets b USING (bucket)
-    WHERE a.doc_id < b.doc_id AND ({pair_where})
-)
+)"""
+
+
+def minhash_oracle_sql(
+    source_select: str,
+    *,
+    k_shingle: int = 3,
+    n_hashes: int = 12,
+    bands: int = 4,
+    jaccard_threshold: float = 0.5,
+    round_to: int = 6,
+    pair_where: str = "1=1",
+    bucket_cap: int | None = None,
+) -> str:
+    """DuckDB replica of lsh_candidate_pairs over ``source_select``
+    (a subquery yielding doc_id, text). ``bucket_cap`` replays the
+    hot-bucket policy (hotbuckets.py): over-cap buckets contribute
+    representative star edges instead of all pairs."""
+    return f"""
+WITH {minhash_index_ctes(source_select, k_shingle=k_shingle, n_hashes=n_hashes, bands=bands)},
+{_pair_ctes(pair_where, bucket_cap)}
 SELECT id_a, id_b,
        round(CAST(len(list_intersect(sh_a, sh_b)) AS DOUBLE) /
              len(list_distinct(list_concat(sh_a, sh_b))), {round_to}) AS jaccard
@@ -219,6 +277,51 @@ WHERE round(CAST(len(list_intersect(sh_a, sh_b)) AS DOUBLE) /
       >= {jaccard_threshold}
 ORDER BY id_a, id_b
 """
+
+
+def _pair_ctes(pair_where: str, bucket_cap: int | None) -> str:
+    """The candidate CTEs of minhash_oracle_sql: the classic all-pairs
+    propose when uncapped, or the hotbuckets.py split (under-cap pairing
+    + over-cap representative stars) when capped."""
+    # pair_where predicates are written against the uncapped join's
+    # a./b. aliases; no caller combines them with a cap
+    assert bucket_cap is None or pair_where == "1=1"
+    if bucket_cap is None:
+        return f"""cands AS (
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, a.sh AS sh_a, b.sh AS sh_b
+    FROM buckets a JOIN buckets b USING (bucket)
+    WHERE a.doc_id < b.doc_id AND ({pair_where})
+)"""
+    return f"""sizes AS (
+    SELECT bucket, COUNT(*) AS bsz FROM buckets GROUP BY bucket
+),
+under AS (
+    SELECT b.bucket, b.doc_id FROM buckets b JOIN sizes USING (bucket)
+    WHERE bsz <= {bucket_cap}
+),
+over_cap AS (
+    SELECT b.bucket, b.doc_id FROM buckets b JOIN sizes USING (bucket)
+    WHERE bsz > {bucket_cap}
+),
+reps AS (SELECT bucket, MIN(doc_id) AS id_a FROM over_cap GROUP BY bucket),
+pair_ids AS (
+    SELECT DISTINCT id_a, id_b FROM (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM under a JOIN under b USING (bucket)
+        WHERE a.doc_id < b.doc_id
+        UNION ALL
+        SELECT r.id_a, o.doc_id AS id_b
+        FROM over_cap o JOIN reps r USING (bucket)
+        WHERE o.doc_id != r.id_a
+    )
+),
+cands AS (
+    SELECT p.id_a, p.id_b, sa.sh AS sh_a, sb.sh AS sh_b
+    FROM pair_ids p
+    JOIN sigs sa ON sa.doc_id = p.id_a
+    JOIN sigs sb ON sb.doc_id = p.id_b
+    WHERE ({pair_where})
+)"""
 
 
 def incremental_pairs(
@@ -238,31 +341,26 @@ def incremental_pairs(
 
     ``is_new`` is a predicate over the index's doc_id column. Output
     matches pairs_from_index restricted to pairs touching the batch:
-    (id_a < id_b, exact Jaccard ≥ threshold)."""
+    (id_a < id_b, exact Jaccard ≥ threshold). Same slim shape as
+    pairs_from_index: only (bucket, id) rides the probe join; shingles
+    decorate the distinct pair list."""
     new_b = buckets.filter(is_new).select(
-        F.col("bucket"),
-        F.col("doc_id").alias("id_n"),
-        F.col("sh").alias("sh_n"),
+        F.col("bucket"), F.col("doc_id").alias("id_n")
     )
-    cands = (
-        buckets.join(new_b, "bucket")
+    pairs = (
+        buckets.select("bucket", "doc_id")
+        .join(new_b, "bucket")
         .filter(F.col("doc_id") != F.col("id_n"))
         .select(
             F.least(F.col("doc_id"), F.col("id_n")).alias("id_a"),
             F.greatest(F.col("doc_id"), F.col("id_n")).alias("id_b"),
-            F.when(F.col("doc_id") < F.col("id_n"), F.col("sh"))
-            .otherwise(F.col("sh_n")).alias("sh_a"),
-            F.when(F.col("doc_id") < F.col("id_n"), F.col("sh_n"))
-            .otherwise(F.col("sh")).alias("sh_b"),
         )
         .distinct()
     )
-    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
-    union = F.size(F.array_union(F.col("sh_a"), F.col("sh_b")))
-    jac = inter.cast("double") / union.cast("double")
-    return (
-        cands.withColumn("jaccard", F.round(jac, round_to))
-        .filter(F.col("jaccard") >= jaccard_threshold)
-        .select("id_a", "id_b", "jaccard")
-        .sortWithinPartitions("id_a", "id_b")
+    sh_map = buckets.select("doc_id", "sh").dropDuplicates(["doc_id"])
+    return _verify_jaccard(
+        pairs,
+        sh_map,
+        jaccard_threshold=jaccard_threshold,
+        round_to=round_to,
     )

@@ -90,6 +90,7 @@ def hamming_neighbors(
     *,
     max_dist: int = 3,
     n_bands: int = 4,
+    bucket_cap: int | None = None,
 ) -> DataFrame:
     """(id_a, id_b, hamming) — all fingerprint pairs within ``max_dist``
     bits, via Manku et al. 2007 pigeonhole banding: split the 32-bit
@@ -101,7 +102,14 @@ def hamming_neighbors(
     Band extraction is non-negative integer div/mod (no shift-semantics
     divergence between engines); verification is bit_count(xor), exact
     in both.  ``fps`` = (doc_id, simhash) — pass the persisted
-    fingerprint artifact."""
+    fingerprint artifact.
+
+    Scale shape: the band self-join ships (band-bucket, doc_id) only;
+    fingerprints decorate the already-distinct pair list (two joins
+    against the fps artifact).  ``bucket_cap`` bounds the O(B²) fan-out
+    of a hot band bucket (identical boilerplate fingerprints): over-cap
+    buckets emit O(B) representative star edges instead, still
+    popcount-verified — see dedup/hotbuckets.py."""
     assert 32 % n_bands == 0
     # pigeonhole guarantee: max_dist differing bits can zero out at most
     # max_dist bands, so completeness requires max_dist < n_bands —
@@ -113,29 +121,52 @@ def hamming_neighbors(
     width = 2 ** (32 // n_bands)
     bandcol = F.array(
         *[
-            F.struct(
-                F.lit(b).alias("b"),
-                F.expr(f"(simhash div {width ** b}) % {width}")
-                .cast("long")
-                .alias("v"),
+            F.concat(
+                F.lit(f"{b}:"),
+                F.expr(f"(simhash div {width ** b}) % {width}").cast(
+                    "string"
+                ),
             )
             for b in range(n_bands)
         ]
     )
-    sig = fps.select("doc_id", "simhash", F.explode(bandcol).alias("bv")).select(
-        "doc_id", "simhash", F.col("bv.b").alias("b"), F.col("bv.v").alias("v")
+    posts = fps.select(
+        "doc_id", F.explode(bandcol).alias("bucket")
     )
-    a = sig.select(
-        "b", "v", F.col("doc_id").alias("id_a"), F.col("simhash").alias("fa")
-    )
-    bb = sig.select(
-        "b", "v", F.col("doc_id").alias("id_b"), F.col("simhash").alias("fb")
-    )
-    cands = (
-        a.join(bb, ["b", "v"])
+    if bucket_cap is not None:
+        from msgvault_spark.dedup.hotbuckets import (
+            split_by_bucket_cap,
+            star_edges,
+        )
+
+        under, over = split_by_bucket_cap(posts, bucket_cap)
+        star = star_edges(over)
+    else:
+        under, star = posts, None
+    pairs = (
+        under.select("bucket", F.col("doc_id").alias("id_a"))
+        .join(
+            under.select("bucket", F.col("doc_id").alias("id_b")), "bucket"
+        )
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "fa", "fb")
-        .distinct()
+        .select("id_a", "id_b")
+    )
+    if star is not None:
+        pairs = pairs.unionByName(star)
+    cands = (
+        pairs.distinct()
+        .join(
+            fps.select(
+                F.col("doc_id").alias("id_a"), F.col("simhash").alias("fa")
+            ),
+            "id_a",
+        )
+        .join(
+            fps.select(
+                F.col("doc_id").alias("id_b"), F.col("simhash").alias("fb")
+            ),
+            "id_b",
+        )
     )
     return (
         cands.withColumn(

@@ -310,6 +310,134 @@ def test_incremental_pairs_touch_batch_only(spark):
     assert (1, 17) in inc or (2, 17) in inc  # old-new found
 
 
+def test_hot_bucket_cap_bounds_pair_counts(spark):
+    """A planted hot bucket (one boilerplate text shared by most docs)
+    must produce O(B) star edges under the cap, not O(B²) pairs — and
+    the capped result must agree with the uncapped one on every pair
+    OUTSIDE the hot cluster."""
+    from pyspark.sql import functions as F
+
+    from msgvault_spark.dedup.hotbuckets import hot_bucket_stats
+    from msgvault_spark.dedup.minhash import (
+        build_minhash_index,
+        pairs_from_index,
+    )
+
+    boiler = (
+        "permission is hereby granted free of charge to any person "
+        "obtaining a copy of this software and associated documentation"
+    )
+    uniq = "totally distinct sentence number {} with its own odd words {}"
+    rows = [(i, boiler) for i in range(40)]  # the hot cluster
+    rows += [(100 + i, uniq.format(i, i * 7)) for i in range(10)]
+    rows += [(200, "the quick brown fox jumps over the lazy dog today"),
+             (201, "the quick brown fox jumps over the lazy dog tonight")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    idx = build_minhash_index(docs, "doc_id", "text")
+
+    capped = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in pairs_from_index(idx, bucket_cap=8).collect()
+    }
+    # hot cluster: exactly B-1 = 39 star edges anchored at the min id,
+    # all exact duplicates
+    hot = {p: j for p, j in capped.items() if p[1] < 100}
+    assert len(hot) == 39
+    assert all(p[0] == 0 and j == 1.0 for p, j in hot.items())
+    # outside the hot cluster the capped run matches the uncapped one
+    full = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in pairs_from_index(idx).collect()
+    }
+    assert {p: j for p, j in capped.items() if p[0] >= 100} == {
+        p: j for p, j in full.items() if p[0] >= 100
+    }
+    assert (200, 201) in capped
+    # accounting: 4 bands × one 40-member bucket over the cap
+    st = hot_bucket_stats(idx.select("bucket", "doc_id"), 8).collect()[0]
+    assert st["n_over_cap"] == 4 and st["max_bucket"] == 40
+    assert st["star_pairs"] == 4 * 39
+    assert st["dropped_pairs"] == 4 * (40 * 39 // 2 - 39)
+
+
+def test_hamming_neighbors_and_embedding_lsh_accept_bucket_cap(spark):
+    """The cap policy in the other two propose stages: identical
+    fingerprints in an over-cap bucket collapse to star edges; results
+    outside stay equal to the uncapped run."""
+    from msgvault_spark.dedup.embedding import lsh_near_dups
+    from msgvault_spark.dedup.simhash import hamming_neighbors, simhash
+
+    docs = spark.createDataFrame(
+        [(i, "identical boilerplate text shared by every hot document")
+         for i in range(20)]
+        + [(100, "some other words entirely unrelated to the rest"),
+           (101, "some other words entirely unrelated to the rest")],
+        "doc_id long, text string",
+    )
+    fps = simhash(docs, "doc_id", "text")
+    got = {(r["id_a"], r["id_b"]) for r in
+           hamming_neighbors(fps, bucket_cap=8).collect()}
+    hot = {p for p in got if p[1] < 100}
+    assert hot == {(0, i) for i in range(1, 20)}  # star edges only
+    assert (100, 101) in got  # under-cap bucket pairs classically
+
+    embs = spark.createDataFrame(
+        [(i, [1.0, 0.5, 0.25, 0.125]) for i in range(20)]
+        + [(100, [-1.0, -0.5, 0.25, 0.125]),
+           (101, [-1.0, -0.5, 0.26, 0.125])],
+        "vec_id long, embedding array<double>",
+    )
+    pairs = {(r["id_a"], r["id_b"]) for r in
+             lsh_near_dups(embs, 0.9, dim=4, bucket_cap=8).collect()}
+    assert {p for p in pairs if p[1] < 100} == {(0, i) for i in range(1, 20)}
+    assert (100, 101) in pairs
+
+
+def test_lsh_propose_joins_are_slim(spark):
+    """The r6 verdict's heavy-payload finding: the bucket self-join must
+    ship (bucket, id) only — shingle arrays / float vectors decorate the
+    distinct pair list afterwards. Pin: no shingle/vector column inside
+    any bucket-keyed Exchange subtree."""
+    from msgvault_spark.dedup.embedding import lsh_near_dups
+    from msgvault_spark.dedup.minhash import build_minhash_index, pairs_from_index
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f g"), (2, "a b c d e f h")],
+        "doc_id long, text string",
+    )
+    idx = build_minhash_index(docs, "doc_id", "text")
+    plan = pairs_from_index(idx)._jdf.queryExecution().executedPlan().toString()
+
+    import re
+
+    def slim_pair_projection(plan_str):
+        """True iff the projection sitting directly on the bucket
+        self-join is exactly [id_a, id_b] — i.e. heavy payloads are
+        decorated onto the pair list AFTER the join, never through it."""
+        lines = plan_str.splitlines()
+        for n, line in enumerate(lines):
+            if re.search(r"(SortMergeJoin|ShuffledHashJoin) \[bucket", line):
+                return bool(
+                    re.search(
+                        r"Project \[id_a#\d+L?, id_b#\d+L?\]\s*$",
+                        lines[n - 1],
+                    )
+                )
+        return False
+
+    assert slim_pair_projection(plan), "shingles ride the bucket join"
+
+    embs = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.9, 0.1])],
+        "vec_id long, embedding array<double>",
+    )
+    eplan = (
+        lsh_near_dups(embs, 0.5, dim=2)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert slim_pair_projection(eplan), "vectors ride the bucket join"
+
+
 def test_semantic_dedup_drops_planted_duplicates(spark):
     """SemDeDup: planted exact/near-duplicate vectors must drop (keeping
     the lowest id), dissimilar vectors must all survive, and cluster

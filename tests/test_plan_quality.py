@@ -464,9 +464,13 @@ def test_headline_exchange_counts_pinned(spark, catalog):
                                           # cell stats agg + present
                                           # (training rounds collapse to
                                           # K-row literals at build time)
-        "edit_distance_pairs": 2,         # pair candidate distinct +
+        "edit_distance_pairs": 4,         # pair candidate distinct +
                                           # present; both text-decoration
                                           # joins broadcast the PAIR side
+                                          # (+2 r7: the slim propose adds
+                                          # a doc-keyed shingle-map hop —
+                                          # arrays no longer ride the
+                                          # bucket self-join shuffle)
         # round-6 batch 7
         "span_corruption_plan": 2,        # per-doc start window + anchor
                                           # join/present; the hash filter
@@ -505,10 +509,14 @@ def test_headline_exchange_counts_pinned(spark, catalog):
                                           # ≤S-row median/MAD tables ride
                                           # broadcasts
         # round-6 batch 11
-        "embedding_near_dups_lsh": 1,     # one signature-bucket exchange
-                                          # shared by both self-join
-                                          # sides; candidates bounded by
-                                          # bucket population
+        "embedding_near_dups_lsh": 0,     # r7 slim shape: the (bucket,
+                                          # id) self-join and the two
+                                          # vector-decoration joins all
+                                          # broadcast at this SF; at
+                                          # scale they become SMJs that
+                                          # ship ids, never vectors
+                                          # (test_lsh_propose_joins_are_
+                                          # slim pins the projection)
         "quality_zscore_by_lang": 1,      # doc-keyed lang decoration
                                           # join rides the postings
                                           # rollup exchange; ≤L-row stats
@@ -524,10 +532,15 @@ def test_headline_exchange_counts_pinned(spark, catalog):
                                           # 1-row broadcasts; TakeOrdered
                                           # top-k over the vocab table
         # round-6 batch 14
-        "dedup_threshold_sweep": 3,       # band-index pair distinct +
+        "dedup_threshold_sweep": 5,       # band-index pair distinct +
                                           # decile rollup + present; the
                                           # index scan is the shared
-                                          # MinHash artifact
+                                          # MinHash artifact (+2 r7: the
+                                          # slim propose decorates
+                                          # shingles onto distinct pairs
+                                          # via a doc-keyed map instead
+                                          # of shipping arrays through
+                                          # the bucket join)
         "dup_position_profile": 3,        # third rollup's two-phase
                                           # COUNT(DISTINCT doc) expansion
                                           # + present over the dup-start
@@ -563,14 +576,19 @@ def test_headline_exchange_counts_pinned(spark, catalog):
                                           # segment rollup + present; the
                                           # global max-date folds in as a
                                           # memoized scalar literal
-        "lsh_band_recall_sweep": 9,       # four full propose/verify
+        "lsh_band_recall_sweep": 17,      # four full propose/verify
                                           # pipelines (one per banding,
-                                          # ~3 exchanges each: bucket
-                                          # self-join + distinct) +
-                                          # present; at scale the four
-                                          # band indexes are ETL
-                                          # artifacts and each leg pays
-                                          # candidate-join only
+                                          # ~4 exchanges each: slim
+                                          # bucket self-join + pair
+                                          # distinct + shingle-map
+                                          # decorate) + present; at
+                                          # scale the four band indexes
+                                          # are ETL artifacts and each
+                                          # leg pays candidate-join
+                                          # only — the extra id-keyed
+                                          # hops are the price of
+                                          # keeping arrays out of the
+                                          # bucket shuffle
         "zipf_slope_by_source": 3,        # (source,term) freq agg +
                                           # vocab-sized rank window + OLS
                                           # agg/present; ln-rank table is
