@@ -1,0 +1,266 @@
+"""Mechanical gate-priority: map files changed since the last round
+snapshot onto catalog entries, so anything touched in-round re-enters the
+driver's 50-slot verification window (the r6 verdict's process ask: commit
+6ab9415 reshaped label_centroids after its last driver row and nothing
+forced re-verification).
+
+Dependency tracking is FUNCTION-granular, because the package routes most
+cross-module use through function-local imports (hub modules like
+sources/cache.py lazily import half the package — module-granular closure
+would touch all 200+ entries on any edit):
+
+  - the walk starts at the entry's catalog function and follows, to a
+    fixpoint: referenced same-module top-level functions, and
+    `from msgvault_spark.x import f` edges where f is a top-level
+    function of x;
+  - a visited function marks (module, span); the entry is TOUCHED if a
+    changed line hits any visited span, or the GLOBAL area (top-level
+    imports/constants/helpers outside all top-level function bodies) of
+    any visited module;
+  - coarse edges stay conservative: `import msgvault_spark.x` or a
+    from-import of a non-function (class, constant, submodule) marks the
+    whole module x — any change in it touches the entry.
+
+Usage:
+    python tools/gate_priority.py            # base = last round commit
+    python tools/gate_priority.py --base REV
+
+Prints touched entries (the suggested _PRIORITY front) and flags touched
+oracle-backed entries missing from the current front 50.
+`tests/test_gate_priority.py` enforces the same invariant in CI.
+"""
+
+from __future__ import annotations
+
+import ast
+import pathlib
+import subprocess
+import sys
+
+ROOT = pathlib.Path(__file__).resolve().parent.parent
+PKG = ROOT / "msgvault_spark"
+WINDOW = 50  # the driver verifies the first 50 queries() entries
+
+
+def _module_name(path: pathlib.Path) -> str:
+    rel = path.relative_to(ROOT).with_suffix("")
+    parts = list(rel.parts)
+    if parts[-1] == "__init__":
+        parts = parts[:-1]
+    return ".".join(parts)
+
+
+class _ModInfo:
+    """Parsed facts about one package module."""
+
+    def __init__(self, module: str, path: pathlib.Path):
+        self.module = module
+        self.path = path
+        tree = ast.parse(path.read_text())
+        self.funcs: dict[str, ast.FunctionDef] = {
+            n.name: n
+            for n in tree.body
+            if isinstance(n, (ast.FunctionDef, ast.AsyncFunctionDef))
+        }
+        self.spans: dict[str, tuple[int, int]] = {}
+        for name, node in self.funcs.items():
+            start = min(
+                [node.lineno] + [d.lineno for d in node.decorator_list]
+            )
+            self.spans[name] = (start, node.end_lineno)
+        n_lines = path.read_text().count("\n") + 1
+        inside = set()
+        for s, e in self.spans.values():
+            inside |= set(range(s, e + 1))
+        self.global_lines = set(range(1, n_lines + 1)) - inside
+
+
+def _load_package() -> dict[str, _ModInfo]:
+    return {
+        _module_name(p): _ModInfo(_module_name(p), p)
+        for p in PKG.rglob("*.py")
+    }
+
+
+def _edges(node: ast.AST, pkg: dict[str, _ModInfo]):
+    """(func_edges, module_edges) referenced by ``node``: func_edges are
+    (module, func) pairs for from-imports of top-level functions;
+    module_edges are whole-module dependencies (plain imports, or
+    from-imports of classes/constants/submodules)."""
+    fedges: set[tuple[str, str]] = set()
+    medges: set[str] = set()
+    for n in ast.walk(node):
+        if isinstance(n, ast.Import):
+            for a in n.names:
+                if a.name in pkg:
+                    medges.add(a.name)
+        elif isinstance(n, ast.ImportFrom) and n.module:
+            if not n.module.startswith("msgvault_spark"):
+                continue
+            for a in n.names:
+                sub = f"{n.module}.{a.name}"
+                if sub in pkg:
+                    medges.add(sub)
+                elif n.module in pkg:
+                    if a.name in pkg[n.module].funcs:
+                        fedges.add((n.module, a.name))
+                    else:
+                        medges.add(n.module)
+    return fedges, medges
+
+
+def _entry_footprint(
+    mod: str, fn_name: str, pkg: dict[str, _ModInfo]
+) -> tuple[set[tuple[str, str]], set[str]]:
+    """Fixpoint walk from one catalog function: returns (visited
+    (module, func) set, coarse whole-module dep set). Same-module
+    references by bare name follow sibling top-level functions."""
+    visited: set[tuple[str, str]] = set()
+    coarse: set[str] = set()
+    work = [(mod, fn_name)]
+    while work:
+        m, f = work.pop()
+        if (m, f) in visited or m not in pkg or f not in pkg[m].funcs:
+            continue
+        visited.add((m, f))
+        node = pkg[m].funcs[f]
+        fed, med = _edges(node, pkg)
+        coarse |= med
+        work += list(fed)
+        for n in ast.walk(node):
+            if isinstance(n, ast.Name) and n.id in pkg[m].funcs:
+                work.append((m, n.id))
+    # catalog-family coarse deps are registration plumbing, not semantics
+    coarse = {
+        c for c in coarse if not c.startswith("msgvault_spark.catalog")
+    }
+    return visited, coarse
+
+
+def _git(*args: str) -> str:
+    return subprocess.run(
+        ["git", *args], cwd=ROOT, capture_output=True, text=True, check=True
+    ).stdout
+
+
+def last_round_rev() -> str | None:
+    out = _git(
+        "log", "--grep", "^round [0-9]*:", "-n", "1", "--format=%H"
+    ).strip()
+    return out or None
+
+
+def changed_lines(base: str) -> dict[str, set[int]]:
+    """{repo-relative path: changed line numbers (new side)} for
+    base..working-tree, msgvault_spark only. Untracked files count whole
+    (marker line 0 plus every real line)."""
+    diff = _git("diff", "-U0", base, "--", "msgvault_spark")
+    out: dict[str, set[int]] = {}
+    cur = None
+    for line in diff.splitlines():
+        if line.startswith("+++ b/"):
+            cur = line[6:]
+            out.setdefault(cur, set())
+        elif line.startswith("@@") and cur:
+            hunk = line.split("+")[1].split(" ")[0]
+            if "," in hunk:
+                s, n = (int(x) for x in hunk.split(","))
+            else:
+                s, n = int(hunk), 1
+            out[cur] |= set(range(s, s + max(n, 1)))
+    for path in _git(
+        "ls-files", "--others", "--exclude-standard", "msgvault_spark"
+    ).splitlines():
+        text = (ROOT / path).read_text()
+        out[path] = set(range(0, text.count("\n") + 2))
+    return out
+
+
+def touched_entries(base: str | None = None) -> list[str]:
+    """Catalog entries (registration order) whose implementation changed
+    since ``base`` (default: the last round-snapshot commit)."""
+    sys.path.insert(0, str(ROOT))
+    from msgvault_spark.catalog import CATALOG
+
+    base = base or last_round_rev()
+    if base is None:
+        return []
+    changed = changed_lines(base)
+    if not changed:
+        return []
+    pkg = _load_package()
+    path_of = {m: str(i.path.relative_to(ROOT)) for m, i in pkg.items()}
+    changed_mods = {
+        m for m, p in path_of.items() if changed.get(p)
+    }
+
+    out = []
+    for name, e in CATALOG.items():
+        # register() wraps entries in a plan-memo closure defined in
+        # catalog.py — unwrap to reach the real defining module
+        fn = getattr(e.fn, "__wrapped__", e.fn)
+        mod = fn.__module__
+        if mod not in pkg:
+            continue
+        visited, coarse = _entry_footprint(mod, fn.__name__, pkg)
+        hit = bool(coarse & changed_mods)
+        if not hit:
+            mods_seen = {m for m, _ in visited} | {mod}
+            for m in mods_seen:
+                lines = changed.get(path_of[m], set())
+                if not lines:
+                    continue
+                if lines & pkg[m].global_lines:
+                    hit = True  # imports/constants/oracle builders
+                    break
+                spans = [
+                    pkg[m].spans[f] for mm, f in visited if mm == m
+                ]
+                if any(
+                    s <= ln <= en for s, en in spans for ln in lines
+                ):
+                    hit = True
+                    break
+        if hit:
+            out.append(name)
+    return out
+
+
+def main() -> int:
+    base = None
+    if "--base" in sys.argv:
+        base = sys.argv[sys.argv.index("--base") + 1]
+    base = base or last_round_rev()
+    if base is None:
+        print("no round-snapshot commit found; pass --base")
+        return 1
+    sys.path.insert(0, str(ROOT))
+    touched = touched_entries(base)
+    print(f"# base {base[:12]} — {len(touched)} touched entries")
+    for t in touched:
+        print(f'    "{t}",')
+    import __spark_entry__ as se
+
+    front = list(se.queries())[:WINDOW]
+    from msgvault_spark.catalog import CATALOG
+
+    oracle_touched = [
+        t for t in touched if CATALOG[t].oracle_sql is not None
+    ]
+    missing = [t for t in oracle_touched if t not in front]
+    if len(oracle_touched) > WINDOW:
+        extra = [f for f in front if f not in touched]
+        print(
+            f"\n# {len(oracle_touched)} touched > window {WINDOW}: "
+            f"front must be ALL touched; interlopers: {extra or 'none'}"
+        )
+        return 2 if extra else 0
+    if missing:
+        print(f"\n# MISSING from front {WINDOW}: {missing}")
+        return 2
+    print(f"\n# all touched oracle-backed entries are in the front {WINDOW}")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
