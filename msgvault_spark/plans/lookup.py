@@ -236,6 +236,50 @@ def get_messages_by_source_ids(
     ).transform(present_sorted, "id")
 
 
+def get_gmail_ids_by_filter(archive: dict[str, DataFrame], filter_) -> DataFrame:
+    """GetGmailIDsByFilter (engine.go:68-70, duckdb.go:1654-1776): filter →
+    Gmail ``source_message_id`` list, the staging feed for batch remote
+    deletion. Two reference invariants carried over exactly:
+
+      - source-deleted rows are ALWAYS excluded — the reference
+        hard-codes sentToTrash=true because this surface must never
+        honor an opt-in (duckdb.go:1669-1672); the filter's
+        ``hide_deleted_from_source`` flag is overridden, not trusted;
+      - scope to Gmail sources via the sources dim with the tolerant
+        default ``COALESCE(source_type,'gmail')='gmail'``
+        (duckdb.go:1765-1770).
+
+    Everything else is the shared MessageFilter machinery (semi/anti
+    joins, P3-P11). The sources dim is rows-per-account tiny —
+    broadcast. Deletion EXECUTION against live Gmail stays out of scope
+    (README switching table); this closes the read side."""
+    from dataclasses import replace
+
+    from msgvault_spark.plans.filters import apply_message_filter
+
+    msg = apply_message_filter(
+        archive, replace(filter_, hide_deleted_from_source=True)
+    )
+    gmail = (
+        archive["sources"]
+        .filter(
+            F.coalesce(F.col("source_type"), F.lit("gmail")) == "gmail"
+        )
+        .select(F.col("id").alias("__src_id"))
+    )
+    return (
+        msg.join(
+            F.broadcast(gmail), F.col("source_id") == F.col("__src_id")
+        )
+        .select(
+            F.coalesce(F.col("source_message_id"), F.lit("")).alias(
+                "source_message_id"
+            )
+        )
+        .transform(present_sorted, "source_message_id")
+    )
+
+
 def list_accounts(archive: dict[str, DataFrame]) -> DataFrame:
     """Account dim with per-account stats (ListAccounts, engine.go:77-78).
     One hash-agg over messages — the account table the reference keeps

@@ -215,6 +215,20 @@ def build_archive(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
         F.lit("").alias("title"),
     )
 
+    # sources dim (reference schema.sql:9-28; the 8th RequiredParquetDir,
+    # duckdb.go:1804-1813): message source_id is synthesized 1..3 above —
+    # two gmail accounts and one imap, so gmail-scoped surfaces
+    # (GetGmailIDsByFilter) have a non-trivial predicate to prove
+    sources = spark.range(1, 4).select(
+        F.col("id").cast("long").alias("id"),
+        F.when(F.col("id") == 3, F.lit("imap"))
+        .otherwise(F.lit("gmail"))
+        .alias("source_type"),
+        F.concat(
+            F.lit("account"), F.col("id").cast("string"), F.lit("@example.com")
+        ).alias("identifier"),
+    )
+
     return {
         "messages": messages,
         "message_recipients": message_recipients,
@@ -223,6 +237,7 @@ def build_archive(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
         "message_labels": message_labels,
         "attachments": attachments,
         "conversations": conversations,
+        "sources": sources,
     }
 
 
@@ -326,6 +341,12 @@ conversations AS (
            'conv-' || CAST(c_custkey AS VARCHAR) AS source_conversation_id,
            '' AS title
     FROM customer
+),
+sources AS (
+    SELECT CAST(range AS BIGINT) AS id,
+           CASE WHEN range = 3 THEN 'imap' ELSE 'gmail' END AS source_type,
+           'account' || CAST(range AS VARCHAR) || '@example.com' AS identifier
+    FROM range(1, 4)
 )
 """
 

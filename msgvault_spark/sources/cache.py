@@ -63,7 +63,7 @@ def get_archive(
         arch["attachments"] = arch["attachments"].repartition(
             FACT_PARTITIONS, "message_id"
         ).persist(StorageLevel.MEMORY_AND_DISK)
-        for name in ("participants", "labels", "conversations"):
+        for name in ("participants", "labels", "conversations", "sources"):
             arch[name] = arch[name].persist(StorageLevel.MEMORY_AND_DISK)
         # force materialization now so first query isn't charged for it
         for df in arch.values():

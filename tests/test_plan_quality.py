@@ -747,7 +747,7 @@ def test_broadcast_sites_are_ratcheted():
         "plans/aggregate.py": 6,
         "plans/filters.py": 3,
         "plans/listing.py": 10,
-        "plans/lookup.py": 4,
+        "plans/lookup.py": 5,  # + gmail-ids: rows-per-account sources dim
         "search/fast.py": 7,
         "search/fast_wide.py": 1,
         "search/fts.py": 4,

@@ -62,6 +62,15 @@ class _ModInfo:
             for n in tree.body
             if isinstance(n, (ast.FunctionDef, ast.AsyncFunctionDef))
         }
+        # module-level from-imports: local name -> (source module, name) —
+        # entry functions reference these bare (get_archive, oracle, ...)
+        self.top_from: dict[str, tuple[str, str]] = {}
+        for n in tree.body:
+            if isinstance(n, ast.ImportFrom) and n.module and n.module.startswith(
+                "msgvault_spark"
+            ):
+                for a in n.names:
+                    self.top_from[a.asname or a.name] = (n.module, a.name)
         self.spans: dict[str, tuple[int, int]] = {}
         for name, node in self.funcs.items():
             start = min(
@@ -128,8 +137,19 @@ def _entry_footprint(
         coarse |= med
         work += list(fed)
         for n in ast.walk(node):
-            if isinstance(n, ast.Name) and n.id in pkg[m].funcs:
+            if not isinstance(n, ast.Name):
+                continue
+            if n.id in pkg[m].funcs:
                 work.append((m, n.id))
+            elif n.id in pkg[m].top_from:
+                src_mod, src_name = pkg[m].top_from[n.id]
+                sub = f"{src_mod}.{src_name}"
+                if sub in pkg:
+                    coarse.add(sub)
+                elif src_mod in pkg and src_name in pkg[src_mod].funcs:
+                    work.append((src_mod, src_name))
+                elif src_mod in pkg:
+                    coarse.add(src_mod)  # class/constant: whole module
     # catalog-family coarse deps are registration plumbing, not semantics
     coarse = {
         c for c in coarse if not c.startswith("msgvault_spark.catalog")
