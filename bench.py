@@ -32,6 +32,12 @@ def main() -> None:
     # both defaults (on) — see msgvault_spark/session.py
     os.environ.setdefault("SPARK_GRAFT_AQE", "false")
     os.environ.setdefault("SPARK_GRAFT_CONSTRAINTS", "false")
+    # size shuffle partitions to the data, the same rule that picks
+    # thousands at 100 TB pointed the other way: at sf<=0.1 a shuffle
+    # partition of 32 holds ~KBs and per-task scheduling dominates —
+    # measured r7: cold total 13.1s at 32 partitions vs 11.1s at 8
+    if sf <= 0.1:
+        os.environ.setdefault("SPARK_GRAFT_SHUFFLE_PARTITIONS", "8")
 
     from msgvault_spark.catalog import CATALOG
     from msgvault_spark.session import get_spark
@@ -98,8 +104,37 @@ def main() -> None:
         # sessions; cross-round deltas are only attributable via the
         # interleaved A/B protocol recorded in BENCH_AB_r4.json
         "noise_note": "single-run absolutes drift +/-30% on this box; "
-        "see BENCH_AB_r4.json for interleaved A/B vs the prior round",
+        "the embedded 'ab' block (tools/bench_ab.py, interleaved vs the "
+        "previous round tree) is the attributable comparison",
     }
+    # embed the newest interleaved A/B artifact so this one JSON line
+    # carries BOTH protocols (solo secondary, A/B primary)
+    import glob
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    def _rnum(p: str) -> int:
+        import re
+
+        m = re.search(r"_r(\d+)\.json$", p)
+        return int(m.group(1)) if m else -1
+
+    abs_ = sorted(
+        glob.glob(os.path.join(here, "BENCH_AB_r*.json")), key=_rnum
+    )
+    if abs_:
+        try:
+            with open(abs_[-1]) as f:
+                ab = json.load(f)
+            out["ab"] = {
+                "artifact": os.path.basename(abs_[-1]),
+                "head": ab.get("head"),
+                "prev": ab.get("prev"),
+                "best_warm": ab.get("best_warm"),
+                "head_totals": ab.get("head_totals"),
+                "prev_totals": ab.get("prev_totals"),
+            }
+        except (OSError, ValueError):
+            pass
     print(json.dumps(out))
 
 
