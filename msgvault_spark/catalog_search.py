@@ -176,6 +176,41 @@ def bm25_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "bm25_fts5_documents",
+    bm25_oracle_sql(
+        "documents", "doc_id", "text", _BM25_TERMS, k=20, variant="fts5"
+    ),
+)
+def bm25_fts5_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 under SQLite FTS5's exact weighting (plain Robertson idf, no
+    Lucene +1, clamped to 1e-6 when ≤0 — fts5_aux.c): the
+    reference-fidelity rank order a user migrating from msgvault's FTS5
+    search expects. Same memoized index artifacts as bm25_documents;
+    only the idf literal differs. Parity against a REAL FTS5 instance is
+    pinned in tests/test_search_fts_knn.py::test_fts5_variant_matches_real_fts5."""
+    from pyspark.sql import functions as FF
+
+    from msgvault_spark.search.fts import bm25_scores
+    from msgvault_spark.sources.cache import (
+        get_corpus_stats,
+        get_term_stats,
+        get_text_index,
+    )
+
+    postings, stats = get_text_index(spark, sf_dir, "documents", "doc_id", "text")
+    cstats = get_corpus_stats(spark, sf_dir, "documents", "doc_id", "text")
+    tstats = get_term_stats(spark, sf_dir, "documents", "doc_id", "text")
+    return (
+        bm25_scores(
+            postings, stats, _BM25_TERMS, round_to=6,
+            corpus_stats=cstats, term_stats=tstats, variant="fts5",
+        )
+        .orderBy(FF.col("score").desc(), FF.col("doc_id").asc())
+        .limit(20)
+    )
+
+
 _KNN_ORACLE = """
 WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
 SELECT e.vec_id AS id,

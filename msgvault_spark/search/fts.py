@@ -57,16 +57,31 @@ def build_inverted_index(
     return postings, doc_stats
 
 
-def _contrib_sql(n_expr: str, avg_expr: str) -> str:
+def _contrib_sql(
+    n_expr: str, avg_expr: str, variant: str = "lucene"
+) -> str:
     """BM25 per-term contribution as SQL text, association IDENTICAL to
     the historical Column formulation (idf · tfc with Python-prefolded
     constants: K1+1, 1−B), so scores are bit-equal:
 
         ln(1 + ((N − df + .5) / (df + .5)))
           · ((tf · (K1+1)) / (tf + (K1 · ((1−B) + ((B · dl) / avgdl)))))
-    """
+
+    ``variant='fts5'`` swaps the idf for SQLite FTS5's bm25() form
+    (fts5_aux.c): plain Robertson idf WITHOUT the Lucene +1 inside the
+    log, clamped to 1e-6 when ≤ 0 (terms present in over half the corpus
+    would otherwise score negative) — a user migrating from the
+    reference gets the reference's rank order under this variant. The
+    tfc factor and k1=1.2 / b=0.75 are identical in both."""
+    if variant == "fts5":
+        raw = f"ln((({n_expr} - df + 0.5D) / (df + 0.5D)))"
+        idf = f"(CASE WHEN {raw} <= 0.0D THEN 0.000001D ELSE {raw} END)"
+    elif variant == "lucene":
+        idf = f"ln(1.0D + (({n_expr} - df + 0.5D) / (df + 0.5D)))"
+    else:
+        raise ValueError(f"unknown bm25 variant: {variant}")
     return (
-        f"ln(1.0D + (({n_expr} - df + 0.5D) / (df + 0.5D))) * "
+        f"{idf} * "
         f"((tf * {K1 + 1.0!r}D) / "
         f"(tf + ({K1!r}D * ({1.0 - B!r}D + (({B!r}D * dl) / {avg_expr})))))"
     )
@@ -81,9 +96,12 @@ def bm25_scores(
     corpus_stats: tuple[int, float] | None = None,
     candidate_filter=None,
     term_stats: DataFrame | None = None,
+    variant: str = "lucene",
 ) -> DataFrame:
     """Score docs matching ALL ``terms``; returns (doc_id, score) unbounded —
     callers order/limit. Query terms are lowercased to match the index.
+    ``variant='fts5'`` reproduces SQLite FTS5's bm25() weighting (see
+    _contrib_sql) — reference-fidelity rank order; default stays Lucene.
 
     ``corpus_stats=(n_docs, avgdl)`` lets callers pass the constants an
     index build already knows (sources/cache.get_text_index memoizes them)
@@ -131,14 +149,15 @@ def bm25_scores(
     # plan build; corpus constants splice in as literals.
     if corpus_stats is not None:
         contrib = _contrib_sql(
-            str(int(corpus_stats[0])), f"{float(corpus_stats[1])!r}D"
+            str(int(corpus_stats[0])), f"{float(corpus_stats[1])!r}D",
+            variant,
         )
     else:
         n_docs_avgdl = doc_stats.agg(
             F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
         )
         matched = matched.crossJoin(F.broadcast(n_docs_avgdl))
-        contrib = _contrib_sql("n_docs", "avgdl")
+        contrib = _contrib_sql("n_docs", "avgdl", variant)
     per_term = matched.select(
         "doc_id", "term", F.expr(contrib).alias("contribution")
     )
@@ -175,10 +194,16 @@ def bm25_search(
 def bm25_oracle_sql(
     table: str, id_col: str, text_col: str, terms: list[str], k: int = 20,
     round_to: int = 6, candidate_where: str = "1=1",
+    variant: str = "lucene",
 ) -> str:
     """The same computation as DuckDB SQL (for the correctness gate)."""
     terms = sorted({t.lower() for t in terms})
     terms_list = ", ".join(f"'{t}'" for t in terms)
+    if variant == "fts5":
+        raw = "ln((c.n_docs - t.df + 0.5) / (t.df + 0.5))"
+        idf = f"(CASE WHEN {raw} <= 0.0 THEN 0.000001 ELSE {raw} END)"
+    else:
+        idf = "ln(1.0 + (c.n_docs - t.df + 0.5) / (t.df + 0.5))"
     return f"""
 WITH tokens AS (
     SELECT {id_col} AS doc_id,
@@ -200,7 +225,7 @@ term_df AS (
 ),
 per_term AS (
     SELECT p.doc_id,
-           ln(1.0 + (c.n_docs - t.df + 0.5) / (t.df + 0.5)) *
+           {idf} *
            ((p.tf * ({K1} + 1)) /
             (p.tf + {K1} * (1 - {B} + {B} * d.dl / c.avgdl))) AS contribution
     FROM postings p

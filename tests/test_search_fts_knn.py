@@ -312,6 +312,57 @@ def test_bm25_sql_contribution_bitwise_equals_column_form(spark):
         assert struct.pack("d", r["old"]) == struct.pack("d", r["new"]), r
 
 
+def test_fts5_variant_matches_real_fts5(spark):
+    """variant='fts5' must reproduce SQLite FTS5's bm25() on a real FTS5
+    instance over the same corpus: identical rank order AND scores equal
+    to 1e-9 relative (FTS5's rank is the NEGATED score, ascending). The
+    corpus plants a term present in >half the docs so the ≤0-idf clamp
+    path (fts5_aux.c's idf=1e-6) is exercised — exactly where the Lucene
+    variant diverges."""
+    import sqlite3
+
+    from pyspark.sql import functions as F
+
+    from msgvault_spark.search.fts import bm25_scores, build_inverted_index
+
+    corpus = [
+        (1, "apple banana cherry apple"),
+        (2, "apple apple apple banana"),
+        (3, "banana cherry date"),
+        (4, "apple date elderberry fig"),
+        (5, "apple banana apple cherry date elderberry"),
+        (6, "grape honeydew kiwi"),
+        (7, "apple grape banana banana"),
+        (8, "cherry cherry apple"),
+    ]  # 'apple' in 6/8 docs → raw Robertson idf < 0 → clamp exercised
+
+    con = sqlite3.connect(":memory:")
+    con.execute("CREATE VIRTUAL TABLE t USING fts5(body)")
+    for doc_id, body in corpus:
+        con.execute("INSERT INTO t(rowid, body) VALUES (?, ?)", (doc_id, body))
+
+    docs = spark.createDataFrame(corpus, "doc_id long, text string")
+    postings, doc_stats = build_inverted_index(docs, "doc_id", "text")
+
+    for query in ("apple", "banana cherry", "apple banana"):
+        want = con.execute(
+            "SELECT rowid, bm25(t) FROM t WHERE t MATCH ? "
+            "ORDER BY rank, rowid",
+            (" AND ".join(query.split()),),
+        ).fetchall()
+        got = (
+            bm25_scores(postings, doc_stats, query.split(), variant="fts5")
+            .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+            .collect()
+        )
+        assert [r["doc_id"] for r in got] == [w[0] for w in want], query
+        for r, w in zip(got, want):
+            assert abs(r["score"] - (-w[1])) <= 1e-9 * max(
+                1.0, abs(r["score"])
+            ), (query, r, w)
+    con.close()
+
+
 def test_quantize_vector_binds_maxabs_once(spark):
     """Interpreted higher-order lambdas re-evaluate captured expression
     subtrees per element: referencing the max-abs fold inside the
