@@ -580,3 +580,288 @@ def test_psi_zero_iff_identical_and_nonnegative_total(spark, vals):
         for r in psi_report(df2, F.col("doc_id") % 2 == 0, F.col("v")).collect()
     )
     assert total > 0
+
+
+# ---------------------------------------------------------------------------
+# round-7 fixed-point numerics (the r6 verdict's ask #8): full python
+# references over random corpora and degenerate groups — empty halves,
+# singletons, zero variance, zero-token sources
+# ---------------------------------------------------------------------------
+
+
+@given(
+    tokens=st.dictionaries(
+        st.sampled_from(["a", "b", "c", "d", "e"]),
+        st.integers(0, 500),
+        min_size=1,
+        max_size=5,
+    ),
+    budget=st.integers(0, 1200),
+    cap_ppm=st.sampled_from([500_000, 1_000_000, 2_000_000]),
+)
+@settings(**_SETTINGS)
+def test_unimax_plan_matches_reference_random(spark, tokens, budget, cap_ppm):
+    from msgvault_spark.operators.unimax import unimax_plan
+
+    df = spark.createDataFrame(
+        list(tokens.items()), "source string, tokens long"
+    )
+    got = {
+        r["source"]: (r["tokens"], r["cap"], r["capped"], r["alloc"])
+        for r in unimax_plan(df, budget=budget, cap_ppm=cap_ppm).collect()
+    }
+    # reference: cap ascending waterfill (tie-break source asc)
+    caps = {s: t * cap_ppm // 1_000_000 for s, t in tokens.items()}
+    order = sorted(caps, key=lambda s: (caps[s], s))
+    S = len(order)
+    p = k = pk = 0
+    for i, s in enumerate(order, start=1):
+        if caps[s] * (S - i + 1) <= budget - p:
+            k += 1
+            pk += caps[s]
+        p += caps[s]
+    water = (budget - pk) // (S - k) if k < S else 0
+    ref = {}
+    for i, s in enumerate(order, start=1):
+        capped = 1 if i <= k else 0
+        ref[s] = (tokens[s], caps[s], capped, caps[s] if capped else water)
+    assert got == ref
+    # invariant: never allocate above cap; capped sources get exactly cap
+    for s, (_, cap, capped, alloc) in got.items():
+        assert alloc <= max(cap, 0) or capped == 0
+
+
+@given(
+    rows=st.lists(
+        st.tuples(st.booleans(), st.integers(0, 20)),
+        min_size=0,
+        max_size=50,
+    ),
+)
+@settings(**_SETTINGS)
+def test_psi_report_matches_reference_random(spark, rows):
+    import math
+
+    from msgvault_spark.operators.psi import psi_report
+
+    n_buckets, width = 4, 3
+    if not rows:
+        return
+    df = spark.createDataFrame(
+        [(i, e, v) for i, (e, v) in enumerate(rows)],
+        "doc_id long, is_exp boolean, v long",
+    )
+    got = {
+        r["bucket"]: (r["n_expected"], r["n_actual"], r["psi_nano"])
+        for r in psi_report(
+            df, F.col("is_exp"), F.col("v"),
+            n_buckets=n_buckets, bucket_width=width,
+        ).collect()
+    }
+    # reference: laplace-smoothed PSI, identical float expression shape
+    ne: dict[int, int] = {}
+    na: dict[int, int] = {}
+    for e, v in rows:
+        b = min(v // width, n_buckets - 1)
+        (ne if e else na)[b] = (ne if e else na).get(b, 0) + 1
+    te, ta = sum(ne.values()), sum(na.values())
+    if te == 0 or ta == 0:
+        # a missing half produces an EMPTY report (no tot row for it),
+        # never a NULL-poisoned one
+        assert got == {}
+        return
+    ref = {}
+    for b in range(n_buckets):
+        nb_e, nb_a = ne.get(b, 0), na.get(b, 0)
+        pe = (nb_e + 1) / (te + n_buckets)
+        pa = (nb_a + 1) / (ta + n_buckets)
+        ratio = ((nb_a + 1) * (te + n_buckets)) / (
+            (nb_e + 1) * (ta + n_buckets)
+        )
+        ref[b] = (
+            nb_e,
+            nb_a,
+            math.floor((pa - pe) * math.log(ratio) * 1e9 + 0.5),
+        )
+    assert got == ref
+
+
+@given(
+    docs=st.lists(
+        st.lists(
+            st.sampled_from(["ab", "cd", "ef", "gh"]), min_size=0, max_size=6
+        ),
+        min_size=1,
+        max_size=12,
+    ),
+)
+@settings(**_SETTINGS)
+def test_bigram_backoff_matches_reference_random(spark, docs):
+    import math
+
+    from hypothesis import assume
+
+    from msgvault_spark.textstats.backoff import (
+        ALPHA_DEN,
+        ALPHA_NUM,
+        bigram_backoff_scores,
+    )
+
+    # reference slice = even doc_ids; it must contain at least one token
+    # (an empty reference corpus NULL-poisons n/v by design — the entry
+    # guards it; the degenerate is covered by the assume's complement
+    # being rejected, not silently scored)
+    assume(any(ws for i, ws in enumerate(docs) if i % 2 == 0))
+    df = spark.createDataFrame(
+        [(i, " ".join(ws)) for i, ws in enumerate(docs)],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["n_bigrams"], r["nll_micro"])
+        for r in bigram_backoff_scores(df, "doc_id % 2 = 0").collect()
+    }
+    # python reference
+    ref_docs = [ws for i, ws in enumerate(docs) if i % 2 == 0]
+    cb: dict[tuple[str, str], int] = {}
+    cu: dict[str, int] = {}
+    for ws in ref_docs:
+        for w in ws:
+            cu[w] = cu.get(w, 0) + 1
+        for p_, c_ in zip(ws, ws[1:]):
+            cb[(p_, c_)] = cb.get((p_, c_), 0) + 1
+    n, v = sum(cu.values()), len(cu)
+    ref = {}
+    for i, ws in enumerate(docs):
+        grams = list(zip(ws, ws[1:]))
+        if not grams:
+            continue
+        s = 0
+        for g in grams:
+            if g in cb:
+                cs = math.floor(math.log(cu[g[0]] / cb[g]) * 1e6 + 0.5)
+            else:
+                cs = math.floor(
+                    math.log(
+                        (ALPHA_DEN * (n + v))
+                        / (ALPHA_NUM * (cu.get(g[1], 0) + 1))
+                    )
+                    * 1e6
+                    + 0.5
+                )
+            s += cs
+        ref[i] = (len(grams), s // len(grams))
+    assert got == ref
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.sampled_from(["s1", "s2"]),
+            st.sampled_from(["t1", "t2", "t3", "t4", "t5", "t6"]),
+            st.integers(1, 40),
+        ),
+        min_size=0,
+        max_size=20,
+    ),
+    top_k=st.sampled_from([3, 5]),
+)
+@settings(**_SETTINGS)
+def test_zipf_slope_matches_reference_random(spark, rows, top_k):
+    import math
+
+    from msgvault_spark.textstats.zipf import ln_rank_micro, zipf_slope_by_source
+
+    # dedupe (source, term): term_freq is a type table by contract
+    tf: dict[tuple[str, str], int] = {}
+    for s, t, f_ in rows:
+        tf[(s, t)] = f_
+    if not tf:
+        return
+    df = spark.createDataFrame(
+        [(s, t, f_) for (s, t), f_ in tf.items()],
+        "source string, term string, freq long",
+    )
+    got = {
+        r["source"]: (r["n_terms"], r["slope"])
+        for r in zipf_slope_by_source(df, top_k=top_k).collect()
+    }
+    xs = ln_rank_micro(top_k)
+    by_src: dict[str, list[tuple[str, int]]] = {}
+    for (s, t), f_ in tf.items():
+        by_src.setdefault(s, []).append((t, f_))
+    ref = {}
+    for s, terms in by_src.items():
+        ranked = sorted(terms, key=lambda p: (-p[1], p[0]))[:top_k]
+        if len(ranked) < 2:
+            continue  # sources with <2 ranked terms are dropped
+        pts = [
+            (xs[i], math.floor(math.log(f_) * 1e6 + 0.5))
+            for i, (_, f_) in enumerate(ranked)
+        ]
+        nn = len(pts)
+        sx = sum(x for x, _ in pts)
+        sy = sum(y for _, y in pts)
+        sxy = sum(x * y for x, y in pts)
+        sxx = sum(x * x for x, _ in pts)
+        slope = round(
+            (nn * sxy - sx * sy) / (nn * sxx - sx * sx), 6
+        )
+        ref[s] = (nn, slope)
+    assert got == ref
+
+
+@given(
+    groups=st.lists(
+        st.tuples(
+            st.sampled_from(["en", "de", "fr"]),
+            st.integers(-50, 50),
+        ),
+        min_size=1,
+        max_size=30,
+    ),
+    constant_group=st.booleans(),
+)
+@settings(**_SETTINGS)
+def test_calibrate_matches_reference_and_pandas_twin(
+    spark, groups, constant_group
+):
+    import math
+
+    from msgvault_spark.textstats.calibrate import (
+        calibrate_expr,
+        calibrate_pandas,
+    )
+
+    rows = [(i, g, float(v)) for i, (g, v) in enumerate(groups)]
+    if constant_group:  # planted zero-variance group → z must be 0.0
+        base = len(rows)
+        rows += [(base + j, "zz", 7.0) for j in range(3)]
+    rows.append((len(rows), "solo", 3.0))  # singleton group → z = 0.0
+    df = spark.createDataFrame(rows, "doc_id long, lang string, score double")
+
+    got = {
+        r["doc_id"]: r["z"]
+        for r in calibrate_expr(df, "lang", "score").collect()
+    }
+    twin = {
+        r["doc_id"]: r["z"]
+        for r in calibrate_pandas(df, "lang", "score").collect()
+    }
+    # python reference: sample stddev; singleton/zero-variance → 0.0
+    by_g: dict[str, list[tuple[int, float]]] = {}
+    for i, g, v in rows:
+        by_g.setdefault(g, []).append((i, v))
+    ref = {}
+    for g, members in by_g.items():
+        vs = [v for _, v in members]
+        mu = sum(vs) / len(vs)
+        if len(vs) < 2:
+            sd = None
+        else:
+            sd = math.sqrt(sum((v - mu) ** 2 for v in vs) / (len(vs) - 1))
+        for i, v in members:
+            ref[i] = 0.0 if not sd else (v - mu) / sd
+    assert set(got) == set(ref) == set(twin)
+    for i in ref:
+        assert abs(got[i] - ref[i]) <= 1e-9 * max(1.0, abs(ref[i])), i
+        assert abs(twin[i] - got[i]) <= 1e-9 * max(1.0, abs(got[i])), i
