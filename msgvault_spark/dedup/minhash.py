@@ -330,6 +330,7 @@ def incremental_pairs(
     *,
     jaccard_threshold: float = 0.5,
     round_to: int = 6,
+    bucket_cap: int | None = None,
 ) -> DataFrame:
     """Incremental near-dup: candidates where AT LEAST ONE side is in the
     new batch — the production shape (dedupe today's crawl against the
@@ -343,20 +344,42 @@ def incremental_pairs(
     matches pairs_from_index restricted to pairs touching the batch:
     (id_a < id_b, exact Jaccard ≥ threshold). Same slim shape as
     pairs_from_index: only (bucket, id) rides the probe join; shingles
-    decorate the distinct pair list."""
-    new_b = buckets.filter(is_new).select(
+    decorate the distinct pair list. ``bucket_cap`` bounds a hot bucket's
+    per-ingest fan-out the same way (hotbuckets.py): each NEW member of
+    an over-cap bucket pairs only with the bucket's min-id member
+    instead of with every resident — a daily boilerplate crawl then
+    costs O(batch), not O(batch × bucket)."""
+    posts = buckets.select("bucket", "doc_id")
+    if bucket_cap is not None:
+        from msgvault_spark.dedup.hotbuckets import split_by_bucket_cap
+
+        under, over = split_by_bucket_cap(posts, bucket_cap)
+    else:
+        under, over = posts, None
+    new_b = under.filter(is_new).select(
         F.col("bucket"), F.col("doc_id").alias("id_n")
     )
     pairs = (
-        buckets.select("bucket", "doc_id")
-        .join(new_b, "bucket")
+        under.join(new_b, "bucket")
         .filter(F.col("doc_id") != F.col("id_n"))
         .select(
             F.least(F.col("doc_id"), F.col("id_n")).alias("id_a"),
             F.greatest(F.col("doc_id"), F.col("id_n")).alias("id_b"),
         )
-        .distinct()
     )
+    if over is not None:
+        reps = over.groupBy("bucket").agg(F.min("doc_id").alias("id_r"))
+        star = (
+            over.filter(is_new)
+            .join(reps, "bucket")
+            .filter(F.col("doc_id") != F.col("id_r"))
+            .select(
+                F.least(F.col("doc_id"), F.col("id_r")).alias("id_a"),
+                F.greatest(F.col("doc_id"), F.col("id_r")).alias("id_b"),
+            )
+        )
+        pairs = pairs.unionByName(star)
+    pairs = pairs.distinct()
     sh_map = buckets.select("doc_id", "sh").dropDuplicates(["doc_id"])
     return _verify_jaccard(
         pairs,

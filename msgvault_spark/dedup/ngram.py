@@ -42,9 +42,15 @@ def ngram_jaccard_pairs(
     threshold: float = 0.3,
     round_to: int = 6,
     prefix_filter: bool = True,
+    bucket_cap: int | None = None,
 ) -> DataFrame:
     """(id_a, id_b, jaccard) for every pair with n-gram Jaccard ≥ threshold.
-    id_a < id_b, deterministic order."""
+    id_a < id_b, deterministic order.
+
+    ``bucket_cap`` applies the hot-bucket policy (dedup/hotbuckets.py)
+    to the gram posting lists: a gram held by more than ``bucket_cap``
+    docs (boilerplate) emits O(B) representative star edges instead of
+    O(B²) pairs — still exact-Jaccard verified, so no false positives."""
     docs = df.select(
         F.col(id_col).alias("doc_id"),
         word_shingles(F.col(text_col), n).alias("grams"),
@@ -69,16 +75,29 @@ def ngram_jaccard_pairs(
     else:
         postings = postings.select("doc_id", "gram")
 
+    posts = postings.select(F.col("gram").alias("bucket"), "doc_id")
+    if bucket_cap is not None:
+        from msgvault_spark.dedup.hotbuckets import (
+            split_by_bucket_cap,
+            star_edges,
+        )
+
+        under, over = split_by_bucket_cap(posts, bucket_cap)
+        star = star_edges(over)
+    else:
+        under, star = posts, None
     cands = (
-        postings.select(F.col("gram"), F.col("doc_id").alias("id_a"))
+        under.select(F.col("bucket"), F.col("doc_id").alias("id_a"))
         .join(
-            postings.select(F.col("gram"), F.col("doc_id").alias("id_b")),
-            "gram",
+            under.select(F.col("bucket"), F.col("doc_id").alias("id_b")),
+            "bucket",
         )
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
-        .distinct()
     )
+    if star is not None:
+        cands = cands.unionByName(star)
+    cands = cands.distinct()
 
     a = docs.select(F.col("doc_id").alias("id_a"), F.col("grams").alias("g_a"))
     b = docs.select(F.col("doc_id").alias("id_b"), F.col("grams").alias("g_b"))

@@ -94,11 +94,19 @@ def winnow_candidate_pairs(
     w: int = 4,
     min_shared: int = 2,
     portable: bool = False,
+    bucket_cap: int | None = None,
 ) -> DataFrame:
     """(id_a, id_b, shared) for pairs sharing ≥ ``min_shared`` fingerprints
     (id_a < id_b). Postings self-join on fingerprint hash — identical scale
     shape to MinHash LSH banding: the shuffle key is the fingerprint, hot
-    boilerplate fingerprints are the skew to watch."""
+    boilerplate fingerprints are the skew to watch.
+
+    ``bucket_cap`` contains that skew (dedup/hotbuckets.py): fingerprints
+    held by more than ``bucket_cap`` docs contribute O(B) star edges to
+    the fingerprint's min-id representative instead of O(B²) pairs, with
+    ``shared`` still counted exactly per surviving edge (under-cap
+    co-occurrences + over-cap co-occurrences with the representative sum
+    through the same groupBy)."""
     # stage 1: bind normalized text as a column (NOT inline in the lambda)
     normed = docs.select(
         F.col(id_col).alias("id"),
@@ -121,12 +129,29 @@ def winnow_candidate_pairs(
     fp = hashed.select(
         "id", F.explode(_select_windows(F.col("__hs"), w)).alias("h")
     )
-    a = fp.select(F.col("id").alias("id_a"), "h")
-    b = fp.select(F.col("id").alias("id_b"), "h")
-    return (
-        a.join(b, "h")
+    posts = fp.select(F.col("h").alias("bucket"), F.col("id").alias("doc_id"))
+    if bucket_cap is not None:
+        from msgvault_spark.dedup.hotbuckets import (
+            split_by_bucket_cap,
+            star_edges,
+        )
+
+        under, over = split_by_bucket_cap(posts, bucket_cap)
+        star = star_edges(over)  # one edge per (hot fp, member)
+    else:
+        under, star = posts, None
+    edges = (
+        under.select("bucket", F.col("doc_id").alias("id_a"))
+        .join(
+            under.select("bucket", F.col("doc_id").alias("id_b")), "bucket"
+        )
         .filter(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
+        .select("id_a", "id_b")
+    )
+    if star is not None:
+        edges = edges.unionByName(star)
+    return (
+        edges.groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).cast("long").alias("shared"))
         .filter(F.col("shared") >= min_shared)
     )

@@ -393,6 +393,54 @@ def test_hamming_neighbors_and_embedding_lsh_accept_bucket_cap(spark):
     assert (100, 101) in pairs
 
 
+def test_ngram_winnow_incremental_accept_bucket_cap(spark):
+    """The cap policy extends to the remaining propose stages: n-gram
+    Jaccard (gram postings), winnowing (fingerprint postings), and the
+    incremental MinHash probe — hot buckets collapse to star edges,
+    results outside the hot cluster match the uncapped run."""
+    from pyspark.sql import functions as F
+
+    from msgvault_spark.dedup.minhash import build_minhash_index, incremental_pairs
+    from msgvault_spark.dedup.ngram import ngram_jaccard_pairs
+    from msgvault_spark.dedup.winnow import winnow_candidate_pairs
+
+    boiler = "the quick brown fox jumps over the lazy dog every single day"
+    docs = spark.createDataFrame(
+        [(i, boiler) for i in range(30)]
+        + [(100, "completely different words alpha beta gamma delta"),
+           (101, "completely different words alpha beta gamma epsilon")],
+        "doc_id long, text string",
+    )
+    # n-gram: hot grams (30 identical docs) star to doc 0 at jaccard 1.0
+    got = {(r["id_a"], r["id_b"]): r["jaccard"] for r in
+           ngram_jaccard_pairs(docs, "doc_id", "text",
+                               bucket_cap=8, prefix_filter=False).collect()}
+    hot = {p: j for p, j in got.items() if p[1] < 100}
+    assert hot == {(0, i): 1.0 for i in range(1, 30)}
+    assert (100, 101) in got  # under-cap pair survives classically
+
+    # winnow: same star shape; shared counted per surviving edge
+    wgot = {(r["id_a"], r["id_b"]): r["shared"] for r in
+            winnow_candidate_pairs(docs, "doc_id", "text",
+                                   bucket_cap=8).collect()}
+    whot = {p for p in wgot if p[1] < 100}
+    assert whot == {(0, i) for i in range(1, 30)}
+    assert all(s >= 2 for s in wgot.values())
+    uncapped = {(r["id_a"], r["id_b"]): r["shared"] for r in
+                winnow_candidate_pairs(docs, "doc_id", "text").collect()}
+    # star edges keep the exact shared count of the uncapped run
+    for p, s in wgot.items():
+        assert uncapped[p] == s
+
+    # incremental probe: new docs (id % 10 == 7) in the hot bucket pair
+    # only with the bucket's min-id member
+    idx = build_minhash_index(docs, "doc_id", "text")
+    inc = {(r["id_a"], r["id_b"]) for r in
+           incremental_pairs(idx, F.col("doc_id") % 10 == 7,
+                             bucket_cap=8).collect()}
+    assert {p for p in inc if p[1] < 100} == {(0, 7), (0, 17), (0, 27)}
+
+
 def test_lsh_propose_joins_are_slim(spark):
     """The r6 verdict's heavy-payload finding: the bucket self-join must
     ship (bucket, id) only — shingle arrays / float vectors decorate the
