@@ -718,6 +718,106 @@ def bigram_backoff_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _doremi_oracle() -> str:
+    from msgvault_spark.textstats.backoff import backoff_oracle_sql
+
+    perdoc = backoff_oracle_sql(_BACKOFF_REF_PRED).strip()
+    return f"""
+WITH perdoc AS ({perdoc}),
+src AS (SELECT doc_id, source FROM documents),
+per_src AS (
+    SELECT s.source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(p.n_bigrams * p.nll_micro) AS BIGINT)
+               // CAST(SUM(p.n_bigrams) AS BIGINT) AS mean_nll_micro
+    FROM perdoc p JOIN src s USING (doc_id) GROUP BY 1
+),
+base AS (SELECT MIN(mean_nll_micro) AS base FROM per_src),
+staged AS (
+    SELECT source, n_docs, mean_nll_micro,
+           CAST(mean_nll_micro - base AS BIGINT) AS excess_micro,
+           CAST(floor(exp(0.1 * CAST(mean_nll_micro - base AS DOUBLE)
+                          / 1000000.0) * 1000000000 + 0.5)
+                AS BIGINT) AS unnorm_nano
+    FROM per_src CROSS JOIN base
+),
+tot AS (SELECT CAST(SUM(unnorm_nano) AS BIGINT) AS tot FROM staged)
+SELECT source, n_docs, mean_nll_micro, excess_micro,
+       CAST((unnorm_nano * 1000000) // tot AS BIGINT) AS weight_ppm
+FROM staged CROSS JOIN tot
+ORDER BY source
+"""
+
+
+@register("doremi_weight_update", _doremi_oracle())
+def doremi_weight_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DoReMi-style mixture reweighting (Xie et al. 2023): one
+    multiplicative-weights update of per-source sampling weights from
+    per-domain excess loss — domains the proxy LM finds HARD (high mean
+    Stupid-Backoff NLL over the trusted reference slice) are upweighted
+    by exp(eta * excess), eta=0.1, then normalized to ppm.  Completes the
+    mixing family: temperature/UniMax/epoch-factor set weights from
+    token COUNTS; DoReMi sets them from model LOSS.
+
+    Engine-exact: token-weighted per-source mean NLL is an integer
+    division of long sums; the single exp evaluates one double quotient
+    identically in both engines and is floored to a nano long, so the
+    normalizing sum is order-free integer arithmetic
+    (textstats/backoff.py supplies the per-doc scores)."""
+    from msgvault_spark.operators.present import present_sorted
+    from msgvault_spark.textstats.backoff import bigram_backoff_scores
+
+    docs = load_table(spark, sf_dir, "documents")
+    per_doc = bigram_backoff_scores(docs, _BACKOFF_REF_PRED)
+    src = docs.select("doc_id", "source")
+    per_src = (
+        per_doc.join(src, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_bigrams").cast("long").alias("_toks"),
+            F.sum(F.col("n_bigrams") * F.col("nll_micro"))
+            .cast("long")
+            .alias("_wsum"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            F.expr("_wsum div _toks").cast("long").alias("mean_nll_micro"),
+        )
+    )
+    base = per_src.agg(F.min("mean_nll_micro").alias("_base"))
+    staged = per_src.crossJoin(F.broadcast(base)).select(
+        "source",
+        "n_docs",
+        "mean_nll_micro",
+        (F.col("mean_nll_micro") - F.col("_base"))
+        .cast("long")
+        .alias("excess_micro"),
+    )
+    unnorm = F.floor(
+        F.exp(
+            F.lit(0.1) * F.col("excess_micro").cast("double") / F.lit(1e6)
+        )
+        * F.lit(1e9)
+        + F.lit(0.5)
+    ).cast("long")
+    staged = staged.withColumn("unnorm_nano", unnorm)
+    tot = staged.agg(F.sum("unnorm_nano").cast("long").alias("_tot"))
+    return (
+        staged.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "n_docs",
+            "mean_nll_micro",
+            "excess_micro",
+            F.expr("(unnorm_nano * 1000000) div _tot")
+            .cast("long")
+            .alias("weight_ppm"),
+        )
+        .transform(present_sorted, "source")
+    )
+
+
 # ---------------------------------------------------------------------------
 # batch 5: span deletion, incremental span dedup, triplet-margin eval,
 # Zipf profiling
