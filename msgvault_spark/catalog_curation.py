@@ -785,26 +785,33 @@ def doremi_weight_update(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("_wsum div _toks").cast("long").alias("mean_nll_micro"),
         )
     )
-    base = per_src.agg(F.min("mean_nll_micro").alias("_base"))
-    staged = per_src.crossJoin(F.broadcast(base)).select(
-        "source",
-        "n_docs",
-        "mean_nll_micro",
-        (F.col("mean_nll_micro") - F.col("_base"))
-        .cast("long")
-        .alias("excess_micro"),
+    # baseline and normalizer as windows over the S-row per-source frame
+    # (the unimax waterfill shape): ONE single-partition hop on S rows,
+    # never a scalar crossJoin — agg-scalar crossJoins re-execute the
+    # whole upstream corpus pipeline once per scalar
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(F.lit(0))
+    staged = per_src.withColumn(
+        "excess_micro",
+        (F.col("mean_nll_micro") - F.min("mean_nll_micro").over(w))
+        .cast("long"),
+    ).withColumn(
+        "unnorm_nano",
+        F.floor(
+            F.exp(
+                F.lit(0.1)
+                * F.col("excess_micro").cast("double")
+                / F.lit(1e6)
+            )
+            * F.lit(1e9)
+            + F.lit(0.5)
+        ).cast("long"),
     )
-    unnorm = F.floor(
-        F.exp(
-            F.lit(0.1) * F.col("excess_micro").cast("double") / F.lit(1e6)
-        )
-        * F.lit(1e9)
-        + F.lit(0.5)
-    ).cast("long")
-    staged = staged.withColumn("unnorm_nano", unnorm)
-    tot = staged.agg(F.sum("unnorm_nano").cast("long").alias("_tot"))
     return (
-        staged.crossJoin(F.broadcast(tot))
+        staged.withColumn(
+            "_tot", F.sum("unnorm_nano").over(w).cast("long")
+        )
         .select(
             "source",
             "n_docs",

@@ -709,9 +709,10 @@ def test_broadcast_sites_are_ratcheted():
             counts[str(p.relative_to(root))] = n
     PINNED = {
         "catalog.py": 17,
-        "catalog_curation.py": 15,  # + z-score: <=L-row lang stats
-                                    # + DoReMi: two 1-row scalars
-                                    # (min-baseline, normalizing sum)
+        "catalog_curation.py": 13,  # + z-score: <=L-row lang stats
+                                    # (DoReMi broadcasts nothing: its
+                                    # baseline/normalizer are S-row
+                                    # single-partition windows)
                                     # + RFM: 1-row max-date + cutpoints
                                     # + anomaly: <=T-row type stats
                                     # + band sweep: 1-row truth count
