@@ -49,6 +49,7 @@ def main() -> None:
     SKIP = {
         "stream_rollup_daily", "stream_dedup_count",
         "stream_user_sessions", "stream_stream_join_funnel",
+        "stream_static_enrich",
     }
 
     rows = []
