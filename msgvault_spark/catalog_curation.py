@@ -758,10 +758,13 @@ def doremi_weight_update(spark: SparkSession, sf_dir: str) -> DataFrame:
     mixing family: temperature/UniMax/epoch-factor set weights from
     token COUNTS; DoReMi sets them from model LOSS.
 
-    Engine-exact: token-weighted per-source mean NLL is an integer
-    division of long sums; the single exp evaluates one double quotient
-    identically in both engines and is floored to a nano long, so the
-    normalizing sum is order-free integer arithmetic
+    Engine-exact up to libm: token-weighted per-source mean NLL is an
+    integer division of long sums; the single exp evaluates one double
+    quotient in each engine and is floored to a nano long, so the
+    normalizing sum is order-free integer arithmetic. Java Math.exp and
+    DuckDB's std::exp are each allowed 1 ulp, so a value landing within
+    1 ulp of a .5 floor boundary could in principle flip — the same
+    accepted, documented risk as every ln() in the BM25/backoff family
     (textstats/backoff.py supplies the per-doc scores)."""
     from msgvault_spark.operators.present import present_sorted
     from msgvault_spark.textstats.backoff import bigram_backoff_scores

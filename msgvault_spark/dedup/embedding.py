@@ -200,27 +200,10 @@ def lsh_near_dups(
         F.col(id_col).alias("doc_id"),
         _as_double(F.col(vec_col)).alias("v"),
     ).withColumn("bucket", hyperplane_signature(F.col("v"), dim, n_planes))
-    posts = sig.select("bucket", "doc_id")
-    if bucket_cap is not None:
-        from msgvault_spark.dedup.hotbuckets import (
-            split_by_bucket_cap,
-            star_edges,
-        )
+    from msgvault_spark.dedup.hotbuckets import capped_pair_propose
 
-        under, over = split_by_bucket_cap(posts, bucket_cap)
-        star = star_edges(over)
-    else:
-        under, star = posts, None
-    pairs = (
-        under.select("bucket", F.col("doc_id").alias("id_a"))
-        .join(
-            under.select("bucket", F.col("doc_id").alias("id_b")), "bucket"
-        )
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-    )
-    if star is not None:
-        pairs = pairs.unionByName(star)
+    # each doc is in exactly one bucket → pairs are already unique
+    pairs = capped_pair_propose(sig.select("bucket", "doc_id"), bucket_cap)
     vmap = sig.select("doc_id", "v")
     cands = pairs.join(
         vmap.select(F.col("doc_id").alias("id_a"), F.col("v").alias("va")),

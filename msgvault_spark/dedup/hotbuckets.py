@@ -63,6 +63,36 @@ def star_edges(over: DataFrame, id_col: str = "doc_id") -> DataFrame:
     )
 
 
+def capped_pair_propose(
+    posts: DataFrame, bucket_cap: int | None
+) -> DataFrame:
+    """The full propose stage shared by the five LSH-style pair
+    generators (MinHash bands, n-gram postings, SimHash bands,
+    hyperplane buckets, winnow fingerprints): slim (bucket, id)
+    self-join on under-cap buckets, star edges on over-cap ones.
+
+    Returns (id_a, id_b) WITH multiplicity (one row per co-occurring
+    bucket) — pair-dedup callers add .distinct(); winnow keeps the
+    multiplicity as its shared-fingerprint count. ``bucket_cap=None``
+    degrades to the classic uncapped self-join."""
+    if bucket_cap is not None:
+        under, over = split_by_bucket_cap(posts, bucket_cap)
+        star = star_edges(over)
+    else:
+        under, star = posts, None
+    pairs = (
+        under.select("bucket", F.col("doc_id").alias("id_a"))
+        .join(
+            under.select("bucket", F.col("doc_id").alias("id_b")), "bucket"
+        )
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+    )
+    if star is not None:
+        pairs = pairs.unionByName(star)
+    return pairs
+
+
 def hot_bucket_stats(
     posts: DataFrame, bucket_cap: int
 ) -> DataFrame:

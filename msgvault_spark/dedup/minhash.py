@@ -153,27 +153,11 @@ def pairs_from_index(
     over the cap (hot boilerplate fingerprints — the 100 TB skew) emit
     O(B) representative star edges instead, still exact-verified; see
     dedup/hotbuckets.py for the policy and the drop accounting."""
-    posts = buckets.select("bucket", "doc_id")
-    if bucket_cap is not None:
-        from msgvault_spark.dedup.hotbuckets import (
-            split_by_bucket_cap,
-            star_edges,
-        )
+    from msgvault_spark.dedup.hotbuckets import capped_pair_propose
 
-        under, over = split_by_bucket_cap(posts, bucket_cap)
-        star = star_edges(over)
-    else:
-        under, star = posts, None
-    pairs = (
-        under.select("bucket", F.col("doc_id").alias("id_a"))
-        .join(
-            under.select("bucket", F.col("doc_id").alias("id_b")), "bucket"
-        )
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
+    pairs = capped_pair_propose(
+        buckets.select("bucket", "doc_id"), bucket_cap
     )
-    if star is not None:
-        pairs = pairs.unionByName(star)
     # sh is functionally dependent on doc_id, so one row per doc suffices
     sh_map = buckets.select("doc_id", "sh").dropDuplicates(["doc_id"])
     return _verify_jaccard(
@@ -368,10 +352,19 @@ def incremental_pairs(
         )
     )
     if over is not None:
-        reps = over.groupBy("bucket").agg(F.min("doc_id").alias("id_r"))
+        # representative = min OLD member when the bucket has one, else
+        # the min member overall: a NEW doc whose id undercuts every
+        # resident (backfill, recycled ids) must still get an edge — with
+        # a plain min(doc_id) rep it would BE the rep, be filtered by the
+        # self-edge guard, and silently drop out of dedup
+        reps = over.groupBy("bucket").agg(
+            F.min(F.when(~is_new, F.col("doc_id"))).alias("id_old"),
+            F.min("doc_id").alias("id_any"),
+        )
         star = (
             over.filter(is_new)
             .join(reps, "bucket")
+            .withColumn("id_r", F.coalesce(F.col("id_old"), F.col("id_any")))
             .filter(F.col("doc_id") != F.col("id_r"))
             .select(
                 F.least(F.col("doc_id"), F.col("id_r")).alias("id_a"),

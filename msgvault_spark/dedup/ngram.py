@@ -75,29 +75,11 @@ def ngram_jaccard_pairs(
     else:
         postings = postings.select("doc_id", "gram")
 
-    posts = postings.select(F.col("gram").alias("bucket"), "doc_id")
-    if bucket_cap is not None:
-        from msgvault_spark.dedup.hotbuckets import (
-            split_by_bucket_cap,
-            star_edges,
-        )
+    from msgvault_spark.dedup.hotbuckets import capped_pair_propose
 
-        under, over = split_by_bucket_cap(posts, bucket_cap)
-        star = star_edges(over)
-    else:
-        under, star = posts, None
-    cands = (
-        under.select(F.col("bucket"), F.col("doc_id").alias("id_a"))
-        .join(
-            under.select(F.col("bucket"), F.col("doc_id").alias("id_b")),
-            "bucket",
-        )
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-    )
-    if star is not None:
-        cands = cands.unionByName(star)
-    cands = cands.distinct()
+    cands = capped_pair_propose(
+        postings.select(F.col("gram").alias("bucket"), "doc_id"), bucket_cap
+    ).distinct()
 
     a = docs.select(F.col("doc_id").alias("id_a"), F.col("grams").alias("g_a"))
     b = docs.select(F.col("doc_id").alias("id_b"), F.col("grams").alias("g_b"))

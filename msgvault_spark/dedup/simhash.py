@@ -130,31 +130,14 @@ def hamming_neighbors(
             for b in range(n_bands)
         ]
     )
+    from msgvault_spark.dedup.hotbuckets import capped_pair_propose
+
     posts = fps.select(
         "doc_id", F.explode(bandcol).alias("bucket")
     )
-    if bucket_cap is not None:
-        from msgvault_spark.dedup.hotbuckets import (
-            split_by_bucket_cap,
-            star_edges,
-        )
-
-        under, over = split_by_bucket_cap(posts, bucket_cap)
-        star = star_edges(over)
-    else:
-        under, star = posts, None
-    pairs = (
-        under.select("bucket", F.col("doc_id").alias("id_a"))
-        .join(
-            under.select("bucket", F.col("doc_id").alias("id_b")), "bucket"
-        )
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-    )
-    if star is not None:
-        pairs = pairs.unionByName(star)
     cands = (
-        pairs.distinct()
+        capped_pair_propose(posts.select("bucket", "doc_id"), bucket_cap)
+        .distinct()
         .join(
             fps.select(
                 F.col("doc_id").alias("id_a"), F.col("simhash").alias("fa")

@@ -129,27 +129,13 @@ def winnow_candidate_pairs(
     fp = hashed.select(
         "id", F.explode(_select_windows(F.col("__hs"), w)).alias("h")
     )
-    posts = fp.select(F.col("h").alias("bucket"), F.col("id").alias("doc_id"))
-    if bucket_cap is not None:
-        from msgvault_spark.dedup.hotbuckets import (
-            split_by_bucket_cap,
-            star_edges,
-        )
+    from msgvault_spark.dedup.hotbuckets import capped_pair_propose
 
-        under, over = split_by_bucket_cap(posts, bucket_cap)
-        star = star_edges(over)  # one edge per (hot fp, member)
-    else:
-        under, star = posts, None
-    edges = (
-        under.select("bucket", F.col("doc_id").alias("id_a"))
-        .join(
-            under.select("bucket", F.col("doc_id").alias("id_b")), "bucket"
-        )
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
+    # multiplicity preserved: one edge per co-occurring fingerprint
+    edges = capped_pair_propose(
+        fp.select(F.col("h").alias("bucket"), F.col("id").alias("doc_id")),
+        bucket_cap,
     )
-    if star is not None:
-        edges = edges.unionByName(star)
     return (
         edges.groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).cast("long").alias("shared"))

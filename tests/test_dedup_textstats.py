@@ -440,6 +440,20 @@ def test_ngram_winnow_incremental_accept_bucket_cap(spark):
                              bucket_cap=8).collect()}
     assert {p for p in inc if p[1] < 100} == {(0, 7), (0, 17), (0, 27)}
 
+    # rep-is-NEW hazard: a new doc whose id undercuts every resident of
+    # its hot bucket must still pair (with the min OLD member), not
+    # silently vanish behind the self-edge guard
+    docs2 = spark.createDataFrame(
+        [(0, boiler)]  # the NEW backfill doc, smaller id than all
+        + [(i, boiler) for i in range(10, 40)],
+        "doc_id long, text string",
+    )
+    idx2 = build_minhash_index(docs2, "doc_id", "text")
+    inc2 = {(r["id_a"], r["id_b"]) for r in
+            incremental_pairs(idx2, F.col("doc_id") == 0,
+                              bucket_cap=8).collect()}
+    assert inc2 == {(0, 10)}  # linked to the min OLD resident
+
 
 def test_lsh_propose_joins_are_slim(spark):
     """The r6 verdict's heavy-payload finding: the bucket self-join must

@@ -58,6 +58,11 @@ def run_bench(tree: pathlib.Path) -> dict:
         text=True,
         timeout=1800,
     )
+    if proc.returncode != 0 or not proc.stdout.strip():
+        raise RuntimeError(
+            f"bench.py failed in {tree} (rc={proc.returncode}):\n"
+            f"{proc.stderr[-2000:]}"
+        )
     line = proc.stdout.strip().splitlines()[-1]
     out = json.loads(line)
     out["_run_seconds"] = round(time.time() - t0, 1)
@@ -129,9 +134,13 @@ def main() -> int:
             "warm": [r["value"] for r in prev_runs],
             "cold": [r["cold_value"] for r in prev_runs],
         },
+        # totals over the INTERSECTION of query sets only: a round that
+        # adds/renames a headline query must not inflate one side's total
         "best_warm": {
-            "head": round(sum(hb.values()), 3),
-            "prev": round(sum(v for q, v in pb.items() if q in hb), 3),
+            "head": round(sum(hb[q] for q in hb if q in pb), 3),
+            "prev": round(sum(pb[q] for q in pb if q in hb), 3),
+            "head_only": sorted(set(hb) - set(pb)),
+            "prev_only": sorted(set(pb) - set(hb)),
         },
         "warm_per_query_best": {
             q: {"head": hb[q], "prev": pb.get(q)} for q in sorted(hb)
