@@ -1,0 +1,108 @@
+"""The HTTP API edge (msgvault_spark/server.py) end-to-end over a live
+listener: the reference's read-side REST routes (api/server.go:150-190)
+served from one SparkSession, exercised with stdlib urllib — auth
+middleware, the columnar QueryResult wire shape, and error statuses."""
+
+from __future__ import annotations
+
+import json
+import urllib.error
+import urllib.request
+
+import pytest
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def server(spark):
+    from msgvault_spark.server import serve
+
+    srv = serve(spark, SF_DIR, api_key="sekret")
+    yield srv
+    srv.shutdown()
+
+
+def _get(srv, path, key="sekret"):
+    req = urllib.request.Request(f"http://127.0.0.1:{srv.port}{path}")
+    if key is not None:
+        req.add_header("X-API-Key", key)
+    with urllib.request.urlopen(req, timeout=60) as resp:
+        return resp.status, json.loads(resp.read())
+
+
+def _post(srv, path, body, key="sekret"):
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{srv.port}{path}",
+        data=json.dumps(body).encode(),
+        headers={"X-API-Key": key} if key else {},
+        method="POST",
+    )
+    with urllib.request.urlopen(req, timeout=60) as resp:
+        return resp.status, json.loads(resp.read())
+
+
+def test_health_is_open_and_api_requires_key(server):
+    status, body = _get(server, "/health", key=None)
+    assert (status, body) == (200, {"status": "ok"})
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _get(server, "/api/v1/stats/total", key=None)
+    assert e.value.code == 401
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _get(server, "/api/v1/stats/total", key="wrong")
+    assert e.value.code == 401
+
+
+def test_stats_aggregates_accounts_roundtrip(server, spark):
+    status, stats = _get(server, "/api/v1/stats/total")
+    assert status == 200
+    assert set(stats) == {"columns", "rows", "row_count"}
+    assert stats["row_count"] == 1
+    assert "message_count" in stats["columns"]
+
+    status, agg = _get(server, "/api/v1/aggregates?view=senders&limit=5")
+    assert status == 200 and agg["row_count"] <= 5 and agg["rows"]
+
+    status, accts = _get(server, "/api/v1/accounts")
+    assert status == 200 and accts["row_count"] >= 1
+
+
+def test_search_filter_and_hydration(server):
+    status, hits = _get(
+        server, "/api/v1/search/fast?q=order&limit=5"
+    )
+    assert status == 200 and hits["row_count"] <= 5
+
+    status, page = _get(
+        server,
+        "/api/v1/messages/filter?domain=nation_3.example.com&limit=3",
+    )
+    assert status == 200 and 0 < page["row_count"] <= 3
+
+    ids = [r[page["columns"].index("id")] for r in page["rows"]]
+    status, summaries = _get(
+        server, f"/api/v1/messages?ids={','.join(str(i) for i in ids)}"
+    )
+    assert status == 200 and summaries["row_count"] == len(ids)
+
+
+def test_raw_sql_post_and_errors(server):
+    status, res = _post(
+        server,
+        "/api/v1/query",
+        {"sql": "SELECT COUNT(*) AS n FROM v_domains", "limit": 10},
+    )
+    assert status == 200 and res["columns"] == ["n"] and res["row_count"] == 1
+
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _post(server, "/api/v1/query", {"sql": "SELECT FROM nowhere"})
+    assert e.value.code == 400
+    assert "error" in json.loads(e.value.read())
+
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _post(server, "/api/v1/query", {"nosql": 1})
+    assert e.value.code == 400
+
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _get(server, "/api/v1/unknown")
+    assert e.value.code == 404
