@@ -86,6 +86,37 @@ def test_search_filter_and_hydration(server):
     assert status == 200 and summaries["row_count"] == len(ids)
 
 
+def test_remote_engine_matches_local_surface(server, spark):
+    """RemoteEngine (remote.py, the remote/engine.go analog) returns the
+    SAME QueryResult the in-process api functions return, over the wire."""
+    from msgvault_spark import api
+    from msgvault_spark.remote import RemoteEngine, RemoteError
+
+    eng = RemoteEngine(
+        f"http://127.0.0.1:{server.port}", api_key="sekret"
+    )
+    assert eng.health()
+    local = api.get_total_stats(spark, SF_DIR)
+    remote = eng.get_total_stats()
+    assert remote.columns == local.columns
+    assert remote.rows == [list(r) for r in local.rows]
+
+    agg = eng.aggregate("domains", limit=7)
+    assert 0 < agg.row_count <= 7
+    sql = eng.query_sql("SELECT COUNT(*) AS n FROM v_messages")
+    assert sql.columns == ["n"] and sql.row_count == 1
+
+    page = eng.list_messages(domain="nation_3.example.com", limit=2)
+    ids = [r[page.columns.index("id")] for r in page.rows]
+    assert eng.get_message_summaries(ids).row_count == len(ids)
+    assert eng.list_accounts().row_count >= 1
+
+    bad = RemoteEngine(f"http://127.0.0.1:{server.port}", api_key="nope")
+    with pytest.raises(RemoteError) as e:
+        bad.get_total_stats()
+    assert e.value.status == 401
+
+
 def test_raw_sql_post_and_errors(server):
     status, res = _post(
         server,
