@@ -128,6 +128,29 @@ def aggregate_view(
     return collect_result(df)
 
 
+def sub_aggregate_view(
+    spark, sf_dir: str, view: str, *, limit: int = 100, **filter_opts
+) -> QueryResult:
+    """SubAggregate analog (A3, duckdb.go:1025-1065 / GET
+    /api/v1/aggregates/sub): same grouping over a filter-restricted
+    subset. filter_opts forwards MessageFilter fields."""
+    from msgvault_spark.plans import aggregate as agg
+    from msgvault_spark.plans.models import (
+        AggregateOptions,
+        MessageFilter,
+        ViewType,
+    )
+    from msgvault_spark.sources.cache import get_archive
+
+    df = agg.sub_aggregate(
+        get_archive(spark, sf_dir),
+        ViewType(view),
+        MessageFilter(**filter_opts),
+        AggregateOptions(limit=limit),
+    )
+    return collect_result(df)
+
+
 def search_messages(
     spark, sf_dir: str, query: str, limit: int = 50
 ) -> QueryResult:

@@ -115,6 +115,24 @@ class MsgvaultHTTPServer:
                     return api.aggregate_view(
                         spark, sf, q["view"], limit=int(q.get("limit", 100))
                     )
+                if path == "/api/v1/aggregates/sub":
+                    opts = {
+                        k: q[k]
+                        for k in ("domain", "label", "sender", "time_period")
+                        if k in q
+                    }
+                    return api.sub_aggregate_view(
+                        spark,
+                        sf,
+                        q["view"],
+                        limit=int(q.get("limit", 100)),
+                        **opts,
+                    )
+                if path.startswith("/api/v1/messages/") and path[
+                    len("/api/v1/messages/"):
+                ].isdigit():
+                    mid = int(path.rsplit("/", 1)[1])
+                    return api.get_messages(spark, sf, [mid])
                 if path == "/api/v1/search/fast":
                     return api.search_messages(
                         spark, sf, q["q"], limit=int(q.get("limit", 50))

@@ -86,6 +86,31 @@ def test_search_filter_and_hydration(server):
     assert status == 200 and summaries["row_count"] == len(ids)
 
 
+def test_sub_aggregate_and_single_message_routes(server):
+    status, sub = _get(
+        server,
+        "/api/v1/aggregates/sub?view=senders"
+        "&domain=nation_3.example.com&limit=5",
+    )
+    assert status == 200 and 0 < sub["row_count"] <= 5
+    # drill-down is a restriction: counts under the filter can't exceed
+    # the unfiltered view's for the same keys
+    status, full = _get(server, "/api/v1/aggregates?view=senders&limit=100")
+    full_counts = {
+        r[full["columns"].index("key")]: r[full["columns"].index("count")]
+        for r in full["rows"]
+    }
+    ki, ci = sub["columns"].index("key"), sub["columns"].index("count")
+    for r in sub["rows"]:
+        if r[ki] in full_counts:
+            assert r[ci] <= full_counts[r[ki]]
+
+    status, one = _get(server, "/api/v1/messages/7")
+    assert status == 200 and one["row_count"] <= 1
+    if one["row_count"] == 1:
+        assert one["rows"][0][one["columns"].index("id")] == 7
+
+
 def test_remote_engine_matches_local_surface(server, spark):
     """RemoteEngine (remote.py, the remote/engine.go analog) returns the
     SAME QueryResult the in-process api functions return, over the wire."""
