@@ -33,10 +33,13 @@ def _best(fn, runs: int = 2) -> float:
 
 @pytest.fixture(scope="module")
 def hot_key_frames(spark):
-    """6M-row fact with 98% of rows on ONE key (the zipf head a 100 TB
-    corpus shows for a dominant label/domain), plus a 1000-row dim."""
+    """3M-row fact with 98% of rows on ONE key (the zipf head a 100 TB
+    corpus shows for a dominant label/domain), plus a 1000-row dim.
+    3M (not larger): the suite shares one default-heap driver session,
+    and this test must be robust late in suite order when many
+    module-scoped persisted frames are already resident."""
     big = (
-        spark.range(6_000_000)
+        spark.range(3_000_000)
         .select(
             F.when(F.col("id") % 50 < 49, F.lit("hot"))
             .otherwise(
@@ -67,7 +70,7 @@ def hot_key_frames(spark):
 
 
 def test_salted_join_beats_naive_under_hot_key(spark, hot_key_frames):
-    """One key holding 98% of a 6M-row fact side: the naive sort-merge
+    """One key holding 98% of a 3M-row fact side: the naive sort-merge
     join funnels its entire output through one reducer; salted_join fans
     it across n_salts. Interleaved best-of-2, identical answers."""
     from msgvault_spark.operators.salted import salted_join
