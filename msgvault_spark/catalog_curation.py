@@ -718,6 +718,43 @@ def bigram_backoff_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BPE_ROUNDS = 4
+
+
+def _bpe_oracle() -> str:
+    from msgvault_spark.textstats.bpe import bpe_oracle_sql
+
+    return bpe_oracle_sql(
+        "SELECT doc_id, text FROM documents", k=_BPE_ROUNDS
+    )
+
+
+@register("bpe_train_merges", _bpe_oracle())
+def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterative BPE merge TRAINING (Sennrich et al. 2016) — the first
+    four merges a tokenizer learns on this corpus, with each pair's
+    count at selection time. Extends bpe_merge_candidates (round-1
+    scoring) to the actual training loop: per round, vocab-sized
+    adjacent-pair aggregate → deterministic argmax → greedy merge
+    applied to every term via one double-separator string replace
+    (single-pass replace ≡ BPE's left-to-right non-overlapping merge in
+    BOTH engines — textstats/bpe.py). All rounds run on the (term, freq)
+    artifact, never the corpus; per-round argmaxes are bounded 1-row
+    collects (the k-means pattern), replayed by the oracle as unrolled
+    CTEs."""
+    from msgvault_spark.textstats.bpe import bpe_train_merges as _train
+    from msgvault_spark.sources.cache import get_text_index
+
+    docs = load_table(spark, sf_dir, "documents")
+    postings, _stats = get_text_index(
+        spark, sf_dir, "documents", "doc_id", "text"
+    )
+    ctf = postings.groupBy("term").agg(
+        F.sum("tf").cast("long").alias("freq")
+    )
+    return _train(docs, k=_BPE_ROUNDS, ctf=ctf)
+
+
 def _doremi_oracle() -> str:
     from msgvault_spark.textstats.backoff import backoff_oracle_sql
 

@@ -865,3 +865,73 @@ def test_calibrate_matches_reference_and_pandas_twin(
     for i in ref:
         assert abs(got[i] - ref[i]) <= 1e-9 * max(1.0, abs(ref[i])), i
         assert abs(twin[i] - got[i]) <= 1e-9 * max(1.0, abs(got[i])), i
+
+
+def _py_bpe(texts, k):
+    import collections
+    import re
+
+    ctf = collections.Counter()
+    for t in texts:
+        for w in re.split(r"[^a-z0-9]+", t.lower()):
+            if w:
+                ctf[w] += 1
+    vocab = collections.Counter()
+    for w, f in ctf.items():
+        vocab[tuple(w)] += f
+    out = []
+    for r in range(1, k + 1):
+        pc = collections.Counter()
+        for syms, f in vocab.items():
+            for i in range(len(syms) - 1):
+                pc[(syms[i], syms[i + 1])] += f
+        if not pc:
+            break
+        (a, b), f = sorted(pc.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        out.append((r, a, b, f))
+        nv = collections.Counter()
+        for syms, fr in vocab.items():
+            ns, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    ns.append(a + b)
+                    i += 2
+                else:
+                    ns.append(syms[i])
+                    i += 1
+            nv[tuple(ns)] += fr
+        vocab = nv
+    return out
+
+
+@given(
+    docs=st.lists(
+        st.lists(
+            st.sampled_from(
+                ["low", "lower", "lowest", "newest", "wide", "aaa", "abab"]
+            ),
+            min_size=1,
+            max_size=6,
+        ),
+        min_size=1,
+        max_size=8,
+    ),
+    k=st.sampled_from([2, 4]),
+)
+@settings(**_SETTINGS)
+def test_bpe_train_matches_reference_random(spark, docs, k):
+    """The BPE trainer's greedy-merge-by-string-replace must equal the
+    classic per-symbol-list reference on random corpora — including the
+    overlap cases ('aaa' under (a,a) merges left-first; 'abab' under
+    (a,b) merges both occurrences)."""
+    from msgvault_spark.textstats.bpe import bpe_train_merges
+
+    texts = [" ".join(ws) for ws in docs]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = [
+        (r["round"], r["left_sym"], r["right_sym"], r["freq"])
+        for r in bpe_train_merges(df, k=k).collect()
+    ]
+    assert got == _py_bpe(texts, k)
