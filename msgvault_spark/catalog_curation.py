@@ -755,6 +755,45 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _train(docs, k=_BPE_ROUNDS, ctf=ctf)
 
 
+def _bpe_fert_oracle() -> str:
+    from msgvault_spark.textstats.bpe import bpe_encode_oracle_sql
+
+    return bpe_encode_oracle_sql(
+        "SELECT doc_id, source, text FROM documents", k=_BPE_ROUNDS
+    )
+
+
+@register("bpe_trained_fertility", _bpe_fert_oracle())
+def bpe_trained_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train-then-encode: per-source tokens-per-word fertility under the
+    ACTUAL learned merges (bpe_train_merges' first four), not the regex
+    proxy of token_fertility_report — the number a budgeting pass uses
+    once the tokenizer is real. Encoding is the same double-separator
+    replace chain applied corpus-side as a pure map (whole-stage
+    codegen), one group aggregate after (textstats/bpe.py)."""
+    from msgvault_spark.textstats.bpe import (
+        bpe_encode_counts,
+        bpe_train_merges as _train,
+    )
+    from msgvault_spark.operators.present import present_sorted
+    from msgvault_spark.sources.cache import get_text_index
+
+    docs = load_table(spark, sf_dir, "documents")
+    postings, _stats = get_text_index(
+        spark, sf_dir, "documents", "doc_id", "text"
+    )
+    ctf = postings.groupBy("term").agg(
+        F.sum("tf").cast("long").alias("freq")
+    )
+    merges = [
+        (r["left_sym"], r["right_sym"])
+        for r in _train(docs, k=_BPE_ROUNDS, ctf=ctf).collect()
+    ]
+    return bpe_encode_counts(docs, merges).transform(
+        present_sorted, "source"
+    )
+
+
 def _doremi_oracle() -> str:
     from msgvault_spark.textstats.backoff import backoff_oracle_sql
 

@@ -130,10 +130,119 @@ def bpe_train_merges(
     )
 
 
+def bpe_encode_counts(
+    docs: DataFrame,
+    merges: list[tuple[str, str]],
+    *,
+    id_col: str = "doc_id",
+    group_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """(source, words, bpe_tokens, fertility_ppm): segment every word
+    under the LEARNED merge list (applied in training order via the same
+    double-separator replace chain) and report tokens-per-word fertility
+    per group — the trained-tokenizer version of the regex proxy in
+    token_fertility_report. Pure map + one group aggregate: the explode
+    is per word, the replace chain is whole-stage codegen, linear at any
+    corpus size."""
+    from msgvault_spark.textstats.analysis import words
+
+    per_word = docs.select(
+        F.col(group_col).alias("source"),
+        F.explode(
+            words(F.coalesce(F.col(text_col), F.lit("")))
+        ).alias("w"),
+    ).select("source", _wrap(F.col("w")).alias("s"))
+    expr = "s"
+    for a, b in merges:
+        expr = (
+            f"replace({expr}, '{SEP}{a}{SEP}{SEP}{b}{SEP}', "
+            f"'{SEP}{a}{b}{SEP}')"
+        )
+    # symbols = semicolons/2 - 1 for the ';;x;;y;;' wrapping
+    n_tokens = (
+        (F.length(F.expr(expr)) - F.length(F.regexp_replace(F.expr(expr), SEP, "")))
+        / 2
+        - 1
+    ).cast("long")
+    return (
+        per_word.select("source", n_tokens.alias("nt"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("words"),
+            F.sum("nt").cast("long").alias("bpe_tokens"),
+        )
+        .select(
+            "source",
+            "words",
+            "bpe_tokens",
+            F.expr("(bpe_tokens * 1000000) div words")
+            .cast("long")
+            .alias("fertility_ppm"),
+        )
+    )
+
+
+def bpe_encode_oracle_sql(source_select: str, *, k: int = 3) -> str:
+    """DuckDB twin of train-then-encode: the unrolled merge CTEs feed a
+    per-word replace chain (m1..mk cross-joined as 1-row scalars)."""
+    ctes = "WITH " + ",\n".join(_train_ctes(source_select, k))
+    expr = "pw.s"
+    joins = []
+    for r in range(1, k + 1):
+        expr = (
+            f"replace({expr}, ';' || m{r}.left_s || ';;' || m{r}.right_s "
+            f"|| ';', ';' || m{r}.left_s || m{r}.right_s || ';')"
+        )
+        joins.append(f"CROSS JOIN m{r}")
+    return f"""{ctes},
+per_word AS (
+    SELECT source,
+           ';;' || regexp_replace(w, '(.)', '\\1;;', 'g') AS s
+    FROM (
+        SELECT source,
+               unnest(list_filter(string_split_regex(lower(COALESCE(text,
+                      '')), '[^a-z0-9]+'), x -> x != '')) AS w
+        FROM docs
+    )
+),
+encoded AS (
+    SELECT pw.source,
+           (length({expr}) -
+            length(replace({expr}, ';', ''))) // 2 - 1 AS nt
+    FROM per_word pw {' '.join(joins)}
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS words,
+       CAST(SUM(nt) AS BIGINT) AS bpe_tokens,
+       CAST((SUM(nt) * 1000000) // COUNT(*) AS BIGINT) AS fertility_ppm
+FROM encoded
+GROUP BY source
+ORDER BY source
+"""
+
+
 def bpe_oracle_sql(source_select: str, *, k: int = 3) -> str:
     """DuckDB twin: the same k rounds as unrolled CTEs — per round a
     vocab-sized pair aggregate, a 1-row argmax, and the identical
     double-separator replace applied via a cross join."""
+    ctes = _train_ctes(source_select, k)
+    selects = [
+        f"SELECT {r} AS round, left_s AS left_sym, "
+        f"right_s AS right_sym, f AS freq FROM m{r}"
+        for r in range(1, k + 1)
+    ]
+    return (
+        "WITH " + ",\n".join(ctes) + "\n"
+        + "\nUNION ALL\n".join(selects)
+        + "\nORDER BY round"
+    )
+
+
+def _train_ctes(source_select: str, k: int) -> list[str]:
+    """The shared unrolled training CTE chain: docs/toks/ctf/v0, then per
+    round syms/p/m/v — consumed by both the merge-table oracle and the
+    encode oracle (no post-hoc string surgery)."""
     ctes = [
         f"""docs AS ({source_select}),
 toks AS (
@@ -147,7 +256,6 @@ v0 AS (
     FROM ctf
 )"""
     ]
-    selects = []
     for r in range(1, k + 1):
         prev = f"v{r - 1}"
         ctes.append(f"""syms{r} AS (
@@ -169,12 +277,4 @@ v{r} AS (
                    ';' || left_s || right_s || ';') AS s, freq
     FROM {prev} CROSS JOIN m{r}
 )""")
-        selects.append(
-            f"SELECT {r} AS round, left_s AS left_sym, "
-            f"right_s AS right_sym, f AS freq FROM m{r}"
-        )
-    return (
-        "WITH " + ",\n".join(ctes) + "\n"
-        + "\nUNION ALL\n".join(selects)
-        + "\nORDER BY round"
-    )
+    return ctes
