@@ -52,6 +52,11 @@ class QueryResult:
         return "\n".join(lines)
 
 
+# MessageFilter fields the network edges (server.py routes, mcp.py tools)
+# accept as user-supplied filter parameters — one list, no per-route drift
+FILTER_PARAM_KEYS = ("domain", "label", "sender", "time_period")
+
+
 def collect_result(df: DataFrame, limit: int | None = None) -> QueryResult:
     if limit is not None:
         df = df.limit(limit)

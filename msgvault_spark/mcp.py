@@ -50,8 +50,7 @@ def _tool_table(
 
     def _stage_deletion(a):
         f = MessageFilter(**{
-            k: a[k] for k in ("domain", "label", "sender", "time_period")
-            if k in a
+            k: a[k] for k in api.FILTER_PARAM_KEYS if k in a
         })
         return api.collect_result(
             get_gmail_ids_by_filter(get_archive(spark, sf_dir), f)
@@ -107,11 +106,7 @@ def _tool_table(
                 sf_dir,
                 limit=int(a.get("limit", 50)),
                 offset=int(a.get("offset", 0)),
-                **{
-                    k: a[k]
-                    for k in ("domain", "label", "sender", "time_period")
-                    if k in a
-                },
+                **{k: a[k] for k in api.FILTER_PARAM_KEYS if k in a},
             ),
         ),
         "get_stats": (
@@ -140,8 +135,16 @@ def _tool_table(
     }
 
 
-def handle(spark: SparkSession, sf_dir: str, request: dict) -> dict:
-    """One JSON-RPC 2.0 request → one response dict."""
+def handle(spark: SparkSession, sf_dir: str, request) -> dict:
+    """One JSON-RPC 2.0 request → one response dict. Non-object requests
+    and params are -32600 invalid-request errors, never exceptions (the
+    'errors as RPC objects' contract a stdio host depends on)."""
+    if not isinstance(request, dict):
+        return {
+            "jsonrpc": "2.0",
+            "id": None,
+            "error": {"code": -32600, "message": "request must be an object"},
+        }
     rid = request.get("id")
 
     def err(code: int, msg: str) -> dict:
@@ -167,11 +170,16 @@ def handle(spark: SparkSession, sf_dir: str, request: dict) -> dict:
     if method != "tools/call":
         return err(-32601, f"unknown method {method!r}")
     params = request.get("params") or {}
+    if not isinstance(params, dict):
+        return err(-32600, "params must be an object")
     name = params.get("name")
     if name not in tools:
         return err(-32602, f"unknown tool {name!r}")
+    arguments = params.get("arguments") or {}
+    if not isinstance(arguments, dict):
+        return err(-32600, "arguments must be an object")
     try:
-        result = tools[name][1](params.get("arguments") or {})
+        result = tools[name][1](arguments)
     except (KeyError, ValueError, TypeError) as e:
         return err(-32602, f"bad arguments for {name}: {e}")
     except Exception as e:  # noqa: BLE001 — engine errors become RPC errors

@@ -56,11 +56,21 @@ class RemoteEngine:
             except ValueError:
                 msg = ""
             raise RemoteError(e.code, msg) from None
+        except (urllib.error.URLError, TimeoutError, OSError) as e:
+            # connection refused / DNS / socket timeout: status 0 — the
+            # documented contract is 'errors surface as RemoteError'
+            raise RemoteError(0, str(e)) from None
 
-    def _result(self, path: str, params: dict | None = None) -> QueryResult:
+    def _result(
+        self,
+        path: str,
+        params: dict | None = None,
+        *,
+        body: dict | None = None,
+    ) -> QueryResult:
         if params:
             path = f"{path}?{urlencode(params)}"
-        d = self._request(path)
+        d = self._request(path, body=body)
         return QueryResult(
             columns=d["columns"], rows=d["rows"], row_count=d["row_count"]
         )
@@ -73,10 +83,7 @@ class RemoteEngine:
         body = {"sql": sql}
         if limit is not None:
             body["limit"] = limit
-        d = self._request("/api/v1/query", body=body)
-        return QueryResult(
-            columns=d["columns"], rows=d["rows"], row_count=d["row_count"]
-        )
+        return self._result("/api/v1/query", body=body)
 
     def aggregate(self, view: str, *, limit: int = 100) -> QueryResult:
         return self._result(

@@ -92,7 +92,15 @@ class MsgvaultHTTPServer:
             # ---- routes --------------------------------------------------
             def do_GET(self):
                 u = urlparse(self.path)
-                q = {k: v[0] for k, v in parse_qs(u.query).items()}
+                # keep blank values: ?ids= must reach the route and fail
+                # with the SAME ValueError the in-process api raises for
+                # an empty id list (RemoteEngine symmetry), not a KeyError
+                q = {
+                    k: v[0]
+                    for k, v in parse_qs(
+                        u.query, keep_blank_values=True
+                    ).items()
+                }
                 if u.path in ("/health", "/health/"):
                     return self._send(200, json.dumps({"status": "ok"}))
                 if not u.path.startswith("/api/v1/"):
@@ -103,6 +111,10 @@ class MsgvaultHTTPServer:
                     r = self._route_get(u.path, q)
                 except (KeyError, ValueError) as e:
                     return self._err(400, str(e))
+                except Exception as e:  # noqa: BLE001 — engine errors from
+                    # user-supplied params (negative limits, bad views)
+                    # must produce a 400, never a dropped connection
+                    return self._err(400, str(e).splitlines()[0][:500])
                 if r is None:
                     return self._err(404, f"no route {u.path}")
                 self._send(200, r.to_json())
@@ -117,9 +129,7 @@ class MsgvaultHTTPServer:
                     )
                 if path == "/api/v1/aggregates/sub":
                     opts = {
-                        k: q[k]
-                        for k in ("domain", "label", "sender", "time_period")
-                        if k in q
+                        k: q[k] for k in api.FILTER_PARAM_KEYS if k in q
                     }
                     return api.sub_aggregate_view(
                         spark,
@@ -139,9 +149,7 @@ class MsgvaultHTTPServer:
                     )
                 if path == "/api/v1/messages/filter":
                     opts = {
-                        k: q[k]
-                        for k in ("domain", "label", "sender", "time_period")
-                        if k in q
+                        k: q[k] for k in api.FILTER_PARAM_KEYS if k in q
                     }
                     return api.list_view(
                         spark,
@@ -163,12 +171,16 @@ class MsgvaultHTTPServer:
                     return self._err(401, "missing or invalid X-API-Key")
                 if u.path != "/api/v1/query":
                     return self._err(404, f"no route {u.path}")
-                n = int(self.headers.get("Content-Length", 0))
                 try:
+                    n = int(self.headers.get("Content-Length", 0))
                     body = json.loads(self.rfile.read(n) or b"{}")
+                    if not isinstance(body, dict):
+                        raise TypeError
                     sql = body["sql"]
-                except (ValueError, KeyError):
-                    return self._err(400, "body must be JSON with a 'sql' key")
+                except (ValueError, KeyError, TypeError):
+                    return self._err(
+                        400, "body must be a JSON object with a 'sql' key"
+                    )
                 try:
                     r = api.query_sql(
                         outer.spark, sql, limit=body.get("limit")

@@ -117,6 +117,17 @@ def bpe_train_merges(
         if not top:
             break
         a, b, f = top[0]["left_sym"], top[0]["right_sym"], top[0]["freq"]
+        # symbols splice into a SQL replace literal: enforce the charset
+        # invariant the default tokenizer guarantees, because a caller's
+        # ctf may have been built with a different tokenizer (a quote
+        # would break the expression; a ';' would corrupt segmentation)
+        import re
+
+        if not re.fullmatch(r"[a-z0-9]+", a + b):
+            raise ValueError(
+                f"BPE symbols must be [a-z0-9]+ (got {a!r}, {b!r}); "
+                "retokenize the ctf input"
+            )
         out_rows.append((r, a, b, int(f)))
         vocab = vocab.select(
             F.expr(
@@ -186,15 +197,34 @@ def bpe_encode_counts(
 def bpe_encode_oracle_sql(source_select: str, *, k: int = 3) -> str:
     """DuckDB twin of train-then-encode: the unrolled merge CTEs feed a
     per-word replace chain (m1..mk cross-joined as 1-row scalars)."""
-    ctes = "WITH " + ",\n".join(_train_ctes(source_select, k))
+    # each merge rides a GUARDED 1-row CTE: aggregating over the LIMIT-1
+    # m{r} yields exactly one row even when training ran dry before round
+    # r (empty m{r} would annihilate the cross join → 0-row report while
+    # the Spark side still encodes with the fewer learned merges); the
+    # '' sentinel makes the replace pattern ';;;;' — an empty symbol
+    # never occurs in the wrapping, so the pass is a no-op
+    guards = ",\n".join(
+        f"""mm{r} AS (
+    SELECT COALESCE(MIN(left_s), '') AS left_s,
+           COALESCE(MIN(right_s), '') AS right_s
+    FROM m{r}
+)"""
+        for r in range(1, k + 1)
+    )
+    ctes = (
+        "WITH "
+        + ",\n".join(_train_ctes(source_select, k))
+        + ",\n"
+        + guards
+    )
     expr = "pw.s"
     joins = []
     for r in range(1, k + 1):
         expr = (
-            f"replace({expr}, ';' || m{r}.left_s || ';;' || m{r}.right_s "
-            f"|| ';', ';' || m{r}.left_s || m{r}.right_s || ';')"
+            f"replace({expr}, ';' || mm{r}.left_s || ';;' || mm{r}.right_s "
+            f"|| ';', ';' || mm{r}.left_s || mm{r}.right_s || ';')"
         )
-        joins.append(f"CROSS JOIN m{r}")
+        joins.append(f"CROSS JOIN mm{r}")
     return f"""{ctes},
 per_word AS (
     SELECT source,

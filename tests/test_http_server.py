@@ -162,3 +162,34 @@ def test_raw_sql_post_and_errors(server):
     with pytest.raises(urllib.error.HTTPError) as e:
         _get(server, "/api/v1/unknown")
     assert e.value.code == 404
+
+
+def test_malformed_inputs_get_http_errors_not_dropped_connections(server):
+    """Non-object JSON bodies, engine errors from bad params, and blank
+    id lists must all come back as HTTP 400s — never a dropped
+    connection (BadStatusLine) or a KeyError 400 masking the real
+    message."""
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _post(server, "/api/v1/query", "just a string")
+    assert e.value.code == 400
+
+    # engine error from a user-supplied param (negative limit)
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _get(server, "/api/v1/aggregates?view=senders&limit=-1")
+    assert e.value.code == 400
+
+    # blank ids: the in-process api raises ValueError('empty id list');
+    # the remote surface mirrors it as a 400 with that message
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _get(server, "/api/v1/messages?ids=")
+    assert e.value.code == 400
+    assert "empty id list" in json.loads(e.value.read())["error"]
+
+
+def test_remote_engine_wraps_connection_errors(server):
+    from msgvault_spark.remote import RemoteEngine, RemoteError
+
+    dead = RemoteEngine("http://127.0.0.1:9", timeout=2)
+    with pytest.raises(RemoteError) as e:
+        dead.get_total_stats()
+    assert e.value.status == 0

@@ -118,3 +118,30 @@ def test_stdio_loop_roundtrip(spark):
     assert lines[0]["id"] == 1 and "tools" in lines[0]["result"]
     assert lines[1]["error"]["code"] == -32700
     assert lines[2]["result"]["row_count"] == 1
+
+
+def test_non_object_requests_get_rpc_errors(spark):
+    """Valid JSON that is not an object (or non-object params/arguments)
+    must yield -32600, never an AttributeError that kills the loop."""
+    import io
+
+    from msgvault_spark.mcp import handle, serve_stdio
+
+    assert handle(spark, SF_DIR, 42)["error"]["code"] == -32600
+    assert handle(spark, SF_DIR, "hi")["error"]["code"] == -32600
+    assert handle(
+        spark, SF_DIR, {"id": 1, "method": "tools/call", "params": [1]}
+    )["error"]["code"] == -32600
+    assert handle(
+        spark,
+        SF_DIR,
+        {"id": 1, "method": "tools/call",
+         "params": {"name": "get_stats", "arguments": [1]}},
+    )["error"]["code"] == -32600
+    # the stdio loop survives a non-object line and keeps serving
+    stdin = io.StringIO('42\n{"id": 2, "method": "tools/list"}\n')
+    out = io.StringIO()
+    serve_stdio(spark, SF_DIR, stdin, out)
+    lines = [json.loads(l) for l in out.getvalue().splitlines()]
+    assert lines[0]["error"]["code"] == -32600
+    assert "tools" in lines[1]["result"]

@@ -935,3 +935,57 @@ def test_bpe_train_matches_reference_random(spark, docs, k):
         for r in bpe_train_merges(df, k=k).collect()
     ]
     assert got == _py_bpe(texts, k)
+
+
+def test_bpe_encode_survives_dry_training(spark):
+    """A corpus whose vocabulary yields ZERO merges (all single-char
+    words) must still encode: the oracle's guarded mm{r} CTEs keep the
+    replace chain a no-op instead of annihilating the cross join."""
+    import duckdb
+
+    from msgvault_spark.textstats.bpe import (
+        bpe_encode_counts,
+        bpe_encode_oracle_sql,
+        bpe_train_merges,
+    )
+
+    docs = spark.createDataFrame(
+        [(0, "src0", "a b c"), (1, "src1", "a b")],
+        "doc_id long, source string, text string",
+    )
+    merges = [
+        (r["left_sym"], r["right_sym"])
+        for r in bpe_train_merges(docs, k=4).collect()
+    ]
+    assert merges == []
+    got = sorted(
+        (r["source"], r["words"], r["bpe_tokens"], r["fertility_ppm"])
+        for r in bpe_encode_counts(docs, merges).collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE d AS SELECT * FROM (VALUES "
+        "(0,'src0','a b c'),(1,'src1','a b')) t(doc_id, source, text)"
+    )
+    want = con.execute(
+        bpe_encode_oracle_sql("SELECT doc_id, source, text FROM d", k=4)
+    ).fetchall()
+    assert got == [tuple(w) for w in want]
+    assert got[0][3] == 1_000_000  # fertility exactly 1 token/word
+
+
+def test_bpe_rejects_out_of_charset_symbols(spark):
+    """Learned symbols splice into a SQL replace literal — a ctf built
+    with a foreign tokenizer must fail loudly, not corrupt the plan."""
+    import pytest as _pytest
+
+    from msgvault_spark.textstats.bpe import bpe_train_merges
+
+    docs = spark.createDataFrame([(0, "x")], "doc_id long, text string")
+    bad_ctf = spark.createDataFrame(
+        [("don't", 5), ("don'x", 4)], "term string, freq long"
+    )
+    # rounds 1-2 learn legal merges (d,o) then (do,n); round 3's winner
+    # pairs 'don' with the apostrophe — the charset guard must fire
+    with _pytest.raises(ValueError, match="a-z0-9"):
+        bpe_train_merges(docs, k=3, ctf=bad_ctf)
