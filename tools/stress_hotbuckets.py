@@ -1,0 +1,79 @@
+"""Growth-curve evidence for the hot-bucket cap: capped LSH propose is
+LINEAR in corpus size where the uncapped propose is QUADRATIC in the hot
+cluster.
+
+Synthesizes corpora of increasing N with a constant 50% boilerplate
+share (every hot doc shares ONE text — the worst-case skew a license
+header produces), builds the MinHash band index, and times
+pairs_from_index capped vs uncapped at each N. Prints wall-clock and
+pair counts; the uncapped leg is skipped past UNCAPPED_MAX_HOT docs
+(its pair count grows as (N/2)² and would dominate the run).
+
+    python tools/stress_hotbuckets.py [N ...]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+UNCAPPED_MAX_HOT = 4000  # ~8M quadratic pairs; beyond this only capped runs
+
+
+def main() -> None:
+    ns = [int(a) for a in sys.argv[1:]] or [8_000, 16_000, 32_000, 64_000]
+    os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "32g")
+    from pyspark.sql import functions as F
+
+    from msgvault_spark.dedup.minhash import (
+        build_minhash_index,
+        pairs_from_index,
+    )
+    from msgvault_spark.session import get_spark
+
+    spark = get_spark("stress_hotbuckets")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    boiler = (
+        "permission is hereby granted free of charge to any person "
+        "obtaining a copy of this software and associated documentation"
+    )
+    print(f"{'N':>8} {'hot':>7} {'capped_s':>9} {'capped_pairs':>13} "
+          f"{'uncapped_s':>11} {'uncapped_pairs':>15}")
+    for n in ns:
+        hot = n // 2
+        docs = spark.range(n).select(
+            F.col("id").alias("doc_id"),
+            F.when(F.col("id") < hot, F.lit(boiler))
+            .otherwise(
+                F.concat(
+                    F.lit("unique document number "),
+                    F.col("id").cast("string"),
+                    F.lit(" with words "),
+                    (F.col("id") * 31).cast("string"),
+                    F.lit(" "),
+                    (F.col("id") * 17).cast("string"),
+                )
+            )
+            .alias("text"),
+        )
+        idx = build_minhash_index(docs, "doc_id", "text").persist()
+        idx.count()
+        t0 = time.perf_counter()
+        nc = pairs_from_index(idx, bucket_cap=256).count()
+        capped_t = time.perf_counter() - t0
+        if hot <= UNCAPPED_MAX_HOT:
+            t0 = time.perf_counter()
+            nu = pairs_from_index(idx).count()
+            un_t, un_n = f"{time.perf_counter() - t0:11.2f}", f"{nu:15d}"
+        else:
+            un_t, un_n = f"{'skipped':>11}", f"{'~' + str(hot * (hot - 1) // 2):>15}"
+        idx.unpersist()
+        print(f"{n:8d} {hot:7d} {capped_t:9.2f} {nc:13d} {un_t} {un_n}")
+
+
+if __name__ == "__main__":
+    main()
