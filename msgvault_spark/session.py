@@ -74,6 +74,12 @@ def get_spark(
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
+        # stage-progress bars corrupt machine-read stdout (the driver's
+        # bench capture); default on for humans, off for harnesses
+        .config(
+            "spark.ui.showConsoleProgress",
+            os.environ.get("SPARK_GRAFT_CONSOLE_PROGRESS", "true"),
+        )
         .config("spark.sql.parquet.filterPushdown", "true")
     )
     return builder.getOrCreate()
