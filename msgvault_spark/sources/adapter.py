@@ -10,7 +10,7 @@ on the driver's data.
 Mapping:
   orders      → messages          (order = message, orderdate = sent_at)
   customer    → participants      (ids as-is)     } suppliers offset by
-  supplier    → participants      (ids +100000)   } SUPPLIER_ID_OFFSET
+  supplier    → participants      (ids +10^12)    } SUPPLIER_ID_OFFSET
   lineitem    → message_recipients 'to'/'cc'/'bcc' rows (supplier recipients)
   orders      → message_recipients 'from' rows (customer is the sender)
   o_orderpriority / o_orderstatus → labels + message_labels
@@ -28,7 +28,13 @@ from pyspark.sql import functions as F
 
 from msgvault_spark.sources.loader import load_table
 
-SUPPLIER_ID_OFFSET = 100000
+# Participant id spaces must stay disjoint at EVERY scale: customers use
+# c_custkey verbatim, suppliers are offset. 100000 collided with customer
+# keys the moment a scale factor put >100k customers in the table (sf1 has
+# 150k; the 51-vs-50 decoration fan-out was the first symptom). 10^12 is
+# beyond any plausible key space (TPC-H sf100000 ~ 1.5e10 customers) and
+# nowhere near BIGINT overflow for the +suppkey arithmetic.
+SUPPLIER_ID_OFFSET = 10**12
 
 
 # ---------------------------------------------------------------------------
