@@ -23,17 +23,72 @@ from msgvault_spark.catalog import CATALOG
 # registration order, rows-only entries last. Union(r1, r2) then covers
 # every oracle-backed entry with a driver row.
 _PRIORITY = [
-    # --- round 7 front: every entry whose implementation changed since
-    # the r6 snapshot, generated by `python tools/gate_priority.py`
-    # (function-granular git-diff → catalog mapping; the r6 verdict's
-    # process ask #3) and enforced by tests/test_gate_priority.py ---
+    # --- round 9 gate window: every entry whose implementation
+    # changed since the r7 boundary fd2d77f (the r8 snapshot commit
+    # 997f7b8 carried the adapter ID-space change *inside* the
+    # snapshot itself, evading the r8 window — tools/gate_priority.py
+    # now skips dirty round groups, so this front re-verifies all 46
+    # evaded entries + this round's redact rewrite and the two new
+    # multi-'from' fixtures), padded to 50 with the oldest r1-vintage
+    # rotation slot ---
+    "agg_senders",
+    "agg_sender_names",
+    "agg_recipients",
+    "agg_domains",
+    "agg_labels",
+    "agg_time_month",
+    "agg_time_year_filtered",
+    "sub_agg_domain_to_senders",
+    "sub_agg_label_to_time",
+    "total_stats",
+    "list_messages_by_domain",
+    "search_fast_operators",
+    "search_text_terms",
+    "search_relative_dates",
+    "dedup_exact_survivors",
+    "dedup_merge_labels",
+    "agg_senders_wide",
+    "agg_domains_wide",
+    "agg_labels_wide",
+    "agg_time_month_wide",
+    "search_fast_operators_wide",
+    "list_messages_by_domain_wide",
+    "sub_agg_domain_to_senders_wide",
+    "search_fast_recipients_wide",
+    "agg_recipients_wide",
+    "agg_senders_wide_multifrom",
+    "agg_senders_join_multifrom",
+    "cache_roundtrip_by_year",
+    "list_conversations",
+    "text_agg_contacts",
+    "empty_cc_by_year",
+    "raw_sql_v_domains",
+    "list_conversation_messages",
+    "text_search_messages",
+    "text_stats_total",
+    "csv_roundtrip_stats",
+    "incremental_cache_append",
+    "agg_senders_with_search",
+    "search_with_stats",
+    "search_page2",
+    "search_by_domains",
+    "hydrate_search_hits",
+    "get_messages_by_ids",
+    "list_accounts",
+    "get_messages_raw_batch",
+    "get_message_by_source_id",
+    "get_attachments_batch",
+    "gmail_ids_by_filter",
+    "redact_pii_docs",
+    "ann_ivf_seed0",
+    # --- staleness rotation + prior-round order preserved below
+    # (everything here is cumulatively driver-green r1..r8) ---
     "lsh_capped_hot_bucket",
     "lsh_hot_bucket_stats",
     "doremi_weight_update",
     "bpe_train_merges",
     "bpe_trained_fertility",
     "bm25_fts5_documents",
-    "gmail_ids_by_filter",
     "ngram_jaccard_pairs",
     "winnow_substring_pairs",
     "minhash_lsh_near_dups",
@@ -50,8 +105,6 @@ _PRIORITY = [
     "pagerank_dup_graph",
     "bigram_backoff_quality",
     "pmi_collocations",
-    "dedup_exact_survivors",
-    "dedup_merge_labels",
     "dedup_content_hash",
     "text_profile_docs",
     "dv_survivor_counts",
@@ -63,56 +116,9 @@ _PRIORITY = [
     "semantic_dedup_cells",
     "cross_source_dup_report",
     "kmv_source_overlap",
-    # --- round 7 front, part 2: archive-family entries touched by
-    # the sources-dim addition (adapter prelude + get_archive) and
-    # gmail_ids_by_filter — gate_priority flags them all ---
-    "agg_senders",
-    "agg_sender_names",
-    "agg_recipients",
-    "agg_domains",
-    "agg_labels",
-    "agg_time_month",
-    "agg_time_year_filtered",
-    "sub_agg_domain_to_senders",
-    "sub_agg_label_to_time",
-    "total_stats",
-    "list_messages_by_domain",
-    "search_fast_operators",
-    "search_text_terms",
-    "search_relative_dates",
-    "agg_senders_wide",
-    "agg_domains_wide",
-    "agg_labels_wide",
-    "agg_time_month_wide",
-    "search_fast_operators_wide",
-    "list_messages_by_domain_wide",
-    "sub_agg_domain_to_senders_wide",
-    "search_fast_recipients_wide",
-    "agg_recipients_wide",
-    "cache_roundtrip_by_year",
-    "list_conversations",
-    "text_agg_contacts",
-    "empty_cc_by_year",
-    "raw_sql_v_domains",
-    "list_conversation_messages",
-    "text_search_messages",
-    "text_stats_total",
-    "csv_roundtrip_stats",
-    "incremental_cache_append",
-    "agg_senders_with_search",
-    "search_with_stats",
-    "search_page2",
-    "search_by_domains",
     "global_shuffle_shards",
-    "hydrate_search_hits",
-    "get_messages_by_ids",
     "hybrid_rrf_hydrated",
-    "list_accounts",
-    "get_messages_raw_batch",
-    "get_message_by_source_id",
-    "get_attachments_batch",
     "decontaminate_docs",
-    # --- new in round 6, batch 6 (catalog_curation.py) ---
     "mrr_eval_knn",
     "gopher_rules_docs",
     "kmeans_cells_report",
@@ -131,14 +137,11 @@ _PRIORITY = [
     "label_dispersion_report",
     "volume_anomaly_days",
     "rfm_segments",
-    # --- new in round 6, batch 5 (catalog_curation.py) ---
     "span_clean_docs",
     "incremental_span_coverage",
     "triplet_margin_eval",
     "zipf_slope_by_source",
-    # --- new in round 6, batch 4 (catalog_curation.py) ---
     "repeated_span_coverage",
-    # --- new in round 6 (catalog_curation.py) ---
     "dsir_importance_select",
     "length_bucket_report",
     "ngram_diversity_by_source",
@@ -149,18 +152,11 @@ _PRIORITY = [
     "token_fertility_report",
     "curriculum_decile_plan",
     "bpe_merge_candidates",
-    # --- round-4 gate window. The r3 verdict's ask #1: these 7 are the
-    # only oracle-backed entries never verified by a driver row (judge
-    # ran them green at sf0.01 under the identical protocol in r3); with
-    # them, r1∪r2∪r3∪r4 covers all 154 oracle-backed entries.
     "small_quantity_revenue_q17",
     "large_orders_q18",
     "min_cost_supplier_q2",
     "important_stock_q11",
     "excess_stock_suppliers_q20",
-    # --- round-4 touched entries: re-verify anything whose plan changed
-    # this round (KMV rebuild, cross-source report joins, wide recipient
-    # filters, stream session oracle).
     "stream_user_sessions",
     "ann_recall_report",
     "ivf_recall_report",
@@ -174,8 +170,6 @@ _PRIORITY = [
     "pq_recall_report",
     "token_budget_mix_plan",
     "quantized_knn_seed0",
-    "redact_pii_docs",
-    # --- round-3 gate window (all driver-green in r3) ---
     "rp_project_embeddings",
     "label_centroids",
     "sliding_window_events",
@@ -196,7 +190,6 @@ _PRIORITY = [
     "top_bigrams_corpus",
     "salted_join_priority_dim",
     "time_series_zero_fill",
-    # --- new in round 3 ---
     "order_priority_q4",
     "forecast_revenue_q6",
     "nation_profit_q9",
@@ -211,7 +204,6 @@ _PRIORITY = [
     "schema_drift_read",
     "customer_distribution_q13",
     "top_supplier_q15",
-    # --- core flagships (driver-green r1/r2; keep a row current) ---
     "hybrid_rrf",
     "knn_cosine_seed0",
     "ann_lsh_seed0",
@@ -219,7 +211,6 @@ _PRIORITY = [
     "sessionize_events",
     "snapshot_merge_timetravel",
     "pq_knn_seed0",
-    # --- everything below is driver-green from r1/r2 in this order ---
     "stream_rollup_daily",
     "rfc822_backfill",
     "stratified_sample_docs",
@@ -250,7 +241,8 @@ _PRIORITY = [
     "bloom_join_orders",
     "phrase_search_docs",
     "media_features_entropy",
-    "media_decode_fake",]
+    "media_decode_fake",
+]
 
 
 def _ordered() -> list[str]:

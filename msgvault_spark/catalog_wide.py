@@ -231,3 +231,164 @@ def agg_recipients_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
         ViewType.RECIPIENTS,
         total_unique=_wide_total_unique(spark, sf_dir, ViewType.RECIPIENTS),
     )
+
+
+# ---------------------------------------------------------------------------
+# multi-'from' divergence fixtures
+#
+# The driver's synthetic archive gives every message exactly one 'from'
+# recipient row, so the wide path's first-'from' policy (sources/cache.py
+# first_from: min_by participant_id) and the join path's per-from-row
+# semantics (plans/aggregate.py SENDERS join) are indistinguishable on it.
+# These two entries PLANT a deterministic second 'from' row on ~2% of
+# messages — with the SAME expression in Spark and in the DuckDB oracle —
+# and pin each path's documented behavior with its own oracle:
+#   * wide path: one sender per message, the from-row with the LOWEST
+#     participant_id wins (arg_min in the oracle);
+#   * join path: every from-row contributes a group row (reference
+#     semantics — msg ⋈ mr[type='from'] ⋈ p, duckdb.go runAggregation).
+# The planted participant_id is MIN(to/cc/bcc pid) − SUPPLIER_ID_OFFSET,
+# i.e. the message's smallest supplier key reused as a customer id — a
+# guaranteed-existing participant that is usually (not always) smaller
+# than the original from-pid, so the min_by policy changes real winners
+# in both directions.
+# ---------------------------------------------------------------------------
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from msgvault_spark.sources.adapter import SUPPLIER_ID_OFFSET  # noqa: E402
+from msgvault_spark.sources.cache import build_wide_messages  # noqa: E402
+
+_MULTIFROM_MR2 = f"""
+mr2 AS (
+    SELECT message_id, participant_id, recipient_type, display_name
+    FROM message_recipients
+    UNION ALL
+    SELECT message_id,
+           MIN(participant_id) - {SUPPLIER_ID_OFFSET} AS participant_id,
+           'from' AS recipient_type,
+           '' AS display_name
+    FROM message_recipients
+    WHERE recipient_type IN ('to', 'cc', 'bcc') AND message_id % 50 = 0
+    GROUP BY message_id
+)
+"""
+
+_MULTIFROM_ATT = (
+    "att AS (SELECT message_id, CAST(SUM(size) AS BIGINT) AS attachment_size,"
+    " COUNT(*) AS attachment_count FROM attachments GROUP BY message_id)"
+)
+
+_MULTIFROM_TAIL = """
+SELECT key, count, total_size, attachment_size, attachment_count,
+       (SELECT COUNT(*) FROM agg) AS total_unique
+FROM agg
+ORDER BY count DESC, key ASC
+LIMIT 100
+"""
+
+
+def _planted_archive(spark: SparkSession, sf_dir: str) -> dict:
+    """Archive with the planted second 'from' rows (Spark side of the
+    fixture — the exact DataFrame twin of the mr2 oracle CTE)."""
+    arch = dict(get_archive(spark, sf_dir))
+    mr = arch["message_recipients"].select(
+        "message_id", "participant_id", "recipient_type", "display_name"
+    )
+    extra = (
+        mr.filter(F.col("recipient_type").isin("to", "cc", "bcc"))
+        .filter(F.col("message_id") % 50 == 0)
+        .groupBy("message_id")
+        .agg(
+            (F.min("participant_id") - F.lit(SUPPLIER_ID_OFFSET)).alias(
+                "participant_id"
+            )
+        )
+        .select(
+            "message_id",
+            "participant_id",
+            F.lit("from").alias("recipient_type"),
+            F.lit("").alias("display_name"),
+        )
+    )
+    arch["message_recipients"] = mr.unionByName(extra)
+    return arch
+
+
+@register(
+    "agg_senders_wide_multifrom",
+    oracle(
+        f"""
+, {_MULTIFROM_MR2}
+, {_MULTIFROM_ATT}
+, ff AS (
+    SELECT mr.message_id,
+           arg_min(p.email_address, mr.participant_id) AS key
+    FROM mr2 mr
+    JOIN participants p ON p.id = mr.participant_id
+    WHERE mr.recipient_type = 'from'
+    GROUP BY mr.message_id
+)
+, agg AS (
+    SELECT ff.key,
+           COUNT(*) AS count,
+           CAST(COALESCE(SUM(CAST(msg.size_estimate AS BIGINT)), 0) AS BIGINT)
+               AS total_size,
+           CAST(COALESCE(SUM(att.attachment_size), 0) AS BIGINT)
+               AS attachment_size,
+           CAST(COALESCE(SUM(att.attachment_count), 0) AS BIGINT)
+               AS attachment_count
+    FROM messages msg
+    JOIN ff ON ff.message_id = msg.id
+    LEFT JOIN att ON att.message_id = msg.id
+    WHERE ff.key IS NOT NULL
+    GROUP BY 1
+)
+{_MULTIFROM_TAIL}
+"""
+    ),
+)
+def agg_senders_wide_multifrom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Senders over a wide view rebuilt from the planted multi-'from'
+    junction: pins the first-'from' policy (min_by participant_id,
+    sources/cache.py first_from) under real multi-from data — the oracle
+    implements the same policy with arg_min, so a silent change to the
+    survivor rule hash-fails here even though the stock archive can't
+    distinguish it."""
+    wide = build_wide_messages(_planted_archive(spark, sf_dir))
+    return agg.aggregate_wide(wide, ViewType.SENDERS)
+
+
+@register(
+    "agg_senders_join_multifrom",
+    oracle(
+        f"""
+, {_MULTIFROM_MR2}
+, {_MULTIFROM_ATT}
+, agg AS (
+    SELECT p.email_address AS key,
+           COUNT(*) AS count,
+           CAST(COALESCE(SUM(CAST(msg.size_estimate AS BIGINT)), 0) AS BIGINT)
+               AS total_size,
+           CAST(COALESCE(SUM(att.attachment_size), 0) AS BIGINT)
+               AS attachment_size,
+           CAST(COALESCE(SUM(att.attachment_count), 0) AS BIGINT)
+               AS attachment_count
+    FROM messages msg
+    JOIN mr2 mr ON mr.message_id = msg.id AND mr.recipient_type = 'from'
+    JOIN participants p ON p.id = mr.participant_id
+    LEFT JOIN att ON att.message_id = msg.id
+    WHERE p.email_address IS NOT NULL
+    GROUP BY 1
+)
+{_MULTIFROM_TAIL}
+"""
+    ),
+)
+def agg_senders_join_multifrom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Senders via the JOIN path on the same planted junction: every
+    'from' row counts (reference runAggregation semantics) — a planted
+    message contributes to BOTH senders' groups. Together with
+    agg_senders_wide_multifrom this pins the documented divergence
+    between the two paths instead of leaving it prose-only."""
+    return agg.aggregate(_planted_archive(spark, sf_dir), ViewType.SENDERS)

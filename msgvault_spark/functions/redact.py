@@ -40,27 +40,53 @@ def redact_text(text: Column) -> Column:
     return out
 
 
+def _occurrences(col: Column, token: str) -> Column:
+    """Occurrences of the literal ``token`` in ``col`` via length
+    arithmetic over a literal (non-regex) replace — two linear scans,
+    no regex engine involved."""
+    stripped = F.replace(col, F.lit(token), F.lit(""))
+    return (
+        (F.length(col) - F.length(stripped)) / F.lit(len(token))
+    ).cast("int")
+
+
 def redact_pii(
     df: DataFrame, *, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
     """(id, n_url, n_email, n_phone, redacted_text) — pure map. Counts are
     SEQUENTIAL: each class is counted on the text with earlier classes
     already redacted, so Σ counts == placeholder tokens in the output
-    (an email inside a URL counts as URL, not both)."""
-    # one select per class: the count and the replace for class k both read
-    # the materialized output of class k-1, so each regex pass runs exactly
-    # once (the single-select nesting re-evaluates every earlier replace
-    # inside each later count unless codegen CSE happens to rescue it)
+    (an email inside a URL counts as URL, not both).
+
+    Exactly 3 regex passes (one replace per class). Counts come from the
+    placeholder-token delta around each replace — occurrences(after) −
+    occurrences(before), both via literal string replace + length — which
+    equals the number of substitutions because no pattern can match '<'
+    or '>' (so a replace never destroys or splits an existing token) and
+    each substitution inserts exactly one token. The pre-replace term
+    keeps texts that already contain a literal placeholder honest. This
+    halves the regex work vs a count-by-regexp_extract_all pass per
+    class (the r8 sf1 measurement's one non-amortizing entry)."""
+    # one select pair per class: the replace for class k reads the
+    # materialized output of class k-1, so each regex pass runs exactly
+    # once (select boundaries keep CollapseProject from inlining the
+    # non-cheap regexp_replace into multiple consumers)
     cur = df.select(F.col(id_col), F.col(text_col).alias("_r"))
     count_names = []
     for name, pat, token in PATTERNS:
         cur = cur.select(
             F.col(id_col),
             *count_names,
-            F.size(
-                F.regexp_extract_all(F.col("_r"), F.lit(pat), 0)
-            ).alias(f"n_{name}"),
+            F.col("_r").alias("_prev"),
             F.regexp_replace(F.col("_r"), pat, token).alias("_r"),
+        ).select(
+            F.col(id_col),
+            *count_names,
+            (
+                _occurrences(F.col("_r"), token)
+                - _occurrences(F.col("_prev"), token)
+            ).alias(f"n_{name}"),
+            F.col("_r"),
         )
         count_names.append(f"n_{name}")
     return cur.select(

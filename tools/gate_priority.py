@@ -164,10 +164,43 @@ def _git(*args: str) -> str:
 
 
 def last_round_rev() -> str | None:
+    """Base revision for the touched-entry diff: the newest round
+    boundary that can actually serve as one.
+
+    A round boundary is the GROUP of commits sharing a round number
+    ("round N: end-of-round snapshot" + "round N: verdict/..."). The r8
+    loophole: the driver's snapshot commit can itself carry leftover
+    msgvault_spark/ changes (997f7b8 shipped the adapter ID-space fix),
+    and diffing against that very commit makes the change invisible —
+    the gate test trivially passes while 29 touched entries sit outside
+    the window. So a round group is a valid base only if NO commit in it
+    touches msgvault_spark/; a dirty group is skipped entirely (its
+    changes then land in the diff against the previous clean group and
+    re-enter the window)."""
     out = _git(
-        "log", "--grep", "^round [0-9]*:", "-n", "1", "--format=%H"
+        "log", "--grep", "^round [0-9]*:", "--format=%H %s"
     ).strip()
-    return out or None
+    if not out:
+        return None
+    groups: dict[str, list[str]] = {}
+    order: list[str] = []
+    for line in out.splitlines():  # newest first
+        rev, subject = line.split(" ", 1)
+        rnd = subject.split(":", 1)[0]
+        if rnd not in groups:
+            groups[rnd] = []
+            order.append(rnd)
+        groups[rnd].append(rev)
+    for rnd in order:
+        dirty = any(
+            _git(
+                "diff", "--name-only", f"{rev}^", rev, "--", "msgvault_spark"
+            ).strip()
+            for rev in groups[rnd]
+        )
+        if not dirty:
+            return groups[rnd][0]  # newest commit of the clean group
+    return None
 
 
 def changed_lines(base: str) -> dict[str, set[int]]:
