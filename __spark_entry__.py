@@ -80,9 +80,12 @@ _PRIORITY = [
     "get_attachments_batch",
     "gmail_ids_by_filter",
     "redact_pii_docs",
-    "ann_ivf_seed0",
+    "summary_stats",
     # --- staleness rotation + prior-round order preserved below
-    # (everything here is cumulatively driver-green r1..r8) ---
+    # (everything here is cumulatively driver-green r1..r8; the touched
+    # set filled the whole 50-slot window this round, so the oldest-
+    # vintage rotation candidate leads the overflow) ---
+    "ann_ivf_seed0",
     "lsh_capped_hot_bucket",
     "lsh_hot_bucket_stats",
     "doremi_weight_update",

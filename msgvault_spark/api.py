@@ -253,3 +253,12 @@ def get_attachment(spark, sf_dir: str, ids: list[int]) -> QueryResult:
     from msgvault_spark.sources.cache import get_archive
 
     return collect_result(get_attachments(get_archive(spark, sf_dir), ids))
+
+
+def get_summary_stats(spark, sf_dir: str) -> QueryResult:
+    """GET /api/v1/stats analog (reference handleStats → store.GetStats):
+    live-scoped archive summary counts, one row."""
+    from msgvault_spark.plans.lookup import summary_stats
+    from msgvault_spark.sources.cache import get_archive
+
+    return collect_result(summary_stats(get_archive(spark, sf_dir)))

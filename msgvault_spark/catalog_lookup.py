@@ -412,3 +412,38 @@ def gmail_ids_by_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     archive = get_archive(spark, sf_dir)
     f = MessageFilter(domain="nation_3.example.com", time_period="1996")
     return lookup.get_gmail_ids_by_filter(archive, f)
+
+
+@register(
+    "summary_stats",
+    oracle(
+        """
+SELECT
+  (SELECT COUNT(*) FROM messages m
+    WHERE m.deleted_from_source_at IS NULL) AS total_messages,
+  (SELECT COUNT(*) FROM conversations c
+    WHERE EXISTS (SELECT 1 FROM messages m
+                  WHERE m.conversation_id = c.id
+                    AND m.deleted_from_source_at IS NULL)) AS total_threads,
+  (SELECT COUNT(*) FROM sources) AS total_accounts,
+  (SELECT COUNT(*) FROM labels l
+    WHERE EXISTS (SELECT 1 FROM message_labels ml
+                  JOIN messages m ON m.id = ml.message_id
+                  WHERE ml.label_id = l.id
+                    AND m.deleted_from_source_at IS NULL)) AS total_labels,
+  (SELECT COUNT(*) FROM attachments a
+    WHERE EXISTS (SELECT 1 FROM messages m
+                  WHERE m.id = a.message_id
+                    AND m.deleted_from_source_at IS NULL)) AS total_attachments,
+  (SELECT CAST(COALESCE(SUM(CAST(m.size_estimate AS BIGINT)), 0) AS BIGINT)
+     FROM messages m
+    WHERE m.deleted_from_source_at IS NULL) AS database_size
+"""
+    ),
+)
+def summary_stats_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Archive summary behind GET /api/v1/stats (reference handleStats →
+    store.GetStatsForScope, store.go:642-691): live-scoped message/thread/
+    attachment/label counts + raw source count + the lake-size analog of
+    DatabaseSize. Five 1-row aggregates cross-joined (all broadcast)."""
+    return lookup.summary_stats(get_archive(spark, sf_dir))

@@ -169,3 +169,33 @@ def preprocess_for_embedding(
         F.lit("Subject: "), F.coalesce(subject, F.lit("")), F.lit("\n"), cleaned
     )
     return F.substring(with_subject, 1, max_chars)
+
+
+def extract_inline_part(raw_text: str, cid: str) -> tuple[str, bytes] | None:
+    """Find the CID-referenced inline MIME part in a raw RFC822 message
+    (reference handleMessageInline, api/handlers.go:1625-1688: an inline
+    part matches on ContentID and IsInline). Returns (content_type,
+    decoded bytes) or None. Driver-side helper over ONE already-fetched
+    raw message — the data-plane fetch is the batched get_messages_raw;
+    this is the serving edge's last hop, like the reference's mime.Parse
+    on a single row."""
+    import email
+    from email import policy
+
+    msg = email.message_from_string(raw_text, policy=policy.default)
+    for part in msg.walk():
+        if part.is_multipart():
+            continue
+        pcid = (part.get("Content-ID") or "").strip().strip("<>")
+        if not pcid or pcid != cid:
+            continue
+        disp = part.get_content_disposition()
+        # reference IsInline: an explicit inline disposition, or a
+        # CID-addressed part that is not declared as an attachment
+        if disp not in (None, "inline"):
+            continue
+        payload = part.get_payload(decode=True)
+        if payload is None:
+            payload = (part.get_payload() or "").encode()
+        return part.get_content_type(), payload
+    return None

@@ -330,3 +330,73 @@ def get_attachments(
         )
         .transform(present_sorted, "id")
     )
+
+
+def summary_stats(archive: dict[str, DataFrame]) -> DataFrame:
+    """Archive summary for GET /api/v1/stats (reference handleStats,
+    api/handlers.go:268-299 → store.GetStatsForScope, store.go:642-691):
+    every message-linked count is scoped to LIVE messages (dedup losers
+    and source-deleted rows excluded), sources is the raw catalog count,
+    and the reference's DatabaseSize (SQLite file bytes) maps to the
+    lake-size analog SUM(size_estimate) over live messages.
+
+    Shape: the five entity sets are tagged, slimmed to (kind, sz), and
+    UNIONed into one frame feeding a single hash aggregate — parallel
+    scans + map-side partial counts into a 1-row reduce, zero joins at
+    the stitch (a literal-key equi-join would constant-fold into a
+    nested-loop; a union cannot). The live-scoping EXISTS checks are
+    left-semi hash joins on the junction keys."""
+    from msgvault_spark.plans.aggregate import live_messages
+
+    live = live_messages(
+        archive["messages"], hide_deleted_from_source=True
+    ).select(F.col("id").alias("m_id"), "conversation_id", "size_estimate")
+
+    def tag(df: DataFrame, kind: str, size_col: str | None = None):
+        sz = (
+            F.coalesce(F.col(size_col).cast("long"), F.lit(0))
+            if size_col
+            else F.lit(0).cast("long")
+        )
+        return df.select(F.lit(kind).alias("kind"), sz.alias("sz"))
+
+    threads = archive["conversations"].join(
+        live.select(F.col("conversation_id").alias("cid")).distinct(),
+        F.col("id") == F.col("cid"),
+        "left_semi",
+    )
+    atts = archive["attachments"].join(
+        live, F.col("message_id") == F.col("m_id"), "left_semi"
+    )
+    labels = archive["labels"].join(
+        archive["message_labels"]
+        .join(live, F.col("message_id") == F.col("m_id"), "left_semi")
+        .select(F.col("label_id").alias("lid"))
+        .distinct(),
+        F.col("id") == F.col("lid"),
+        "left_semi",
+    )
+
+    def n(kind: str):
+        return F.count(F.when(F.col("kind") == kind, 1))
+
+    return (
+        tag(live, "msg", "size_estimate")
+        .unionByName(tag(threads, "thr"))
+        .unionByName(tag(atts, "att"))
+        .unionByName(tag(labels, "lbl"))
+        .unionByName(tag(archive["sources"], "src"))
+        .agg(
+            n("msg").alias("total_messages"),
+            n("thr").alias("total_threads"),
+            n("src").alias("total_accounts"),
+            n("lbl").alias("total_labels"),
+            n("att").alias("total_attachments"),
+            F.coalesce(
+                F.sum(F.when(F.col("kind") == "msg", F.col("sz"))),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("database_size"),
+        )
+    )

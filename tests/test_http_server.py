@@ -193,3 +193,178 @@ def test_remote_engine_wraps_connection_errors(server):
     with pytest.raises(RemoteError) as e:
         dead.get_total_stats()
     assert e.value.status == 0
+
+
+# ---------------------------------------------------------------------------
+# round 9: the four reference routes that were still missing —
+# /stats, /search, /search/deep, /messages/{id}/inline
+# (api/server.go:162,167,170,179)
+# ---------------------------------------------------------------------------
+
+
+def _get_err(srv, path, key="sekret"):
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _get(srv, path, key=key)
+    return e.value.code, json.loads(e.value.read())
+
+
+def test_stats_summary_route(server):
+    status, body = _get(server, "/api/v1/stats")
+    assert status == 200
+    assert body["row_count"] == 1
+    assert body["columns"] == [
+        "total_messages", "total_threads", "total_accounts",
+        "total_labels", "total_attachments", "database_size",
+    ]
+    row = dict(zip(body["columns"], body["rows"][0]))
+    assert row["total_messages"] > 0
+    assert row["total_accounts"] >= 1
+    assert row["database_size"] > 0
+
+
+def test_search_fts_paging_and_validation(server):
+    status, p1 = _get(server, "/api/v1/search?q=order&page_size=5")
+    assert status == 200
+    assert p1["page"] == 1 and p1["page_size"] == 5
+    assert p1["total"] > 5 and len(p1["messages"]) == 5
+    assert {"id", "subject", "sent_at"} <= set(p1["messages"][0])
+
+    _, p2 = _get(server, "/api/v1/search?q=order&page_size=5&page=2")
+    ids1 = [m["id"] for m in p1["messages"]]
+    ids2 = [m["id"] for m in p2["messages"]]
+    assert ids1 and ids2 and not set(ids1) & set(ids2)
+
+    code, err = _get_err(server, "/api/v1/search")
+    assert code == 400 and "'q'" in err["error"]
+    code, err = _get_err(server, "/api/v1/search?q=x&mode=nope")
+    assert code == 400 and "fts|vector|hybrid" in err["error"]
+
+
+def test_search_vector_and_hybrid_modes(server):
+    # vector/hybrid need a free-text term and only serve page 1
+    code, err = _get_err(server, "/api/v1/search?q=x&mode=vector&page=2")
+    assert code == 400 and "page=1" in err["error"]
+    code, err = _get_err(
+        server, "/api/v1/search?q=from:a@b.com&mode=hybrid"
+    )
+    assert code == 400 and "free-text" in err["error"]
+
+    status, v = _get(
+        server, "/api/v1/search?q=token7&mode=vector&page_size=4"
+    )
+    assert status == 200 and v["mode"] == "vector"
+    assert v["returned"] == len(v["results"]) == 4
+    assert {"id", "score"} <= set(v["results"][0])
+
+    status, h = _get(
+        server, "/api/v1/search?q=token7&mode=hybrid&page_size=4"
+    )
+    assert status == 200 and h["mode"] == "hybrid"
+    assert h["returned"] == len(h["results"]) == 4
+    assert {"id", "rrf_score"} <= set(h["results"][0])
+    assert h["results"][0]["rrf_score"] >= h["results"][-1]["rrf_score"]
+
+
+def test_deep_search_has_more_and_filters(server):
+    status, d = _get(server, "/api/v1/search/deep?q=order&limit=5")
+    assert status == 200
+    assert d["count"] == 5 and len(d["messages"]) == 5
+    assert d["has_more"] is True and d["limit"] == 5 and d["offset"] == 0
+
+    # offset pagination yields the next disjoint slice
+    _, d2 = _get(server, "/api/v1/search/deep?q=order&limit=5&offset=5")
+    ids1 = {m["id"] for m in d["messages"]}
+    ids2 = {m["id"] for m in d2["messages"]}
+    assert ids2 and not ids1 & ids2
+
+    # a domain filter scopes the match set (reference MergeFilterIntoQuery)
+    _, df = _get(
+        server,
+        "/api/v1/search/deep?q=order&domain=nation_3.example.com&limit=500",
+    )
+    assert 0 < df["count"] < d["count"] or df["has_more"] is False
+
+    # filters deep search cannot represent are rejected, not dropped
+    code, err = _get_err(
+        server, "/api/v1/search/deep?q=order&time_period=1995"
+    )
+    assert code == 400 and "time_period" in err["error"]
+    code, _ = _get_err(server, "/api/v1/search/deep")
+    assert code == 400
+
+
+@pytest.fixture(scope="module")
+def inline_server(spark):
+    """Server with an injected raw store: one live message carrying a
+    multipart/related MIME payload with an inline PNG and an inline SVG."""
+    import base64
+
+    from msgvault_spark.server import serve
+    from msgvault_spark.sources.cache import get_archive
+
+    mid = (
+        get_archive(spark, SF_DIR)["messages"]
+        .orderBy("id").select("id").head()[0]
+    )
+    raw = (
+        "MIME-Version: 1.0\r\n"
+        "Message-ID: <planted@test>\r\n"
+        "Subject: inline fixture\r\n"
+        "Content-Type: multipart/related; boundary=BB\r\n\r\n"
+        "--BB\r\n"
+        "Content-Type: text/html\r\n\r\n"
+        '<img src="cid:img1">\r\n'
+        "--BB\r\n"
+        "Content-Type: image/png\r\n"
+        "Content-ID: <img1>\r\n"
+        "Content-Disposition: inline; filename=i.png\r\n"
+        "Content-Transfer-Encoding: base64\r\n\r\n"
+        + base64.b64encode(b"PNG-PAYLOAD-BYTES").decode() + "\r\n"
+        "--BB\r\n"
+        "Content-Type: image/svg+xml\r\n"
+        "Content-ID: <svg1>\r\n"
+        "Content-Disposition: inline\r\n\r\n"
+        "<svg/>\r\n"
+        "--BB--\r\n"
+    )
+    store = spark.createDataFrame(
+        [(int(mid), raw.encode(), "none")],
+        "message_id long, raw_data binary, compression string",
+    )
+    srv = serve(spark, SF_DIR, api_key="sekret", raw_store=store)
+    yield srv, int(mid)
+    srv.shutdown()
+
+
+def _get_raw(srv, path):
+    req = urllib.request.Request(f"http://127.0.0.1:{srv.port}{path}")
+    req.add_header("X-API-Key", "sekret")
+    with urllib.request.urlopen(req, timeout=60) as resp:
+        return resp.status, dict(resp.headers), resp.read()
+
+
+def test_inline_part_served_with_image_headers(inline_server):
+    srv, mid = inline_server
+    status, headers, body = _get_raw(
+        srv, f"/api/v1/messages/{mid}/inline?cid=img1"
+    )
+    assert status == 200
+    assert headers["Content-Type"] == "image/png"
+    assert headers["Content-Disposition"] == "inline"
+    assert headers["X-Content-Type-Options"] == "nosniff"
+    assert body == b"PNG-PAYLOAD-BYTES"
+
+
+def test_inline_part_error_statuses(inline_server):
+    srv, mid = inline_server
+    # SVG is an image/* type the reference explicitly refuses (XSS vector)
+    code, err = _get_err(srv, f"/api/v1/messages/{mid}/inline?cid=svg1")
+    assert code == 415 and "not permitted" in err["error"]
+    code, err = _get_err(srv, f"/api/v1/messages/{mid}/inline?cid=ghost")
+    assert code == 404 and "Inline part" in err["error"]
+    code, err = _get_err(srv, f"/api/v1/messages/{mid}/inline")
+    assert code == 400 and "cid" in err["error"]
+    code, err = _get_err(srv, "/api/v1/messages/999999999/inline?cid=x")
+    assert code == 404 and "raw data" in err["error"]
+    code, err = _get_err(srv, "/api/v1/messages/abc/inline?cid=x")
+    assert code == 400

@@ -206,21 +206,38 @@ def last_round_rev() -> str | None:
 def changed_lines(base: str) -> dict[str, set[int]]:
     """{repo-relative path: changed line numbers (new side)} for
     base..working-tree, msgvault_spark only. Untracked files count whole
-    (marker line 0 plus every real line)."""
+    (marker line 0 plus every real line).
+
+    Whitespace-only ADDED lines are dropped: appending a new top-level
+    function to a module necessarily adds two blank separator lines in
+    the global area, which would flag every entry depending on that
+    module even though blank lines cannot change behavior. Deletions
+    (n=0 hunks) keep a position marker — removing a global line is a
+    real change."""
     diff = _git("diff", "-U0", base, "--", "msgvault_spark")
     out: dict[str, set[int]] = {}
+    file_lines: list[str] = []
     cur = None
     for line in diff.splitlines():
         if line.startswith("+++ b/"):
             cur = line[6:]
             out.setdefault(cur, set())
+            p = ROOT / cur
+            file_lines = p.read_text().splitlines() if p.exists() else []
         elif line.startswith("@@") and cur:
             hunk = line.split("+")[1].split(" ")[0]
             if "," in hunk:
                 s, n = (int(x) for x in hunk.split(","))
             else:
                 s, n = int(hunk), 1
-            out[cur] |= set(range(s, s + max(n, 1)))
+            if n == 0:  # pure deletion: keep the position marker
+                out[cur].add(s)
+                continue
+            out[cur] |= {
+                ln
+                for ln in range(s, s + n)
+                if ln > len(file_lines) or file_lines[ln - 1].strip()
+            }
     for path in _git(
         "ls-files", "--others", "--exclude-standard", "msgvault_spark"
     ).splitlines():
