@@ -63,6 +63,15 @@ def replicate_table(name: str, base_dir: str, out_dir: str, repl: int,
     t = pq.read_table(os.path.join(base_dir, f"{name}.parquet"))
     schema = t.schema
     cols = {c: t[c].to_numpy(zero_copy_only=False) for c in t.column_names}
+    # +r*count remapping is collision-free ONLY for dense 0/1-based keys;
+    # sparse keys (standard TPC-H o_orderkey skips values) would silently
+    # collide across replicas and corrupt FK fan-out — fail loudly instead
+    for c, src in KEYMAP[name].items():
+        assert int(cols[c].max()) < counts[src] + 1, (
+            f"{name}.{c}: max key {int(cols[c].max())} exceeds the "
+            f"{src} stride {counts[src]} — sparse key space, replicas "
+            "would collide; use a max(key)+1 stride for this column"
+        )
     out_cols = {c: [] for c in t.column_names}
     for r in range(repl):
         for c in t.column_names:
@@ -99,14 +108,16 @@ def gen_documents(base_dir: str, out_dir: str, repl: int) -> None:
     lang_p = np.array([lang_counts[v] for v in lang_vals], dtype=float)
     lang_p /= lang_p.sum()
     n_toks = np.array([len(s.split(" ")) for s in texts])
-    lo, hi = int(n_toks.min()), int(n_toks.max())
 
     doc_id = list(range(base_n))
     text = list(texts)
     lang = list(langs)
     for r in range(1, repl):
         rng = np.random.default_rng(4200 + r)
-        lens = rng.integers(lo, hi + 1, size=base_n)
+        # sample lengths from the EMPIRICAL per-doc token counts so the
+        # replicas keep the base corpus's length profile (a uniform
+        # [min,max] draw had a different distribution than advertised)
+        lens = rng.choice(n_toks, size=base_n)
         for i in range(base_n):
             did = r * base_n + i
             doc_id.append(did)

@@ -62,6 +62,11 @@ def run_one(tree: pathlib.Path, entry: str, k: int) -> float:
         text=True,
         timeout=600,
     )
+    if proc.returncode != 0 or not proc.stdout.strip():
+        raise RuntimeError(
+            f"runner failed in {tree} (rc={proc.returncode}) for "
+            f"{entry!r}:\n{proc.stderr.strip()[-2000:]}"
+        )
     line = proc.stdout.strip().splitlines()[-1]
     return json.loads(line)["best"]
 
@@ -76,9 +81,20 @@ def main() -> None:
 
     prev = args.prev
     if prev is None:
-        prev = _git(
-            "log", "--grep", "^round [0-9]*:", "-n", "1", "--format=%H"
-        ).strip()
+        # the most recent round commit that is NOT HEAD itself — right
+        # after a round boundary HEAD *is* the newest round commit, and
+        # A/B-ing HEAD against HEAD reports a meaningless ~zero delta
+        head = _git("rev-parse", "HEAD").strip()
+        revs = [
+            r
+            for r in _git(
+                "log", "--grep", "^round [0-9]*:", "--format=%H"
+            ).splitlines()
+            if r != head
+        ]
+        if not revs:
+            raise SystemExit("no prior round commit found; pass --prev")
+        prev = revs[0]
     if WORKTREE.exists():
         subprocess.run(
             ["git", "worktree", "remove", "--force", str(WORKTREE)],

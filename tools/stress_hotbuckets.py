@@ -2,14 +2,20 @@
 LINEAR in corpus size where the uncapped propose is QUADRATIC in the hot
 cluster.
 
-Synthesizes corpora of increasing N with a constant 50% boilerplate
-share (every hot doc shares ONE text — the worst-case skew a license
-header produces), builds the MinHash band index, and times
-pairs_from_index capped vs uncapped at each N. Prints wall-clock and
-pair counts; the uncapped leg is skipped past UNCAPPED_MAX_HOT docs
-(its pair count grows as (N/2)² and would dominate the run).
+Synthesizes corpora of increasing N with a constant boilerplate share
+(default 50%; every hot doc shares ONE text — the worst-case skew a
+license header produces), builds the MinHash band index, and times
+pairs_from_index capped vs uncapped at each N. Prints wall-clock, pair
+counts, and the capped leg's dropped-pair accounting (hot_bucket_stats);
+the uncapped leg is skipped past UNCAPPED_MAX_HOT docs (its pair count
+grows as (hot)² and would dominate the run).
 
-    python tools/stress_hotbuckets.py [N ...]
+    python tools/stress_hotbuckets.py [--hot-frac 0.2] [N ...]
+
+The r8 verdict's past-toy-scale ask: a single 10M-doc run at 20%
+boilerplate —
+
+    python tools/stress_hotbuckets.py --hot-frac 0.2 10000000
 """
 
 from __future__ import annotations
@@ -24,10 +30,17 @@ UNCAPPED_MAX_HOT = 4000  # ~8M quadratic pairs; beyond this only capped runs
 
 
 def main() -> None:
-    ns = [int(a) for a in sys.argv[1:]] or [8_000, 16_000, 32_000, 64_000]
+    args = sys.argv[1:]
+    hot_frac = 0.5
+    if "--hot-frac" in args:
+        i = args.index("--hot-frac")
+        hot_frac = float(args[i + 1])
+        del args[i:i + 2]
+    ns = [int(a) for a in args] or [8_000, 16_000, 32_000, 64_000]
     os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "32g")
     from pyspark.sql import functions as F
 
+    from msgvault_spark.dedup.hotbuckets import hot_bucket_stats
     from msgvault_spark.dedup.minhash import (
         build_minhash_index,
         pairs_from_index,
@@ -41,10 +54,10 @@ def main() -> None:
         "permission is hereby granted free of charge to any person "
         "obtaining a copy of this software and associated documentation"
     )
-    print(f"{'N':>8} {'hot':>7} {'capped_s':>9} {'capped_pairs':>13} "
+    print(f"{'N':>9} {'hot':>8} {'capped_s':>9} {'capped_pairs':>13} "
           f"{'uncapped_s':>11} {'uncapped_pairs':>15}")
     for n in ns:
-        hot = n // 2
+        hot = int(n * hot_frac)
         docs = spark.range(n).select(
             F.col("id").alias("doc_id"),
             F.when(F.col("id") < hot, F.lit(boiler))
@@ -71,8 +84,12 @@ def main() -> None:
             un_t, un_n = f"{time.perf_counter() - t0:11.2f}", f"{nu:15d}"
         else:
             un_t, un_n = f"{'skipped':>11}", f"{'~' + str(hot * (hot - 1) // 2):>15}"
+        stats = hot_bucket_stats(
+            idx.select("bucket", "doc_id"), 256
+        ).collect()[0].asDict()
         idx.unpersist()
-        print(f"{n:8d} {hot:7d} {capped_t:9.2f} {nc:13d} {un_t} {un_n}")
+        print(f"{n:9d} {hot:8d} {capped_t:9.2f} {nc:13d} {un_t} {un_n}")
+        print(f"          drop accounting @cap=256: {stats}")
 
 
 if __name__ == "__main__":
