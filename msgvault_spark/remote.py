@@ -113,3 +113,64 @@ class RemoteEngine:
 
     def list_accounts(self) -> QueryResult:
         return self._result("/api/v1/accounts")
+
+    # ---- round-9 route mirrors (server.py /stats, /search, /search/deep,
+    # /messages/{id}/inline — reference remote engine surface for
+    # handleStats/handleSearch/handleDeepSearch/handleMessageInline) -----
+    def get_stats(self) -> QueryResult:
+        """GET /api/v1/stats: live-scoped archive summary (one row)."""
+        return self._result("/api/v1/stats")
+
+    def search(
+        self,
+        query: str,
+        *,
+        mode: str = "fts",
+        page: int = 1,
+        page_size: int = 20,
+    ) -> dict:
+        """GET /api/v1/search — returns the reference's paged envelope
+        (query/total/page/page_size/messages for fts; query/mode/
+        returned/took_ms/results for vector|hybrid), not a QueryResult:
+        the envelope fields ARE the contract here."""
+        return self._request(
+            "/api/v1/search?"
+            + urlencode(
+                {"q": query, "mode": mode, "page": page,
+                 "page_size": page_size}
+            )
+        )
+
+    def search_deep(
+        self, query: str, *, limit: int = 100, offset: int = 0,
+        **filter_opts
+    ) -> dict:
+        """GET /api/v1/search/deep — body-search envelope with has_more."""
+        return self._request(
+            "/api/v1/search/deep?"
+            + urlencode(
+                {"q": query, "limit": limit, "offset": offset,
+                 **filter_opts}
+            )
+        )
+
+    def get_inline_part(self, message_id: int, cid: str) -> tuple[str, bytes]:
+        """GET /api/v1/messages/{id}/inline — (content_type, bytes) of the
+        CID-referenced inline image; RemoteError on 400/404/415."""
+        req = urllib.request.Request(
+            f"{self.base_url}/api/v1/messages/{int(message_id)}/inline?"
+            + urlencode({"cid": cid})
+        )
+        if self.api_key is not None:
+            req.add_header("X-API-Key", self.api_key)
+        try:
+            with urllib.request.urlopen(req, timeout=self.timeout) as resp:
+                return resp.headers.get("Content-Type", ""), resp.read()
+        except urllib.error.HTTPError as e:
+            try:
+                msg = json.loads(e.read()).get("error", "")
+            except ValueError:
+                msg = ""
+            raise RemoteError(e.code, msg) from None
+        except (urllib.error.URLError, TimeoutError, OSError) as e:
+            raise RemoteError(0, str(e)) from None

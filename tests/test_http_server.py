@@ -368,3 +368,27 @@ def test_inline_part_error_statuses(inline_server):
     assert code == 404 and "raw data" in err["error"]
     code, err = _get_err(srv, "/api/v1/messages/abc/inline?cid=x")
     assert code == 400
+
+
+def test_remote_engine_mirrors_new_routes(server, inline_server):
+    from msgvault_spark.remote import RemoteEngine, RemoteError
+
+    eng = RemoteEngine(
+        f"http://127.0.0.1:{server.port}", api_key="sekret"
+    )
+    stats = eng.get_stats()
+    assert stats.row_count == 1 and "total_messages" in stats.columns
+
+    s = eng.search("order", page_size=3)
+    assert s["total"] > 0 and len(s["messages"]) == 3
+
+    d = eng.search_deep("order", limit=3)
+    assert d["count"] == 3 and d["has_more"] is True
+
+    srv, mid = inline_server
+    ieng = RemoteEngine(f"http://127.0.0.1:{srv.port}", api_key="sekret")
+    ctype, body = ieng.get_inline_part(mid, "img1")
+    assert ctype == "image/png" and body == b"PNG-PAYLOAD-BYTES"
+    with pytest.raises(RemoteError) as e:
+        ieng.get_inline_part(mid, "svg1")
+    assert e.value.status == 415
