@@ -31,6 +31,18 @@ PATTERNS: list[tuple[str, str, str]] = [
     ("phone", r"\b\d{3}[-. ]\d{3}[-. ]\d{4}\b", "<PHONE>"),
 ]
 
+# Literal substring each pattern REQUIRES to match at all — a cheap
+# `contains` gate that lets the Spark side skip the regex pass entirely
+# on non-candidate rows. Pure optimization: skipping a row the pattern
+# cannot match is output-identical, so the oracle needs no twin. This is
+# where Java regex needs help that RE2 does not: the greedy local-part
+# class in the email pattern makes java.util.regex re-consume almost
+# every word at every start position before failing at the '@', ~8× the
+# cost of the other passes (measured at sf1) — while RE2's DFA scans
+# linearly regardless. Phones have no required literal (any digit run),
+# so that pass stays ungated.
+PATTERN_GUARDS: dict[str, str] = {"url": "http", "email": "@"}
+
 
 def redact_text(text: Column) -> Column:
     """Text with all PII classes replaced by placeholder tokens."""
@@ -51,7 +63,11 @@ def _occurrences(col: Column, token: str) -> Column:
 
 
 def redact_pii(
-    df: DataFrame, *, id_col: str = "doc_id", text_col: str = "text"
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    engine: str = "arrow",
 ) -> DataFrame:
     """(id, n_url, n_email, n_phone, redacted_text) — pure map. Counts are
     SEQUENTIAL: each class is counted on the text with earlier classes
@@ -60,13 +76,27 @@ def redact_pii(
 
     Exactly 3 regex passes (one replace per class). Counts come from the
     placeholder-token delta around each replace — occurrences(after) −
-    occurrences(before), both via literal string replace + length — which
-    equals the number of substitutions because no pattern can match '<'
-    or '>' (so a replace never destroys or splits an existing token) and
-    each substitution inserts exactly one token. The pre-replace term
-    keeps texts that already contain a literal placeholder honest. This
-    halves the regex work vs a count-by-regexp_extract_all pass per
-    class (the r8 sf1 measurement's one non-amortizing entry)."""
+    occurrences(before) — which equals the number of substitutions
+    because no pattern can match '<' or '>' (so a replace never destroys
+    or splits an existing token) and each substitution inserts exactly
+    one token. The pre-replace term keeps texts that already contain a
+    literal placeholder honest.
+
+    ``engine``: 'arrow' (default) runs the passes inside ONE
+    Arrow-batched mapInPandas stage on pyarrow.compute's RE2 kernels —
+    measured 2-3× faster than Spark's java.util.regex at sf1 (RE2's DFA
+    scans linearly where Java retries the greedy email local-part at
+    every position; the contains-gates recover some but not all of it).
+    This is the sanctioned exception to the JVM-first rule: when regex
+    dominates the map, a vectorized RE2 kernel beats whole-stage codegen,
+    and the op stays a linear partition-parallel map either way. 'jvm'
+    keeps the pure-Catalyst spelling (regexp_replace + literal-replace
+    count deltas, contains-gated) — output-identical (pinned by test),
+    zero Python boundary, for plans that must stay codegen-only."""
+    if engine == "arrow":
+        return _redact_pii_arrow(df, id_col=id_col, text_col=text_col)
+    if engine != "jvm":  # pragma: no cover
+        raise ValueError(f"unknown engine: {engine}")
     # one select pair per class: the replace for class k reads the
     # materialized output of class k-1, so each regex pass runs exactly
     # once (select boundaries keep CollapseProject from inlining the
@@ -74,24 +104,74 @@ def redact_pii(
     cur = df.select(F.col(id_col), F.col(text_col).alias("_r"))
     count_names = []
     for name, pat, token in PATTERNS:
+        guard = PATTERN_GUARDS.get(name)
+        replaced = F.regexp_replace(F.col("_r"), pat, token)
+        if guard is not None:
+            # rows without the pattern's required literal skip the regex
+            # (and, below, the counting scans) — output-identical
+            hit = F.contains(F.col("_r"), F.lit(guard))
+            replaced = F.when(hit, replaced).otherwise(F.col("_r"))
         cur = cur.select(
             F.col(id_col),
             *count_names,
             F.col("_r").alias("_prev"),
-            F.regexp_replace(F.col("_r"), pat, token).alias("_r"),
-        ).select(
+            replaced.alias("_r"),
+        )
+        delta = _occurrences(F.col("_r"), token) - _occurrences(
+            F.col("_prev"), token
+        )
+        if guard is not None:
+            delta = F.when(
+                F.contains(F.col("_prev"), F.lit(guard)), delta
+            ).otherwise(F.lit(0))
+        cur = cur.select(
             F.col(id_col),
             *count_names,
-            (
-                _occurrences(F.col("_r"), token)
-                - _occurrences(F.col("_prev"), token)
-            ).alias(f"n_{name}"),
+            delta.alias(f"n_{name}"),
             F.col("_r"),
         )
         count_names.append(f"n_{name}")
     return cur.select(
         F.col(id_col), *count_names, F.col("_r").alias("redacted_text")
     )
+
+
+def _redact_pii_arrow(
+    df: DataFrame, *, id_col: str, text_col: str
+) -> DataFrame:
+    """The RE2 spelling: one mapInPandas stage, all three replace passes
+    and all count deltas on Arrow arrays (pc.replace_substring_regex is
+    RE2-backed; pc.count_substring is a literal scan). Same sequential
+    semantics as the jvm path — pinned equal by test."""
+    id_field = df.schema[id_col]
+    out_schema = (
+        f"{id_col} {id_field.dataType.simpleString()}, "
+        + ", ".join(f"n_{name} int" for name, _, _ in PATTERNS)
+        + ", redacted_text string"
+    )
+    patterns = list(PATTERNS)  # close over data, not the module
+
+    def batches(it):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        for pdf in it:
+            arr = pa.Array.from_pandas(pdf[text_col])
+            out = {id_col: pdf[id_col]}
+            for name, pat, token in patterns:
+                before = pc.count_substring(arr, token)
+                arr = pc.replace_substring_regex(
+                    arr, pattern=pat, replacement=token
+                )
+                out[f"n_{name}"] = pc.subtract(
+                    pc.count_substring(arr, token), before
+                ).to_pandas()
+            out["redacted_text"] = arr.to_pandas()
+            import pandas as pd
+
+            yield pd.DataFrame(out)
+
+    return df.select(id_col, text_col).mapInPandas(batches, out_schema)
 
 
 def redact_oracle_exprs(text_sql: str) -> tuple[list[str], str]:

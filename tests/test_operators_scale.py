@@ -554,19 +554,24 @@ def test_chunking_is_shuffle_free(spark):
 # ---------------------------------------------------------------------------
 
 
-def test_redaction_classes_and_counts(spark):
+_REDACT_DOCS = [
+    (1, "mail a.b+c@x-corp.io or b@y.org now"),
+    (2, "see https://ex.com/a_b?x=1&y=2. then call 415 555 1234"),
+    (3, "inside url http://h.com/path@notmail.com stays one URL"),
+    (4, "no pii here 123 45"),
+    # a pre-existing placeholder must NOT count as a substitution
+    (5, "already has <EMAIL> literal and real z@q.io"),
+]
+
+
+@pytest.mark.parametrize("engine", ["arrow", "jvm"])
+def test_redaction_classes_and_counts(spark, engine):
     from msgvault_spark.functions.redact import redact_pii
 
-    docs = spark.createDataFrame(
-        [
-            (1, "mail a.b+c@x-corp.io or b@y.org now"),
-            (2, "see https://ex.com/a_b?x=1&y=2. then call 415 555 1234"),
-            (3, "inside url http://h.com/path@notmail.com stays one URL"),
-            (4, "no pii here 123 45"),
-        ],
-        "doc_id long, text string",
-    )
-    rows = {r["doc_id"]: r for r in redact_pii(docs).collect()}
+    docs = spark.createDataFrame(_REDACT_DOCS, "doc_id long, text string")
+    rows = {
+        r["doc_id"]: r for r in redact_pii(docs, engine=engine).collect()
+    }
     assert rows[1]["n_email"] == 2 and rows[1]["redacted_text"] == (
         "mail <EMAIL> or <EMAIL> now"
     )
@@ -577,6 +582,25 @@ def test_redaction_classes_and_counts(spark):
     assert rows[3]["redacted_text"] == "inside url <URL> stays one URL"
     assert rows[4]["redacted_text"] == "no pii here 123 45"
     assert rows[4]["n_email"] == rows[4]["n_phone"] == rows[4]["n_url"] == 0
+    assert rows[5]["n_email"] == 1  # the literal token is delta'd away
+
+
+def test_redaction_engines_agree_on_corpus(spark):
+    """The RE2 (arrow) and Catalyst (jvm) spellings are output-identical
+    on real corpus text + planted PII — the equivalence that lets the
+    catalog entry take the fast path while the oracle pins semantics."""
+    from pyspark.sql import functions as F
+
+    from msgvault_spark.catalog_llmops import _PII_SPARK
+    from msgvault_spark.functions.redact import redact_pii
+    from msgvault_spark.sources.loader import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.01", "documents").select(
+        "doc_id", F.expr(_PII_SPARK).alias("text")
+    )
+    a = redact_pii(docs, engine="arrow").orderBy("doc_id").collect()
+    j = redact_pii(docs, engine="jvm").orderBy("doc_id").collect()
+    assert a == j
 
 
 # ---------------------------------------------------------------------------

@@ -5,9 +5,11 @@ The bench headliners get per-round tracking via bench.py; this sweep is
 the long tail — it catches an entry that is correct but structurally slow
 before a user does (round 4 found a 67s interpreted all-pairs this way).
 
-    python tools/ratio_sweep.py [sf_dir] [out_md]
+    python tools/ratio_sweep.py [sf_dir] [out_md] [entry ...]
 
 Writes a markdown table (default RATIOS.md) and prints the >2x offenders.
+Optional entry names restrict the sweep (a priority slice when the full
+catalog doesn't fit the session); the table notes the restriction.
 """
 
 from __future__ import annotations
@@ -27,6 +29,7 @@ TABLES = [
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     out_md = sys.argv[2] if len(sys.argv) > 2 else "RATIOS.md"
+    only = set(sys.argv[3:])
 
     import duckdb
 
@@ -56,6 +59,8 @@ def main() -> None:
     errors = []
     for name, spec in CATALOG.items():
         if spec.oracle_sql is None or name in SKIP:
+            continue
+        if only and name not in only:
             continue
         try:
             spec.fn(spark, sf_dir).collect()  # warm caches/artifacts
@@ -92,6 +97,13 @@ def main() -> None:
             f" constant amortizes to zero against\nper-row work; the"
             f" structural reading is the ABSOLUTE Spark time and the\n"
             f"plan shape (SCALING.md).\n\n"
+        )
+        if only:
+            f.write(
+                f"RESTRICTED SLICE: {len(only)} requested entries, not the"
+                f" full catalog.\n\n"
+            )
+        f.write(
             f"| ratio | entry | spark s | duckdb s |\n|---|---|---|---|\n"
         )
         for name, s_t, d_t, r in rows:
