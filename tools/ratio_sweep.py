@@ -27,9 +27,15 @@ TABLES = [
 
 
 def main() -> None:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
-    out_md = sys.argv[2] if len(sys.argv) > 2 else "RATIOS.md"
-    only = set(sys.argv[3:])
+    args = sys.argv[1:]
+    skip_extra: set[str] = set()
+    while "--skip" in args:
+        i = args.index("--skip")
+        skip_extra.add(args[i + 1])
+        del args[i:i + 2]
+    sf_dir = args[0] if len(args) > 0 else "/root/testdata/sf0.1"
+    out_md = args[1] if len(args) > 1 else "RATIOS.md"
+    only = set(args[2:])
 
     import duckdb
 
@@ -58,7 +64,7 @@ def main() -> None:
     rows = []
     errors = []
     for name, spec in CATALOG.items():
-        if spec.oracle_sql is None or name in SKIP:
+        if spec.oracle_sql is None or name in SKIP or name in skip_extra:
             continue
         if only and name not in only:
             continue
@@ -102,6 +108,14 @@ def main() -> None:
             f.write(
                 f"RESTRICTED SLICE: {len(only)} requested entries, not the"
                 f" full catalog.\n\n"
+            )
+        if skip_extra:
+            f.write(
+                f"EXPLICITLY SKIPPED (--skip): {', '.join(sorted(skip_extra))}"
+                f" — quadratic-verify dedup fixtures whose sf1 wall-clocks"
+                f" (100-530s each, Spark side) are recorded in COVERAGE.md;"
+                f" their SCALE paths (capped LSH, banded SimHash) are in the"
+                f" table.\n\n"
             )
         f.write(
             f"| ratio | entry | spark s | duckdb s |\n|---|---|---|---|\n"
