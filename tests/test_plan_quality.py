@@ -734,6 +734,8 @@ def test_broadcast_sites_are_ratcheted():
         "catalog_tpch.py": 24,
         "dedup/decontaminate.py": 2,  # gram set + benchmark vectors
         "dedup/deletion_vectors.py": 1,
+        "dedup/embedding_gemm.py": 1,  # ≤2^n_planes-row bucket-count dim
+                                       # for adaptive sub-blocking
         "operators/bloomjoin.py": 1,
         "operators/cms.py": 1,
         "operators/dsir.py": 5,  # 1-row corpus totals + K-row LLR table
