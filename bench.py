@@ -19,7 +19,16 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
 def main() -> None:
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    # --sf1: the per-round scale headline (r9 verdict task #6) — same
+    # protocol, the builder-generated sf1 lake, artifact → BENCH_SF1.json
+    sf1_mode = "--sf1" in sys.argv[1:]
+    if sf1_mode:
+        here = os.path.dirname(os.path.abspath(__file__))
+        sf_dir = os.environ.get(
+            "SPARK_GRAFT_SF_DIR", os.path.join(here, "testdata", "sf1")
+        )
+    else:
+        sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     runs = int(os.environ.get("BENCH_RUNS", "3"))
     try:
         sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", ""))
@@ -145,7 +154,8 @@ def main() -> None:
     # stdout gets ONE compact line that survives a 2000-char tail capture
     # (the r7 verdict's bench-artifact fix: BENCH_r07.json had parsed=null
     # because the fat line + progress spam overflowed the driver's buffer)
-    with open(os.path.join(here, "BENCH_OUT.json"), "w") as f:
+    out_name = "BENCH_SF1.json" if sf1_mode else "BENCH_OUT.json"
+    with open(os.path.join(here, out_name), "w") as f:
         json.dump(out, f, indent=1)
     compact = {
         "metric": out["metric"],
@@ -154,7 +164,7 @@ def main() -> None:
         "queries": out["queries"],
         "cold_value": out["cold_value"],
         "sf": out["sf"],
-        "full": "BENCH_OUT.json",
+        "full": out_name,
     }
     sys.stdout.flush()
     print(json.dumps(compact, separators=(",", ":")))

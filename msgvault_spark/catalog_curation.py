@@ -1666,13 +1666,18 @@ def embedding_near_dups_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     hyperplane signatures bucket the corpus, only same-bucket pairs pay
     the exact cosine rescore — O(N²) becomes O(Σ bucket²), recall traded
     via n_planes. The exact all-pairs twin (blocked GEMM) remains the
-    parity baseline; at 100 TB THIS is the operator that runs
-    (dedup/embedding.py:lsh_near_dups; plane coefficients are shared
-    Python literals so both engines bucket identically)."""
-    from msgvault_spark.dedup.embedding import lsh_near_dups
+    parity baseline; at 100 TB THIS is the operator that runs. Rescore
+    engine: the GEMM-margin two-phase (dedup/embedding_gemm.py —
+    per-bucket sub-blocked float64 GEMM proposes at threshold − margin,
+    the shared JVM fold re-verifies survivors), pinned bit-identical to
+    the interpreted-fold twin by tests/test_embedding_gemm.py and 4.6×
+    faster at sf1; plane coefficients are shared Python literals so both
+    engines bucket identically (ref: fused rescore semantics of
+    sqlitevec/fused.go:162-196)."""
+    from msgvault_spark.dedup.embedding_gemm import lsh_near_dups_gemm
 
     emb = load_table(spark, sf_dir, "embeddings")
-    return lsh_near_dups(
+    return lsh_near_dups_gemm(
         emb, _LSH_ND_THRESHOLD, dim=_EMB_DIM, n_planes=_LSH_ND_PLANES
     )
 

@@ -40,7 +40,6 @@ _EMAIL_ONLY = (
 
 
 _SEED_MEMO: dict[tuple, list] = {}
-_IVF_MEMO: dict[tuple, object] = {}
 
 
 def _normed_emb(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -327,18 +326,17 @@ from msgvault_spark.similarity.ivf import (  # noqa: E402
 
 def get_ivf_index(spark: SparkSession, sf_dir: str, n_cells: int = 8) -> DataFrame:
     """Memoized persisted IVF index (id, vec, cell) — the lake artifact a
-    real deployment buckets by cell at ETL time."""
-    key = (spark.sparkContext.applicationId, sf_dir, n_cells)
-    if key not in _IVF_MEMO:
-        from pyspark import StorageLevel
+    real deployment buckets by cell at ETL time (disk-backed via
+    sources/cache.get_artifact since round 10)."""
+    from msgvault_spark.sources.cache import get_artifact
 
-        emb = load_table(spark, sf_dir, "embeddings")
-        idx = build_ivf_index(emb, n_cells=n_cells).coalesce(4).persist(
-            StorageLevel.MEMORY_AND_DISK
-        )
-        idx.count()
-        _IVF_MEMO[key] = idx
-    return _IVF_MEMO[key]
+    return get_artifact(
+        spark,
+        (sf_dir, "ivf_index", n_cells),
+        lambda: build_ivf_index(
+            load_table(spark, sf_dir, "embeddings"), n_cells=n_cells
+        ).coalesce(4),
+    )
 
 
 @register("ann_ivf_seed0", ivf_oracle_sql(0, k=10, n_cells=8, nprobe=2))

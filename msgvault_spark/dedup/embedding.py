@@ -159,6 +159,37 @@ def _plane_coeff(p: int, d: int) -> float:
     return int(h, 16) / float(16**6 // 2) - 1.0
 
 
+DEFAULT_TARGET_BUCKET_POP = 1024
+
+
+def planes_for_corpus(
+    n_docs: int,
+    *,
+    target_bucket_pop: int = DEFAULT_TARGET_BUCKET_POP,
+    min_planes: int = 4,
+    max_planes: int = 28,
+) -> int:
+    """Plane-count policy: smallest p with expected bucket population
+    n_docs / 2^p ≤ target_bucket_pop.
+
+    Rescore work grows as Σ pop_b² — quadratic in docs-per-bucket — so a
+    FIXED plane count stops scaling: 8 planes that give ~80-doc buckets
+    at 20k docs give ~40k-doc buckets at 10M docs. Under the (sign-bit
+    uniformity) model each extra plane halves the expected population,
+    so p = ceil(log2(n / target)) keeps expected rescore pairs per doc
+    bounded by ~target/2 at ANY corpus size; real-corpus skew (correlated
+    boilerplate embeddings that sign-agree on every plane) is the
+    bucket_cap's job, not the plane count's (dedup/hotbuckets.py).
+    Measured curve: SCALING.md round-10 (tools/stress_hotbuckets.py
+    --planes-curve, 1M→10M docs at a fixed target)."""
+    import math
+
+    if n_docs <= 0:
+        return min_planes
+    p = math.ceil(math.log2(max(1.0, n_docs / target_bucket_pop)))
+    return max(min_planes, min(max_planes, p))
+
+
 def hyperplane_signature(vec: Column, dim: int, n_planes: int = 8) -> Column:
     """Bit-string bucket key: sign of <v, plane_p> per plane."""
     bits = []
@@ -178,11 +209,12 @@ def lsh_near_dups(
     threshold: float,
     *,
     dim: int,
-    n_planes: int = 8,
+    n_planes: int | None = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_to: int = 6,
     bucket_cap: int | None = None,
+    n_rows: int | None = None,
 ) -> DataFrame:
     """Approximate near-dup pairs: only same-bucket pairs are scored.
     Recall trades against bucket width via n_planes.
@@ -195,7 +227,13 @@ def lsh_near_dups(
     a distinct.  ``bucket_cap`` bounds hot buckets (near-identical
     boilerplate embeddings all sign-agree): over the cap, O(B)
     representative star edges replace O(B²) pairing, still
-    cosine-verified — see dedup/hotbuckets.py."""
+    cosine-verified — see dedup/hotbuckets.py.  ``n_planes=None`` picks
+    the count from corpus size (planes_for_corpus; pass ``n_rows`` to
+    avoid an eager count when a memoized statistic is at hand)."""
+    if n_planes is None:
+        n_planes = planes_for_corpus(
+            embeddings.count() if n_rows is None else n_rows
+        )
     sig = embeddings.select(
         F.col(id_col).alias("doc_id"),
         _as_double(F.col(vec_col)).alias("v"),

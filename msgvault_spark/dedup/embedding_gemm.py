@@ -132,33 +132,49 @@ def lsh_near_dups_gemm(
     threshold: float,
     *,
     dim: int,
-    n_planes: int = 8,
+    n_planes: int | None = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_to: int = 6,
     bucket_cap: int | None = None,
     group_rows: int = 2048,
+    n_rows: int | None = None,
 ) -> DataFrame:
     """Drop-in twin of `embedding.lsh_near_dups` (same args, same output
     bits) with GEMM-margin candidate generation instead of fold-scoring
     every within-bucket pair."""
+    if n_planes is None:
+        from msgvault_spark.dedup.embedding import planes_for_corpus
+
+        n_planes = planes_for_corpus(
+            embeddings.count() if n_rows is None else n_rows
+        )
     sig = embeddings.select(
         F.col(id_col).alias("doc_id"),
         _as_double(F.col(vec_col)).alias("v"),
     ).withColumn("bucket", hyperplane_signature(F.col("v"), dim, n_planes))
 
+    # NULL vectors: collect_list skips nulls, so feeding them to the GEMM
+    # tiles would misalign ids against vecs. Drop them from the PROPOSE
+    # side only — a pair with a NULL vector always rescores to NULL cos
+    # and is filtered in the fold path, so the output is unaffected — but
+    # keep the bucket_cap over/under split computed on the UNFILTERED
+    # postings so star-edge vs pairing decisions match lsh_near_dups
+    # bit-for-bit (star_edges over a hot bucket includes its NULL-vector
+    # members there too; the shared rescore drops them identically).
+    dense = sig.filter(F.col("v").isNotNull())
     if bucket_cap is not None:
         under_posts, over = split_by_bucket_cap(
             sig.select("bucket", "doc_id"), bucket_cap
         )
-        under = sig.join(
+        under = dense.join(
             under_posts.select("bucket").distinct(), "bucket", "left_semi"
         )
         pairs = _gemm_bucket_pairs(
             under, threshold, round_to, group_rows
         ).unionByName(star_edges(over))
     else:
-        pairs = _gemm_bucket_pairs(sig, threshold, round_to, group_rows)
+        pairs = _gemm_bucket_pairs(dense, threshold, round_to, group_rows)
 
     vmap = sig.select("doc_id", "v")
     cands = pairs.join(

@@ -44,11 +44,25 @@ def _key(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
 def get_archive(
     spark: SparkSession, sf_dir: str, *, materialize: bool = True
 ) -> dict[str, DataFrame]:
-    """Adapter archive, persisted + co-partitioned on first use."""
+    """Adapter archive, persisted + co-partitioned on first use. Round 10:
+    the adapter transform's output is also a lake artifact group
+    (artifact_store.py) — a fresh serving session over unchanged sources
+    reads the parquet twin and pays only the co-partitioning, not the
+    adapter derivation."""
+    from msgvault_spark.sources import artifact_store
+
     key = _key(spark, sf_dir)
     if key in _ARCHIVE_MEMO:
         return _ARCHIVE_MEMO[key]
-    arch = build_archive(spark, sf_dir)
+    kind = ("archive",)
+    loaded = artifact_store.load_group(spark, sf_dir, kind)
+    if loaded is not None:
+        arch = loaded[0]
+    else:
+        arch = build_archive(spark, sf_dir)
+        stored = artifact_store.save_group(spark, sf_dir, kind, arch)
+        if stored:
+            arch = stored
     if materialize:
         arch = dict(arch)
         arch["messages"] = arch["messages"].repartition(
@@ -198,22 +212,33 @@ def build_wide_messages(archive: dict[str, DataFrame]) -> DataFrame:
 
 
 def get_wide_messages(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Memoized, persisted wide view (partitioned by year at write time in a
-    real lake; persisted in-memory here)."""
+    """Memoized, persisted wide view. Round 10: backed by the on-disk
+    artifact lake (sources/artifact_store.py) — a fresh serving session
+    whose sources haven't moved loads the parquet twin instead of
+    re-running the whole denormalization (and skips building the archive
+    entirely when only wide-path entries run), the reference's
+    build-cache serving model."""
+    from msgvault_spark.sources import artifact_store
+
     key = _key(spark, sf_dir)
     if key in _WIDE_MEMO:
         return _WIDE_MEMO[key]
-    # cache at few, larger partitions: the wide view is dimension-scale
-    # (≤ a few hundred MB at bench SFs) and every consumer is a scan+agg, so
-    # per-task scheduling dominates — 8 partitions keeps scans at 8 tasks
-    # instead of 32 (measured 25% off the 4 wide aggregates at sf0.1). The
-    # lake-persisted twin (build_wide_cache) sizes by year partition/file
-    # instead, which is the knob that matters on a real cluster.
-    wide = (
-        build_wide_messages(get_archive(spark, sf_dir))
-        .coalesce(8)
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
+    kind = ("wide_messages",)
+    loaded = artifact_store.load_group(spark, sf_dir, kind)
+    if loaded is not None:
+        wide = loaded[0]["wide"]
+    else:
+        # build at few, larger partitions: the wide view is dimension-scale
+        # (≤ a few hundred MB at bench SFs) and every consumer is a
+        # scan+agg, so per-task scheduling dominates — 8 partitions keeps
+        # scans at 8 tasks instead of 32 (measured 25% off the 4 wide
+        # aggregates at sf0.1). The lake-persisted twin (build_wide_cache)
+        # sizes by year partition/file instead, which is the knob that
+        # matters on a real cluster.
+        built = build_wide_messages(get_archive(spark, sf_dir)).coalesce(8)
+        stored = artifact_store.save_group(spark, sf_dir, kind, {"wide": built})
+        wide = stored["wide"] if stored else built
+    wide = wide.persist(StorageLevel.MEMORY_AND_DISK)
     wide.count()
     _WIDE_MEMO[key] = wide
     return wide
@@ -294,14 +319,27 @@ def _build_text_index(spark, key, sf_dir, table, id_col, text_col) -> None:
     from pyspark.sql import functions as F
 
     from msgvault_spark.search.fts import build_inverted_index
+    from msgvault_spark.sources import artifact_store
 
+    kind = ("text_index", table, id_col, text_col)
+    n = max(4, spark.sparkContext.defaultParallelism // 8)
+    loaded = artifact_store.load_group(spark, sf_dir, kind)
+    if loaded is not None:
+        frames, scalars = loaded
+        postings = frames["postings"].persist(StorageLevel.MEMORY_AND_DISK)
+        stats = frames["stats"].persist(StorageLevel.MEMORY_AND_DISK)
+        term_stats = frames["term_stats"].persist(StorageLevel.MEMORY_AND_DISK)
+        postings.count()
+        _TEXT_INDEX_MEMO[key] = (postings, stats)
+        _TERM_STATS_MEMO[key] = term_stats
+        _CORPUS_STATS_MEMO[key] = (int(scalars["n"]), float(scalars["avgdl"]))
+        return
     postings, stats = build_inverted_index(
         get_table(spark, sf_dir, table), id_col, text_col
     )
     # right-size the persisted index: a handful of partitions caps per-scan
     # task count locally; a real lake sizes this by bytes (term-hash
     # partitioned), not by the session's shuffle.partitions
-    n = max(4, spark.sparkContext.defaultParallelism // 8)
     postings = postings.coalesce(n).persist(StorageLevel.MEMORY_AND_DISK)
     stats = stats.coalesce(n).persist(StorageLevel.MEMORY_AND_DISK)
     postings.count()
@@ -315,6 +353,23 @@ def _build_text_index(spark, key, sf_dir, table, id_col, text_col) -> None:
     row = stats.agg(
         F.count(F.lit(1)).alias("n"), F.avg("dl").alias("avgdl")
     ).collect()[0]
+    stored = artifact_store.save_group(
+        spark,
+        sf_dir,
+        kind,
+        {"postings": postings, "stats": stats, "term_stats": term_stats},
+        scalars={"n": int(row["n"]), "avgdl": float(row["avgdl"])},
+    )
+    if stored:
+        # serve the parquet-backed copies so the build session and every
+        # later load session produce IDENTICAL downstream plans (and the
+        # served bits are the lake bits)
+        for df in (postings, stats, term_stats):
+            df.unpersist()
+        postings = stored["postings"].persist(StorageLevel.MEMORY_AND_DISK)
+        stats = stored["stats"].persist(StorageLevel.MEMORY_AND_DISK)
+        term_stats = stored["term_stats"].persist(StorageLevel.MEMORY_AND_DISK)
+        postings.count()
     _TEXT_INDEX_MEMO[key] = (postings, stats)
     _TERM_STATS_MEMO[key] = term_stats
     _CORPUS_STATS_MEMO[key] = (int(row["n"]), float(row["avgdl"]))
@@ -332,10 +387,31 @@ def get_artifact(spark: SparkSession, cache_key: tuple, builder) -> DataFrame:
     re-deriving it."""
     key = (spark.sparkContext.applicationId, *cache_key)
     if key not in _ARTIFACT_MEMO:
-        df = builder().persist(StorageLevel.MEMORY_AND_DISK)
+        df = _disk_backed(
+            spark, cache_key, ("artifact", *cache_key[1:]), builder
+        ).persist(StorageLevel.MEMORY_AND_DISK)
         df.count()
         _ARTIFACT_MEMO[key] = df
     return _ARTIFACT_MEMO[key]
+
+
+def _disk_backed(
+    spark: SparkSession, cache_key: tuple, kind: tuple, builder
+) -> DataFrame:
+    """Load the artifact's parquet twin from the on-disk lake when fresh,
+    else build and persist it there (artifact_store.py — the reference's
+    build-cache + staleness-probe serving model). cache_key[0] is the
+    sf_dir by the package-wide memo convention; the served frame is the
+    stored copy, so served bits == lake bits."""
+    from msgvault_spark.sources import artifact_store
+
+    sf_dir = cache_key[0]
+    loaded = artifact_store.load_group(spark, sf_dir, kind)
+    if loaded is not None:
+        return loaded[0]["data"]
+    df = builder()
+    stored = artifact_store.save_group(spark, sf_dir, kind, {"data": df})
+    return stored["data"] if stored else df
 
 
 _SCALAR_MEMO: dict[tuple, object] = {}
@@ -348,7 +424,16 @@ def get_scalar(spark: SparkSession, cache_key: tuple, compute):
     instead of paying a 1-row aggregate job per invocation."""
     key = (spark.sparkContext.applicationId, *cache_key)
     if key not in _SCALAR_MEMO:
-        _SCALAR_MEMO[key] = compute()
+        from msgvault_spark.sources import artifact_store
+
+        kind = ("scalar", *cache_key[1:])
+        stored = artifact_store.load_scalars(cache_key[0], kind)
+        if stored is not None and "value" in stored:
+            _SCALAR_MEMO[key] = stored["value"]
+        else:
+            value = compute()
+            artifact_store.save_scalars(cache_key[0], kind, {"value": value})
+            _SCALAR_MEMO[key] = value
     return _SCALAR_MEMO[key]
 
 
@@ -367,9 +452,13 @@ def get_components(
 
     key = (spark.sparkContext.applicationId, *cache_key, *sorted(params.items()))
     if key not in _COMPONENTS_MEMO:
-        comp = connected_components(edges_builder(), **params).persist(
-            StorageLevel.MEMORY_AND_DISK
-        )
+        kind = ("components", *cache_key[1:], *sorted(params.items()))
+        comp = _disk_backed(
+            spark,
+            cache_key,
+            kind,
+            lambda: connected_components(edges_builder(), **params),
+        ).persist(StorageLevel.MEMORY_AND_DISK)
         comp.count()
         _COMPONENTS_MEMO[key] = comp
     return _COMPONENTS_MEMO[key]
@@ -393,8 +482,18 @@ def get_minhash_index(
 
     key = (spark.sparkContext.applicationId, *cache_key, *sorted(params.items()))
     if key not in _MINHASH_MEMO:
-        idx = build_minhash_index(
-            df_builder(), id_col, text_col, **params
+        kind = (
+            "minhash_index",
+            *cache_key[1:],
+            id_col,
+            text_col,
+            *sorted(params.items()),
+        )
+        idx = _disk_backed(
+            spark,
+            cache_key,
+            kind,
+            lambda: build_minhash_index(df_builder(), id_col, text_col, **params),
         ).persist(StorageLevel.MEMORY_AND_DISK)
         idx.count()
         _MINHASH_MEMO[key] = idx

@@ -14,6 +14,21 @@ from pyspark.sql import SparkSession
 from msgvault_spark.sources.loader import ARCHIVE_SCHEMAS
 
 
+@pytest.fixture(scope="session", autouse=True)
+def _artifact_tmp(tmp_path_factory):
+    """Keep test runs hermetic: the on-disk artifact lake
+    (sources/artifact_store.py) writes to a per-run tmp dir instead of the
+    repo-default .artifacts, so one run's artifacts never leak into the
+    next run's build-vs-load behavior."""
+    import os
+
+    if "SPARK_GRAFT_ARTIFACT_DIR" not in os.environ:
+        os.environ["SPARK_GRAFT_ARTIFACT_DIR"] = str(
+            tmp_path_factory.mktemp("artifacts")
+        )
+    yield
+
+
 @pytest.fixture(scope="session")
 def spark():
     s = (

@@ -1,0 +1,169 @@
+"""The on-disk artifact lake (sources/artifact_store.py) must serve
+exactly what was built, only while fresh, and never when disabled —
+the load-if-fresh serving model of the reference's build-cache +
+cacheNeedsBuild staleness probe (cmd/msgvault/cmd/build_cache.go:125-263,
+cmd/msgvault/cmd/tui.go:183-290)."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+
+from msgvault_spark.sources import artifact_store
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture()
+def store(tmp_path, monkeypatch):
+    monkeypatch.setenv("SPARK_GRAFT_ARTIFACT_DIR", str(tmp_path))
+    # per-sf_dir source fingerprints memoize stats; a test that touches
+    # mtimes needs a clean slate
+    artifact_store._SRC_FP.clear()
+    yield tmp_path
+    artifact_store._SRC_FP.clear()
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_group_roundtrip_bits(spark, store):
+    built = spark.range(10).selectExpr(
+        "id", "id * 2 AS twice", "CAST(id AS STRING) AS s"
+    )
+    stored = artifact_store.save_group(
+        spark, SF, ("t", "roundtrip"), {"data": built}, scalars={"k": 7}
+    )
+    assert stored is not None
+    assert _rows(stored["data"]) == _rows(built)
+    frames, scalars = artifact_store.load_group(spark, SF, ("t", "roundtrip"))
+    assert _rows(frames["data"]) == _rows(built)
+    # parquet reads are nullable; names and types must survive exactly
+    assert [(f.name, f.dataType) for f in frames["data"].schema] == [
+        (f.name, f.dataType) for f in built.schema
+    ]
+    assert scalars == {"k": 7}
+
+
+def test_miss_on_unknown_key(spark, store):
+    assert artifact_store.load_group(spark, SF, ("t", "absent")) is None
+
+
+def test_source_change_invalidates(spark, store, tmp_path):
+    # a private copy of a source dir whose mtime we can move
+    src = tmp_path / "sf"
+    src.mkdir()
+    data = open(os.path.join(SF, "region.parquet"), "rb").read()
+    (src / "region.parquet").write_bytes(data)
+    built = spark.range(3).toDF("id")
+    artifact_store.save_group(spark, str(src), ("t", "fresh"), {"data": built})
+    assert artifact_store.load_group(spark, str(src), ("t", "fresh")) is not None
+    os.utime(src / "region.parquet", ns=(1, 1))
+    artifact_store._SRC_FP.clear()  # fresh process analog
+    assert artifact_store.load_group(spark, str(src), ("t", "fresh")) is None
+
+
+def test_disabled_store_is_noop(spark, store, monkeypatch):
+    monkeypatch.setenv("SPARK_GRAFT_ARTIFACT_DIR", "")
+    built = spark.range(2).toDF("id")
+    assert artifact_store.save_group(spark, SF, ("t", "off"), {"data": built}) is None
+    assert artifact_store.load_group(spark, SF, ("t", "off")) is None
+
+
+def test_scalar_roundtrip_and_non_json_fallback(spark, store):
+    artifact_store.save_scalars(SF, ("scalar", "n"), {"value": 42})
+    assert artifact_store.load_scalars(SF, ("scalar", "n")) == {"value": 42}
+    # a non-JSON scalar must not be persisted (and must not raise)
+    artifact_store.save_scalars(SF, ("scalar", "bad"), {"value": object()})
+    assert artifact_store.load_scalars(SF, ("scalar", "bad")) is None
+
+
+def test_prune_drops_superseded_group(spark, store):
+    built = spark.range(2).toDF("id")
+    artifact_store.save_group(spark, SF, ("t", "prune"), {"data": built})
+    live = os.listdir(store)
+    assert len(live) == 1
+    # forge a stale sibling: same kind + sf_dir under an old digest (as a
+    # code/source fingerprint change would leave behind)
+    stale = store / "deadbeef" / "meta.json"
+    stale.parent.mkdir()
+    meta = json.load(open(os.path.join(store, live[0], "meta.json")))
+    stale.write_text(json.dumps(meta))
+    # next save of the SAME kind prunes it; an unrelated kind does not
+    artifact_store.save_scalars(SF, ("scalar", "other"), {"value": 1})
+    assert (store / "deadbeef").exists()
+    (store / live[0] / "meta.json").unlink()  # force digest dir rebuildable?
+    # rebuild the real group after dropping it entirely
+    import shutil
+
+    shutil.rmtree(store / live[0])
+    artifact_store.save_group(spark, SF, ("t", "prune"), {"data": built})
+    assert not (store / "deadbeef").exists()
+
+
+def test_half_written_group_never_loads(spark, store):
+    built = spark.range(2).toDF("id")
+    artifact_store.save_group(spark, SF, ("t", "half"), {"data": built})
+    [d] = [p for p in os.listdir(store) if not p.endswith("json")]
+    os.remove(os.path.join(store, d, "meta.json"))
+    assert artifact_store.load_group(spark, SF, ("t", "half")) is None
+
+
+def test_text_index_served_from_lake_matches_built(spark, store):
+    """End-to-end through sources/cache: build the documents FTS index
+    (writes the lake group), wipe the in-session memos to simulate a fresh
+    serving session, reload — postings/stats/scalars must be identical and
+    the store must actually be hit (no rebuild)."""
+    from msgvault_spark.sources import cache
+
+    postings1, stats1 = cache.get_text_index(
+        spark, SF, "documents", "doc_id", "text"
+    )
+    n1, avgdl1 = cache.get_corpus_stats(spark, SF, "documents", "doc_id", "text")
+    p_rows, s_rows = _rows(postings1), _rows(stats1)
+    assert artifact_store.load_group(
+        spark, SF, ("text_index", "documents", "doc_id", "text")
+    ) is not None
+
+    cache._TEXT_INDEX_MEMO.clear()
+    cache._TERM_STATS_MEMO.clear()
+    cache._CORPUS_STATS_MEMO.clear()
+
+    def boom(*a, **k):  # the lake must satisfy the reload
+        raise AssertionError("rebuilt instead of loading the lake artifact")
+
+    import msgvault_spark.search.fts as fts
+
+    orig = fts.build_inverted_index
+    fts.build_inverted_index = boom
+    try:
+        postings2, stats2 = cache.get_text_index(
+            spark, SF, "documents", "doc_id", "text"
+        )
+        n2, avgdl2 = cache.get_corpus_stats(
+            spark, SF, "documents", "doc_id", "text"
+        )
+    finally:
+        fts.build_inverted_index = orig
+    assert _rows(postings2) == p_rows
+    assert _rows(stats2) == s_rows
+    assert (n2, avgdl2) == (n1, avgdl1)
+
+
+def test_get_artifact_served_from_lake(spark, store):
+    from msgvault_spark.sources import cache
+
+    calls = []
+
+    def build():
+        calls.append(1)
+        return spark.range(5).selectExpr("id", "id % 2 AS parity")
+
+    df1 = cache.get_artifact(spark, (SF, "unit_lake_artifact"), build)
+    cache._ARTIFACT_MEMO.clear()  # fresh serving session analog
+    df2 = cache.get_artifact(spark, (SF, "unit_lake_artifact"), build)
+    assert calls == [1]
+    assert _rows(df1) == _rows(df2)

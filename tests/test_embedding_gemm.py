@@ -104,3 +104,62 @@ def test_equal_on_float32_corpus_and_tiny_blocks(spark):
 def test_empty_corpus(spark):
     emb = spark.createDataFrame([], "vec_id long, embedding array<double>")
     assert _rows(lsh_near_dups_gemm(emb, 0.9, dim=4)) == []
+
+
+def test_null_vector_shares_bucket_with_dense(spark):
+    """Round-9 advice: a NULL embedding crashed the GEMM tiles because
+    collect_list skips nulls, misaligning ids against vecs. With
+    n_planes=1 a NULL signature folds to bucket '0'; place two dense
+    vectors in that same bucket so the tile genuinely mixes NULL and
+    dense members — the fold twin drops the NULL pairs via NULL cos,
+    and the GEMM twin must emit the identical row set, not raise."""
+    from msgvault_spark.dedup.embedding import _plane_coeff
+
+    coeffs = [_plane_coeff(0, d) for d in range(4)]
+    v = [-c for c in coeffs]            # dot(plane0) = -Σc² < 0 → bucket '0'
+    v2 = [x * 1.0001 for x in v]        # same direction → same bucket, cos≈1
+    emb = spark.createDataFrame(
+        [(1, v), (2, v2), (3, None)],
+        "vec_id long, embedding array<double>",
+    )
+    got = _assert_twin(emb, 0.9, dim=4, n_planes=1)
+    assert {(a, b) for a, b, _ in got} == {(1, 2)}
+
+
+def test_null_vectors_under_bucket_cap(spark):
+    """The over/under-cap split must stay computed on UNFILTERED postings:
+    11 NULL-vector docs bust an 8-cap bucket (star edges over NULL members,
+    all rescoring to NULL → dropped) while a dense under-cap pair survives.
+    Twin equality pins that the null-filter did not move the cap split."""
+    emb = spark.createDataFrame(
+        [(i, None) for i in range(11)]
+        + [(100, [-1.0, -0.5, 0.25, 0.125]),
+           (101, [-1.0, -0.5, 0.26, 0.125])],
+        "vec_id long, embedding array<double>",
+    )
+    got = _assert_twin(emb, 0.90, dim=4, bucket_cap=8)
+    assert {(a, b) for a, b, _ in got} == {(100, 101)}
+
+
+def test_auto_planes_policy(spark):
+    """n_planes=None resolves via planes_for_corpus and matches the same
+    run with the count passed explicitly (both twins)."""
+    from msgvault_spark.dedup.embedding import planes_for_corpus
+
+    # policy shape: monotone in N, halving-per-plane, clamped
+    assert planes_for_corpus(0) == 4
+    assert planes_for_corpus(1024) == 4
+    assert planes_for_corpus(1 << 20) == 10
+    assert planes_for_corpus(10_000_000) == 14
+    assert planes_for_corpus(1 << 60) == 28
+
+    rows = [
+        (i, [1.0 + i * 1e-3, -0.5, 0.25, 0.125]) for i in range(30)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    p = planes_for_corpus(30)
+    auto = _rows(lsh_near_dups_gemm(emb, 0.9, dim=4, n_planes=None))
+    explicit = _rows(lsh_near_dups_gemm(emb, 0.9, dim=4, n_planes=p))
+    fold_auto = _rows(lsh_near_dups(emb, 0.9, dim=4, n_planes=None, n_rows=30))
+    assert auto == explicit == fold_auto
+    assert auto  # near-identical vectors must pair

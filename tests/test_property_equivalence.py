@@ -989,3 +989,204 @@ def test_bpe_rejects_out_of_charset_symbols(spark):
     # pairs 'don' with the apostrophe — the charset guard must fire
     with _pytest.raises(ValueError, match="a-z0-9"):
         bpe_train_merges(docs, k=3, ctf=bad_ctf)
+
+
+# ---------------------------------------------------------------------------
+# round 10 (r9 verdict task #7): the hash-sensitive argmax/tie-break policy
+# sites, fuzzed against pure-Python brute force — these are the entries
+# where the driver's oracle REPLAYS the same formula (min_by / row_number
+# tie-break), so oracle agreement alone can't catch a policy bug.
+# ---------------------------------------------------------------------------
+
+_ff_recips = st.lists(
+    st.tuples(
+        st.integers(1, 6),                      # message_id
+        st.integers(1, 5),                      # participant_id
+        st.sampled_from(["from", "to", "cc"]),
+    ),
+    min_size=0,
+    max_size=25,
+)
+_ff_parts = st.lists(
+    st.tuples(
+        st.sampled_from(["", "a@x.com", "b@y.com", "c@z.org"]),  # email
+        st.sampled_from(["", " ", "Alice", " Bob "]),            # display
+        st.sampled_from(["", "+1555", "+2666"]),                 # phone
+    ),
+    min_size=5,
+    max_size=5,
+)
+
+
+@given(recips=_ff_recips, parts=_ff_parts, sender_of=st.integers(0, 5))
+@settings(**_SETTINGS)
+def test_wide_first_from_matches_reference_random(
+    spark, recips, parts, sender_of
+):
+    """build_wide_messages' resolved sender (min_by over participant_id,
+    coalesce name chain, direct-sender fallback) vs brute force."""
+    from msgvault_spark.sources.cache import build_wide_messages
+    from msgvault_spark.sources.loader import ARCHIVE_SCHEMAS
+
+    n_msg = 6
+    participants = [
+        (pid, em, em.split("@")[1] if "@" in em else "", dn, ph)
+        for pid, (em, dn, ph) in enumerate(parts, start=1)
+    ]
+    messages = [
+        (
+            m, 1, f"m{m}", 10, f"s{m}", "", BASE + dt.timedelta(hours=m),
+            10, False, 0, None,
+            (sender_of if (m == 1 and sender_of) else None),  # sender_id
+            "email", 2024, 1,
+        )
+        for m in range(1, n_msg + 1)
+    ]
+    archive = {
+        "messages": spark.createDataFrame(
+            messages, schema=ARCHIVE_SCHEMAS["messages"]
+        ),
+        "message_recipients": spark.createDataFrame(
+            [(m, p, t, "") for m, p, t in recips],
+            schema=ARCHIVE_SCHEMAS["message_recipients"],
+        ),
+        "participants": spark.createDataFrame(
+            participants, schema=ARCHIVE_SCHEMAS["participants"]
+        ),
+        "labels": spark.createDataFrame([], ARCHIVE_SCHEMAS["labels"]),
+        "message_labels": spark.createDataFrame(
+            [], ARCHIVE_SCHEMAS["message_labels"]
+        ),
+        "attachments": spark.createDataFrame(
+            [], ARCHIVE_SCHEMAS["attachments"]
+        ),
+    }
+    wide = build_wide_messages(archive)
+    got = {
+        r["id"]: (r["from_email"], r["from_name"], r["from_phone"],
+                  r["has_from_row"])
+        for r in wide.select(
+            "id", "from_email", "from_name", "from_phone", "has_from_row"
+        ).collect()
+    }
+
+    pmap = {p[0]: p for p in participants}
+
+    def resolve(pid):
+        _, em, _, dn, ph = pmap[pid]
+        name = (dn.strip() if dn.strip() else None) or (ph or None) or em
+        return em, name, (ph or "")
+
+    ref = {}
+    for m in range(1, n_msg + 1):
+        froms = sorted(p for (mm, p, t) in recips if mm == m and t == "from")
+        if froms:
+            em, name, ph = resolve(froms[0])
+            ref[m] = (em, name, ph, True)
+        elif m == 1 and sender_of:
+            _, em, _, dn, ph = pmap[sender_of]
+            ref[m] = (em, dn, ph, False)
+        else:
+            ref[m] = (None, None, None, False)
+    assert got == ref
+
+
+_surv_groups = st.lists(
+    st.tuples(
+        st.integers(0, 2),    # group_key
+        st.integers(0, 3),    # src_rank  (priority 1: asc)
+        st.integers(0, 3),    # label_count (priority 2: desc)
+        st.booleans(),        # sent copy signal
+    ),
+    min_size=1,
+    max_size=30,
+)
+
+
+@given(rows=_surv_groups)
+@settings(**_SETTINGS)
+def test_select_survivors_matches_reference_random(spark, rows):
+    """D3 survivor selection (sent-copy gate → priority list → id
+    tie-break) vs a pure-Python argmin over the same composite key."""
+    from msgvault_spark.dedup.exact import select_survivors
+
+    data = [
+        (i, g, sr, lc, s) for i, (g, sr, lc, s) in enumerate(rows)
+    ]
+    df = spark.createDataFrame(
+        data,
+        "id long, group_key long, src_rank long, label_count long, "
+        "sent boolean",
+    )
+    marked = select_survivors(
+        df,
+        [F.col("src_rank").asc(), F.col("label_count").desc()],
+        sent_copy=F.col("sent"),
+    )
+    got = {r["id"] for r in marked.collect() if r["is_survivor"]}
+
+    by_group: dict[int, list[tuple]] = {}
+    for i, g, sr, lc, s in data:
+        by_group.setdefault(g, []).append((i, sr, lc, s))
+    ref = set()
+    for g, members in by_group.items():
+        has_sent = any(s for (_, _, _, s) in members)
+        ref.add(
+            min(
+                members,
+                key=lambda m: (
+                    0 if (has_sent and m[3]) else 1, m[1], -m[2], m[0]
+                ),
+            )[0]
+        )
+    assert got == ref
+
+
+_rrf_scores = st.lists(
+    st.tuples(st.integers(1, 12), st.integers(0, 5)),
+    min_size=0,
+    max_size=12,
+    unique_by=lambda t: t[0],
+)
+
+
+@given(b_rows=_rrf_scores, v_rows=_rrf_scores, kps=st.sampled_from([3, 5]))
+@settings(**_SETTINGS)
+def test_rrf_fuse_matches_reference_random(spark, b_rows, v_rows, kps):
+    """RRF fusion (per-signal row_number ties on id, full-outer union,
+    score-desc/id-asc final order) vs brute force — score compared to
+    12 decimals, order compared exactly."""
+    from msgvault_spark.search.hybrid import DEFAULT_RRF_K, rank_signal, rrf_fuse
+
+    if not b_rows and not v_rows:
+        return
+    b = spark.createDataFrame(
+        [(i, float(s)) for i, s in b_rows] or [(None, None)],
+        "id long, score double",
+    ).filter(F.col("id").isNotNull())
+    v = spark.createDataFrame(
+        [(i, float(s)) for i, s in v_rows] or [(None, None)],
+        "id long, score double",
+    ).filter(F.col("id").isNotNull())
+    fused = rrf_fuse(
+        rank_signal(b, "score", kps), rank_signal(v, "score", kps), kps
+    )
+    got = [
+        (r["id"], round(r["rrf_score"], 12)) for r in fused.collect()
+    ]
+
+    def ranks(rows):
+        ordered = sorted(rows, key=lambda t: (-t[1], t[0]))
+        return {i: rk for rk, (i, _) in enumerate(ordered, start=1) if rk <= kps}
+
+    rb, rv = ranks(b_rows), ranks(v_rows)
+    scores = {}
+    for i in set(rb) | set(rv):
+        s = 0.0
+        if i in rb:
+            s += 1.0 / (DEFAULT_RRF_K + rb[i])
+        if i in rv:
+            s += 1.0 / (DEFAULT_RRF_K + rv[i])
+        scores[i] = s
+    ref = sorted(scores.items(), key=lambda t: (-t[1], t[0]))[:20]
+    assert got == [(i, round(s, 12)) for i, s in ref]

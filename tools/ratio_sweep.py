@@ -31,6 +31,8 @@ def main() -> None:
     skip_extra: set[str] = set()
     while "--skip" in args:
         i = args.index("--skip")
+        if i + 1 >= len(args):
+            sys.exit("--skip requires an entry name")
         skip_extra.add(args[i + 1])
         del args[i:i + 2]
     sf_dir = args[0] if len(args) > 0 else "/root/testdata/sf0.1"
@@ -61,6 +63,17 @@ def main() -> None:
         "stream_static_enrich",
     }
 
+    # Fact-scale outputs (whole-corpus projections like
+    # rp_project_embeddings) used to be timed with .collect()/fetchall(),
+    # which measured Py4J row-conversion transfer, not plan cost — at sf1
+    # rp_project_embeddings read 3.55x while its plan executed in 0.096s
+    # (round-9 verdict, What's wrong #2). Entries whose warm output is at
+    # least FULL_OUTPUT_ROWS are now timed to a sink on BOTH engines:
+    # Spark's noop datasource (full computation, zero serialization) vs a
+    # DuckDB in-memory CTAS (full materialization, zero fetch loop). Both
+    # still compute every output column; neither pays result transfer.
+    FULL_OUTPUT_ROWS = 5000
+
     rows = []
     errors = []
     for name, spec in CATALOG.items():
@@ -69,18 +82,37 @@ def main() -> None:
         if only and name not in only:
             continue
         try:
-            spec.fn(spark, sf_dir).collect()  # warm caches/artifacts
+            n_out = len(spec.fn(spark, sf_dir).collect())  # warm + size
+            sink_mode = n_out >= FULL_OUTPUT_ROWS
+            if sink_mode:
+                def run_spark():
+                    spec.fn(spark, sf_dir).write.mode("overwrite").format(
+                        "noop"
+                    ).save()
+
+                def run_duck():
+                    con.execute(
+                        "CREATE OR REPLACE TEMP TABLE _sweep_out AS "
+                        + spec.oracle_sql
+                    )
+            else:
+                def run_spark():
+                    spec.fn(spark, sf_dir).collect()
+
+                def run_duck():
+                    con.execute(spec.oracle_sql).fetchall()
+            run_spark()  # warm the timed shape itself
             ts = []
             for _ in range(2):
                 t0 = time.perf_counter()
-                spec.fn(spark, sf_dir).collect()
+                run_spark()
                 ts.append(time.perf_counter() - t0)
             s_t = min(ts)
-            con.execute(spec.oracle_sql).fetchall()
+            run_duck()
             ts = []
             for _ in range(2):
                 t0 = time.perf_counter()
-                con.execute(spec.oracle_sql).fetchall()
+                run_duck()
                 ts.append(time.perf_counter() - t0)
             d_t = min(ts)
         except Exception as e:  # noqa: BLE001
@@ -88,8 +120,9 @@ def main() -> None:
             errors.append((name, f"{type(e).__name__}: {e}"))
             continue
         ratio = s_t / d_t if d_t > 0 else float("inf")
-        rows.append((name, s_t, d_t, ratio))
-        print(f"{ratio:7.1f}x {name}: spark={s_t:.3f} duck={d_t:.3f}")
+        rows.append((name, s_t, d_t, ratio, sink_mode))
+        tag = " [sink]" if sink_mode else ""
+        print(f"{ratio:7.1f}x {name}: spark={s_t:.3f} duck={d_t:.3f}{tag}")
 
     rows.sort(key=lambda r: -r[3])
     sf = os.path.basename(sf_dir.rstrip("/"))
@@ -103,6 +136,11 @@ def main() -> None:
             f" constant amortizes to zero against\nper-row work; the"
             f" structural reading is the ABSOLUTE Spark time and the\n"
             f"plan shape (SCALING.md).\n\n"
+            f"Entries marked [sink] emit a whole-corpus output (≥5000"
+            f" rows at this SF) and are\ntimed to a sink on both engines"
+            f" — Spark noop write vs DuckDB in-memory CTAS —\nso the"
+            f" ratio reads plan cost, not driver result-transfer"
+            f" (round-9 methodology fix).\n\n"
         )
         if only:
             f.write(
@@ -120,8 +158,9 @@ def main() -> None:
         f.write(
             f"| ratio | entry | spark s | duckdb s |\n|---|---|---|---|\n"
         )
-        for name, s_t, d_t, r in rows:
-            f.write(f"| {r:.2f}x | {name} | {s_t:.3f} | {d_t:.3f} |\n")
+        for name, s_t, d_t, r, sink in rows:
+            tag = " [sink]" if sink else ""
+            f.write(f"| {r:.2f}x | {name}{tag} | {s_t:.3f} | {d_t:.3f} |\n")
         over = [x for x in rows if x[3] > 2.0]
         f.write(
             f"\n{len(rows)} batch entries ({len(SKIP)} streaming entries"

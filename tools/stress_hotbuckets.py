@@ -16,6 +16,15 @@ The r8 verdict's past-toy-scale ask: a single 10M-doc run at 20%
 boilerplate —
 
     python tools/stress_hotbuckets.py --hot-frac 0.2 10000000
+
+Round-10 addition: ``--planes-curve`` switches to the hyperplane-LSH
+plane-count policy curve (dedup/embedding.planes_for_corpus) — for each
+N it synthesizes N deterministic pseudo-random vectors, buckets them
+with BOTH a fixed 8-plane signature and the policy's count, and prints
+the within-bucket rescore pair totals. The policy column must stay
+~flat per doc while the fixed column grows linearly per doc:
+
+    python tools/stress_hotbuckets.py --planes-curve 1000000 3000000 10000000
 """
 
 from __future__ import annotations
@@ -29,8 +38,70 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 UNCAPPED_MAX_HOT = 4000  # ~8M quadratic pairs; beyond this only capped runs
 
 
+def planes_curve(ns: list[int]) -> None:
+    """Rescore-pair growth with a FIXED plane count vs the corpus-sized
+    policy. Vectors are JVM-synthesized (hash-derived coordinates), and
+    the pair totals are Σ pop_b·(pop_b−1)/2 from a bucket-count groupBy —
+    the propose-stage cost, measured without running the propose."""
+    from pyspark.sql import functions as F
+
+    from msgvault_spark.dedup.embedding import (
+        DEFAULT_TARGET_BUCKET_POP,
+        hyperplane_signature,
+        planes_for_corpus,
+    )
+    from msgvault_spark.session import get_spark
+
+    spark = get_spark("stress_planes")
+    spark.sparkContext.setLogLevel("ERROR")
+    dim = 16
+    print(
+        f"target bucket pop {DEFAULT_TARGET_BUCKET_POP}; pairs = "
+        f"Σ pop·(pop−1)/2 over buckets (the GEMM-propose workload)"
+    )
+    print(f"{'N':>9} {'p_fix':>6} {'pairs_fixed8':>14} {'per_doc':>9} "
+          f"{'p_auto':>6} {'pairs_policy':>14} {'per_doc':>9} {'sec':>6}")
+    for n in ns:
+        vec = F.array(
+            *[
+                (
+                    (F.pmod(F.xxhash64(F.col("id") * F.lit(k + 1)), F.lit(2001))
+                     - F.lit(1000)) / F.lit(1000.0)
+                )
+                for k in range(dim)
+            ]
+        )
+        docs = spark.range(n).select(F.col("id"), vec.alias("v"))
+        t0 = time.perf_counter()
+        out = {}
+        for tag, p in (("fixed", 8), ("auto", planes_for_corpus(n))):
+            pairs = (
+                docs.groupBy(
+                    hyperplane_signature(F.col("v"), dim, p).alias("b")
+                )
+                .agg(F.count(F.lit(1)).alias("pop"))
+                .agg(
+                    F.sum(
+                        F.col("pop") * (F.col("pop") - F.lit(1)) / F.lit(2)
+                    ).alias("pairs")
+                )
+                .collect()[0]["pairs"]
+            )
+            out[tag] = (p, int(pairs))
+        dt = time.perf_counter() - t0
+        (pf, nf), (pa, na) = out["fixed"], out["auto"]
+        print(
+            f"{n:9d} {pf:6d} {nf:14d} {nf / n:9.1f} "
+            f"{pa:6d} {na:14d} {na / n:9.1f} {dt:6.1f}"
+        )
+
+
 def main() -> None:
     args = sys.argv[1:]
+    if "--planes-curve" in args:
+        args.remove("--planes-curve")
+        planes_curve([int(a) for a in args] or [1_000_000, 3_000_000, 10_000_000])
+        return
     hot_frac = 0.5
     if "--hot-frac" in args:
         i = args.index("--hot-frac")
