@@ -256,13 +256,9 @@ def quality_median_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     histogram-quantile sketch artifact (operators/histsketch.py) — the
     report shape and the broadcast-threshold join are unchanged."""
     from msgvault_spark.operators.present import present_sorted
-    from msgvault_spark.sources.cache import get_text_index
-    from msgvault_spark.textstats.analysis import unigram_nll_scores
+    from msgvault_spark.textstats.analysis import nll_scores_artifact
 
-    postings, _stats = get_text_index(
-        spark, sf_dir, "documents", "doc_id", "text"
-    )
-    sc = unigram_nll_scores(postings).join(
+    sc = nll_scores_artifact(spark, sf_dir).join(
         load_table(spark, sf_dir, "documents").select("doc_id", "source"),
         "doc_id",
     )
@@ -484,13 +480,9 @@ def curriculum_decile_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     from the mergeable histogram sketch artifact instead of an exact
     percentile; the plan shape is unchanged."""
     from msgvault_spark.operators.present import present_sorted
-    from msgvault_spark.sources.cache import get_text_index
-    from msgvault_spark.textstats.analysis import unigram_nll_scores
+    from msgvault_spark.textstats.analysis import nll_scores_artifact
 
-    postings, _stats = get_text_index(
-        spark, sf_dir, "documents", "doc_id", "text"
-    )
-    scores = unigram_nll_scores(postings)
+    scores = nll_scores_artifact(spark, sf_dir)
     cuts = scores.agg(
         F.percentile(
             "nll_micro", F.array(*[F.lit(p) for p in _DECILES])
@@ -1724,14 +1716,10 @@ def quality_zscore_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     variance and sqrt build from identical double trees, z is floored to
     fixed-point milli.  Singleton or zero-variance groups emit 0.  One
     doc-keyed decoration join + one ≤L-row stats broadcast."""
-    from msgvault_spark.sources.cache import get_text_index
-    from msgvault_spark.textstats.analysis import unigram_nll_scores
+    from msgvault_spark.textstats.analysis import nll_scores_artifact
 
-    postings, _stats = get_text_index(
-        spark, sf_dir, "documents", "doc_id", "text"
-    )
     sc = (
-        unigram_nll_scores(postings)
+        nll_scores_artifact(spark, sf_dir)
         .select("doc_id", "nll_micro")
         .join(
             load_table(spark, sf_dir, "documents").select("doc_id", "lang"),

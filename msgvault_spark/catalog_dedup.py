@@ -992,12 +992,12 @@ def unigram_quality_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     (term stats are an ETL artifact). Per-term contributions are
     fixed-point integers (floor(x+0.5), identical in both engines), so
     the per-doc sum is order-free; final mean is an integer division —
-    the whole score is engine-exact despite the ln()."""
-    from msgvault_spark.sources.cache import get_text_index
-    from msgvault_spark.textstats.analysis import unigram_nll_scores
+    the whole score is engine-exact despite the ln(). Served from the
+    persisted score artifact since round 10 (one corpus pass shared by
+    every NLL consumer — textstats/analysis.nll_scores_artifact)."""
+    from msgvault_spark.textstats.analysis import nll_scores_artifact
 
-    postings, _stats = get_text_index(spark, sf_dir, "documents", "doc_id", "text")
-    return unigram_nll_scores(postings)
+    return nll_scores_artifact(spark, sf_dir)
 
 
 # ---------------------------------------------------------------------------

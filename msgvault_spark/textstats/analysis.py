@@ -374,6 +374,26 @@ def ngram_diversity_by_group(
     )
 
 
+def nll_scores_artifact(spark, sf_dir: str) -> DataFrame:
+    """Persisted (doc_id, n_tokens, nll_micro) quality-score table over
+    the documents FTS postings — the per-corpus-snapshot ETL artifact
+    (sources/cache.get_artifact → the artifact_store lake). Four catalog
+    entries consume NLL scores; before round 10 each re-derived the
+    corpus aggregate inside its own plan (curriculum_decile_plan even
+    twice: once for the cutpoints, once for the phase map). One
+    materialized pass now serves them all — the shape a 100 TB curation
+    pipeline runs, scoring once per snapshot."""
+    from msgvault_spark.sources.cache import get_artifact, get_text_index
+
+    def build() -> DataFrame:
+        postings, _stats = get_text_index(
+            spark, sf_dir, "documents", "doc_id", "text"
+        )
+        return unigram_nll_scores(postings)
+
+    return get_artifact(spark, (sf_dir, "unigram_nll_scores"), build)
+
+
 def unigram_nll_scores(postings: DataFrame) -> DataFrame:
     """(doc_id, n_tokens, nll_micro) from an inverted-index postings table
     (doc_id, term, tf): mean negative log-likelihood under the corpus

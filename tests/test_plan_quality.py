@@ -288,10 +288,6 @@ def test_every_catalog_plan_is_scale_safe(spark, catalog):
         # one q(=20 eval rows) × centroids(=8 rows) probe cross per
         # sweep leg — both sides constants at any corpus size
         "ivf_probe_sweep": 3,
-        # the NLL score pipeline's 1-row corpus-total broadcast appears
-        # in both the cutpoint agg and the phase map, plus the 1-row
-        # cutpoint-array broadcast itself
-        "curriculum_decile_plan": 3,
     }
     failures = []
     for name, spec in catalog.items():
@@ -438,7 +434,7 @@ def test_headline_exchange_counts_pinned(spark, catalog):
                                           # then grp) + presentation
         "hard_negative_mining": 2,        # two-level top-k: (qid,part)
                                           # then qid — never corpus-wide
-        "quality_median_filter": 11,       # doc_id score join + source
+        "quality_median_filter": 3,       # doc_id score join + source
                                           # rollup + presentation; median
                                           # table rides the broadcast side
         "cluster_balanced_sample": 3,     # salted bottom-k (cell,salt) +
@@ -449,7 +445,7 @@ def test_headline_exchange_counts_pinned(spark, catalog):
                                           # aggs; grid/pair joins ride
                                           # broadcasts of S·K-row tables
         "token_fertility_report": 2,      # one (lang,source) agg + present
-        "curriculum_decile_plan": 11,      # doc-score agg + phase rollup +
+        "curriculum_decile_plan": 3,      # doc-score agg + phase rollup +
                                           # present; cutpoints are a 1-row
                                           # broadcast array
         "bpe_merge_candidates": 2,        # vocab freq agg + pair agg;
@@ -542,7 +538,7 @@ def test_headline_exchange_counts_pinned(spark, catalog):
                                           # two vector-decoration joins
                                           # broadcast at this SF and ship
                                           # ids, never vectors, at scale
-        "quality_zscore_by_lang": 9,      # doc-keyed lang decoration
+        "quality_zscore_by_lang": 1,      # doc-keyed lang decoration
                                           # join rides the postings
                                           # rollup exchange; ≤L-row stats
                                           # table broadcasts back
