@@ -55,24 +55,39 @@ def kgram_hashes(text: Column, k: int, *, portable: bool = False) -> Column:
 
     ``text`` must be a plain column reference (see module note) — use
     ``winnow_candidate_pairs`` for the correctly-staged pipeline."""
-    t = F.regexp_replace(F.lower(text), r"\s+", " ")
-    n = F.length(t)
-    return F.when(
-        n >= k,
-        F.transform(F.sequence(F.lit(1), n - (k - 1)), _gram_hasher(k, portable)(t)),
-    ).otherwise(F.array().cast("array<bigint>"))
+    # let-bind the normalized text (single-element transform): interpreted
+    # HOF lambdas re-evaluate captured subtrees per element, so an
+    # expression argument would re-run the regexp at every gram position.
+    # The staged pipeline below binds real columns anyway; this keeps the
+    # convenience form safe for expression inputs too.
+    def _hashes(t: Column) -> Column:
+        n = F.length(t)
+        return F.when(
+            n >= k,
+            F.transform(
+                F.sequence(F.lit(1), n - (k - 1)), _gram_hasher(k, portable)(t)
+            ),
+        ).otherwise(F.array().cast("array<bigint>"))
+
+    normed = F.regexp_replace(F.lower(text), r"\s+", " ")
+    return F.element_at(F.transform(F.array(normed), _hashes), 1)
 
 
 def _select_windows(hs: Column, w: int) -> Column:
-    n = F.size(hs)
-    windows = F.when(
-        n >= w,
-        F.transform(
-            F.sequence(F.lit(0), n - w),
-            lambda i: F.array_min(F.slice(hs, i + 1, w)),
-        ),
-    ).otherwise(F.when(n > 0, F.array(F.array_min(hs))).otherwise(hs))
-    return F.array_distinct(windows)
+    # same let-binding rationale as kgram_hashes: bind the hash array once
+    def _windows(h: Column) -> Column:
+        n = F.size(h)
+        return F.array_distinct(
+            F.when(
+                n >= w,
+                F.transform(
+                    F.sequence(F.lit(0), n - w),
+                    lambda i: F.array_min(F.slice(h, i + 1, w)),
+                ),
+            ).otherwise(F.when(n > 0, F.array(F.array_min(h))).otherwise(h))
+        )
+
+    return F.element_at(F.transform(F.array(hs), _windows), 1)
 
 
 def winnow_fingerprints(

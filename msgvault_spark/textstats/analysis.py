@@ -327,16 +327,23 @@ def ngram_instances(text: Column, n: int = 3) -> Column:
     two-way form emitted a '' gram here, which DuckDB's list_aggregate
     turns into NULL — counted by COUNT(*) but not COUNT(DISTINCT), an
     engine-parity split on degenerate docs.)"""
-    ws = words(text)
-    return F.when(
-        F.size(ws) >= n,
-        F.transform(
-            F.sequence(F.lit(1), F.size(ws) - (n - 1)),
-            lambda i: F.concat_ws(" ", F.slice(ws, i, n)),
-        ),
-    ).when(
-        F.size(ws) >= 1, F.array(F.concat_ws(" ", ws))
-    ).otherwise(F.array().cast("array<string>"))
+    # let-bind the word array (single-element transform) so the
+    # per-position lambda references a bound variable: interpreted HOF
+    # lambdas re-evaluate captured subtrees per element, and the naive
+    # F.slice(words(text), i, n) form re-ran the regex split at every
+    # gram position — O(words²)/doc (same fix as minhash.word_shingles)
+    def _grams(ws: Column) -> Column:
+        return F.when(
+            F.size(ws) >= n,
+            F.transform(
+                F.sequence(F.lit(1), F.size(ws) - (n - 1)),
+                lambda i: F.concat_ws(" ", F.slice(ws, i, n)),
+            ),
+        ).when(
+            F.size(ws) >= 1, F.array(F.concat_ws(" ", ws))
+        ).otherwise(F.array().cast("array<string>"))
+
+    return F.element_at(F.transform(F.array(words(text)), _grams), 1)
 
 
 def ngram_diversity_by_group(
