@@ -65,14 +65,18 @@ def semantic_decontaminate_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     decontaminate_docs — catches paraphrased leakage n-grams miss): flag
     corpus vectors whose max cosine against the broadcast benchmark set
     (every 100th vector standing in for an eval set) reaches 0.35.
-    One map-shaped pass, map-side partial max, no corpus self-join
-    (dedup/decontaminate.py:semantic_contamination)."""
-    from msgvault_spark.dedup.decontaminate import semantic_contamination
+    One map-shaped pass, no corpus self-join. Engine: the GEMM-margin
+    two-phase (dedup/decontaminate.py:semantic_contamination_gemm —
+    one float64 GEMM per Arrow batch against the benchmark matrix
+    proposes at threshold − margin, the shared JVM fold re-verifies),
+    pinned bit-identical to the interpreted-fold twin by
+    tests/test_dedup_textstats.py and 12× faster at sf1."""
+    from msgvault_spark.dedup.decontaminate import semantic_contamination_gemm
     from msgvault_spark.operators.present import present_sorted
 
     emb = load_table(spark, sf_dir, "embeddings")
     bench = emb.filter(F.col("vec_id") % 100 == 0)
-    return semantic_contamination(emb, bench, threshold=0.35).transform(
+    return semantic_contamination_gemm(emb, bench, threshold=0.35).transform(
         present_sorted, "id"
     )
 

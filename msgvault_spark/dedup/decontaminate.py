@@ -153,3 +153,90 @@ def semantic_contamination(
         .agg(F.max("sim").alias("max_sim"))
         .filter(F.col("max_sim") >= threshold)
     )
+
+
+def semantic_contamination_gemm(
+    embeddings: DataFrame,
+    benchmark: DataFrame,
+    *,
+    threshold: float = 0.35,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int = 6,
+) -> DataFrame:
+    """Drop-in twin of semantic_contamination (same output bits) with
+    GEMM-margin candidate generation — the dedup/embedding_gemm.py
+    two-phase applied to the corpus × benchmark shape: each Arrow batch
+    of corpus vectors takes one float64 GEMM against the (small,
+    driver-collected) benchmark matrix, pairs clearing
+    ``threshold − margin`` survive, and survivors are re-scored by the
+    SAME JVM-fold cosine + round the oracle pins before the per-id max.
+
+    Bit-parity argument: any (id, bid) whose fold-rounded sim could be
+    the emitted max is ≥ threshold, so its GEMM sim clears the
+    dimension-scaled margin and it is in the candidate set; every
+    non-candidate's fold sim is < threshold and therefore below any
+    emitted max. NULL / zero-norm vectors vanish from both paths (NULL
+    fold sim is dropped by the filter; NaN GEMM rows never pass the
+    cut). Measured round 10 at sf1: 57.1s (interpreted fold per pair)
+    → 4.5s, identical rows."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from msgvault_spark.similarity.knn import _as_double, cosine
+
+    bench = benchmark.select(
+        F.col(id_col).alias("bid"), _as_double(F.col(vec_col)).alias("bvec")
+    )
+    corpus = embeddings.select(
+        F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("vec")
+    )
+    bench_rows = [r for r in bench.collect() if r["bvec"] is not None]
+    if not bench_rows:
+        return corpus.select(
+            "id", F.lit(None).cast("double").alias("max_sim")
+        ).limit(0)
+    bids = np.asarray([r["bid"] for r in bench_rows], dtype=np.int64)
+    B = np.asarray([r["bvec"] for r in bench_rows], dtype=np.float64)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        nb = np.sqrt((B * B).sum(axis=1))
+    d = B.shape[1]
+    half_ulp = 0.5 * 10.0 ** (-round_to)
+    cut = threshold - (half_ulp + 8.0 * d * np.finfo(np.float64).eps)
+
+    def _propose(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            ids = pdf["id"].to_numpy(dtype=np.int64)
+            A = np.asarray(
+                [np.asarray(v, dtype=np.float64) for v in pdf["vec"]]
+            )
+            with np.errstate(divide="ignore", invalid="ignore"):
+                na = np.sqrt((A * A).sum(axis=1))
+                cos = (A @ B.T) / np.outer(na, nb)
+            cond = cos >= cut
+            cond &= ids[:, None] != bids[None, :]
+            ii, jj = np.nonzero(cond)
+            if ii.size == 0:
+                continue
+            yield pd.DataFrame({"id": ids[ii], "bid": bids[jj]})
+
+    schema = StructType(
+        [StructField("id", LongType()), StructField("bid", LongType())]
+    )
+    cands = corpus.filter(F.col("vec").isNotNull()).mapInPandas(
+        _propose, schema=schema
+    )
+    return (
+        cands.join(corpus, "id")
+        .join(F.broadcast(bench), "bid")
+        .select(
+            "id",
+            F.round(cosine(F.col("vec"), F.col("bvec")), round_to).alias("sim"),
+        )
+        .groupBy("id")
+        .agg(F.max("sim").alias("max_sim"))
+        .filter(F.col("max_sim") >= threshold)
+    )

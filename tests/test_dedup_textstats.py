@@ -650,3 +650,50 @@ def test_allpairs_blocked_gemm_matches_naive(spark):
     # but assert the DataFrame itself has no repeated (id_a, id_b) rows
     df = allpairs_near_dups(emb, 0.45, group_rows=4)
     assert df.count() == df.select("id_a", "id_b").distinct().count()
+
+
+def test_semantic_contamination_gemm_twin(spark):
+    """decontaminate.semantic_contamination_gemm must emit BIT-identical
+    rows to the interpreted-fold semantic_contamination on every input:
+    the real sf0.01 corpus (catalog parameters), an adversarial corpus
+    (identicals, threshold straddle, zero-norm, NULL vector), and an
+    empty benchmark."""
+    import math
+
+    from msgvault_spark.dedup.decontaminate import (
+        semantic_contamination,
+        semantic_contamination_gemm,
+    )
+    from msgvault_spark.sources.loader import load_table
+
+    def rows(df):
+        return sorted((r["id"], repr(r["max_sim"])) for r in df.collect())
+
+    emb = load_table(spark, "/root/testdata/sf0.01", "embeddings")
+    bench = emb.filter(F.col("vec_id") % 100 == 0)
+    fold = rows(semantic_contamination(emb, bench, threshold=0.35))
+    gemm = rows(semantic_contamination_gemm(emb, bench, threshold=0.35))
+    assert fold == gemm
+    assert fold  # the real corpus must flag something
+
+    adv = spark.createDataFrame(
+        [
+            (0, [1.0, 0.5, 0.25, 0.125]),       # bench member (vec_id%2==0)
+            (1, [1.0, 0.5, 0.25, 0.125]),       # identical → sim 1.0
+            (2, [-1.0, -0.5, 0.26, 0.125]),     # bench member
+            (3, [-1.0, -0.5, -0.25, 0.80]),     # straddles the threshold
+            (4, [0.0, 0.0, 0.0, 0.0]),          # zero norm: bench member
+            (5, None),                          # NULL vector
+            (7, [math.pi, -1 / 3, 1e-7, 2 / 3]),
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    b2 = adv.filter(F.col("vec_id") % 2 == 0)
+    f2 = rows(semantic_contamination(adv, b2, threshold=0.9))
+    g2 = rows(semantic_contamination_gemm(adv, b2, threshold=0.9))
+    assert f2 == g2
+    assert any(i == 1 for i, _ in f2)
+    assert not any(i in (4, 5) for i, _ in f2)
+
+    empty_bench = adv.filter(F.col("vec_id") < 0)
+    assert rows(semantic_contamination_gemm(adv, empty_bench)) == []

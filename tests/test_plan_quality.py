@@ -753,7 +753,9 @@ def test_broadcast_sites_are_ratcheted():
         "catalog_multimodal.py": 3,
         "catalog_search.py": 1,  # 50-row SQ8 rerank shortlist
         "catalog_tpch.py": 24,
-        "dedup/decontaminate.py": 2,  # gram set + benchmark vectors
+        "dedup/decontaminate.py": 3,  # gram set + benchmark vectors in
+                                      # both semantic twins (fold + the
+                                      # r10 GEMM-margin rescore)
         "dedup/deletion_vectors.py": 1,
         "dedup/embedding_gemm.py": 1,  # ≤2^n_planes-row bucket-count dim
                                        # for adaptive sub-blocking
