@@ -22,14 +22,71 @@ from msgvault_spark.catalog import CATALOG
 # exceeds 50, all 50 slots go to touched entries and the overflow relies
 # on the out-of-band full-oracle sweep until its next window.
 _PRIORITY = [
-    # --- round 10 gate window (50 slots): every entry below is in the
-    # TOUCHED set (tools/gate_priority.py vs the r9 boundary — the
-    # artifact-store rewrite of sources/cache.py re-routes every
-    # entry's serving path, touching 107 of 221), ordered GEMM flip
-    # first, then oldest driver vintage first (r1 → r2 → r5 → r6 →
-    # r8). The untouched remainder of the r1/r2 cohort follows
-    # immediately after the touched set so r11's window rotates it. ---
+    # --- round 11 gate window (50 slots). Composition, in order:
+    # (1) the two decontamination entries the r10 verdict fronted by
+    #     name (flipped late in r10 with no driver row);
+    # (2) every NARROW-change entry (tools/gate_priority.py
+    #     must_verify_entries — non-evictable under the new structural
+    #     rule: catalog_dedup/exact.py merge rewrite, the GEMM docstring
+    #     + NaN-contract edits);
+    # (3) oldest-driver-vintage touched entries (the r1/r2 rotation
+    #     cohort the r9/r10 verdicts queued) filling the remaining
+    #     slots. The whole catalog is touched this round (the bucketed
+    #     artifact-lake serving rewrite re-routes every entry), so all
+    #     50 slots are touched entries; the overflow is re-verified
+    #     out-of-band by the full tri-scale oracle sweep. ---
+    "semantic_decontaminate_docs",
+    "decontaminate_docs",
+    "dedup_exact_survivors",
+    "dedup_merge_labels",
+    "dedup_content_hash",
+    "minhash_lsh_near_dups",
+    "lsh_capped_hot_bucket",
+    "lsh_hot_bucket_stats",
+    "simhash_fingerprints",
+    "embedding_near_dups",
+    "text_profile_docs",
+    "ngram_jaccard_pairs",
+    "dv_survivor_counts",
+    "winnow_substring_pairs",
+    "dedup_line_segments",
+    "tfidf_top_terms",
+    "minhash_incremental_pairs",
+    "fuzzy_dedup_survivors",
+    "quality_dedup_survivors",
+    "unigram_quality_docs",
+    "semantic_dedup_cells",
+    "cross_source_dup_report",
+    "kmv_source_overlap",
+    "simhash_hamming_pairs",
+    "embed_pipeline_vectors",
     "embedding_near_dups_lsh",
+    "pricing_summary",
+    "top_customers_by_spend",
+    "orders_semi_anti",
+    "latest_order_per_customer",
+    "events_by_type_daily",
+    "scalar_functions_chain",
+    "union_distinct_parts",
+    "ilike_part_search",
+    "ann_lsh_seed0",
+    "media_payload_stats",
+    "media_features_entropy",
+    "media_decode_fake",
+    "knn_join_batch",
+    "rfc822_backfill",
+    "sessionize_events",
+    "stratified_sample_docs",
+    "rollup_priority_status",
+    "repetition_filter_docs",
+    "events_json_props",
+    "range_join_error_context",
+    "window_family_orders",
+    "incremental_agg_orders",
+    "percentiles_order_price",
+    "scd2_customer_priority",
+    # --- touched overflow (out-of-band full-oracle sweep; driver
+    #     rows in later rounds), prior order preserved ---
     "bm25_documents",
     "knn_cosine_seed0",
     "hybrid_rrf",
@@ -71,18 +128,6 @@ _PRIORITY = [
     "unimax_budget_plan",
     "rfm_segments",
     "bm25_fts5_documents",
-    "minhash_lsh_near_dups",
-    "lsh_capped_hot_bucket",
-    "lsh_hot_bucket_stats",
-    "embedding_near_dups",
-    "dv_survivor_counts",
-    "fuzzy_dedup_survivors",
-    "quality_dedup_survivors",
-    "unigram_quality_docs",
-    # --- touched overflow (re-verified out-of-band: full sf0.01
-    # oracle sweep on the final tree; driver rows next round) ---
-    "cross_source_dup_report",
-    "simhash_hamming_pairs",
     "pagerank_dup_graph",
     "ndcg_eval_knn",
     "bpe_train_merges",
@@ -103,8 +148,6 @@ _PRIORITY = [
     "search_fast_operators",
     "search_text_terms",
     "search_relative_dates",
-    "dedup_exact_survivors",
-    "dedup_merge_labels",
     "agg_senders_wide",
     "agg_domains_wide",
     "agg_labels_wide",
@@ -138,39 +181,12 @@ _PRIORITY = [
     "get_attachments_batch",
     "gmail_ids_by_filter",
     "summary_stats",
-    # --- untouched, oldest driver vintage first (r1/r2 rotation
-    # queue for the r11 window) ---
-    "pricing_summary",
-    "top_customers_by_spend",
-    "orders_semi_anti",
-    "latest_order_per_customer",
-    "events_by_type_daily",
-    "scalar_functions_chain",
-    "union_distinct_parts",
-    "ilike_part_search",
-    "ann_lsh_seed0",
-    "media_payload_stats",
-    "media_features_entropy",
-    "media_decode_fake",
-    "knn_join_batch",
     "stream_rollup_daily",
-    "rfc822_backfill",
-    "sessionize_events",
-    "stratified_sample_docs",
-    "rollup_priority_status",
-    "repetition_filter_docs",
-    "events_json_props",
-    "range_join_error_context",
-    "window_family_orders",
-    "incremental_agg_orders",
-    "percentiles_order_price",
-    "scd2_customer_priority",
     "train_val_test_split",
     "temperature_mix_sources",
     "bloom_join_orders",
     "snapshot_merge_timetravel",
     "hybrid_rrf_hydrated",
-    "decontaminate_docs",
     "cms_frequency_orders",
     "pack_training_sequences",
     "hist_quantile_orders",
@@ -184,7 +200,6 @@ _PRIORITY = [
     "cube_priority_status",
     "encoding_repair_docs",
     "schema_drift_read",
-    "embed_pipeline_vectors",
     "snapshot_optimize_vacuum",
     "global_shuffle_shards",
     "order_priority_q4",
@@ -216,7 +231,6 @@ _PRIORITY = [
     "epoch_upsample_sources",
     "skew_report_orders",
     "snapshot_diff_versions",
-    "semantic_decontaminate_docs",
     "c4_pipeline_stats",
     "returned_items_q10",
     "priority_shipping_q12",
@@ -238,16 +252,6 @@ _PRIORITY = [
     "boilerplate_prefixes",
     "length_mad_outliers",
     "volume_anomaly_days",
-    "dedup_content_hash",
-    "simhash_fingerprints",
-    "text_profile_docs",
-    "ngram_jaccard_pairs",
-    "winnow_substring_pairs",
-    "dedup_line_segments",
-    "tfidf_top_terms",
-    "minhash_incremental_pairs",
-    "semantic_dedup_cells",
-    "kmv_source_overlap",
     "bigram_backoff_quality",
     "doremi_weight_update",
     "pmi_collocations",

@@ -14,6 +14,7 @@ from msgvault_spark.dedup.exact import (
     dedup_merge_plan,
     exact_dup_groups,
     select_survivors,
+    select_survivors_agg,
 )
 from msgvault_spark.dedup.minhash import minhash_oracle_sql
 from msgvault_spark.dedup.simhash import simhash, simhash_oracle_sql
@@ -147,23 +148,52 @@ ORDER BY survivor_id, label_id
 )
 def dedup_merge_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     """D4 merge: survivor inherits the deduplicated union of every group
-    member's labels (reference dedup.go:834-916)."""
+    member's labels (reference dedup.go:834-916).
+
+    Round-11 shape (no corpus-granular shuffle anywhere):
+      * survivor selection is the min-over-priority-tuple aggregate
+        (select_survivors_agg) — one partial-agg-absorbed exchange of
+        ~n_groups rows, replacing the three per-group sort windows;
+      * the member→labels join rides the bucketed archive layout
+        (messages.id ⋈ message_labels.message_id, both clustered INTO the
+        same bucket count at ETL) with ZERO exchange — singleton groups'
+        labels flow through and are dropped by the final group_size≥2
+        survivor join, which is vocab-small after the distinct."""
     arch = get_archive(spark, sf_dir)
-    msg = arch["messages"].withColumn(
-        "rfc_id", F.concat(F.lit("rfc-"), (F.col("id") % 4000).cast("string"))
+    group_key = (F.col("id") % 4000).alias("group_key")
+    msg = arch["messages"].select(
+        "id", "source_id", "sent_at", group_key
     )
-    groups = exact_dup_groups(msg, "rfc_id")
     src_rank = (
         F.when(F.col("source_id") == 2, 0)
         .when(F.col("source_id") == 1, 1)
         .otherwise(2)
     )
-    marked = select_survivors(
-        groups,
-        priority=[src_rank.asc(), F.col("sent_at").asc()],
+    survivors = select_survivors_agg(
+        msg,
+        priority=[src_rank, F.col("sent_at")],
         sent_copy=F.col("source_id") == 2,
+    ).filter(F.col("group_size") >= 2)
+    # shuffle_hash beats the size-triggered broadcast here: both sides are
+    # bucketed on the join key (zero exchange either way), and a per-bucket
+    # hash build is 2.5× faster than single-threaded-building a 1.5M-row
+    # broadcast relation (measured sf1: 0.67s vs 1.68s); at 100 TB the
+    # per-bucket build side is bounded by bucket sizing, exactly the regime
+    # shuffled-hash is designed for.
+    group_labels = (
+        arch["messages"]
+        .select("id", (F.col("id") % 4000).alias("group_key"))
+        .hint("shuffle_hash")
+        .join(
+            arch["message_labels"],
+            F.col("id") == F.col("message_id"),
+        )
+        .select("group_key", "label_id")
+        .distinct()
     )
-    survivor_labels, _losers = dedup_merge_plan(marked, arch["message_labels"])
+    survivor_labels = survivors.join(group_labels, "group_key").select(
+        "survivor_id", "label_id"
+    )
     return survivor_labels.sortWithinPartitions("survivor_id", "label_id")
 
 

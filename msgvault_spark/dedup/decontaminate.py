@@ -172,14 +172,19 @@ def semantic_contamination_gemm(
     ``threshold − margin`` survive, and survivors are re-scored by the
     SAME JVM-fold cosine + round the oracle pins before the per-id max.
 
-    Bit-parity argument: any (id, bid) whose fold-rounded sim could be
-    the emitted max is ≥ threshold, so its GEMM sim clears the
-    dimension-scaled margin and it is in the candidate set; every
-    non-candidate's fold sim is < threshold and therefore below any
-    emitted max. NULL / zero-norm vectors vanish from both paths (NULL
-    fold sim is dropped by the filter; NaN GEMM rows never pass the
-    cut). Measured round 10 at sf1: 57.1s (interpreted fold per pair)
-    → 4.5s, identical rows."""
+    Bit-parity argument (FINITE-component vectors — the contract the
+    embedding pipeline's promote_generation gate enforces at ingest): any
+    (id, bid) whose fold-rounded sim could be the emitted max is ≥
+    threshold, so its GEMM sim clears the dimension-scaled margin and it
+    is in the candidate set; every non-candidate's fold sim is <
+    threshold and therefore below any emitted max. NULL / zero-norm
+    vectors vanish from both paths (NULL fold sim is dropped by the
+    filter; the NaN a zero norm produces never passes the numpy cut). A
+    vector with a NaN COMPONENT would diverge — numpy's ``>= cut`` is
+    False for NaN while Spark's max/>= sorts NaN greatest — which is why
+    non-finite components are rejected upstream, not handled here.
+    Measured round 10 at sf1 (sink regime): 57.1s (interpreted fold per
+    pair) → ~1.8s, identical rows (RATIOS_sf1.md)."""
     import numpy as np
     import pandas as pd
     from pyspark.sql.types import LongType, StructField, StructType

@@ -141,8 +141,12 @@ def lsh_near_dups_gemm(
     n_rows: int | None = None,
 ) -> DataFrame:
     """Drop-in twin of `embedding.lsh_near_dups` (same args, same output
-    bits) with GEMM-margin candidate generation instead of fold-scoring
-    every within-bucket pair."""
+    bits for FINITE-component vectors — the embedding pipeline's
+    promote_generation gate rejects NaN/Inf components at ingest; on a
+    NaN-component vector the two would diverge because numpy's propose
+    cut is False for NaN while the fold's Spark ``>=`` sorts NaN
+    greatest) with GEMM-margin candidate generation instead of
+    fold-scoring every within-bucket pair."""
     if n_planes is None:
         from msgvault_spark.dedup.embedding import planes_for_corpus
 

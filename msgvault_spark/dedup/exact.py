@@ -92,6 +92,56 @@ def select_survivors(
     return out.drop("_rn", "_has_sent") if sent_copy is not None else out.drop("_rn")
 
 
+def select_survivors_agg(
+    groups: DataFrame,
+    priority: list[Column],
+    *,
+    id_col: str = "id",
+    group_col: str = "group_key",
+    sent_copy: Column | None = None,
+) -> DataFrame:
+    """D3 at scale: survivor per group as ONE hash aggregate.
+
+    Same survivor policy as :func:`select_survivors` (reference
+    dedup.go:760-828) but expressed as ``min`` over the priority tuple —
+    a partial-agg-absorbed groupBy whose shuffle carries one row per
+    (group, partition) instead of every group member through a per-group
+    sort window. Returns (group_key, survivor_id, group_size); callers
+    filter ``group_size >= 2`` for the dedup work set (the separate
+    group-size window of :func:`exact_dup_groups` is not needed on this
+    path — the same aggregate counts it).
+
+    Constraints vs the window variant: ``priority`` columns must all be
+    ASCENDING (negate numerics for descending) and non-null (struct
+    comparison would sort a NULL component first where the window's
+    default NULLS FIRST agrees — but don't rely on it across engines).
+    Equivalence to the window policy is property-fuzzed in
+    tests/test_property_equivalence.py."""
+    tup = F.struct(
+        *[p.alias(f"_p{i}") for i, p in enumerate(priority)],
+        F.col(id_col).alias("_sid"),
+    )
+    aggs = [
+        F.count(F.lit(1)).alias("group_size"),
+        F.min(tup).alias("_all"),
+    ]
+    if sent_copy is not None:
+        # best among sent copies, null when the group has none — the
+        # "sent copies win iff the group has any" rule as a coalesce
+        aggs.append(F.min(F.when(sent_copy, tup)).alias("_sent"))
+    out = groups.groupBy(group_col).agg(*aggs)
+    best = (
+        F.coalesce(F.col("_sent"), F.col("_all"))
+        if sent_copy is not None
+        else F.col("_all")
+    )
+    return out.select(
+        F.col(group_col),
+        best.getField("_sid").alias("survivor_id"),
+        F.col("group_size"),
+    )
+
+
 def dedup_merge_plan(
     marked: DataFrame,
     message_labels: DataFrame,

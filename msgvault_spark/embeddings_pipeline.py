@@ -258,8 +258,13 @@ def embed_pending(
 
 
 def promote_generation(spark: SparkSession, base: str, gen: int) -> dict:
-    """building → active after the dimension check (fused.go:36-48): every
-    vector must have exactly the generation's dim."""
+    """building → active after validation (fused.go:36-48): every vector
+    must have exactly the generation's dim, and every component must be
+    FINITE — a NaN/Inf component would poison cosine math downstream, and
+    the GEMM-margin twins (dedup/embedding_gemm.py, dedup/decontaminate.py)
+    state their bit-parity guarantee for finite inputs because numpy's
+    ``cos >= cut`` is False for NaN where Spark's NaN-sorts-greatest says
+    true. This gate is where that contract is enforced, once, at ingest."""
     meta = generation_meta(base, gen)
     if meta is None:
         raise FileNotFoundError(f"generation {gen} has no metadata")
@@ -267,6 +272,15 @@ def promote_generation(spark: SparkSession, base: str, gen: int) -> dict:
     bad = vec.filter(F.size("embedding") != meta["dim"]).count()
     if bad:
         raise ValueError(f"{bad} vectors violate dim={meta['dim']}")
+    nonfinite = vec.filter(
+        F.exists(
+            "embedding", lambda x: F.isnan(x) | (F.abs(x) == float("inf"))
+        )
+    ).count()
+    if nonfinite:
+        raise ValueError(
+            f"{nonfinite} vectors carry non-finite components"
+        )
     meta["status"] = "active"
     _write_meta(base, gen, meta)
     return meta

@@ -70,9 +70,22 @@ def get_spark(
         )
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.files.maxPartitionBytes", "134217728")
+        # openCostInBytes is the per-file padding Spark adds when packing
+        # files into scan splits. The default 4 MB packs the artifact
+        # lake's deliberately-sharded twins (sources/cache.py: ~100k-row
+        # files) several-to-a-split, collapsing their scan parallelism;
+        # 1 MB keeps roughly one shard per split while still discouraging
+        # truly tiny splits. On a real cluster shard files are ~128 MB+
+        # and the default is fine either way.
+        .config("spark.sql.files.openCostInBytes", "1048576")
         .config("spark.sql.parquet.compression.codec", "zstd")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # extra driver-JVM flags (cold-start experiments: JIT tiering, CDS)
+        .config(
+            "spark.driver.extraJavaOptions",
+            os.environ.get("SPARK_GRAFT_JVM_OPTS", ""),
+        )
         .config("spark.ui.enabled", "false")
         # stage-progress bars corrupt machine-read stdout (the driver's
         # bench capture); default on for humans, off for harnesses

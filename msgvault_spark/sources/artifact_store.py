@@ -28,6 +28,16 @@ This module is the missing disk layer:
   * writes are write-to-tmp + atomic rename; a half-written group can
     never be loaded, and a concurrent writer losing the rename race
     just discards its tmp dir.
+  * round 11: a frame can be stored BUCKETED (hash-clustered + sorted
+    on its join key, one file per bucket) so co-partitioning becomes a
+    write-time property of the lake. Serving sessions register the
+    directory as an external bucketed table on the session's in-memory
+    catalog (``CREATE TABLE … CLUSTERED BY … LOCATION``) — Derby/Hive
+    is never involved, so the test suite's concurrent SparkSessions
+    can't deadlock on a metastore — and fact⋈fact joins read
+    ``Bucketed: true`` scans with no per-session exchange. This is the
+    Spark-native analog of the reference serving straight off its
+    prebuilt cache (cmd/msgvault/cmd/build_cache.go:52-56).
 
 Set ``SPARK_GRAFT_ARTIFACT_DIR`` to relocate the store (tests point it
 at tmp_path) or to the empty string to disable persistence entirely
@@ -81,26 +91,29 @@ def _package_fingerprint() -> str:
 
 def _source_fingerprint(sf_dir: str) -> str:
     """(name, mtime_ns, size) per source parquet — the freshness triple
-    of build_cache.decide_staleness, at file granularity."""
+    of build_cache.decide_staleness, at file granularity. Recomputed on
+    EVERY call (a few stat() syscalls): the reference's cacheNeedsBuild
+    probe re-checks freshness per access, and a process-lifetime cache
+    here served stale artifacts when the sf_dir was rewritten mid-process
+    (r10 advice)."""
     real = os.path.realpath(sf_dir)
-    if real not in _SRC_FP:
-        h = hashlib.sha256()
-        try:
-            names = sorted(os.listdir(real))
-        except OSError:
-            names = []
-        for fn in names:
-            if not fn.endswith(".parquet"):
-                continue
-            path = os.path.join(real, fn)
-            if os.path.isdir(path):  # a parquet *directory* sink
-                for sub in sorted(os.listdir(path)):
-                    st = os.stat(os.path.join(path, sub))
-                    h.update(f"{fn}/{sub}:{st.st_mtime_ns}:{st.st_size};".encode())
-            else:
-                st = os.stat(path)
-                h.update(f"{fn}:{st.st_mtime_ns}:{st.st_size};".encode())
-        _SRC_FP[real] = h.hexdigest()[:16]
+    h = hashlib.sha256()
+    try:
+        names = sorted(os.listdir(real))
+    except OSError:
+        names = []
+    for fn in names:
+        if not fn.endswith(".parquet"):
+            continue
+        path = os.path.join(real, fn)
+        if os.path.isdir(path):  # a parquet *directory* sink
+            for sub in sorted(os.listdir(path)):
+                st = os.stat(os.path.join(path, sub))
+                h.update(f"{fn}/{sub}:{st.st_mtime_ns}:{st.st_size};".encode())
+        else:
+            st = os.stat(path)
+            h.update(f"{fn}:{st.st_mtime_ns}:{st.st_size};".encode())
+    _SRC_FP[real] = h.hexdigest()[:16]
     return _SRC_FP[real]
 
 
@@ -120,6 +133,37 @@ def _digest(sf_dir: str, kind_key: tuple) -> str:
     return hashlib.sha256(payload.encode()).hexdigest()[:24]
 
 
+def _schema_ddl(df: DataFrame) -> str:
+    return ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}" for f in df.schema.fields
+    )
+
+
+def _serve_frame(
+    spark: SparkSession, group_dir: str, name: str, meta: dict
+) -> DataFrame:
+    """One stored frame, as the plan a serving session should run:
+    bucketed frames come back as external bucketed tables (registered
+    once per session on the in-memory catalog — a metadata-only op), so
+    their scans report HashPartitioning and joins on the bucket key need
+    no exchange; plain frames are ordinary parquet reads."""
+    path = os.path.join(group_dir, name)
+    spec = (meta.get("buckets") or {}).get(name)
+    if not spec:
+        return spark.read.parquet(path)
+    # table name is content-addressed by the group path: the same group
+    # re-registers as the same table, distinct stores never collide
+    tok = hashlib.sha256(path.encode()).hexdigest()[:16]
+    tbl = f"aspark_{tok}"
+    if not spark.catalog.tableExists(tbl):
+        spark.sql(
+            f"CREATE TABLE `{tbl}` ({meta['schemas'][name]}) USING parquet "
+            f"CLUSTERED BY (`{spec['key']}`) SORTED BY (`{spec['key']}`) "
+            f"INTO {spec['n']} BUCKETS LOCATION '{path}'"
+        )
+    return spark.table(tbl)
+
+
 def load_group(
     spark: SparkSession, sf_dir: str, kind_key: tuple
 ) -> tuple[dict[str, DataFrame], dict] | None:
@@ -135,7 +179,7 @@ def load_group(
         with open(meta_path) as f:
             meta = json.load(f)
         frames = {
-            name: spark.read.parquet(os.path.join(d, name))
+            name: _serve_frame(spark, d, name, meta)
             for name in meta["frames"]
         }
     except Exception:  # unreadable group → treat as absent, rebuild
@@ -149,10 +193,14 @@ def save_group(
     kind_key: tuple,
     frames: dict[str, DataFrame],
     scalars: dict | None = None,
+    buckets: dict[str, tuple[str, int]] | None = None,
 ) -> dict[str, DataFrame] | None:
     """Persist a group; returns parquet-backed re-reads of the frames
     (so the served bits ARE the stored bits) or None when persistence
-    is off or the write lost a race."""
+    is off or the write lost a race. ``buckets`` maps a frame name to
+    (bucket_key, n_buckets): that frame is written hash-clustered +
+    sorted on the key, one file per bucket (the write-time shuffle that
+    replaces every serving session's co-partitioning exchange)."""
     root = store_root()
     if root is None:
         return None
@@ -162,15 +210,41 @@ def save_group(
         loaded = load_group(spark, sf_dir, kind_key)
         return loaded[0] if loaded else None
     tmp = f"{d}.tmp{os.getpid()}"
+    schemas: dict[str, str] = {}
+    bucket_meta: dict[str, dict] = {}
     try:
         os.makedirs(tmp, exist_ok=True)
         for name, df in frames.items():
-            df.write.mode("overwrite").parquet(os.path.join(tmp, name))
+            spec = (buckets or {}).get(name)
+            target = os.path.join(tmp, name)
+            if spec is None:
+                df.write.mode("overwrite").parquet(target)
+                continue
+            key_col, n = spec
+            # bucketBy requires saveAsTable; write through a throwaway
+            # session-catalog name with an explicit external path, then
+            # drop the metadata (files stay — the table was external).
+            # repartition(n, key) first so each task owns exactly one
+            # bucket → one file per bucket (both use Murmur3 pmod n).
+            wtbl = f"aspark_w_{os.getpid()}_{digest[:12]}_{name}"
+            (
+                df.repartition(n, key_col)
+                .write.bucketBy(n, key_col)
+                .sortBy(key_col)
+                .option("path", target)
+                .mode("overwrite")
+                .saveAsTable(wtbl)
+            )
+            spark.sql(f"DROP TABLE IF EXISTS `{wtbl}`")
+            schemas[name] = _schema_ddl(df)
+            bucket_meta[name] = {"key": key_col, "n": n}
         meta = {
             "kind": _kind_token(kind_key),
             "sf_dir": os.path.realpath(sf_dir),
             "frames": sorted(frames),
             "scalars": scalars or {},
+            "buckets": bucket_meta,
+            "schemas": schemas,
             "source_fp": _source_fingerprint(sf_dir),
             "code_fp": _package_fingerprint(),
         }
@@ -181,23 +255,38 @@ def save_group(
         shutil.rmtree(tmp, ignore_errors=True)
         return None
     _prune_stale(root, meta["kind"], meta["sf_dir"], keep=digest)
-    return {
-        name: spark.read.parquet(os.path.join(d, name)) for name in frames
-    }
+    return {name: _serve_frame(spark, d, name, meta) for name in frames}
+
+
+# Superseded groups younger than this survive one more save cycle:
+# Spark parquet reads are lazy, so a concurrent session that loaded the
+# old group before a deploy may still be executing against its files —
+# rmtree'ing them mid-query fails its tasks instead of letting it finish
+# on the old-but-consistent artifact (r10 advice). 10 minutes comfortably
+# outlives any in-flight local query; a long-lived serving fleet would
+# run an explicit GC pass instead.
+PRUNE_GRACE_SECONDS = 600.0
 
 
 def _prune_stale(root: str, kind: str, sf_dir: str, keep: str) -> None:
     """Drop superseded groups for the same (kind, sf_dir) so the store
-    stays bounded across deploys — the freshly written digest survives."""
+    stays bounded across deploys — the freshly written digest survives,
+    and groups written within PRUNE_GRACE_SECONDS get a grace period so
+    concurrent readers drain first."""
+    import time
+
     try:
         entries = os.listdir(root)
     except OSError:
         return
+    now = time.time()
     for name in entries:
         if name == keep:
             continue
         meta_path = os.path.join(root, name, "meta.json")
         try:
+            if now - os.stat(meta_path).st_mtime < PRUNE_GRACE_SECONDS:
+                continue
             with open(meta_path) as f:
                 meta = json.load(f)
             if meta.get("kind") == kind and meta.get("sf_dir") == sf_dir:
@@ -222,12 +311,16 @@ def load_scalars(sf_dir: str, kind_key: tuple) -> dict | None:
 
 
 def save_scalars(sf_dir: str, kind_key: tuple, scalars: dict) -> None:
-    """Persist a frame-less scalar group (catalog statistics)."""
+    """Persist a frame-less scalar group (catalog statistics). Values
+    must ROUND-TRIP through JSON bit-identically — a value that merely
+    serializes (tuple→list, int dict keys→str, date→skip) would change
+    type across sessions, so it stays an in-session memo (r10 advice)."""
     root = store_root()
     if root is None:
         return
     try:
-        json.dumps(scalars)
+        if json.loads(json.dumps(scalars)) != scalars:
+            return  # serializes but mutates: in-session memo only
     except (TypeError, ValueError):
         return  # non-JSON scalar: in-session memo only
     digest = _digest(sf_dir, kind_key)

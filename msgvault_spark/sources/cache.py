@@ -1,21 +1,33 @@
 """Materialize-once archive cache + denormalized wide view.
 
 The reference's analytics speed comes from an ETL step (`build-cache`) that
-materializes query-shaped tables once and serves every query from them
-(cmd/msgvault/cmd/build_cache.go). Spark-first equivalents here:
+materializes query-shaped tables once and serves every query from them,
+with NO per-session warm-in (cmd/msgvault/cmd/build_cache.go:52-56 serves
+straight off the prebuilt cache). Spark-first equivalents here:
 
-  - get_archive(): per-(session, sf_dir) memo of the adapter archive with
-    the two fact tables REPARTITIONED BY THEIR JOIN KEYS (messages by id,
-    message_recipients by message_id, same partition count) and persisted —
-    fact⋈fact joins then need no exchange (the in-memory relation's
-    outputPartitioning satisfies the join requirement). On a cluster this is
-    bucketed-table layout; in local mode it's MEMORY_AND_DISK persist.
+  - get_archive(): the fact tables live in the artifact lake as BUCKETED
+    parquet (hash-clustered + sorted on their join keys: messages by id,
+    message_recipients/message_labels/attachments by message_id, same
+    bucket count), written once at ETL. A serving session registers the
+    directories as external bucketed tables (metadata-only) and scans
+    them — fact⋈fact joins read `Bucketed: true` scans whose
+    HashPartitioning satisfies the join requirement with no exchange, and
+    the session pays ZERO warm-in (no repartition, no persist, no count).
+    On a 1000-executor cluster this is exactly bucketed-lake layout with
+    bucket count sized to the data (16 here ≈ local cores/2; ~512 MB
+    buckets at 100 TB).
 
   - wide_messages(): the v_messages-style denormalized view
     (reference internal/query/views.go:346-489): messages + resolved sender
     (first-'from' per message, min_by-deterministic) + sorted label array +
     attachment pre-agg. Sender/domain/time aggregates become scan+agg with
-    ZERO joins — the shape that wins at 100 TB, built once per ETL.
+    ZERO joins — the shape that wins at 100 TB, built once per ETL and
+    served as a plain lake scan (column pruning + pushdown reach the
+    parquet footers, which full-width in-memory caching would forfeit).
+
+When the artifact store is disabled (SPARK_GRAFT_ARTIFACT_DIR="") the
+pre-round-11 in-session fallback applies: repartition by join key +
+MEMORY_AND_DISK persist, the same co-partitioning paid per session.
 
 NOTE wide-view semantics: sender columns hold the FIRST 'from' participant.
 For archives where a message can carry several 'from' rows the canonical
@@ -41,14 +53,24 @@ def _key(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
     return (spark.sparkContext.applicationId, sf_dir)
 
 
+# write-time co-partitioning spec: each fact clustered on its join key
+_ARCHIVE_BUCKETS: dict[str, tuple[str, int]] = {
+    "messages": ("id", FACT_PARTITIONS),
+    "message_recipients": ("message_id", FACT_PARTITIONS),
+    "message_labels": ("message_id", FACT_PARTITIONS),
+    "attachments": ("message_id", FACT_PARTITIONS),
+}
+
+
 def get_archive(
     spark: SparkSession, sf_dir: str, *, materialize: bool = True
 ) -> dict[str, DataFrame]:
-    """Adapter archive, persisted + co-partitioned on first use. Round 10:
-    the adapter transform's output is also a lake artifact group
-    (artifact_store.py) — a fresh serving session over unchanged sources
-    reads the parquet twin and pays only the co-partitioning, not the
-    adapter derivation."""
+    """Adapter archive, served straight off the bucketed artifact lake.
+    Round 11: co-partitioning moved from session warm-in (a repartition +
+    persist + count of every fact, ~10s of the sf1 cold budget) to a
+    write-time property — serving sessions register the stored bucketed
+    directories and scan them, paying nothing up front. The in-session
+    repartition+persist fallback survives only for store-disabled runs."""
     from msgvault_spark.sources import artifact_store
 
     key = _key(spark, sf_dir)
@@ -57,32 +79,45 @@ def get_archive(
     kind = ("archive",)
     loaded = artifact_store.load_group(spark, sf_dir, kind)
     if loaded is not None:
-        arch = loaded[0]
-    else:
-        arch = build_archive(spark, sf_dir)
-        stored = artifact_store.save_group(spark, sf_dir, kind, arch)
-        if stored:
-            arch = stored
-    if materialize:
+        arch = _persist_dims(loaded[0])
+        _ARCHIVE_MEMO[key] = arch
+        return arch
+    arch = build_archive(spark, sf_dir)
+    stored = artifact_store.save_group(
+        spark, sf_dir, kind, arch, buckets=_ARCHIVE_BUCKETS
+    )
+    if stored:
+        # the stored frames ARE bucketed-table reads: the build session
+        # serves the same plans every later load session will
+        stored = _persist_dims(stored)
+        _ARCHIVE_MEMO[key] = stored
+        return stored
+    if materialize:  # store disabled: per-session co-partition fallback
         arch = dict(arch)
-        arch["messages"] = arch["messages"].repartition(
-            FACT_PARTITIONS, "id"
-        ).persist(StorageLevel.MEMORY_AND_DISK)
-        arch["message_recipients"] = arch["message_recipients"].repartition(
-            FACT_PARTITIONS, "message_id"
-        ).persist(StorageLevel.MEMORY_AND_DISK)
-        arch["message_labels"] = arch["message_labels"].repartition(
-            FACT_PARTITIONS, "message_id"
-        ).persist(StorageLevel.MEMORY_AND_DISK)
-        arch["attachments"] = arch["attachments"].repartition(
-            FACT_PARTITIONS, "message_id"
-        ).persist(StorageLevel.MEMORY_AND_DISK)
+        for name, (bucket_key, n) in _ARCHIVE_BUCKETS.items():
+            arch[name] = arch[name].repartition(n, bucket_key).persist(
+                StorageLevel.MEMORY_AND_DISK
+            )
         for name in ("participants", "labels", "conversations", "sources"):
             arch[name] = arch[name].persist(StorageLevel.MEMORY_AND_DISK)
         # force materialization now so first query isn't charged for it
         for df in arch.values():
             df.count()
     _ARCHIVE_MEMO[key] = arch
+    return arch
+
+
+def _persist_dims(arch: dict[str, DataFrame]) -> dict[str, DataFrame]:
+    """Pin the four dimension tables in memory (lazily). Every archive
+    query broadcast-joins at least one of them, and broadcast relations
+    are rebuilt per job — without a cached source each warm collect pays
+    a fresh parquet scan per dim (~10 ms × dims × queries, the uniform
+    warm smear measured when r11 first went persist-free). Dims are
+    KB-to-MB at any SF that fits one machine; the facts stay pure
+    bucketed lake scans."""
+    arch = dict(arch)
+    for name in ("participants", "labels", "conversations", "sources"):
+        arch[name] = arch[name].persist(StorageLevel.MEMORY_AND_DISK)
     return arch
 
 
@@ -212,12 +247,14 @@ def build_wide_messages(archive: dict[str, DataFrame]) -> DataFrame:
 
 
 def get_wide_messages(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Memoized, persisted wide view. Round 10: backed by the on-disk
-    artifact lake (sources/artifact_store.py) — a fresh serving session
-    whose sources haven't moved loads the parquet twin instead of
-    re-running the whole denormalization (and skips building the archive
-    entirely when only wide-path entries run), the reference's
-    build-cache serving model."""
+    """Memoized wide view: lake twin + LAZY persist. The wide view is the
+    hottest serving table (nine headline entries scan it, several with
+    scan-only plans that cannot reuse shuffle outputs across collects), so
+    it keeps an in-memory copy — but materialization is lazy: the r10
+    eager count() charged every session ~3s at sf1 up front; now the first
+    wide consumer materializes it as a side effect and the other eight
+    read memory (measured sf1 serving-cold: 9 entries × ~1s of re-scans
+    → one ~2s build + 8 × ~0.15s)."""
     from msgvault_spark.sources import artifact_store
 
     key = _key(spark, sf_dir)
@@ -226,7 +263,7 @@ def get_wide_messages(spark: SparkSession, sf_dir: str) -> DataFrame:
     kind = ("wide_messages",)
     loaded = artifact_store.load_group(spark, sf_dir, kind)
     if loaded is not None:
-        wide = loaded[0]["wide"]
+        wide = loaded[0]["wide"].persist(StorageLevel.MEMORY_AND_DISK)
     else:
         # build at few, larger partitions: the wide view is dimension-scale
         # (≤ a few hundred MB at bench SFs) and every consumer is a
@@ -237,9 +274,11 @@ def get_wide_messages(spark: SparkSession, sf_dir: str) -> DataFrame:
         # matters on a real cluster.
         built = build_wide_messages(get_archive(spark, sf_dir)).coalesce(8)
         stored = artifact_store.save_group(spark, sf_dir, kind, {"wide": built})
-        wide = stored["wide"] if stored else built
-    wide = wide.persist(StorageLevel.MEMORY_AND_DISK)
-    wide.count()
+        if stored:
+            wide = stored["wide"].persist(StorageLevel.MEMORY_AND_DISK)
+        else:  # store disabled: in-session persist fallback
+            wide = built.persist(StorageLevel.MEMORY_AND_DISK)
+            wide.count()
     _WIDE_MEMO[key] = wide
     return wide
 
@@ -250,42 +289,92 @@ _CORPUS_STATS_MEMO: dict[tuple[str, str, str, str, str], tuple[int, float]] = {}
 _TERM_STATS_MEMO: dict[tuple[str, str, str, str, str], DataFrame] = {}
 
 
-def get_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Memoized persisted testdata table (the raw-parquet analog of the
-    reference keeping its DuckDB connection's buffer pool warm).
+# Tables at or above this raw-parquet footprint serve from a pre-sharded
+# lake twin instead of an in-memory cache: for a big fact the per-session
+# repartition shuffle + full-width persist+count (lineitem alone was 7.4s
+# of the sf1 cold budget) buys nothing a pruned parquet scan doesn't do
+# better — queries read only the columns they project (the cache always
+# materialized all 16 lineitem columns including l_comment). Small tables
+# keep the in-memory cache: their warm-in is milliseconds and their
+# CPU-heavy consumers (tokenizers over documents) want the full core-count
+# partitioning the cache layout provides.
+TWIN_MIN_BYTES = 8 * 1024 * 1024
 
-    The cached layout is re-partitioned for SCAN parallelism: a small-SF
-    parquet table is one 128 MB split, so every first (non-shuffle-reused)
-    execution of a downstream plan would scan it on a single core while the
-    other 31 idle. Row-count-sized round-robin partitions (~100k rows each,
-    capped at core count) make the cached relation's map stages parallel —
-    the local-mode analog of sizing files/maxPartitionBytes on a real lake,
-    paid once at ETL. Tiny dims keep their single partition."""
+
+def _layout_partitions(spark: SparkSession, n_rows: int, n_bytes: int | None) -> int:
+    """Partition count for a table layout: ~100k rows per partition OR
+    ~256 KB of compressed parquet per partition, whichever demands more,
+    capped at core count. The bytes term matters for text/vector tables:
+    sf1 `documents` is only 50k rows (row rule → ONE partition) but its
+    zstd text decodes ~10×, and every tokenizer/GEMM consumer is
+    CPU-bound — the r10 tree ran those map stages single-threaded. 256 KB
+    compressed ≈ a 1-4 MB decoded task, the local-mode analog of sizing
+    maxPartitionBytes on a real lake."""
+    by_rows = -(-n_rows // 100_000)  # ceil
+    by_bytes = -(-(n_bytes or 0) // (256 * 1024))
+    return min(
+        spark.sparkContext.defaultParallelism, max(1, by_rows, by_bytes)
+    )
+
+
+def get_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Memoized testdata table (the raw-parquet analog of the reference
+    keeping its DuckDB connection's buffer pool warm).
+
+    Two regimes by raw size:
+      * big facts (≥ TWIN_MIN_BYTES): served as plain scans of a
+        pre-sharded lake twin ("table_shards" artifact group — row-count-
+        sized round-robin files written once at ETL). No per-session
+        shuffle, no persist; scan parallelism comes from the file layout,
+        and column pruning + pushdown reach the parquet footers.
+      * small tables: repartitioned to ~100k-row partitions (capped at
+        core count) and MEMORY_AND_DISK-persisted, so CPU-heavy consumers
+        get full-width parallelism on data whose warm-in costs ms."""
+    from msgvault_spark.sources import artifact_store
     from msgvault_spark.sources.loader import load_table
 
     key = (spark.sparkContext.applicationId, sf_dir, name)
-    if key not in _TABLE_MEMO:
-        raw = load_table(spark, sf_dir, name)
-        # size the layout from the parquet FOOTER (free) instead of a
-        # full counting scan — at sf1 the old scan-count-then-repartition
-        # sequence read lineitem twice before the first query could run
-        # (round-10 serving-cold profile: pricing_summary paid 6.4s here)
-        n_rows = _footer_rows(sf_dir, name)
-        if n_rows is None:
-            raw = raw.persist(StorageLevel.MEMORY_AND_DISK)
-            n_rows = raw.count()
-        n_part = min(
-            spark.sparkContext.defaultParallelism,
-            max(1, -(-n_rows // 100_000)),  # ceil: ≤100k rows/partition
+    if key in _TABLE_MEMO:
+        return _TABLE_MEMO[key]
+    # size the layout from the parquet FOOTER (free) instead of a
+    # full counting scan — at sf1 the old scan-count-then-repartition
+    # sequence read lineitem twice before the first query could run
+    n_rows = _footer_rows(sf_dir, name)
+    n_bytes = _footer_bytes(sf_dir, name)
+    if (
+        n_bytes is not None
+        and n_rows is not None
+        and n_bytes >= TWIN_MIN_BYTES
+    ):
+        kind = ("table_shards", name)
+        loaded = artifact_store.load_group(spark, sf_dir, kind)
+        if loaded is not None:
+            _TABLE_MEMO[key] = loaded[0]["data"]
+            return _TABLE_MEMO[key]
+        n_part = _layout_partitions(spark, n_rows, n_bytes)
+        stored = artifact_store.save_group(
+            spark,
+            sf_dir,
+            kind,
+            {"data": load_table(spark, sf_dir, name).repartition(n_part)},
         )
-        if n_part > raw.rdd.getNumPartitions():
-            df = raw.repartition(n_part).persist(StorageLevel.MEMORY_AND_DISK)
-            df.count()  # one scan+shuffle lays out AND materializes
-            raw.unpersist()
-        else:
-            df = raw.persist(StorageLevel.MEMORY_AND_DISK)
-            df.count()
-        _TABLE_MEMO[key] = df
+        if stored is not None:
+            _TABLE_MEMO[key] = stored["data"]
+            return _TABLE_MEMO[key]
+        # store disabled → fall through to the in-session cache path
+    raw = load_table(spark, sf_dir, name)
+    if n_rows is None:
+        raw = raw.persist(StorageLevel.MEMORY_AND_DISK)
+        n_rows = raw.count()
+    n_part = _layout_partitions(spark, n_rows, n_bytes)
+    if n_part > raw.rdd.getNumPartitions():
+        df = raw.repartition(n_part).persist(StorageLevel.MEMORY_AND_DISK)
+        df.count()  # one scan+shuffle lays out AND materializes
+        raw.unpersist()
+    else:
+        df = raw.persist(StorageLevel.MEMORY_AND_DISK)
+        df.count()
+    _TABLE_MEMO[key] = df
     return _TABLE_MEMO[key]
 
 
@@ -311,6 +400,25 @@ def _footer_rows(sf_dir: str, name: str) -> int | None:
                     ).metadata.num_rows
             return total
     except Exception:
+        return None
+    return None
+
+
+def _footer_bytes(sf_dir: str, name: str) -> int | None:
+    """On-disk parquet footprint (stat only) — the TWIN_MIN_BYTES input."""
+    import os
+
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    try:
+        if os.path.isfile(path):
+            return os.stat(path).st_size
+        if os.path.isdir(path):
+            return sum(
+                os.stat(os.path.join(path, f)).st_size
+                for f in os.listdir(path)
+                if f.endswith(".parquet")
+            )
+    except OSError:
         return None
     return None
 
@@ -359,13 +467,12 @@ def _build_text_index(spark, key, sf_dir, table, id_col, text_col) -> None:
     n = max(4, spark.sparkContext.defaultParallelism // 8)
     loaded = artifact_store.load_group(spark, sf_dir, kind)
     if loaded is not None:
+        # serve the lake scans directly (no persist/count warm-in): every
+        # consumer filters postings to its query terms, and that predicate
+        # pushes into the parquet scan — which the full-width cache blocked
         frames, scalars = loaded
-        postings = frames["postings"].persist(StorageLevel.MEMORY_AND_DISK)
-        stats = frames["stats"].persist(StorageLevel.MEMORY_AND_DISK)
-        term_stats = frames["term_stats"].persist(StorageLevel.MEMORY_AND_DISK)
-        postings.count()
-        _TEXT_INDEX_MEMO[key] = (postings, stats)
-        _TERM_STATS_MEMO[key] = term_stats
+        _TEXT_INDEX_MEMO[key] = (frames["postings"], frames["stats"])
+        _TERM_STATS_MEMO[key] = frames["term_stats"]
         _CORPUS_STATS_MEMO[key] = (int(scalars["n"]), float(scalars["avgdl"]))
         return
     postings, stats = build_inverted_index(
@@ -400,10 +507,9 @@ def _build_text_index(spark, key, sf_dir, table, id_col, text_col) -> None:
         # served bits are the lake bits)
         for df in (postings, stats, term_stats):
             df.unpersist()
-        postings = stored["postings"].persist(StorageLevel.MEMORY_AND_DISK)
-        stats = stored["stats"].persist(StorageLevel.MEMORY_AND_DISK)
-        term_stats = stored["term_stats"].persist(StorageLevel.MEMORY_AND_DISK)
-        postings.count()
+        postings = stored["postings"]
+        stats = stored["stats"]
+        term_stats = stored["term_stats"]
     _TEXT_INDEX_MEMO[key] = (postings, stats)
     _TERM_STATS_MEMO[key] = term_stats
     _CORPUS_STATS_MEMO[key] = (int(row["n"]), float(row["avgdl"]))
@@ -421,11 +527,9 @@ def get_artifact(spark: SparkSession, cache_key: tuple, builder) -> DataFrame:
     re-deriving it."""
     key = (spark.sparkContext.applicationId, *cache_key)
     if key not in _ARTIFACT_MEMO:
-        df = _disk_backed(
+        _ARTIFACT_MEMO[key] = _disk_backed(
             spark, cache_key, ("artifact", *cache_key[1:]), builder
-        ).persist(StorageLevel.MEMORY_AND_DISK)
-        df.count()
-        _ARTIFACT_MEMO[key] = df
+        )
     return _ARTIFACT_MEMO[key]
 
 
@@ -436,7 +540,14 @@ def _disk_backed(
     else build and persist it there (artifact_store.py — the reference's
     build-cache + staleness-probe serving model). cache_key[0] is the
     sf_dir by the package-wide memo convention; the served frame is the
-    stored copy, so served bits == lake bits."""
+    stored copy, so served bits == lake bits.
+
+    Lake-served frames come back as PLAIN SCANS (no persist/count — that
+    per-artifact warm-in was most of the sf1 cold budget, and consumers'
+    predicates now push into the artifact's parquet). Only the
+    store-disabled fallback persists: there the builder's plan would
+    otherwise re-run per query (iterative builders like connected
+    components make that prohibitive)."""
     from msgvault_spark.sources import artifact_store
 
     sf_dir = cache_key[0]
@@ -445,7 +556,11 @@ def _disk_backed(
         return loaded[0]["data"]
     df = builder()
     stored = artifact_store.save_group(spark, sf_dir, kind, {"data": df})
-    return stored["data"] if stored else df
+    if stored:
+        return stored["data"]
+    df = df.persist(StorageLevel.MEMORY_AND_DISK)
+    df.count()
+    return df
 
 
 _SCALAR_MEMO: dict[tuple, object] = {}
@@ -487,14 +602,12 @@ def get_components(
     key = (spark.sparkContext.applicationId, *cache_key, *sorted(params.items()))
     if key not in _COMPONENTS_MEMO:
         kind = ("components", *cache_key[1:], *sorted(params.items()))
-        comp = _disk_backed(
+        _COMPONENTS_MEMO[key] = _disk_backed(
             spark,
             cache_key,
             kind,
             lambda: connected_components(edges_builder(), **params),
-        ).persist(StorageLevel.MEMORY_AND_DISK)
-        comp.count()
-        _COMPONENTS_MEMO[key] = comp
+        )
     return _COMPONENTS_MEMO[key]
 
 
@@ -523,12 +636,10 @@ def get_minhash_index(
             text_col,
             *sorted(params.items()),
         )
-        idx = _disk_backed(
+        _MINHASH_MEMO[key] = _disk_backed(
             spark,
             cache_key,
             kind,
             lambda: build_minhash_index(df_builder(), id_col, text_col, **params),
-        ).persist(StorageLevel.MEMORY_AND_DISK)
-        idx.count()
-        _MINHASH_MEMO[key] = idx
+        )
     return _MINHASH_MEMO[key]

@@ -81,17 +81,65 @@ def test_scalar_roundtrip_and_non_json_fallback(spark, store):
     assert artifact_store.load_scalars(SF, ("scalar", "bad")) is None
 
 
+def test_bucketed_group_roundtrip_and_join_partitioning(spark, store):
+    """A frame saved with a bucket spec must come back (a) bit-identical,
+    (b) as an external bucketed table on the session's in-memory catalog
+    (no Hive/Derby), and (c) with a self-join on the bucket key planning
+    ZERO shuffle exchanges — the write-time shuffle replaced the
+    per-session one."""
+    from pyspark.sql import functions as F
+
+    left = spark.range(200).select(F.col("id"), (F.col("id") % 9).alias("v"))
+    right = spark.range(600).select(
+        (F.col("id") % 200).alias("message_id"), (F.col("id") % 5).alias("w")
+    )
+    stored = artifact_store.save_group(
+        spark,
+        SF,
+        ("t", "bucketed"),
+        {"left": left, "right": right},
+        buckets={"left": ("id", 4), "right": ("message_id", 4)},
+    )
+    assert _rows(stored["left"]) == _rows(left)
+    frames, _ = artifact_store.load_group(spark, SF, ("t", "bucketed"))
+    assert _rows(frames["right"]) == _rows(right)
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = frames["left"].join(
+            frames["right"],
+            frames["left"]["id"] == frames["right"]["message_id"],
+        )
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("Bucketed: true") == 2, plan[:1200]
+        assert "Exchange" not in plan, plan[:1200]
+        assert j.count() == 600
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_scalar_persist_requires_exact_round_trip(spark, store):
+    """A value that JSON-serializes but mutates (tuple→list) must stay an
+    in-session memo — persisting it would silently change its type in the
+    next session."""
+    artifact_store.save_scalars(SF, ("scalar", "tup"), {"value": (1, 2)})
+    assert artifact_store.load_scalars(SF, ("scalar", "tup")) is None
+
+
 def test_prune_drops_superseded_group(spark, store):
     built = spark.range(2).toDF("id")
     artifact_store.save_group(spark, SF, ("t", "prune"), {"data": built})
     live = os.listdir(store)
     assert len(live) == 1
     # forge a stale sibling: same kind + sf_dir under an old digest (as a
-    # code/source fingerprint change would leave behind)
+    # code/source fingerprint change would leave behind); age it past the
+    # prune grace window (young superseded groups survive one cycle so
+    # concurrent readers drain first)
     stale = store / "deadbeef" / "meta.json"
     stale.parent.mkdir()
     meta = json.load(open(os.path.join(store, live[0], "meta.json")))
     stale.write_text(json.dumps(meta))
+    os.utime(stale, (1, 1))
     # next save of the SAME kind prunes it; an unrelated kind does not
     artifact_store.save_scalars(SF, ("scalar", "other"), {"value": 1})
     assert (store / "deadbeef").exists()

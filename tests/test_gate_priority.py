@@ -44,6 +44,18 @@ def test_touched_entries_are_in_gate_window():
     oracle_touched = [
         t for t in touched if CATALOG[t].oracle_sql is not None
     ]
+    # r11 structural rule: entries touched by a NARROW change (blast
+    # radius ≤ window) are non-evictable — the r10 semantic-decontamination
+    # flip shipped after the window rebuild and dodged its driver row;
+    # overflow tolerance below never excuses a narrow-change entry.
+    must = gp.must_verify_entries(base)
+    missing_must = [
+        t for t in must if CATALOG[t].oracle_sql is not None and t not in front
+    ]
+    assert not missing_must, (
+        f"entries rewritten by narrow changes since {base[:12]} must hold "
+        f"gate slots: {missing_must}"
+    )
     if len(oracle_touched) > gp.WINDOW:
         # more touched than the window holds: every slot must be spent
         # on a touched entry (no stale filler ahead of changed work)

@@ -122,6 +122,28 @@ def test_embedding_generation_lifecycle(spark, tmp_path):
     with pytest.raises(ValueError, match="dim"):
         embed_pending(corpus, base, 1, dim=16)
 
+    # the promote gate rejects non-finite components (the finite-inputs
+    # contract the GEMM-margin twins' bit-parity claims rest on): inject
+    # a NaN-component vector into the building generation, then clean up
+    import math
+    import os
+
+    from msgvault_spark.embeddings_pipeline import generation_dir
+
+    vec_path = os.path.join(generation_dir(base, 1), "vectors")
+    poison = spark.createDataFrame(
+        [(999, [math.nan] + [0.0] * 7)], "id long, embedding array<double>"
+    )
+    poison.write.mode("append").parquet(vec_path)
+    with pytest.raises(ValueError, match="non-finite"):
+        promote_generation(spark, base, 1)
+    import glob as _glob
+
+    for f in _glob.glob(os.path.join(vec_path, "*.parquet")):
+        df = spark.read.parquet(f)
+        if df.filter(F.col("id") == 999).count():
+            os.remove(f)
+
     meta = promote_generation(spark, base, 1)
     assert meta["status"] == "active"
     vec = load_active_vectors(spark, base)

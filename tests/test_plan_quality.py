@@ -111,27 +111,34 @@ def test_semi_and_anti_joins_stay_hash_joins(spark, catalog):
 
 def test_wide_agg_is_scan_plus_agg(spark, catalog):
     """The wide fast path must stay join-free at query time: scan the
-    persisted denormalized view, hash-aggregate, sort. Any join besides the
-    1-row total broadcast means the denormalization regressed."""
+    denormalized lake view, hash-aggregate, sort. Any join besides the
+    1-row total broadcast means the denormalization regressed. Round 11:
+    the wide view serves as a PLAIN parquet scan of the artifact lake
+    (no per-session cache), so the whole executed plan is query-time —
+    the ETL joins live behind the lake write."""
     plan = _plan(catalog["agg_senders_wide"].fn(spark, SF_DIR), execute=True)
-    assert "InMemoryTableScan" in plan
-    # judge only the query-time plan: InMemoryTableScan's printout embeds
-    # the ETL build plan (whose joins are paid once, not per query)
-    query_time = plan.split("InMemoryTableScan")[0]
-    assert "HashAggregate" in query_time
-    assert "SortMergeJoin" not in query_time
-    assert "ShuffledHashJoin" not in query_time
-    assert "BroadcastHashJoin" not in query_time
+    # round 11: the wide view is a lake parquet twin (lazily cached), so
+    # even the cached-build subtree is a plain FileScan — the ETL joins
+    # live behind the lake write. Assert join-freedom over the WHOLE plan,
+    # cached build included (pre-r11 only the query-time prefix could be).
+    assert "HashAggregate" in plan
+    assert "SortMergeJoin" not in plan
+    assert "ShuffledHashJoin" not in plan
+    assert "BroadcastHashJoin" not in plan
     # whole-stage codegen spans print as "*(n) Operator" in plan strings
-    assert "*(" in query_time
+    assert "*(" in _live_plan(plan)
 
 
 def test_bm25_candidate_shape(spark, catalog):
     """BM25 must filter postings to the query terms BEFORE joining: the
-    plan carries the IN-list filter and no full-corpus sort-merge join."""
+    plan carries the IN-list filter and no full-corpus sort-merge join.
+    Round 11: postings/stats serve as lake scans, so the term IN-list
+    must now reach the parquet scan itself (PushedFilters) — a pruning
+    the old full-width in-memory cache could never do."""
     plan = _plan(catalog["bm25_documents"].fn(spark, SF_DIR))
-    assert plan.count("InMemoryTableScan") >= 2  # persisted postings + stats
+    assert plan.count("FileScan parquet") >= 2  # lake postings + stats
     assert "term#" in plan and " IN (" in plan
+    assert "In(term, [" in plan  # pushed into the postings scan
     assert "CartesianProduct" not in plan
 
 

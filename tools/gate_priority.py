@@ -246,25 +246,29 @@ def changed_lines(base: str) -> dict[str, set[int]]:
     return out
 
 
-def touched_entries(base: str | None = None) -> list[str]:
-    """Catalog entries (registration order) whose implementation changed
-    since ``base`` (default: the last round-snapshot commit)."""
+def touch_map(base: str | None = None) -> dict[str, set[str]]:
+    """{catalog entry: changed modules that touch it} since ``base``
+    (default: the last round-snapshot commit). Per-module attribution is
+    what lets the gate tell a NARROW change (a leaf operator rewrite
+    touching a handful of entries — must re-verify in-round) from a
+    BROAD one (a hub/serving-path rewrite touching most of the catalog —
+    physically can't fit the window, overflow re-verified out-of-band)."""
     sys.path.insert(0, str(ROOT))
     from msgvault_spark.catalog import CATALOG
 
     base = base or last_round_rev()
     if base is None:
-        return []
+        return {}
     changed = changed_lines(base)
     if not changed:
-        return []
+        return {}
     pkg = _load_package()
     path_of = {m: str(i.path.relative_to(ROOT)) for m, i in pkg.items()}
     changed_mods = {
         m for m, p in path_of.items() if changed.get(p)
     }
 
-    out = []
+    out: dict[str, set[str]] = {}
     for name, e in CATALOG.items():
         # register() wraps entries in a plan-memo closure defined in
         # catalog.py — unwrap to reach the real defining module
@@ -273,27 +277,53 @@ def touched_entries(base: str | None = None) -> list[str]:
         if mod not in pkg:
             continue
         visited, coarse = _entry_footprint(mod, fn.__name__, pkg)
-        hit = bool(coarse & changed_mods)
-        if not hit:
-            mods_seen = {m for m, _ in visited} | {mod}
-            for m in mods_seen:
-                lines = changed.get(path_of[m], set())
-                if not lines:
-                    continue
-                if lines & pkg[m].global_lines:
-                    hit = True  # imports/constants/oracle builders
-                    break
-                spans = [
-                    pkg[m].spans[f] for mm, f in visited if mm == m
-                ]
-                if any(
-                    s <= ln <= en for s, en in spans for ln in lines
-                ):
-                    hit = True
-                    break
-        if hit:
-            out.append(name)
+        causes = set(coarse & changed_mods)
+        mods_seen = {m for m, _ in visited} | {mod}
+        for m in mods_seen:
+            if m in causes:
+                continue
+            lines = changed.get(path_of[m], set())
+            if not lines:
+                continue
+            if lines & pkg[m].global_lines:
+                causes.add(m)  # imports/constants/oracle builders
+                continue
+            spans = [
+                pkg[m].spans[f] for mm, f in visited if mm == m
+            ]
+            if any(
+                s <= ln <= en for s, en in spans for ln in lines
+            ):
+                causes.add(m)
+        if causes:
+            out[name] = causes
     return out
+
+
+def touched_entries(base: str | None = None) -> list[str]:
+    """Catalog entries (registration order) whose implementation changed
+    since ``base`` (default: the last round-snapshot commit)."""
+    return list(touch_map(base))
+
+
+def must_verify_entries(base: str | None = None) -> list[str]:
+    """Entries touched by at least one NARROW change — a changed module
+    whose own blast radius fits the gate window. These are non-evictable:
+    a leaf rewrite (the r10 semantic-decontamination flip) must get an
+    in-round driver row no matter how large the total touched set is,
+    because the out-of-band full-oracle sweep is the only other evidence
+    and the driver gate is the contract. Broad hub changes may overflow;
+    narrow ones may not."""
+    tm = touch_map(base)
+    per_module: dict[str, list[str]] = {}
+    for entry, mods in tm.items():
+        for m in mods:
+            per_module.setdefault(m, []).append(entry)
+    return [
+        entry
+        for entry, mods in tm.items()
+        if any(len(per_module[m]) <= WINDOW for m in mods)
+    ]
 
 
 def main() -> int:
@@ -306,9 +336,12 @@ def main() -> int:
         return 1
     sys.path.insert(0, str(ROOT))
     touched = touched_entries(base)
-    print(f"# base {base[:12]} — {len(touched)} touched entries")
+    must = must_verify_entries(base)
+    print(f"# base {base[:12]} — {len(touched)} touched entries "
+          f"({len(must)} by narrow changes)")
     for t in touched:
-        print(f'    "{t}",')
+        tag = "  # narrow" if t in must else ""
+        print(f'    "{t}",{tag}')
     import __spark_entry__ as se
 
     front = list(se.queries())[:WINDOW]
@@ -317,6 +350,18 @@ def main() -> int:
     oracle_touched = [
         t for t in touched if CATALOG[t].oracle_sql is not None
     ]
+    # structural rule (r10 verdict #1): an entry touched by a NARROW
+    # change must hold a window slot REGARDLESS of how big the broad
+    # touched set is — overflow tolerance never applies to it
+    missing_must = [
+        t
+        for t in must
+        if CATALOG[t].oracle_sql is not None and t not in front
+    ]
+    if missing_must:
+        print(f"\n# NARROW-CHANGE entries MISSING from front {WINDOW}: "
+              f"{missing_must}")
+        return 2
     missing = [t for t in oracle_touched if t not in front]
     if len(oracle_touched) > WINDOW:
         extra = [f for f in front if f not in touched]
