@@ -156,11 +156,18 @@ def _serve_frame(
     tok = hashlib.sha256(path.encode()).hexdigest()[:16]
     tbl = f"aspark_{tok}"
     if not spark.catalog.tableExists(tbl):
-        spark.sql(
-            f"CREATE TABLE `{tbl}` ({meta['schemas'][name]}) USING parquet "
-            f"CLUSTERED BY (`{spec['key']}`) SORTED BY (`{spec['key']}`) "
-            f"INTO {spec['n']} BUCKETS LOCATION '{path}'"
-        )
+        try:
+            spark.sql(
+                f"CREATE TABLE `{tbl}` ({meta['schemas'][name]}) USING parquet "
+                f"CLUSTERED BY (`{spec['key']}`) SORTED BY (`{spec['key']}`) "
+                f"INTO {spec['n']} BUCKETS LOCATION '{path}'"
+            )
+        except Exception:
+            # lost a registration race (sibling session sharing the JVM
+            # catalog): the name is content-addressed, so whoever won
+            # registered the identical table — just read it
+            if not spark.catalog.tableExists(tbl):
+                raise
     return spark.table(tbl)
 
 

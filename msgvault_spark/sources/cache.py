@@ -300,6 +300,18 @@ _TERM_STATS_MEMO: dict[tuple[str, str, str, str, str], DataFrame] = {}
 # partitioning the cache layout provides.
 TWIN_MIN_BYTES = 8 * 1024 * 1024
 
+# Join-key clustering for the big raw-table twins: the same write-time
+# co-partitioning the archive facts get. orders⋈lineitem on orderkey is
+# the backbone of half the TPC-H plans (Q3/Q4/Q12/Q18/Q21); events
+# cluster on user_id so sessionization's window+rollup reads an already-
+# clustered scan. Pure scans are unaffected (auto-bucketed-scan falls
+# back to file-split planning when no operator needs the clustering).
+_TWIN_BUCKETS: dict[str, tuple[str, int]] = {
+    "lineitem": ("l_orderkey", FACT_PARTITIONS),
+    "orders": ("o_orderkey", FACT_PARTITIONS),
+    "events": ("user_id", FACT_PARTITIONS),
+}
+
 
 def _layout_partitions(spark: SparkSession, n_rows: int, n_bytes: int | None) -> int:
     """Partition count for a table layout: ~100k rows per partition OR
@@ -351,13 +363,23 @@ def get_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         if loaded is not None:
             _TABLE_MEMO[key] = loaded[0]["data"]
             return _TABLE_MEMO[key]
-        n_part = _layout_partitions(spark, n_rows, n_bytes)
-        stored = artifact_store.save_group(
-            spark,
-            sf_dir,
-            kind,
-            {"data": load_table(spark, sf_dir, name).repartition(n_part)},
-        )
+        bucket = _TWIN_BUCKETS.get(name)
+        if bucket is not None:
+            stored = artifact_store.save_group(
+                spark,
+                sf_dir,
+                kind,
+                {"data": load_table(spark, sf_dir, name)},
+                buckets={"data": bucket},
+            )
+        else:
+            n_part = _layout_partitions(spark, n_rows, n_bytes)
+            stored = artifact_store.save_group(
+                spark,
+                sf_dir,
+                kind,
+                {"data": load_table(spark, sf_dir, name).repartition(n_part)},
+            )
         if stored is not None:
             _TABLE_MEMO[key] = stored["data"]
             return _TABLE_MEMO[key]
