@@ -321,9 +321,16 @@ def _layout_partitions(spark: SparkSession, n_rows: int, n_bytes: int | None) ->
     zstd text decodes ~10×, and every tokenizer/GEMM consumer is
     CPU-bound — the r10 tree ran those map stages single-threaded. 256 KB
     compressed ≈ a 1-4 MB decoded task, the local-mode analog of sizing
-    maxPartitionBytes on a real lake."""
+    maxPartitionBytes on a real lake. The bytes term is itself floored
+    at ~2k rows/partition: below that, per-task scheduling (~5 ms)
+    outweighs any work the task holds (sf0.1 embeddings is 2.9 MB of
+    float arrays but only 2k rows — 12 partitions bought nothing and
+    taxed every KNN job; measured in the r11 A/B smear)."""
     by_rows = -(-n_rows // 100_000)  # ceil
-    by_bytes = -(-(n_bytes or 0) // (256 * 1024))
+    by_bytes = min(
+        -(-(n_bytes or 0) // (256 * 1024)),
+        -(-n_rows // 2_000),
+    )
     return min(
         spark.sparkContext.defaultParallelism, max(1, by_rows, by_bytes)
     )
