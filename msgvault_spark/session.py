@@ -79,7 +79,21 @@ def get_spark(
         # and the default is fine either way.
         .config("spark.sql.files.openCostInBytes", "1048576")
         .config("spark.sql.parquet.compression.codec", "zstd")
-        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # 16 MB, judged against FILE size for lake scans: parquet+zstd
+        # under-reports decoded width 3-10×, so a 64 MB threshold let the
+        # static planner auto-broadcast whole bucketed FACT tables at sf1
+        # (22 MB files → ~200 MB pinned hash relations; a 221-plan sweep
+        # session OOM'd an 8 GB driver on exactly this). Facts must
+        # prefer their write-time bucket layout; the deliberate dimension
+        # broadcasts all use explicit broadcast hints, which ignore
+        # this threshold, and AQE's runtime re-plan uses ACCURATE decoded
+        # sizes where it is enabled.
+        .config(
+            "spark.sql.autoBroadcastJoinThreshold",
+            os.environ.get(
+                "SPARK_GRAFT_BROADCAST_THRESHOLD", str(16 * 1024 * 1024)
+            ),
+        )
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         # extra driver-JVM flags (cold-start experiments: JIT tiering, CDS)
         .config(

@@ -46,6 +46,9 @@ def main() -> None:
 
     os.environ.setdefault("SPARK_GRAFT_AQE", "false")
     os.environ.setdefault("SPARK_GRAFT_CONSTRAINTS", "false")
+    # one session memoizes all 221 plans (broadcasts stay pinned by the
+    # plan memo until the session dies) — give the marathon headroom
+    os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "16g")
     spark = get_spark("msgvault_ratio_sweep")
     spark.sparkContext.setLogLevel("ERROR")
 
