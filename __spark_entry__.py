@@ -22,19 +22,74 @@ from msgvault_spark.catalog import CATALOG
 # exceeds 50, all 50 slots go to touched entries and the overflow relies
 # on the out-of-band full-oracle sweep until its next window.
 _PRIORITY = [
-    # --- round 11 gate window (50 slots). Composition, in order:
-    # (1) the two decontamination entries the r10 verdict fronted by
-    #     name (flipped late in r10 with no driver row);
-    # (2) every NARROW-change entry (tools/gate_priority.py
-    #     must_verify_entries — non-evictable under the new structural
-    #     rule: catalog_dedup/exact.py merge rewrite, the GEMM docstring
-    #     + NaN-contract edits);
-    # (3) oldest-driver-vintage touched entries (the r1/r2 rotation
-    #     cohort the r9/r10 verdicts queued) filling the remaining
-    #     slots. The whole catalog is touched this round (the bucketed
-    #     artifact-lake serving rewrite re-routes every entry), so all
-    #     50 slots are touched entries; the overflow is re-verified
-    #     out-of-band by the full tri-scale oracle sweep. ---
+    # --- round 12 gate window (50 slots). Composition, in order:
+    # (1) the single NARROW-change entry this round
+    #     (tools/gate_priority.py must_verify — the promote_generation
+    #     explicit-schema + NULL-component gate hardening in
+    #     embeddings_pipeline.py);
+    # (2) the 17 oldest-vintage entries (latest driver row r2) — the
+    #     rotation cohort the r11 verdict queued as task #3;
+    # (3) the 16 r3-vintage entries;
+    # (4) the 16 oldest r5-vintage entries filling the window (4 r5
+    #     entries remain for the r13 rotation: stream_user_sessions,
+    #     top_bigrams_corpus, topk_orders_per_priority,
+    #     weighted_mix_sources).
+    # The whole catalog is "touched" this round only via catalog.py's
+    # module-global plan-memo change (a serving-layer edit, zero plan
+    # semantics); the full sf0.01 oracle sweep re-verified all 221
+    # entries out-of-band on the settled tree. ---
+    "embed_pipeline_vectors",
+    "bloom_join_orders",
+    "chunk_documents",
+    "cms_frequency_orders",
+    "cube_priority_status",
+    "hist_quantile_orders",
+    "hll_distinct_rollup",
+    "hybrid_rrf_hydrated",
+    "market_share_q8",
+    "nation_volume_q7",
+    "pack_training_sequences",
+    "regional_volume_q5",
+    "salted_priority_rollup",
+    "shipping_priority_q3",
+    "snapshot_merge_timetravel",
+    "stream_rollup_daily",
+    "temperature_mix_sources",
+    "train_val_test_split",
+    "customer_distribution_q13",
+    "disjunctive_revenue_q19",
+    "encoding_repair_docs",
+    "forecast_revenue_q6",
+    "global_shuffle_shards",
+    "idle_customers_q22",
+    "nation_profit_q9",
+    "order_priority_q4",
+    "promo_revenue_q14",
+    "salted_join_priority_dim",
+    "schema_drift_read",
+    "snapshot_optimize_vacuum",
+    "supplier_parts_q16",
+    "time_series_zero_fill",
+    "top_supplier_q15",
+    "waiting_suppliers_q21",
+    "approx_percentile_check",
+    "c4_pipeline_stats",
+    "dedup_mime_hash_groups",
+    "embed_preprocess_docs",
+    "epoch_upsample_sources",
+    "label_centroids",
+    "pivot_events_weekly",
+    "priority_shipping_q12",
+    "profile_orders_table",
+    "returned_items_q10",
+    "rp_project_embeddings",
+    "skew_report_orders",
+    "sliding_window_events",
+    "snapshot_diff_versions",
+    "stream_dedup_count",
+    "stream_stream_join_funnel",
+    # --- overflow (out-of-band full-oracle sweep; driver rows in
+    #     later rounds), prior order preserved ---
     "semantic_decontaminate_docs",
     "decontaminate_docs",
     "dedup_exact_survivors",
@@ -59,7 +114,6 @@ _PRIORITY = [
     "cross_source_dup_report",
     "kmv_source_overlap",
     "simhash_hamming_pairs",
-    "embed_pipeline_vectors",
     "embedding_near_dups_lsh",
     "pricing_summary",
     "top_customers_by_spend",
@@ -85,8 +139,6 @@ _PRIORITY = [
     "incremental_agg_orders",
     "percentiles_order_price",
     "scd2_customer_priority",
-    # --- touched overflow (out-of-band full-oracle sweep; driver
-    #     rows in later rounds), prior order preserved ---
     "bm25_documents",
     "knn_cosine_seed0",
     "hybrid_rrf",
@@ -181,59 +233,10 @@ _PRIORITY = [
     "get_attachments_batch",
     "gmail_ids_by_filter",
     "summary_stats",
-    "stream_rollup_daily",
-    "train_val_test_split",
-    "temperature_mix_sources",
-    "bloom_join_orders",
-    "snapshot_merge_timetravel",
-    "hybrid_rrf_hydrated",
-    "cms_frequency_orders",
-    "pack_training_sequences",
-    "hist_quantile_orders",
-    "chunk_documents",
-    "salted_priority_rollup",
-    "hll_distinct_rollup",
-    "shipping_priority_q3",
-    "regional_volume_q5",
-    "nation_volume_q7",
-    "market_share_q8",
-    "cube_priority_status",
-    "encoding_repair_docs",
-    "schema_drift_read",
-    "snapshot_optimize_vacuum",
-    "global_shuffle_shards",
-    "order_priority_q4",
-    "forecast_revenue_q6",
-    "nation_profit_q9",
-    "promo_revenue_q14",
-    "supplier_parts_q16",
-    "disjunctive_revenue_q19",
-    "waiting_suppliers_q21",
-    "idle_customers_q22",
-    "customer_distribution_q13",
-    "top_supplier_q15",
-    "time_series_zero_fill",
-    "salted_join_priority_dim",
-    "rp_project_embeddings",
-    "label_centroids",
-    "stream_dedup_count",
     "stream_user_sessions",
-    "sliding_window_events",
-    "stream_stream_join_funnel",
-    "dedup_mime_hash_groups",
-    "embed_preprocess_docs",
     "weighted_mix_sources",
-    "pivot_events_weekly",
-    "approx_percentile_check",
     "topk_orders_per_priority",
-    "profile_orders_table",
     "top_bigrams_corpus",
-    "epoch_upsample_sources",
-    "skew_report_orders",
-    "snapshot_diff_versions",
-    "c4_pipeline_stats",
-    "returned_items_q10",
-    "priority_shipping_q12",
     "label_dispersion_report",
     "stream_static_enrich",
     "small_quantity_revenue_q17",

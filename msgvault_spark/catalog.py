@@ -16,6 +16,8 @@ Determinism rules (the driver hash-compares values):
 
 from __future__ import annotations
 
+import os
+from collections import OrderedDict
 from collections.abc import Callable
 from dataclasses import dataclass
 
@@ -61,7 +63,20 @@ CATALOG: dict[str, QuerySpec] = {}
 # reuse the analyzed DataFrame. Keyed by (application, sf_dir, name);
 # DataFrames are immutable so sharing the instance is safe. Side-effectful
 # entries (streaming runs) opt out via memoize_plan=False.
-_PLAN_MEMO: dict[tuple[str, str, str], DataFrame] = {}
+#
+# The memo is a BOUNDED LRU, not a plain dict: every memoized plan pins its
+# executed JVM plan, and a plan that broadcast-joined a dim pins that
+# broadcast relation on the driver heap for as long as the Python DataFrame
+# is reachable. A marathon session that touches many unique plans (the
+# 221-entry ratio sweep; a long-lived serving process) would otherwise grow
+# driver memory monotonically — the r11 sweep OOM'd an 8 GB driver this way.
+# Evicting the DataFrame drops the Py4J handle; the JVM Dataset, its
+# executed plan, and its pinned broadcasts become garbage-collectable, and
+# Spark's ContextCleaner reclaims the broadcast blocks on the next GC.
+# The cap covers the full headline set with slack so bench/serving loops
+# never evict their own working set.
+_PLAN_MEMO: "OrderedDict[tuple[str, str, str], DataFrame]" = OrderedDict()
+_PLAN_MEMO_CAP = int(os.environ.get("SPARK_GRAFT_PLAN_MEMO_CAP", "64"))
 
 
 def register(
@@ -78,6 +93,10 @@ def register(
                 if df is None:
                     df = _fn(spark, sf_dir)
                     _PLAN_MEMO[key] = df
+                    while len(_PLAN_MEMO) > _PLAN_MEMO_CAP:
+                        _PLAN_MEMO.popitem(last=False)
+                else:
+                    _PLAN_MEMO.move_to_end(key)
                 return df
 
             wrapper.__name__ = fn.__name__

@@ -34,6 +34,18 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+# The one on-disk contract for generation vectors: every parquet file under
+# gen=N/vectors decodes as exactly this. embed_pending writes it, and
+# promote_generation / load_active_vectors read with it explicitly so a
+# foreign-typed file (e.g. array<double>) fails the same way every run
+# instead of depending on which footer wins schema inference.
+_VECTOR_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.LongType()),
+        T.StructField("embedding", T.ArrayType(T.FloatType())),
+    ]
+)
+
 
 def fake_embed(texts: list[str], dim: int) -> list[list[float]]:
     """Deterministic stand-in for an embedding model: md5-seeded unit
@@ -233,12 +245,7 @@ def embed_pending(
         F.col(id_col).alias("id"), F.col(text_col).alias("text")
     )
 
-    out_schema = T.StructType(
-        [
-            T.StructField("id", T.LongType()),
-            T.StructField("embedding", T.ArrayType(T.FloatType())),
-        ]
-    )
+    out_schema = _VECTOR_SCHEMA
 
     def _embed(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -268,15 +275,37 @@ def promote_generation(spark: SparkSession, base: str, gen: int) -> dict:
     meta = generation_meta(base, gen)
     if meta is None:
         raise FileNotFoundError(f"generation {gen} has no metadata")
-    vec = spark.read.parquet(os.path.join(generation_dir(base, gen), "vectors"))
-    bad = vec.filter(F.size("embedding") != meta["dim"]).count()
-    if bad:
-        raise ValueError(f"{bad} vectors violate dim={meta['dim']}")
-    nonfinite = vec.filter(
-        F.exists(
-            "embedding", lambda x: F.isnan(x) | (F.abs(x) == float("inf"))
-        )
-    ).count()
+    # Read with the generation's OWN schema instead of footer inference:
+    # a stray file written as array<double> would otherwise pass or die in
+    # the parquet decoder depending on which footer wins file listing.
+    # With the explicit schema the mismatch surfaces on every run, and we
+    # convert it into this gate's ValueError so callers see one contract.
+    vec = spark.read.schema(_VECTOR_SCHEMA).parquet(
+        os.path.join(generation_dir(base, gen), "vectors")
+    )
+    try:
+        bad = vec.filter(
+            F.col("embedding").isNull() | (F.size("embedding") != meta["dim"])
+        ).count()
+        if bad:
+            raise ValueError(f"{bad} vectors violate dim={meta['dim']}")
+        # NULL components are as poisonous as NaN/Inf for the GEMM twins'
+        # bit-parity contract, so the gate rejects them too (exists() alone
+        # would yield NULL for them and silently pass the vector).
+        nonfinite = vec.filter(
+            F.exists(
+                "embedding",
+                lambda x: x.isNull() | F.isnan(x) | (F.abs(x) == float("inf")),
+            )
+        ).count()
+    except ValueError:
+        raise
+    except Exception as exc:  # parquet type mismatch → gate's own error
+        raise ValueError(
+            f"generation {gen} vectors dir holds files that do not decode "
+            f"as the generation schema (id long, embedding array<float>): "
+            f"{exc}"
+        ) from exc
     if nonfinite:
         raise ValueError(
             f"{nonfinite} vectors carry non-finite components"
@@ -290,4 +319,6 @@ def load_active_vectors(spark: SparkSession, base: str) -> DataFrame:
     gen = active_generation(base)
     if gen is None:
         raise FileNotFoundError(f"no active generation under {base}")
-    return spark.read.parquet(os.path.join(generation_dir(base, gen), "vectors"))
+    return spark.read.schema(_VECTOR_SCHEMA).parquet(
+        os.path.join(generation_dir(base, gen), "vectors")
+    )

@@ -59,7 +59,6 @@ _REPO_ROOT = os.path.dirname(
 _DEFAULT_ROOT = os.path.join(_REPO_ROOT, ".artifacts")
 
 _PKG_FP: str | None = None
-_SRC_FP: dict[str, str] = {}
 
 
 def store_root() -> str | None:
@@ -113,8 +112,7 @@ def _source_fingerprint(sf_dir: str) -> str:
         else:
             st = os.stat(path)
             h.update(f"{fn}:{st.st_mtime_ns}:{st.st_size};".encode())
-    _SRC_FP[real] = h.hexdigest()[:16]
-    return _SRC_FP[real]
+    return h.hexdigest()[:16]
 
 
 def _kind_token(kind_key: tuple) -> str:

@@ -19,11 +19,8 @@ SF = "/root/testdata/sf0.001"
 @pytest.fixture()
 def store(tmp_path, monkeypatch):
     monkeypatch.setenv("SPARK_GRAFT_ARTIFACT_DIR", str(tmp_path))
-    # per-sf_dir source fingerprints memoize stats; a test that touches
-    # mtimes needs a clean slate
-    artifact_store._SRC_FP.clear()
+    # source fingerprints are recomputed per call (no memo to reset)
     yield tmp_path
-    artifact_store._SRC_FP.clear()
 
 
 def _rows(df):
@@ -62,7 +59,8 @@ def test_source_change_invalidates(spark, store, tmp_path):
     artifact_store.save_group(spark, str(src), ("t", "fresh"), {"data": built})
     assert artifact_store.load_group(spark, str(src), ("t", "fresh")) is not None
     os.utime(src / "region.parquet", ns=(1, 1))
-    artifact_store._SRC_FP.clear()  # fresh process analog
+    # fingerprints are recomputed per call, so the mtime change is seen
+    # immediately — no fresh-process analog needed
     assert artifact_store.load_group(spark, str(src), ("t", "fresh")) is None
 
 

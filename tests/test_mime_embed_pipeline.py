@@ -131,18 +131,52 @@ def test_embedding_generation_lifecycle(spark, tmp_path):
     from msgvault_spark.embeddings_pipeline import generation_dir
 
     vec_path = os.path.join(generation_dir(base, 1), "vectors")
+    # array<float> to match what embed_pending writes — the vectors dir has
+    # ONE schema, and a differently-typed poison file would hit the
+    # mixed-schema gate (tested below) instead of the non-finite gate.
     poison = spark.createDataFrame(
-        [(999, [math.nan] + [0.0] * 7)], "id long, embedding array<double>"
+        [(999, [math.nan] + [0.0] * 7)], "id long, embedding array<float>"
     )
     poison.write.mode("append").parquet(vec_path)
     with pytest.raises(ValueError, match="non-finite"):
         promote_generation(spark, base, 1)
     import glob as _glob
 
+    def _drop_rows(pred):
+        for f in _glob.glob(os.path.join(vec_path, "*.parquet")):
+            df = spark.read.parquet(f)
+            if df.filter(pred).count():
+                os.remove(f)
+
+    _drop_rows(F.col("id") == 999)
+
+    # a NULL component is as poisonous as NaN for downstream cosine math
+    null_poison = spark.createDataFrame(
+        [(998, [None] + [0.0] * 7)], "id long, embedding array<float>"
+    )
+    null_poison.write.mode("append").parquet(vec_path)
+    with pytest.raises(ValueError, match="non-finite"):
+        promote_generation(spark, base, 1)
+    _drop_rows(F.col("id") == 998)
+
+    # a file whose type disagrees with the generation schema fails the
+    # gate's own ValueError deterministically (not a decoder error whose
+    # timing depends on parquet footer listing order)
+    mistyped = spark.createDataFrame(
+        [(997, [0.0] * 8)], "id long, embedding array<double>"
+    )
+    mistyped.write.mode("append").parquet(vec_path)
+    with pytest.raises(ValueError, match="generation schema"):
+        promote_generation(spark, base, 1)
     for f in _glob.glob(os.path.join(vec_path, "*.parquet")):
-        df = spark.read.parquet(f)
-        if df.filter(F.col("id") == 999).count():
-            os.remove(f)
+        try:
+            df = spark.read.schema(
+                "id long, embedding array<double>"
+            ).parquet(f)
+            if df.filter(F.col("id") == 997).count():
+                os.remove(f)
+        except Exception:
+            continue
 
     meta = promote_generation(spark, base, 1)
     assert meta["status"] == "active"

@@ -1190,3 +1190,67 @@ def test_rrf_fuse_matches_reference_random(spark, b_rows, v_rows, kps):
         scores[i] = s
     ref = sorted(scores.items(), key=lambda t: (-t[1], t[0]))[:20]
     assert got == [(i, round(s, 12)) for i, s in ref]
+
+
+# ---------------------------------------------------------------------------
+# D3 survivor selection: one-pass hash aggregate vs the window policy
+# (the docstring of select_survivors_agg claims this equivalence is fuzzed
+# here — the fuzz covers ties on every priority column, sent-copy groups,
+# mixed groups, and groups of size 1)
+# ---------------------------------------------------------------------------
+
+survivor_rows = st.lists(
+    st.tuples(
+        st.integers(0, 4),      # group key
+        st.integers(0, 2),      # priority 1: source rank (asc, ties common)
+        st.integers(0, 3),      # priority 2: label count (desc via negate)
+        st.booleans(),          # sent-copy signal
+    ),
+    min_size=1,
+    max_size=40,
+)
+
+
+@given(rows=survivor_rows, use_sent=st.booleans())
+@settings(**_SETTINGS)
+def test_select_survivors_agg_matches_window(spark, rows, use_sent):
+    from msgvault_spark.dedup.exact import select_survivors, select_survivors_agg
+
+    data = [
+        (i, g, rank, labels, sent)
+        for i, (g, rank, labels, sent) in enumerate(rows)
+    ]
+    df = spark.createDataFrame(
+        data, "id long, group_key long, rank long, labels long, sent boolean"
+    )
+    # agg variant wants every priority ascending → negate the desc column
+    priority_w = [F.col("rank").asc(), F.col("labels").desc()]
+    priority_a = [F.col("rank"), -F.col("labels")]
+    sent_col = F.col("sent") if use_sent else None
+
+    window = {
+        (r["group_key"], r["id"])
+        for r in select_survivors(
+            df, priority_w, sent_copy=sent_col
+        ).filter("is_survivor").collect()
+    }
+    agg = {
+        (r["group_key"], r["survivor_id"])
+        for r in select_survivors_agg(
+            df, priority_a, sent_copy=sent_col
+        ).collect()
+    }
+    assert agg == window
+
+    # pure-Python reference of the documented policy, independently
+    by_group: dict[int, list[tuple]] = {}
+    for i, g, rank, labels, sent in data:
+        by_group.setdefault(g, []).append((i, rank, labels, sent))
+    ref = set()
+    for g, members in by_group.items():
+        pool = members
+        if use_sent and any(m[3] for m in members):
+            pool = [m for m in members if m[3]]
+        best = min(pool, key=lambda m: (m[1], -m[2], m[0]))
+        ref.add((g, best[0]))
+    assert agg == ref

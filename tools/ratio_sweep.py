@@ -46,9 +46,10 @@ def main() -> None:
 
     os.environ.setdefault("SPARK_GRAFT_AQE", "false")
     os.environ.setdefault("SPARK_GRAFT_CONSTRAINTS", "false")
-    # one session memoizes all 221 plans (broadcasts stay pinned by the
-    # plan memo until the session dies) — give the marathon headroom
-    os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "16g")
+    # The plan memo is a bounded LRU (catalog._PLAN_MEMO_CAP), so a
+    # marathon over all 221 entries no longer pins every plan's broadcasts
+    # for the session's lifetime — the sweep runs on the default 8g driver
+    # (the r11 sweep needed a 16g override before the memo was bounded).
     spark = get_spark("msgvault_ratio_sweep")
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -76,6 +77,15 @@ def main() -> None:
     # DuckDB in-memory CTAS (full materialization, zero fetch loop). Both
     # still compute every output column; neither pays result transfer.
     FULL_OUTPUT_ROWS = 5000
+
+    # Entries whose oracle STATES the expected answer instead of doing the
+    # equivalent work (correctness-only oracles): encoding_repair_docs's
+    # DuckDB side is `text || 'ÿþ'` — it verifies the repair inverts the
+    # corruption but performs no charset decode/strip, so its ratio
+    # compares a real transcode against a string concat and means nothing.
+    # These rows are tagged and EXCLUDED from the >2x offender count; their
+    # structural reading is the absolute Spark time (r11 verdict, task 7).
+    STATED_ORACLE = {"encoding_repair_docs"}
 
     rows = []
     errors = []
@@ -125,6 +135,8 @@ def main() -> None:
         ratio = s_t / d_t if d_t > 0 else float("inf")
         rows.append((name, s_t, d_t, ratio, sink_mode))
         tag = " [sink]" if sink_mode else ""
+        if name in STATED_ORACLE:
+            tag += " [stated-oracle]"
         print(f"{ratio:7.1f}x {name}: spark={s_t:.3f} duck={d_t:.3f}{tag}")
 
     rows.sort(key=lambda r: -r[3])
@@ -159,17 +171,31 @@ def main() -> None:
                 f" table.\n\n"
             )
         f.write(
+            f"Entries marked [stated-oracle] have a correctness-only oracle"
+            f" that states the\nexpected answer rather than doing equivalent"
+            f" work (e.g. encoding_repair_docs:\nSpark performs the real"
+            f" strict-UTF-8-decode → latin-1 fallback → control-strip\n"
+            f"transcode, DuckDB appends a literal) — their ratio compares"
+            f" unlike work and is\nexcluded from the offender count; read"
+            f" the absolute Spark time.\n\n"
+        )
+        f.write(
             f"| ratio | entry | spark s | duckdb s |\n|---|---|---|---|\n"
         )
         for name, s_t, d_t, r, sink in rows:
             tag = " [sink]" if sink else ""
+            if name in STATED_ORACLE:
+                tag += " [stated-oracle]"
             f.write(f"| {r:.2f}x | {name}{tag} | {s_t:.3f} | {d_t:.3f} |\n")
-        over = [x for x in rows if x[3] > 2.0]
+        over = [
+            x for x in rows if x[3] > 2.0 and x[0] not in STATED_ORACLE
+        ]
         f.write(
             f"\n{len(rows)} batch entries ({len(SKIP)} streaming entries"
             f" excluded — their per-invocation micro-batch setup is a class"
             f" property pinned in tests, not a query time); {len(over)}"
-            f" above 2x (floor notes in SCALING.md).\n"
+            f" above 2x excluding stated-oracle rows (floor notes in"
+            f" SCALING.md).\n"
         )
         if errors:
             f.write("\n## ERRORS — entries that failed to run\n\n")
