@@ -17,6 +17,7 @@ Determinism rules (the driver hash-compares values):
 from __future__ import annotations
 
 import os
+import threading
 from collections import OrderedDict
 from collections.abc import Callable
 from dataclasses import dataclass
@@ -77,6 +78,11 @@ CATALOG: dict[str, QuerySpec] = {}
 # never evict their own working set.
 _PLAN_MEMO: "OrderedDict[tuple[str, str, str], DataFrame]" = OrderedDict()
 _PLAN_MEMO_CAP = int(os.environ.get("SPARK_GRAFT_PLAN_MEMO_CAP", "64"))
+# One lock for memo mutations: serving.prewarm_plans builds plans on
+# background driver threads (PySpark is driver-thread-safe; each thread
+# gets its own Py4J connection), and OrderedDict move_to_end/popitem are
+# not atomic under concurrent mutation.
+_PLAN_MEMO_LOCK = threading.Lock()
 
 
 def register(
@@ -89,14 +95,23 @@ def register(
         if memoize_plan:
             def wrapper(spark: SparkSession, sf_dir: str, _name=name, _fn=fn):
                 key = (spark.sparkContext.applicationId, sf_dir, _name)
-                df = _PLAN_MEMO.get(key)
-                if df is None:
-                    df = _fn(spark, sf_dir)
+                with _PLAN_MEMO_LOCK:
+                    df = _PLAN_MEMO.get(key)
+                    if df is not None:
+                        _PLAN_MEMO.move_to_end(key)
+                        return df
+                # build OUTSIDE the lock: fn() makes Py4J round-trips and
+                # may register lake tables — holding the lock would
+                # serialize prewarm threads against the serving thread
+                df = _fn(spark, sf_dir)
+                with _PLAN_MEMO_LOCK:
+                    existing = _PLAN_MEMO.get(key)
+                    if existing is not None:  # racing builder won
+                        _PLAN_MEMO.move_to_end(key)
+                        return existing
                     _PLAN_MEMO[key] = df
                     while len(_PLAN_MEMO) > _PLAN_MEMO_CAP:
                         _PLAN_MEMO.popitem(last=False)
-                else:
-                    _PLAN_MEMO.move_to_end(key)
                 return df
 
             wrapper.__name__ = fn.__name__

@@ -50,8 +50,12 @@ import hashlib
 import json
 import os
 import shutil
+import threading
 
 from pyspark.sql import DataFrame, SparkSession
+
+# serializes in-process save_group callers (see save_group)
+_SAVE_LOCK = threading.Lock()
 
 _REPO_ROOT = os.path.dirname(
     os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
@@ -211,10 +215,32 @@ def save_group(
         return None
     digest = _digest(sf_dir, kind_key)
     d = os.path.join(root, digest)
+    # Serialize in-process writers: serving.prewarm_plans builds plans on
+    # driver threads, and two threads first-touching the same stale kind
+    # would otherwise race the SAME tmp dir and throwaway table name
+    # (both were PID-keyed). Cross-process races stay handled by the
+    # exists-check + atomic rename below.
+    with _SAVE_LOCK:
+        return _save_group_locked(
+            spark, sf_dir, kind_key, frames, scalars, buckets, d, digest
+        )
+
+
+def _save_group_locked(
+    spark: SparkSession,
+    sf_dir: str,
+    kind_key: tuple,
+    frames: dict[str, DataFrame],
+    scalars: dict | None,
+    buckets: dict[str, tuple[str, int]] | None,
+    d: str,
+    digest: str,
+) -> dict[str, DataFrame] | None:
+    root = store_root()
     if os.path.exists(d):  # another writer finished first
         loaded = load_group(spark, sf_dir, kind_key)
         return loaded[0] if loaded else None
-    tmp = f"{d}.tmp{os.getpid()}"
+    tmp = f"{d}.tmp{os.getpid()}_{threading.get_ident()}"
     schemas: dict[str, str] = {}
     bucket_meta: dict[str, dict] = {}
     try:
@@ -231,7 +257,10 @@ def save_group(
             # drop the metadata (files stay — the table was external).
             # repartition(n, key) first so each task owns exactly one
             # bucket → one file per bucket (both use Murmur3 pmod n).
-            wtbl = f"aspark_w_{os.getpid()}_{digest[:12]}_{name}"
+            wtbl = (
+                f"aspark_w_{os.getpid()}_{threading.get_ident()}"
+                f"_{digest[:12]}_{name}"
+            )
             (
                 df.repartition(n, key_col)
                 .write.bucketBy(n, key_col)

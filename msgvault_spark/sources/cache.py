@@ -37,6 +37,9 @@ the fast path for the (overwhelmingly common) single-sender case.
 
 from __future__ import annotations
 
+import functools
+import threading
+
 from pyspark import StorageLevel
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -47,6 +50,23 @@ _ARCHIVE_MEMO: dict[tuple[str, str], dict[str, DataFrame]] = {}
 _WIDE_MEMO: dict[tuple[str, str], DataFrame] = {}
 
 FACT_PARTITIONS = 16
+
+# serving.prewarm_plans builds catalog plans on background driver threads;
+# the memoized getters below must not double-build (wasted jobs, and a
+# losing thread's persisted dims would stay pinned unreferenced). One
+# reentrant lock around each getter: with a warm lake the held section is
+# metadata-only (registration + footer reads); builds serialize, which is
+# exactly the single-flight behavior a stale store needs.
+_MEMO_LOCK = threading.RLock()
+
+
+def _locked(fn):
+    @functools.wraps(fn)
+    def inner(*a, **kw):
+        with _MEMO_LOCK:
+            return fn(*a, **kw)
+
+    return inner
 
 
 def _key(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
@@ -62,6 +82,7 @@ _ARCHIVE_BUCKETS: dict[str, tuple[str, int]] = {
 }
 
 
+@_locked
 def get_archive(
     spark: SparkSession, sf_dir: str, *, materialize: bool = True
 ) -> dict[str, DataFrame]:
@@ -246,6 +267,7 @@ def build_wide_messages(archive: dict[str, DataFrame]) -> DataFrame:
     return wide
 
 
+@_locked
 def get_wide_messages(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Memoized wide view: lake twin + LAZY persist. The wide view is the
     hottest serving table (nine headline entries scan it, several with
@@ -336,6 +358,7 @@ def _layout_partitions(spark: SparkSession, n_rows: int, n_bytes: int | None) ->
     )
 
 
+@_locked
 def get_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Memoized testdata table (the raw-parquet analog of the reference
     keeping its DuckDB connection's buffer pool warm).
@@ -452,6 +475,7 @@ def _footer_bytes(sf_dir: str, name: str) -> int | None:
     return None
 
 
+@_locked
 def get_text_index(
     spark: SparkSession, sf_dir: str, table: str, id_col: str, text_col: str
 ) -> tuple[DataFrame, DataFrame]:
@@ -463,6 +487,7 @@ def get_text_index(
     return _TEXT_INDEX_MEMO[key]
 
 
+@_locked
 def get_corpus_stats(
     spark: SparkSession, sf_dir: str, table: str, id_col: str, text_col: str
 ) -> tuple[int, float]:
@@ -474,6 +499,7 @@ def get_corpus_stats(
     return _CORPUS_STATS_MEMO[key]
 
 
+@_locked
 def get_term_stats(
     spark: SparkSession, sf_dir: str, table: str, id_col: str, text_col: str
 ) -> DataFrame:
@@ -547,6 +573,7 @@ def _build_text_index(spark, key, sf_dir, table, id_col, text_col) -> None:
 _ARTIFACT_MEMO: dict[tuple, DataFrame] = {}
 
 
+@_locked
 def get_artifact(spark: SparkSession, cache_key: tuple, builder) -> DataFrame:
     """Generic memoized persisted ETL artifact — the build-cache pattern
     (reference cmd/build_cache.go) for any query-independent derived frame
@@ -595,6 +622,7 @@ def _disk_backed(
 _SCALAR_MEMO: dict[tuple, object] = {}
 
 
+@_locked
 def get_scalar(spark: SparkSession, cache_key: tuple, compute):
     """Memoized scalar catalog statistic captured at build time (the
     corpus_stats pattern: n_docs/avgdl for BM25, distinct-group counts
@@ -618,6 +646,7 @@ def get_scalar(spark: SparkSession, cache_key: tuple, compute):
 _COMPONENTS_MEMO: dict[tuple, DataFrame] = {}
 
 
+@_locked
 def get_components(
     spark: SparkSession, cache_key: tuple, edges_builder, **params
 ) -> DataFrame:
@@ -643,6 +672,7 @@ def get_components(
 _MINHASH_MEMO: dict[tuple, DataFrame] = {}
 
 
+@_locked
 def get_minhash_index(
     spark: SparkSession,
     cache_key: tuple,
