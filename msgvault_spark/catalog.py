@@ -17,6 +17,7 @@ Determinism rules (the driver hash-compares values):
 from __future__ import annotations
 
 import os
+import sys
 import threading
 from collections import OrderedDict
 from collections.abc import Callable
@@ -76,13 +77,235 @@ CATALOG: dict[str, QuerySpec] = {}
 # Spark's ContextCleaner reclaims the broadcast blocks on the next GC.
 # The cap covers the full headline set with slack so bench/serving loops
 # never evict their own working set.
+#
+# The count cap alone is NOT enough at scale factors where dim broadcasts
+# are tens of MB: the r12 sf1 sweep OOM'd an 8 GB driver at plan ~56 —
+# BEFORE the 64-plan cap could evict anything — with ~95 pinned hashed
+# relations (2.7 GB of long[] pages in the heap histogram). So eviction is
+# additionally BYTE-budgeted: each memo insert lazily sizes older entries'
+# plan-private broadcasts (planmem.pinned_bytes) and evicts LRU entries
+# until the pinned total fits a budget scaled to the driver heap
+# (SPARK_GRAFT_PLAN_PIN_BUDGET bytes overrides). Evicted plans' private
+# broadcasts are destroyed DETERMINISTICALLY (planmem.release_plan) unless
+# another thread still holds the DataFrame, in which case release falls
+# back to the GC + ContextCleaner path.
 _PLAN_MEMO: "OrderedDict[tuple[str, str, str], DataFrame]" = OrderedDict()
 _PLAN_MEMO_CAP = int(os.environ.get("SPARK_GRAFT_PLAN_MEMO_CAP", "64"))
+# pinned-broadcast bytes per memo key; None = not yet sized (a plan's
+# broadcasts materialize at first execution, after insert)
+_PLAN_PIN_SIZES: dict[tuple[str, str, str], int | None] = {}
+_PIN_BUDGET: int | None = (
+    int(os.environ["SPARK_GRAFT_PLAN_PIN_BUDGET"])
+    if os.environ.get("SPARK_GRAFT_PLAN_PIN_BUDGET")
+    else None
+)
+# sized entries re-probed per insert (plans execute after insert, so
+# sizes resolve one insert late; 0-sized entries re-probe in case their
+# broadcasts materialized since)
+_PIN_RESIZE_PER_INSERT = 3
+# used-heap fraction that triggers the GC-confirmed pressure shed
+_PIN_PRESSURE_FRAC = float(os.environ.get("SPARK_GRAFT_PIN_PRESSURE", "0.6"))
+# watchdog: used-heap fraction that sheds the plan cache MID-EXECUTION —
+# the insert-time valve cannot see a heavy entry's transient demand (the
+# r12 sf1 sweep died inside ONE entry that wanted ~5 GB while older plans
+# pinned 3 GB the memory manager cannot evict: storage-eviction drops a
+# broadcast block's accounting but the plan's relationFuture keeps the
+# relation on the heap). Poll cost: one Py4J round-trip per second.
+_WATCHDOG_FRAC = float(os.environ.get("SPARK_GRAFT_WATCHDOG_PRESSURE", "0.75"))
+_WATCHDOG_POLL_S = 1.0
+_WATCHDOG_COOLDOWN_S = 20.0
+_WATCHDOGS: set[str] = set()
 # One lock for memo mutations: serving.prewarm_plans builds plans on
 # background driver threads (PySpark is driver-thread-safe; each thread
 # gets its own Py4J connection), and OrderedDict move_to_end/popitem are
 # not atomic under concurrent mutation.
 _PLAN_MEMO_LOCK = threading.Lock()
+
+
+def _pin_budget(spark) -> int:
+    """Pinned-broadcast byte budget: env override, else 18% of the driver
+    JVM's max heap (8 GB driver → ~1.4 GB; leaves the unified memory
+    region and unmanaged churn their usual room)."""
+    global _PIN_BUDGET
+    if _PIN_BUDGET is None:
+        try:
+            mx = (
+                spark.sparkContext._jvm.java.lang.Runtime.getRuntime()
+                .maxMemory()
+            )
+            _PIN_BUDGET = max(int(mx * 0.18), 256 * 1024 * 1024)
+        except Exception:
+            _PIN_BUDGET = 1_500_000_000
+    return _PIN_BUDGET
+
+
+def _size_and_evict(spark, protect: tuple) -> None:
+    """Called under _PLAN_MEMO_LOCK after inserting ``protect``: resolve
+    pinned-broadcast sizes for a few stale entries, then evict LRU-first
+    until both the count cap and the byte budget hold. Plan-walking is
+    Py4J metadata only (no jobs); the just-inserted key is never sized
+    (it has not executed yet) and never evicted."""
+    from msgvault_spark import planmem
+
+    # bench/profile tools clear or del _PLAN_MEMO entries directly; their
+    # orphaned sizes must not keep counting toward the budget
+    for k in [k for k in _PLAN_PIN_SIZES if k not in _PLAN_MEMO]:
+        del _PLAN_PIN_SIZES[k]
+    # never-sized entries first (a 0-sized entry re-probes only with spare
+    # slots — re-probing zeros must not starve sizing of new big plans)
+    unsized = [
+        k for k in _PLAN_MEMO
+        if k != protect and _PLAN_PIN_SIZES.get(k) is None
+    ]
+    rezero = [
+        k for k in _PLAN_MEMO
+        if k != protect and _PLAN_PIN_SIZES.get(k) == 0
+    ]
+    stale = (unsized + rezero)[:_PIN_RESIZE_PER_INSERT]
+    for k in stale:
+        df = _PLAN_MEMO.get(k)
+        try:
+            _PLAN_PIN_SIZES[k] = planmem.pinned_bytes(df)
+        except Exception:
+            _PLAN_PIN_SIZES[k] = 0
+    # the loop variable would otherwise keep the last sized frame alive
+    # through eviction below, tripping evict_one's refcount guard for it
+    df = None
+    budget = _pin_budget(spark)
+    pinned = sum(v or 0 for v in _PLAN_PIN_SIZES.values())
+
+    def evict_one() -> bool:
+        nonlocal pinned
+        key, old = _PLAN_MEMO.popitem(last=False)
+        if key == protect:  # newest — can only surface if memo size 1
+            _PLAN_MEMO[key] = old
+            _PLAN_MEMO.move_to_end(key)
+            return False
+        pinned -= _PLAN_PIN_SIZES.pop(key, 0) or 0
+        # refcount guard: memo ref is dropped; baseline live refs are the
+        # local `old` + getrefcount's argument. More means another thread
+        # (a serving collect in flight) still holds the frame — leave its
+        # broadcasts to the GC + ContextCleaner path instead of yanking
+        # them mid-query.
+        if sys.getrefcount(old) <= 2:
+            try:
+                planmem.release_plan(old)
+            except Exception:
+                pass
+        return True
+
+    while len(_PLAN_MEMO) > 1 and (
+        len(_PLAN_MEMO) > _PLAN_MEMO_CAP or pinned > budget
+    ):
+        if not evict_one():
+            break
+
+    # Pressure valve: `dataSize` UNDERCOUNTS a pinned relation's real heap
+    # (~2.5× — page-allocation slack plus the serialized broadcast copy in
+    # the block manager; measured r12, SCALING.md), so a static budget that
+    # is generous enough to keep a warm working set pinned can still let a
+    # marathon session run the heap to the wall. When ACTUAL used heap
+    # crosses the pressure fraction at insert time (GC-confirmed so
+    # transient garbage cannot spuriously trip it), shed LRU plans down to
+    # a quarter of the budget — worst case the shed plans rebuild in
+    # ~0.1-0.3 s each; an OOM kills the session.
+    try:
+        jvm = spark.sparkContext._jvm
+        rt = jvm.java.lang.Runtime.getRuntime()
+        mx = rt.maxMemory()
+
+        def pressured() -> bool:
+            return (rt.totalMemory() - rt.freeMemory()) > _PIN_PRESSURE_FRAC * mx
+
+        if len(_PLAN_MEMO) > 1 and pressured():
+            jvm.java.lang.System.gc()
+            if pressured():
+                while pinned > budget / 4 and len(_PLAN_MEMO) > 1:
+                    if not evict_one():
+                        break
+                # still pressured after the quarter-budget shed (destroyed
+                # blocks free immediately, but `used` needs a GC to show
+                # it): re-check, and if the heap is genuinely still at the
+                # line, shed EVERYTHING but the protected entry — sized-0
+                # and not-yet-sized plans can pin real relations too, and
+                # a full rebuild of a shed plan costs ~0.1-0.3 s where an
+                # OOM costs the session
+                jvm.java.lang.System.gc()
+                if pressured():
+                    while len(_PLAN_MEMO) > 1:
+                        if not evict_one():
+                            break
+    except Exception:
+        pass
+
+
+def _shed_all_but_newest() -> int:
+    """Under _PLAN_MEMO_LOCK: evict every memoized plan except the
+    most-recently-used one, destroying each evicted plan's plan-private
+    broadcasts (refcount-guarded). Returns plans shed."""
+    from msgvault_spark import planmem
+
+    shed = 0
+    while len(_PLAN_MEMO) > 1:
+        key, old = _PLAN_MEMO.popitem(last=False)
+        _PLAN_PIN_SIZES.pop(key, None)
+        shed += 1
+        if sys.getrefcount(old) <= 2:
+            try:
+                planmem.release_plan(old)
+            except Exception:
+                pass
+    return shed
+
+
+def _ensure_watchdog(spark: SparkSession) -> None:
+    """Start (once per application) a daemon thread that sheds the plan
+    cache when GC-confirmed used heap crosses _WATCHDOG_FRAC of max —
+    the mid-execution complement to the insert-time valve. Disable with
+    SPARK_GRAFT_MEMORY_WATCHDOG=0."""
+    if os.environ.get("SPARK_GRAFT_MEMORY_WATCHDOG", "1") == "0":
+        return
+    try:
+        app = spark.sparkContext.applicationId
+        jvm = spark.sparkContext._jvm
+        if jvm is None:
+            return
+    except Exception:
+        return
+    with _PLAN_MEMO_LOCK:
+        if app in _WATCHDOGS:
+            return
+        _WATCHDOGS.add(app)
+
+    def run() -> None:
+        import time
+
+        try:
+            rt = jvm.java.lang.Runtime.getRuntime()
+        except Exception:
+            return
+        while True:
+            time.sleep(_WATCHDOG_POLL_S)
+            try:
+                if app not in _WATCHDOGS:  # kill switch (tests, teardown)
+                    return
+                if spark.sparkContext._jsc is None:  # context stopped
+                    return
+                mx = rt.maxMemory()
+                if (rt.totalMemory() - rt.freeMemory()) <= _WATCHDOG_FRAC * mx:
+                    continue
+                jvm.java.lang.System.gc()
+                if (rt.totalMemory() - rt.freeMemory()) <= _WATCHDOG_FRAC * mx:
+                    continue
+                with _PLAN_MEMO_LOCK:
+                    _shed_all_but_newest()
+                time.sleep(_WATCHDOG_COOLDOWN_S)
+            except Exception:
+                return  # context torn down (or Py4J gone) — stop quietly
+
+    threading.Thread(
+        target=run, name=f"planmem-watchdog-{app}", daemon=True
+    ).start()
 
 
 def register(
@@ -110,8 +333,9 @@ def register(
                         _PLAN_MEMO.move_to_end(key)
                         return existing
                     _PLAN_MEMO[key] = df
-                    while len(_PLAN_MEMO) > _PLAN_MEMO_CAP:
-                        _PLAN_MEMO.popitem(last=False)
+                    _PLAN_PIN_SIZES[key] = None
+                    _size_and_evict(spark, protect=key)
+                _ensure_watchdog(spark)  # outside the lock (non-reentrant)
                 return df
 
             wrapper.__name__ = fn.__name__
@@ -722,6 +946,7 @@ import msgvault_spark.catalog_lookup  # noqa: E402,F401
 import msgvault_spark.catalog_llmops  # noqa: E402,F401
 import msgvault_spark.catalog_tpch  # noqa: E402,F401
 import msgvault_spark.catalog_curation  # noqa: E402,F401
+import msgvault_spark.catalog_ann  # noqa: E402,F401
 
 
 # ---------------------------------------------------------------------------

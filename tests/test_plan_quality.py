@@ -788,6 +788,9 @@ def test_broadcast_sites_are_ratcheted():
         "search/fts.py": 4,
         "search/hybrid.py": 2,
         "similarity/ivf.py": 5,  # + batch join: centroid set, probe set
+        "similarity/ivfpq.py": 2,  # nprobe-row probe set + rerank-row
+                                   # candidate id set (exact re-rank
+                                   # fetch)
         "similarity/knnjoin.py": 3,  # bucket-join query side + eval seeds
                                      # + hard-negative query set
         "similarity/triplet.py": 2,  # Q-row probe query set + Q-row
