@@ -23,24 +23,26 @@ from msgvault_spark.catalog import CATALOG
 # on the out-of-band full-oracle sweep until its next window.
 _PRIORITY = [
     # --- round 12 gate window (50 slots). Composition, in order:
-    # (1) the two NARROW-change entries this round
+    # (1) the three NARROW-change entries this round
     #     (tools/gate_priority.py must_verify — the promote_generation
     #     explicit-schema + NULL-component gate hardening in
-    #     embeddings_pipeline.py, and the NEW ivfpq_knn_seed0 entry in
-    #     catalog_ann.py);
+    #     embeddings_pipeline.py, and the NEW ivfpq_knn_seed0 +
+    #     ivfpq_recall_report entries in catalog_ann.py);
     # (2) the 17 oldest-vintage entries (latest driver row r2) — the
     #     rotation cohort the r11 verdict queued as task #3;
     # (3) the 16 r3-vintage entries;
-    # (4) the 15 oldest r5-vintage entries filling the window (5 r5
+    # (4) the 14 oldest r5-vintage entries filling the window (6 r5
     #     entries remain for the r13 rotation: stream_user_sessions,
     #     top_bigrams_corpus, topk_orders_per_priority,
-    #     weighted_mix_sources, stream_stream_join_funnel).
+    #     weighted_mix_sources, stream_stream_join_funnel,
+    #     stream_dedup_count).
     # The whole catalog is "touched" this round only via catalog.py's
     # module-global plan-memo change (a serving-layer edit, zero plan
     # semantics); the full sf0.01 oracle sweep re-verified all 221
     # entries out-of-band on the settled tree. ---
     "embed_pipeline_vectors",
     "ivfpq_knn_seed0",
+    "ivfpq_recall_report",
     "bloom_join_orders",
     "chunk_documents",
     "cms_frequency_orders",
@@ -88,9 +90,9 @@ _PRIORITY = [
     "skew_report_orders",
     "sliding_window_events",
     "snapshot_diff_versions",
-    "stream_dedup_count",
     # --- overflow (out-of-band full-oracle sweep; driver rows in
     #     later rounds), prior order preserved ---
+    "stream_dedup_count",
     "stream_stream_join_funnel",
     "semantic_decontaminate_docs",
     "decontaminate_docs",

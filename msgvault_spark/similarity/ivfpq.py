@@ -132,6 +132,130 @@ def ivfpq_search(
     )
 
 
+def ivfpq_knn_join(
+    spark,
+    index: DataFrame,
+    codebooks: list[list[list[float]]],
+    embeddings: DataFrame,
+    qset: DataFrame,
+    *,
+    k: int = 10,
+    rerank: int = 30,
+    n_cells: int = 8,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int = 6,
+) -> DataFrame:
+    """Batch IVF-PQ: (qid, id) top-k per query in ``qset`` — the eval-set
+    sibling of ivfpq_search (the recall harness runs Q queries at once).
+
+    The per-query ADC LUT becomes a (qid, j, code, val) frame: Q·m·K rows
+    (20·4·16 = 1280 — broadcast), computed JVM-side with the same
+    round(dot·10^6) integers the driver-side adc_lut produces. Candidates
+    unpivot their m code columns and join the LUT, so scoring is one
+    broadcast join + sum — no Python, no per-query plan."""
+    from pyspark.sql import Row
+
+    from msgvault_spark.similarity.pq import SCALE
+
+    m = len(codebooks)
+    sub = len(codebooks[0][0])
+    q = qset.select(
+        F.col(id_col).alias("qid"), _as_double(F.col(vec_col)).alias("qv")
+    )
+    cents = seed_centroids(embeddings, n_cells, id_col=id_col, vec_col=vec_col)
+    probes = (
+        q.join(F.broadcast(cents))
+        .withColumn(
+            "pscore", F.round(cosine(F.col("qv"), F.col("cvec")), round_to)
+        )
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                _qwin(F.col("pscore").desc(), F.col("cid").asc())
+            ),
+        )
+        .filter(F.col("rn") <= nprobe)
+        .select("qid", F.col("cid").alias("cell"))
+    )
+    cb_rows = [
+        Row(j=j, code=c, cw=[float(x) for x in codebooks[j][c]])
+        for j in range(m)
+        for c in range(len(codebooks[j]))
+    ]
+    cb_df = spark.createDataFrame(cb_rows, "j int, code int, cw array<double>")
+    lut = (
+        q.join(F.broadcast(cb_df))
+        .select(
+            "qid", "j", "code",
+            F.round(
+                F.aggregate(
+                    F.zip_with(
+                        F.slice(F.col("qv"), F.col("j") * sub + 1, sub),
+                        F.col("cw"),
+                        lambda x, y: x * y,
+                    ),
+                    F.lit(0.0),
+                    lambda acc, v: acc + v,
+                )
+                * SCALE
+            ).cast("long").alias("val"),
+        )
+    )
+    code_structs = F.array(
+        *[
+            F.struct(
+                F.lit(j).cast("int").alias("j"),
+                F.col(f"code_{j}").alias("code"),
+            )
+            for j in range(m)
+        ]
+    )
+    cand = (
+        index.join(F.broadcast(probes), "cell")
+        .filter(F.col("id") != F.col("qid"))
+        .select("qid", "id", F.explode(code_structs).alias("jc"))
+        .select("qid", "id", F.col("jc.j").alias("j"), F.col("jc.code").alias("code"))
+        .join(F.broadcast(lut), ["qid", "j", "code"])
+        .groupBy("qid", "id")
+        .agg(F.sum("val").alias("qscore_scaled"))
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                _qwin(F.col("qscore_scaled").desc(), F.col("id").asc())
+            ),
+        )
+        .filter(F.col("rn") <= rerank)
+        .select("qid", "id")
+    )
+    return (
+        embeddings.select(
+            F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("v")
+        )
+        .join(F.broadcast(cand), "id")
+        .join(F.broadcast(q), "qid")
+        .select(
+            "qid", "id",
+            F.round(cosine(F.col("v"), F.col("qv")), round_to).alias("score"),
+        )
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                _qwin(F.col("score").desc(), F.col("id").asc())
+            ),
+        )
+        .filter(F.col("rn") <= k)
+        .select("qid", "id")
+    )
+
+
+def _qwin(*order):
+    from pyspark.sql import Window
+
+    return Window.partitionBy("qid").orderBy(*order)
+
+
 def ivfpq_oracle_sql(
     seed_id: int,
     k: int = 10,

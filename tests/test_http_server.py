@@ -392,3 +392,37 @@ def test_remote_engine_mirrors_new_routes(server, inline_server):
     with pytest.raises(RemoteError) as e:
         ieng.get_inline_part(mid, "svg1")
     assert e.value.status == 415
+
+
+def test_serve_prewarms_headline_plans(server, spark):
+    """serve() kicks background plan prewarm (the reference's pooled-
+    connection prepared statements): once it drains, headline plans are
+    memo hits for the serving thread."""
+    import msgvault_spark.catalog as catmod
+
+    handle = server.prewarm_handle
+    assert handle is not None
+    results = handle.wait(timeout=300)
+    bad = {n: r for n, r in results.items() if r != "ok"}
+    assert not bad, bad
+    heads = {
+        n for n, s in catmod.CATALOG.items()
+        if s.headline and getattr(s.fn, "__wrapped__", None)
+    }
+    assert set(results) == heads
+    app = spark.sparkContext.applicationId
+    with catmod._PLAN_MEMO_LOCK:
+        memoed = {k[2] for k in catmod._PLAN_MEMO if k[0] == app}
+    # the memo is budget-bounded, so containment can be partial after
+    # eviction — but at sf0.001 nothing approaches the budget
+    assert heads <= memoed
+
+
+def test_serve_prewarm_opt_out(spark):
+    from msgvault_spark.server import serve
+
+    srv = serve(spark, SF_DIR, api_key="k", prewarm=False)
+    try:
+        assert srv.prewarm_handle is None
+    finally:
+        srv.shutdown()
