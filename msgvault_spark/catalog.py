@@ -258,6 +258,40 @@ def _shed_all_but_newest() -> int:
     return shed
 
 
+def shed_plan_cache(*, keep_newest: bool = False) -> int:
+    """Public pressure-relief: evict memoized plans (destroying their
+    plan-private broadcasts, refcount-guarded) and return how many were
+    shed. Callers use it to recover from Spark's 'Not enough memory to
+    build and broadcast' — shed, then retry the failed query once
+    against a driver heap no longer holding other plans' relations."""
+    with _PLAN_MEMO_LOCK:
+        if keep_newest:
+            return _shed_all_but_newest()
+        from msgvault_spark import planmem
+
+        shed = 0
+        while _PLAN_MEMO:
+            key, old = _PLAN_MEMO.popitem(last=False)
+            _PLAN_PIN_SIZES.pop(key, None)
+            shed += 1
+            if sys.getrefcount(old) <= 2:
+                try:
+                    planmem.release_plan(old)
+                except Exception:
+                    pass
+        return shed
+
+
+def is_memory_pressure_error(exc: BaseException) -> bool:
+    """True for the driver-side failure modes a plan-cache shed can cure:
+    Spark's broadcast-build refusal and raw JVM heap exhaustion."""
+    msg = str(exc)
+    return (
+        "Not enough memory to build and broadcast" in msg
+        or "java.lang.OutOfMemoryError" in msg
+    )
+
+
 def _ensure_watchdog(spark: SparkSession) -> None:
     """Start (once per application) a daemon thread that sheds the plan
     cache when GC-confirmed used heap crosses _WATCHDOG_FRAC of max —

@@ -136,7 +136,22 @@ class MsgvaultHTTPServer:
                 if not self._authed():
                     return self._err(401, "missing or invalid X-API-Key")
                 try:
-                    r = self._route_get(u.path, q)
+                    try:
+                        r = self._route_get(u.path, q)
+                    except Exception as e:  # noqa: BLE001
+                        # driver memory pressure (broadcast-build refusal /
+                        # heap exhaustion): shed the plan cache and retry
+                        # the request once — degrade the cache, not the
+                        # request (the watchdog's reactive complement)
+                        from msgvault_spark.catalog import (
+                            is_memory_pressure_error,
+                            shed_plan_cache,
+                        )
+
+                        if not is_memory_pressure_error(e):
+                            raise
+                        shed_plan_cache()
+                        r = self._route_get(u.path, q)
                 except _HTTPError as e:
                     return self._err(e.code, str(e))
                 except (KeyError, ValueError) as e:

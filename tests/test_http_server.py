@@ -426,3 +426,26 @@ def test_serve_prewarm_opt_out(spark):
         assert srv.prewarm_handle is None
     finally:
         srv.shutdown()
+
+
+def test_memory_pressure_request_sheds_and_retries(server, monkeypatch):
+    """A route failing with Spark's broadcast-build memory refusal sheds
+    the plan cache and retries the SAME request once — the client sees a
+    200, not a 400/500 (degrade the cache, not the request)."""
+    from msgvault_spark import api as apimod
+
+    real = apimod.get_summary_stats
+    calls = {"n": 0}
+
+    def flaky(spark, sf_dir):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise RuntimeError(
+                "Not enough memory to build and broadcast the table to all "
+                "worker nodes."
+            )
+        return real(spark, sf_dir)
+
+    monkeypatch.setattr(apimod, "get_summary_stats", flaky)
+    status, body = _get(server, "/api/v1/stats")
+    assert status == 200 and calls["n"] == 2

@@ -322,3 +322,36 @@ def test_orphaned_sizes_are_pruned(monkeypatch):
         ]:
             del catmod._PLAN_MEMO[k]
             catmod._PLAN_PIN_SIZES.pop(k, None)
+
+
+def test_shed_plan_cache_and_pressure_classifier(monkeypatch):
+    class _FakeDF:
+        def __init__(self, tag):
+            self.tag = tag
+
+    released = []
+    monkeypatch.setattr(
+        planmem, "release_plan", lambda df: released.append(df.tag)
+    )
+    with catmod._PLAN_MEMO_LOCK:
+        before = dict(catmod._PLAN_MEMO)
+        catmod._PLAN_MEMO.clear()
+        catmod._PLAN_MEMO[("app-shed", "sf", "a")] = _FakeDF("a")
+        catmod._PLAN_MEMO[("app-shed", "sf", "b")] = _FakeDF("b")
+    try:
+        assert catmod.shed_plan_cache(keep_newest=True) == 1
+        assert catmod.shed_plan_cache() == 1
+        assert released == ["a", "b"]
+        with catmod._PLAN_MEMO_LOCK:
+            assert not catmod._PLAN_MEMO
+    finally:
+        with catmod._PLAN_MEMO_LOCK:
+            catmod._PLAN_MEMO.update(before)
+
+    assert catmod.is_memory_pressure_error(
+        Exception("x: Not enough memory to build and broadcast the table")
+    )
+    assert catmod.is_memory_pressure_error(
+        Exception("java.lang.OutOfMemoryError: Java heap space")
+    )
+    assert not catmod.is_memory_pressure_error(Exception("AnalysisException"))

@@ -87,6 +87,8 @@ def main() -> None:
     # structural reading is the absolute Spark time (r11 verdict, task 7).
     STATED_ORACLE = {"encoding_repair_docs"}
 
+    from msgvault_spark.catalog import is_memory_pressure_error, shed_plan_cache
+
     rows = []
     errors = []
     for name, spec in CATALOG.items():
@@ -95,7 +97,17 @@ def main() -> None:
         if only and name not in only:
             continue
         try:
-            n_out = len(spec.fn(spark, sf_dir).collect())  # warm + size
+            try:
+                n_out = len(spec.fn(spark, sf_dir).collect())  # warm + size
+            except Exception as e:  # noqa: BLE001
+                # a marathon session's pinned plans can starve one heavy
+                # entry's broadcast build — shed the cache and retry once,
+                # the same recovery a serving process applies (server.py)
+                if not is_memory_pressure_error(e):
+                    raise
+                shed = shed_plan_cache()
+                print(f"  [{name}] memory pressure: shed {shed} plans, retry")
+                n_out = len(spec.fn(spark, sf_dir).collect())
             sink_mode = n_out >= FULL_OUTPUT_ROWS
             if sink_mode:
                 def run_spark():
