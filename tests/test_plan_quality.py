@@ -788,9 +788,15 @@ def test_broadcast_sites_are_ratcheted():
         "search/fts.py": 4,
         "search/hybrid.py": 2,
         "similarity/ivf.py": 5,  # + batch join: centroid set, probe set
-        "similarity/ivfpq.py": 2,  # nprobe-row probe set + rerank-row
-                                   # candidate id set (exact re-rank
-                                   # fetch)
+        "similarity/ivfpq.py": 8,  # single-query search: nprobe-row probe
+                                   # set + rerank-row candidate id set
+                                   # (exact re-rank fetch); batch knn
+                                   # join: K-row centroid set, Q·nprobe
+                                   # probe set, m·n_codes codebook frame,
+                                   # Q·m·n_codes LUT, Q·rerank candidate
+                                   # pairs, Q-row query-vector set — all
+                                   # query/codebook-granular, never the
+                                   # corpus
         "similarity/knnjoin.py": 3,  # bucket-join query side + eval seeds
                                      # + hard-negative query set
         "similarity/triplet.py": 2,  # Q-row probe query set + Q-row
