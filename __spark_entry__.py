@@ -43,6 +43,11 @@ _PRIORITY = [
     "embed_pipeline_vectors",
     "ivfpq_knn_seed0",
     "ivfpq_recall_report",
+    # r12 optimization-round narrow changes (gate_priority must_verify):
+    # plan restructures keep results hash-identical but must re-verify
+    "tfidf_top_terms",
+    "bigram_backoff_quality",
+    "doremi_weight_update",
     "bloom_join_orders",
     "chunk_documents",
     "cms_frequency_orders",
@@ -87,11 +92,12 @@ _PRIORITY = [
     "profile_orders_table",
     "returned_items_q10",
     "rp_project_embeddings",
+    # --- overflow (out-of-band full-oracle sweep; driver rows in
+    #     later rounds), prior order preserved; the r5-vintage tail
+    #     displaced by the r12 narrow-change entries queues first ---
     "skew_report_orders",
     "sliding_window_events",
     "snapshot_diff_versions",
-    # --- overflow (out-of-band full-oracle sweep; driver rows in
-    #     later rounds), prior order preserved ---
     "stream_dedup_count",
     "stream_stream_join_funnel",
     "semantic_decontaminate_docs",

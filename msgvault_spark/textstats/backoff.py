@@ -71,11 +71,20 @@ def bigram_backoff_scores(
     document (>= 1 bigram) under the Stupid-Backoff bigram model counted
     over ``docs.filter(ref_pred)``.
 
-    Join discipline: instances collapse to per-doc bigram POSTINGS
-    (doc_id, prev, cur, tf) before anything corpus-sized shuffles, and
-    the per-bigram score is computed once per bigram TYPE (vocab-sized
-    tables joined among themselves), so the corpus joins the score table
-    exactly once — tf·cs recovers the per-instance sum unchanged."""
+    Join discipline (r12 rewrite, guide §2.4): the corpus side is ONE
+    explode pass — each bigram instance probes the broadcast vocab-sized
+    count tables (cb on (prev,cur), cu twice, tot) and contributes its
+    fixed-point ``cs`` long straight into the per-doc aggregate. The
+    per-doc partial aggregation absorbs every instance map-side (a doc's
+    bigrams never span scan partitions), so the only corpus-keyed
+    exchange carries one (doc_id, count, sum) row per document. The r2-r11
+    shape instead built per-doc POSTINGS — a full (doc_id, prev, cur)
+    corpus shuffle — plus a SECOND full-corpus explode to enumerate
+    bigram types; both are gone. The count tables stay explicitly
+    broadcast: they are bounded by the reference slice's vocabulary
+    (Brants et al.'s premise), never by the corpus being scored, and
+    cs-per-instance is the same integer cs-per-type was, so tf·cs
+    regroups to an identical sum."""
     from msgvault_spark.textstats.analysis import words
 
     # SELECT the token array into a column before the pair lambda
@@ -87,9 +96,6 @@ def bigram_backoff_scores(
     inst_all = tok.select(
         "doc_id", F.explode(bigram_pairs(F.col("ws"))).alias("g")
     ).select("doc_id", "g.prev", "g.cur")
-    posting = inst_all.groupBy("doc_id", "prev", "cur").agg(
-        F.count(F.lit(1)).cast("long").alias("tf")
-    )
 
     # the reference slice re-tokenizes behind a pushed-down filter — a
     # pure map over the (small) slice, not a corpus join on doc_id
@@ -111,16 +117,19 @@ def bigram_backoff_scores(
         F.count(F.lit(1)).cast("long").alias("v"),
     )
 
-    types = posting.groupBy("prev", "cur").agg(F.count(F.lit(1)).alias("_d"))
-    scored_types = (
-        types.join(cb, ["prev", "cur"], "left")
+    scored = (
+        inst_all.join(F.broadcast(cb), ["prev", "cur"], "left")
         .join(
-            cu.select(F.col("term").alias("prev"), F.col("cu").alias("cup")),
+            F.broadcast(
+                cu.select(F.col("term").alias("prev"), F.col("cu").alias("cup"))
+            ),
             "prev",
             "left",
         )
         .join(
-            cu.select(F.col("term").alias("cur"), F.col("cu").alias("cuc")),
+            F.broadcast(
+                cu.select(F.col("term").alias("cur"), F.col("cu").alias("cuc"))
+            ),
             "cur",
             "left",
         )
@@ -138,13 +147,12 @@ def bigram_backoff_scores(
         + 0.5
     )
     cs = F.when(F.col("cb").isNotNull(), seen).otherwise(backoff).cast("long")
-    scores = scored_types.select("prev", "cur", cs.alias("cs"))
     return (
-        posting.join(scores, ["prev", "cur"])
+        scored.select("doc_id", cs.alias("cs"))
         .groupBy("doc_id")
         .agg(
-            F.sum("tf").cast("long").alias("n_bigrams"),
-            F.sum(F.col("tf") * F.col("cs")).cast("long").alias("_s"),
+            F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+            F.sum("cs").cast("long").alias("_s"),
         )
         .select(
             "doc_id",

@@ -43,7 +43,14 @@ def tfidf_top_terms(
         F.explode(tokenize_ws(F.lower(F.col(text_col)))).alias("term"),
     )
     tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
-    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    # df as an unordered window count over the tf rows (r12, guide §2.4):
+    # df(term) = number of tf rows carrying the term, and attaching it
+    # via Window.partitionBy(term) reuses the ONE tf aggregate — the
+    # r2-r11 shape built dfreq as tf.groupBy(term) in a separate subtree,
+    # which Catalyst plans as a SECOND full tokenize+explode+aggregate
+    # pass over the corpus (exchange reuse does not unify the duplicated
+    # subtrees), plus a join to carry df back onto tf.
+    wdf = Window.partitionBy("term")
     ndocs = docs.agg(F.count("*").alias("n"))
     score = F.round(
         (F.col("tf").cast("double") * (F.col("n") + F.lit(1.0)))
@@ -54,7 +61,7 @@ def tfidf_top_terms(
         F.col("score").desc(), F.col("term").asc()
     )
     return (
-        tf.join(dfreq, "term")
+        tf.withColumn("df", F.count("*").over(wdf))
         .join(F.broadcast(ndocs))
         .withColumn("score", score)
         .withColumn("rank", F.row_number().over(w))

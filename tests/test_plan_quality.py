@@ -621,14 +621,16 @@ def test_headline_exchange_counts_pinned(spark, catalog):
                                           # vocab-sized rank window + OLS
                                           # agg/present; ln-rank table is
                                           # an inline literal array
-        "bigram_backoff_quality": 9,      # corpus pays only posting agg,
-                                          # one score join, doc agg,
-                                          # present; the other exchanges
-                                          # are vocab-sized (type/count
-                                          # tables joined among
-                                          # themselves — correct at scale
-                                          # where bigram vocab outgrows
-                                          # broadcast)
+        "bigram_backoff_quality": 7,      # r12: corpus pays NO shuffle
+                                          # until the per-doc aggregate
+                                          # (partial agg absorbs every
+                                          # instance map-side, so the one
+                                          # corpus-keyed exchange carries
+                                          # a row per doc); instances
+                                          # probe broadcast vocab-sized
+                                          # count tables; the remaining
+                                          # exchanges are ref-slice
+                                          # cb/cu aggs + present
     }
     # measure a FRESH (unexecuted) plan: once AQE executes the memoized
     # DataFrame (earlier tests collect it), the string flips to the final
@@ -808,7 +810,11 @@ def test_broadcast_sites_are_ratcheted():
                                      # query-label set + Q-row hits
                                      # frame (labels NEVER broadcast —
                                      # they are corpus-granular)
-        "textstats/backoff.py": 1,   # 1-row reference-corpus totals
+        "textstats/backoff.py": 4,   # r12 per-instance scoring: cb +
+                                     # cu(prev) + cu(cur) + 1-row totals
+                                     # — all bounded by the REFERENCE
+                                     # slice vocabulary, never the
+                                     # corpus being scored
         "textstats/pmi.py": 2,       # two 1-row totals (N_uni, N_bi)
         "sources/build_cache.py": 1,
         "sources/cache.py": 4,
