@@ -48,6 +48,18 @@ _PRIORITY = [
     "tfidf_top_terms",
     "bigram_backoff_quality",
     "doremi_weight_update",
+    # the ILIKE→lowered-contains compilation (functions/text.py) touches
+    # every search-path entry
+    "search_fast_recipients_wide",
+    "search_fast_operators_wide",
+    "search_fast_operators",
+    "search_text_terms",
+    "search_relative_dates",
+    "list_messages_by_domain",
+    "list_messages_by_domain_wide",
+    "search_with_stats",
+    "search_page2",
+    "search_by_domains",
     "bloom_join_orders",
     "chunk_documents",
     "cms_frequency_orders",

@@ -16,7 +16,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from msgvault_spark.functions.text import escape_like, time_key
+from msgvault_spark.functions.text import ilike_equals, time_key
 from msgvault_spark.plans.models import (
     MessageFilter,
     ViewType,
@@ -173,10 +173,10 @@ def apply_message_filter(
         )
 
     if filter_.label:
-        # case-insensitive with wildcard escaping (reference duckdb.go:977-984)
-        pattern = escape_like(filter_.label)
+        # case-insensitive with wildcard escaping (reference duckdb.go:977-984);
+        # compiled as lowered equality (functions/text.ilike_equals)
         matched = F.broadcast(
-            lbl.filter(F.col("name").ilike(pattern)).select(
+            lbl.filter(ilike_equals(F.col("name"), filter_.label)).select(
                 F.col("id").alias("lbl_id")
             )
         )

@@ -14,14 +14,19 @@ from pyspark import StorageLevel
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from msgvault_spark.functions.text import email_only_predicate, escape_like, time_key
+from msgvault_spark.functions.text import (
+    email_only_predicate,
+    ilike_contains,
+    ilike_endswith,
+    ilike_equals,
+    time_key,
+)
 from msgvault_spark.plans.filters import _p_renamed, _recipient_ids
 from msgvault_spark.plans.models import MessageFilter, infer_time_granularity
 from msgvault_spark.search.parser import ParsedQuery
 
-
-def _ilike(col: Column, term: str) -> Column:
-    return col.ilike("%" + escape_like(term) + "%")
+# lowered-contains compilation of ILIKE '%escaped%' (functions/text.py)
+_ilike = ilike_contains
 
 
 def _sender_resolution(msg: DataFrame, mr: DataFrame, p: DataFrame) -> DataFrame:
@@ -139,7 +144,7 @@ def compile_search(
         )
     if filter_.label:
         matched = F.broadcast(
-            lbl.filter(F.col("name").ilike(escape_like(filter_.label))).select(
+            lbl.filter(ilike_equals(F.col("name"), filter_.label)).select(
                 F.col("id").alias("lbl_id")
             )
         )
@@ -185,7 +190,7 @@ def compile_search(
     decorated = _sender_resolution(msg, mr, p)
     if filter_.domain:
         decorated = decorated.filter(
-            F.col("from_email").ilike("%@" + escape_like(filter_.domain))
+            ilike_endswith(F.col("from_email"), "@" + filter_.domain)
         )
     for term in q.text_terms:
         decorated = decorated.filter(

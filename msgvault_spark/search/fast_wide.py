@@ -18,10 +18,16 @@ exact equality.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from msgvault_spark.functions.text import email_only_predicate, escape_like, time_key
+from msgvault_spark.functions.text import (
+    email_only_predicate,
+    ilike_contains,
+    ilike_endswith,
+    ilike_equals,
+    time_key,
+)
 from msgvault_spark.plans.models import (
     MessageFilter,
     MessageSortField,
@@ -31,8 +37,8 @@ from msgvault_spark.plans.models import (
 from msgvault_spark.search.parser import ParsedQuery, parse_query
 
 
-def _ilike(col: Column, term: str) -> Column:
-    return col.ilike("%" + escape_like(term) + "%")
+# lowered-contains compilation of ILIKE '%escaped%' (functions/text.py)
+_ilike = ilike_contains
 
 
 def compile_search_wide(
@@ -81,7 +87,7 @@ def compile_search_wide(
         )
     if filter_.domain:
         df = df.filter(
-            F.col("from_email").ilike("%@" + escape_like(filter_.domain))
+            ilike_endswith(F.col("from_email"), "@" + filter_.domain)
         )
     for addr in q.from_addrs:
         df = df.filter(
@@ -89,12 +95,18 @@ def compile_search_wide(
             | _ilike(F.col("from_phone"), addr)
             | _ilike(F.col("from_name"), addr)
         )
+    # factory closures: a higher-order lambda must stay single-parameter
+    # (PySpark feeds the array index to any second parameter)
+    def _elem_equals(term: str):
+        return lambda x: ilike_equals(x, term)
+
+    def _elem_contains(term: str):
+        return lambda x: ilike_contains(x, term)
+
     if filter_.label:
-        pat = escape_like(filter_.label)
-        df = df.filter(F.exists("labels", lambda x: x.ilike(pat)))
+        df = df.filter(F.exists("labels", _elem_equals(filter_.label)))
     for label in q.labels:
-        pat = "%" + escape_like(label) + "%"
-        df = df.filter(F.exists("labels", lambda x: x.ilike(pat)))
+        df = df.filter(F.exists("labels", _elem_contains(label)))
     for term in q.text_terms:
         df = df.filter(
             _ilike(F.col("subject"), term)
@@ -105,11 +117,12 @@ def compile_search_wide(
         )
     # to:/cc:/bcc: probe the merged to∪cc∪bcc arrays, same as the join
     # path's _recipient_ids(("to","cc","bcc"), email ILIKE | phone ILIKE).
-    # Fast path: escape_like makes the pattern a LITERAL substring, and a
-    # literal without '\n' cannot span a '\n' join boundary, so ILIKE over
-    # concat_ws("\n", array) is exactly exists(array, ILIKE) — and stays
-    # inside whole-stage codegen, where the array-exists higher-order
-    # function drops to interpreted evaluation (~4× slower per scan).
+    # Fast path: the operator value is a LITERAL substring, and a literal
+    # without '\n' cannot span a '\n' join boundary, so lowered-contains
+    # over concat_ws("\n", array) is exactly exists(array, ILIKE) — and
+    # stays inside whole-stage codegen, where the array-exists
+    # higher-order function drops to interpreted evaluation (~4× slower
+    # per scan).
     for addr in q.to_addrs + q.cc_addrs + q.bcc_addrs:
         if addr == "":
             # join-path parity: an empty operator value ('to:') matches
@@ -121,16 +134,15 @@ def compile_search_wide(
                 | (F.size(F.col("recipient_phones")) > 0)
             )
             continue
-        pat = "%" + escape_like(addr) + "%"
         if "\n" in addr:
             df = df.filter(
-                F.exists("recipient_emails", lambda x: x.ilike(pat))
-                | F.exists("recipient_phones", lambda x: x.ilike(pat))
+                F.exists("recipient_emails", _elem_contains(addr))
+                | F.exists("recipient_phones", _elem_contains(addr))
             )
         else:
             df = df.filter(
-                F.concat_ws("\n", F.col("recipient_emails")).ilike(pat)
-                | F.concat_ws("\n", F.col("recipient_phones")).ilike(pat)
+                ilike_contains(F.concat_ws("\n", F.col("recipient_emails")), addr)
+                | ilike_contains(F.concat_ws("\n", F.col("recipient_phones")), addr)
             )
     if filter_.recipient:
         df = df.filter(
