@@ -18,8 +18,22 @@ N_BITS = 32
 _HEX = "0123456789abcdef"
 
 
+def _bit_shift(j: int) -> int:
+    """Shift of fingerprint bit j inside the 32-bit integer value of the
+    8-hex-char token hash. The hex STRING formula reads digit 1 + j//4
+    from the LEFT (the most significant nibble first) and bit j%4 from
+    that nibble's LSB; on the integer I = int(th, 16) that nibble sits at
+    4·(7 − j//4), so bit j is (I div 2^(4·(7−j//4)+j%4)) % 2 — the exact
+    same bit, extracted with one long div/mod instead of a substring +
+    base-16 conv + double floor-divide per bit per token (r12, guide
+    §1.2: 32× per-row expression cost was the whole stage)."""
+    return 4 * (7 - j // 4) + (j % 4)
+
+
 def _token_bit(tok_hash: Column, j: int) -> Column:
-    """Bit j of the 32-bit token hash (hex digit j//4, bit j%4)."""
+    """Bit j of the 32-bit token hash (hex digit j//4, bit j%4) — kept
+    for the hex-string form; the hot path uses _bit_shift over the
+    integer value."""
     digit = F.substring(tok_hash, 1 + j // 4, 1)
     val = F.conv(digit, 16, 10).cast("int")
     return F.floor(val / (2 ** (j % 4))).cast("long") % 2
@@ -38,10 +52,18 @@ def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
                 )
             )
         ).alias("tok"),
-    ).withColumn("th", F.substring(F.md5(F.col("tok")), 1, 8))
+    ).withColumn(
+        # one hex→long conversion per token; per-bit extraction below is
+        # pure long arithmetic (bit-identical to the per-digit hex form —
+        # see _bit_shift)
+        "ti",
+        F.conv(F.substring(F.md5(F.col("tok")), 1, 8), 16, 10).cast("long"),
+    )
 
     votes = [
-        F.sum(_token_bit(F.col("th"), j) * 2 - 1).alias(f"v{j}")
+        F.sum(
+            F.shiftright(F.col("ti"), _bit_shift(j)) % 2 * 2 - 1
+        ).alias(f"v{j}")
         for j in range(N_BITS)
     ]
     agg = tokens.groupBy("doc_id").agg(*votes)

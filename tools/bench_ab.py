@@ -81,7 +81,18 @@ def main() -> int:
         prev, prev_round = prev_round_rev()
     else:
         prev_round = -1
-    this_round = prev_round + 1 if prev_round > 0 else 0
+    if prev_round > 0:
+        this_round = prev_round + 1
+    else:
+        # explicit --prev: derive from the newest committed A/B artifact
+        import re as _re
+
+        ns = [
+            int(m.group(1))
+            for f in ROOT.glob("BENCH_AB_r*.json")
+            if (m := _re.search(r"_r(\d+)\.json$", f.name))
+        ]
+        this_round = max(ns, default=0) + 1 if ns else 0
 
     head = _git("rev-parse", "--short", "HEAD").strip()
     if WORKTREE.exists():
