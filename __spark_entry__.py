@@ -23,23 +23,21 @@ from msgvault_spark.catalog import CATALOG
 # on the out-of-band full-oracle sweep until its next window.
 _PRIORITY = [
     # --- round 12 gate window (50 slots). Composition, in order:
-    # (1) the three NARROW-change entries this round
-    #     (tools/gate_priority.py must_verify — the promote_generation
-    #     explicit-schema + NULL-component gate hardening in
-    #     embeddings_pipeline.py, and the NEW ivfpq_knn_seed0 +
+    # (1) the mid-build narrow changes (promote_generation hardening in
+    #     embeddings_pipeline.py; the NEW ivfpq_knn_seed0 +
     #     ivfpq_recall_report entries in catalog_ann.py);
-    # (2) the 17 oldest-vintage entries (latest driver row r2) — the
-    #     rotation cohort the r11 verdict queued as task #3;
-    # (3) the 16 r3-vintage entries;
-    # (4) the 14 oldest r5-vintage entries filling the window (6 r5
-    #     entries remain for the r13 rotation: stream_user_sessions,
-    #     top_bigrams_corpus, topk_orders_per_priority,
-    #     weighted_mix_sources, stream_stream_join_funnel,
-    #     stream_dedup_count).
-    # The whole catalog is "touched" this round only via catalog.py's
-    # module-global plan-memo change (a serving-layer edit, zero plan
-    # semantics); the full sf0.01 oracle sweep re-verified all 221
-    # entries out-of-band on the settled tree. ---
+    # (2) the r12 OPTIMIZATION-round narrow changes — every entry whose
+    #     plan was restructured this round (tfidf/backoff rewrites, the
+    #     ILIKE→lowered-contains compilation, simhash integer-shift
+    #     votes, the wide recipient-blob columns). Results are
+    #     hash-identical (proven against the oracle at sf0.001/0.01/0.1
+    #     in-round) but gate_priority must_verify fronts them;
+    # (3) the r2/r3-vintage rotation cohort (r11 verdict task #3)
+    #     filling the remaining slots; the r5-vintage tail the
+    #     optimization entries displaced queues first in overflow for
+    #     the r13 window.
+    # The full sf0.01 oracle sweep re-verified all 223 entries
+    # out-of-band on this round's tree. ---
     "embed_pipeline_vectors",
     "ivfpq_knn_seed0",
     "ivfpq_recall_report",
@@ -60,6 +58,9 @@ _PRIORITY = [
     "search_with_stats",
     "search_page2",
     "search_by_domains",
+    # simhash integer-shift bit votes (dedup/simhash.py)
+    "simhash_fingerprints",
+    "simhash_hamming_pairs",
     "bloom_join_orders",
     "chunk_documents",
     "cms_frequency_orders",

@@ -139,6 +139,15 @@ def compile_search_wide(
                 F.exists("recipient_emails", _elem_contains(addr))
                 | F.exists("recipient_phones", _elem_contains(addr))
             )
+        elif "recipient_emails_lc" in df.columns:
+            # pre-lowered build-time blobs (sources/cache.py): the scan
+            # reads two flat strings instead of decoding both arrays and
+            # lowering their concat per row; contains(lower(lit)) is the
+            # identical predicate (blob = lower(concat_ws("\n", arr)))
+            df = df.filter(
+                F.col("recipient_emails_lc").contains(F.lower(F.lit(addr)))
+                | F.col("recipient_phones_lc").contains(F.lower(F.lit(addr)))
+            )
         else:
             df = df.filter(
                 ilike_contains(F.concat_ws("\n", F.col("recipient_emails")), addr)

@@ -263,6 +263,22 @@ def build_wide_messages(archive: dict[str, DataFrame]) -> DataFrame:
         .withColumn(
             "att_count_sum", F.coalesce(F.col("att_count_sum"), F.lit(0)).cast("long")
         )
+        # denormalized lowered recipient search blobs (r12): the hottest
+        # wide-search predicate (to:/cc:/bcc: substring match) otherwise
+        # pays array-decode + concat_ws + lower per row per query; these
+        # two flat strings move that work to build time — the reference's
+        # own denormalized-search-column shape (duckdb.go:719-770). A
+        # literal term without '\n' cannot span the '\n' join boundary,
+        # so contains() on the blob is exactly exists(array, ILIKE)
+        # (search/fast_wide.py).
+        .withColumn(
+            "recipient_emails_lc",
+            F.lower(F.concat_ws("\n", F.col("recipient_emails"))),
+        )
+        .withColumn(
+            "recipient_phones_lc",
+            F.lower(F.concat_ws("\n", F.col("recipient_phones"))),
+        )
     )
     return wide
 
