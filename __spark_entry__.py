@@ -121,14 +121,12 @@ _PRIORITY = [
     "minhash_lsh_near_dups",
     "lsh_capped_hot_bucket",
     "lsh_hot_bucket_stats",
-    "simhash_fingerprints",
     "embedding_near_dups",
     "text_profile_docs",
     "ngram_jaccard_pairs",
     "dv_survivor_counts",
     "winnow_substring_pairs",
     "dedup_line_segments",
-    "tfidf_top_terms",
     "minhash_incremental_pairs",
     "fuzzy_dedup_survivors",
     "quality_dedup_survivors",
@@ -136,7 +134,6 @@ _PRIORITY = [
     "semantic_dedup_cells",
     "cross_source_dup_report",
     "kmv_source_overlap",
-    "simhash_hamming_pairs",
     "embedding_near_dups_lsh",
     "pricing_summary",
     "top_customers_by_spend",
@@ -219,18 +216,11 @@ _PRIORITY = [
     "sub_agg_domain_to_senders",
     "sub_agg_label_to_time",
     "total_stats",
-    "list_messages_by_domain",
-    "search_fast_operators",
-    "search_text_terms",
-    "search_relative_dates",
     "agg_senders_wide",
     "agg_domains_wide",
     "agg_labels_wide",
     "agg_time_month_wide",
-    "search_fast_operators_wide",
-    "list_messages_by_domain_wide",
     "sub_agg_domain_to_senders_wide",
-    "search_fast_recipients_wide",
     "agg_recipients_wide",
     "agg_senders_wide_multifrom",
     "agg_senders_join_multifrom",
@@ -245,9 +235,6 @@ _PRIORITY = [
     "csv_roundtrip_stats",
     "incremental_cache_append",
     "agg_senders_with_search",
-    "search_with_stats",
-    "search_page2",
-    "search_by_domains",
     "hydrate_search_hits",
     "get_messages_by_ids",
     "list_accounts",
@@ -278,8 +265,6 @@ _PRIORITY = [
     "boilerplate_prefixes",
     "length_mad_outliers",
     "volume_anomaly_days",
-    "bigram_backoff_quality",
-    "doremi_weight_update",
     "pmi_collocations",
     "weighted_sample_sources",
     "lsh_band_recall_sweep",
