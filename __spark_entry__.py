@@ -61,6 +61,8 @@ _PRIORITY = [
     # simhash integer-shift bit votes (dedup/simhash.py)
     "simhash_fingerprints",
     "simhash_hamming_pairs",
+    # ngram prefix-filter df via window (dedup/ngram.py, r12)
+    "ngram_jaccard_pairs",
     "bloom_join_orders",
     "chunk_documents",
     "cms_frequency_orders",
@@ -123,7 +125,6 @@ _PRIORITY = [
     "lsh_hot_bucket_stats",
     "embedding_near_dups",
     "text_profile_docs",
-    "ngram_jaccard_pairs",
     "dv_survivor_counts",
     "winnow_substring_pairs",
     "dedup_line_segments",

@@ -61,13 +61,20 @@ def ngram_jaccard_pairs(
     )
 
     if prefix_filter:
-        freq = postings.groupBy("gram").agg(F.count(F.lit(1)).alias("df_freq"))
+        # df_freq via a window over the one postings pass (the tfidf df
+        # rewrite, r12): postings holds exactly one row per (doc, gram) —
+        # grams are array_distinct per doc — so count(*) over (partition
+        # by gram) IS the posting-list length the old groupBy+join
+        # computed. One corpus tokenize pass instead of two, and no
+        # vocabulary-sized build side (a 100 TB corpus's vocabulary does
+        # not broadcast; postings shuffle by gram instead, which scales).
+        w_freq = Window.partitionBy("gram")
         w = Window.partitionBy("doc_id").orderBy("df_freq", "gram")
         prefix_len = (
             F.col("n_grams") - F.ceil(F.lit(threshold) * F.col("n_grams")) + 1
         )
         postings = (
-            postings.join(freq, "gram")
+            postings.withColumn("df_freq", F.count(F.lit(1)).over(w_freq))
             .withColumn("rn", F.row_number().over(w))
             .filter(F.col("rn") <= prefix_len)
             .select("doc_id", "gram")
