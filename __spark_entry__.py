@@ -63,6 +63,12 @@ _PRIORITY = [
     "simhash_hamming_pairs",
     # ngram prefix-filter df via window (dedup/ngram.py, r12)
     "ngram_jaccard_pairs",
+    # level-2 memory recovery (r12): checkpoint-unpersist discipline in
+    # connected_components and pagerank — narrow changes, must re-verify
+    "fuzzy_dedup_survivors",
+    "quality_dedup_survivors",
+    "dedup_component_sizes",
+    "pagerank_dup_graph",
     "bloom_join_orders",
     "chunk_documents",
     "cms_frequency_orders",
@@ -129,8 +135,6 @@ _PRIORITY = [
     "winnow_substring_pairs",
     "dedup_line_segments",
     "minhash_incremental_pairs",
-    "fuzzy_dedup_survivors",
-    "quality_dedup_survivors",
     "unigram_quality_docs",
     "semantic_dedup_cells",
     "cross_source_dup_report",
@@ -168,7 +172,6 @@ _PRIORITY = [
     "bm25_prefix_documents",
     "pq_knn_seed0",
     "phrase_search_docs",
-    "dedup_component_sizes",
     "asof_events_orders",
     "quantized_knn_seed0",
     "sq8_rerank_knn",
@@ -201,7 +204,6 @@ _PRIORITY = [
     "unimax_budget_plan",
     "rfm_segments",
     "bm25_fts5_documents",
-    "pagerank_dup_graph",
     "ndcg_eval_knn",
     "bpe_train_merges",
     "bpe_trained_fertility",

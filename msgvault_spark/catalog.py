@@ -292,6 +292,46 @@ def is_memory_pressure_error(exc: BaseException) -> bool:
     )
 
 
+def clear_session_caches(spark: SparkSession) -> int:
+    """Memory-pressure recovery LEVEL 2 — cold-restart-without-process-
+    restart. shed_plan_cache() (level 1) frees plan-private broadcasts,
+    but a marathon session's residual heap is the long-lived serving
+    caches: the persisted archive/wide/table/index/artifact memos plus
+    per-catalog-module index memos (PQ codes, SemDeDup cells, IVF-PQ).
+    Drop them ALL — every getter rebuilds lazily from the artifact lake
+    on next use — sweep any remaining cached relation, and ask the JVM
+    for a full GC so the freed blocks are actually available to the next
+    broadcast build. Returns memo entries dropped (plans + caches)."""
+    dropped = shed_plan_cache()
+    from msgvault_spark.sources import cache as srccache
+
+    dropped += srccache.clear_serving_caches()
+    # per-module index memos living outside sources/cache.py
+    for modname, dictname in (
+        ("msgvault_spark.catalog_search", "_PQ_MEMO"),
+        ("msgvault_spark.catalog_dedup", "_SEMDEDUP_IDX_MEMO"),
+        ("msgvault_spark.catalog_ann", "_IVFPQ_MEMO"),
+    ):
+        mod = sys.modules.get(modname)
+        memo = getattr(mod, dictname, None) if mod else None
+        if memo:
+            for v in memo.values():
+                srccache._unpersist_tree(v)
+            dropped += len(memo)
+            memo.clear()
+    try:
+        spark.catalog.clearCache()
+    except Exception:
+        pass
+    try:
+        jvm = spark.sparkContext._jvm
+        if jvm is not None:
+            jvm.System.gc()
+    except Exception:
+        pass
+    return dropped
+
+
 def _ensure_watchdog(spark: SparkSession) -> None:
     """Start (once per application) a daemon thread that sheds the plan
     cache when GC-confirmed used heap crosses _WATCHDOG_FRAC of max —

@@ -28,6 +28,8 @@ from pyspark import StorageLevel
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from msgvault_spark.planmem import unpersist_local_checkpoint
+
 from msgvault_spark.operators.present import present_sorted
 
 
@@ -65,6 +67,7 @@ def connected_components(
     spark = edges.sparkSession
     default_p = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
     n_part = max(1, min(default_p, n_nodes // 50_000 + 1))
+    labels0 = labels  # the persisted source frame, freed after round 1
     labels = labels.repartition(n_part, "node")
     sym = (
         both.filter(F.col("a") != F.col("b"))
@@ -118,7 +121,12 @@ def connected_components(
         new_sum = new_labels.agg(
             F.sum(F.col("label").cast("decimal(38,0)")).alias("s")
         ).head()["s"]
-        labels.unpersist()
+        # free the superseded round NOW: checkpoint blocks need the
+        # RDD-handle unpersist (DataFrame.unpersist is a CacheManager
+        # no-op for them); round 1's predecessor is the persisted source
+        # frame, which the plain unpersist does handle
+        if not unpersist_local_checkpoint(labels):
+            labels0.unpersist()
         labels = new_labels
         if new_sum == prev_sum:
             break

@@ -26,7 +26,9 @@ table with the (symmetrized, deduped) edge list keyed by source node,
 plus one groupBy(dst) with map-side combine — the Pregel step expressed
 in DataFrame ops.  State per iteration is the O(nodes) rank table;
 `localCheckpoint` truncates lineage so the plan stays constant-size per
-round (the components.py discipline).  Skewed hubs are absorbed by the
+round, and each superseded round's blocks are unpersisted as soon as the
+next round materializes (the components.py discipline) — in-flight
+storage is O(2·nodes), not O(iters·nodes).  Skewed hubs are absorbed by the
 partial aggregate; AQE splits oversized post-join partitions.
 """
 
@@ -63,6 +65,7 @@ def pagerank(
         F.coalesce(F.col("deg"), F.lit(0)).cast("long").alias("deg"),
         F.lit(SCALE).cast("long").alias("rank"),
     )
+    prev_ckpt: DataFrame | None = None
     for _ in range(iters):
         contrib = (
             r.filter(F.col("deg") > 0)
@@ -90,7 +93,19 @@ def pagerank(
             )
         )
         if checkpoint:
-            r = r.localCheckpoint(eager=False)
+            # eager, then unpersist the superseded round: once round k is
+            # materialized, round k-1's blocks serve nothing — lazy
+            # checkpoints kept every round live inside the one final
+            # action, O(iters·nodes) storage at the worst possible
+            # moment; this holds it at O(2·nodes). Checkpoint blocks
+            # need the RDD-handle unpersist (planmem) — the DataFrame
+            # method is a CacheManager no-op for them.
+            from msgvault_spark.planmem import unpersist_local_checkpoint
+
+            r = r.localCheckpoint(eager=True)
+            if prev_ckpt is not None:
+                unpersist_local_checkpoint(prev_ckpt)
+            prev_ckpt = r
     return r.select("node", F.col("rank").alias("rank_micro"))
 
 

@@ -144,6 +144,7 @@ class MsgvaultHTTPServer:
                         # the request once — degrade the cache, not the
                         # request (the watchdog's reactive complement)
                         from msgvault_spark.catalog import (
+                            clear_session_caches,
                             is_memory_pressure_error,
                             shed_plan_cache,
                         )
@@ -151,7 +152,16 @@ class MsgvaultHTTPServer:
                         if not is_memory_pressure_error(e):
                             raise
                         shed_plan_cache()
-                        r = self._route_get(u.path, q)
+                        try:
+                            r = self._route_get(u.path, q)
+                        except Exception as e2:  # noqa: BLE001
+                            # level 2: plans weren't the hog — drop the
+                            # serving caches too (they rebuild lazily
+                            # from the lake) and retry once more
+                            if not is_memory_pressure_error(e2):
+                                raise
+                            clear_session_caches(outer.spark)
+                            r = self._route_get(u.path, q)
                 except _HTTPError as e:
                     return self._err(e.code, str(e))
                 except (KeyError, ValueError) as e:

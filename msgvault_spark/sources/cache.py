@@ -718,3 +718,53 @@ def get_minhash_index(
             lambda: build_minhash_index(df_builder(), id_col, text_col, **params),
         )
     return _MINHASH_MEMO[key]
+
+
+def _unpersist_tree(obj) -> int:
+    """Unpersist every DataFrame reachable inside obj (DFs, dicts,
+    tuples/lists of them). blocking=True: callers are memory-pressure
+    recovery, which needs the blocks actually gone before retrying."""
+    n = 0
+    if isinstance(obj, DataFrame):
+        try:
+            obj.unpersist(blocking=True)
+            n += 1
+        except Exception:
+            pass
+    elif isinstance(obj, dict):
+        for v in obj.values():
+            n += _unpersist_tree(v)
+    elif isinstance(obj, (tuple, list)):
+        for v in obj:
+            n += _unpersist_tree(v)
+    return n
+
+
+@_locked
+def clear_serving_caches() -> int:
+    """Memory-pressure recovery level 2 (cold-restart-without-process-
+    restart): drop every long-lived serving cache this module holds —
+    the persisted archive twins, wide view, sharded tables, FTS/term
+    indexes, generic artifacts, components and minhash labelings. Each
+    getter rebuilds lazily from the artifact lake on next use, so the
+    only cost is the next consumer's re-warm; the benefit is a driver
+    heap no longer carrying every entry ever served this session.
+    Returns the number of memo entries dropped. Scalar memos stay: they
+    hold bytes, not relations."""
+    dropped = 0
+    for memo in (
+        _ARCHIVE_MEMO,
+        _WIDE_MEMO,
+        _TABLE_MEMO,
+        _TEXT_INDEX_MEMO,
+        _TERM_STATS_MEMO,
+        _ARTIFACT_MEMO,
+        _COMPONENTS_MEMO,
+        _MINHASH_MEMO,
+        _CORPUS_STATS_MEMO,  # scalars, but lifecycle-tied to the index
+    ):
+        for v in memo.values():
+            _unpersist_tree(v)
+        dropped += len(memo)
+        memo.clear()
+    return dropped

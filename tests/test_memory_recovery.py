@@ -1,0 +1,87 @@
+"""Memory-pressure recovery level 2: clear_session_caches must drop every
+long-lived serving cache (so a marathon session can cold-restart without a
+process restart — the r12 sf1 sweep diagnosis) and every getter must
+rebuild lazily with identical results afterwards. Plus the pagerank
+checkpoint discipline: superseded rounds' blocks must be unpersisted, not
+accumulated across the iteration."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _n_persistent_rdds(spark) -> int:
+    return spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+
+
+def test_clear_session_caches_drops_and_rebuilds(spark):
+    from msgvault_spark.catalog import CATALOG, clear_session_caches
+    from msgvault_spark.sources import cache as srccache
+
+    entry = CATALOG["agg_senders_wide"]
+    before = entry.fn(spark, SF_DIR).collect()
+    assert srccache._WIDE_MEMO or srccache._ARCHIVE_MEMO  # memos populated
+
+    dropped = clear_session_caches(spark)
+    assert dropped >= 1
+    # every DF-holding serving memo is empty — the level-2 contract
+    for memo in (
+        srccache._ARCHIVE_MEMO,
+        srccache._WIDE_MEMO,
+        srccache._TABLE_MEMO,
+        srccache._TEXT_INDEX_MEMO,
+        srccache._TERM_STATS_MEMO,
+        srccache._ARTIFACT_MEMO,
+        srccache._COMPONENTS_MEMO,
+        srccache._MINHASH_MEMO,
+    ):
+        assert not memo
+    from msgvault_spark import catalog as catmod
+
+    assert not catmod._PLAN_MEMO
+
+    # rebuild path: same entry, identical rows from a cold memo state
+    after = entry.fn(spark, SF_DIR).collect()
+    assert after == before
+
+
+def test_clear_session_caches_is_idempotent(spark):
+    from msgvault_spark.catalog import clear_session_caches
+
+    clear_session_caches(spark)
+    assert clear_session_caches(spark) == 0
+
+
+def test_pagerank_unpersists_superseded_checkpoints(spark):
+    from msgvault_spark.operators.pagerank import pagerank
+
+    edges = spark.createDataFrame(
+        [(i, (i + 1) % 40) for i in range(40)] + [(0, j) for j in range(2, 12)],
+        "src long, dst long",
+    )
+    base = _n_persistent_rdds(spark)
+    got = pagerank(edges, iters=5).orderBy("node").collect()
+    # only the FINAL round's checkpoint may remain cached: 5 iterations
+    # must not leave 5 rounds of rank-table blocks behind
+    assert _n_persistent_rdds(spark) - base <= 1
+    # spot-check the math still holds (hub 0 outranks a chain node)
+    ranks = {r["node"]: r["rank_micro"] for r in got}
+    assert ranks[0] > ranks[20]
+
+
+def test_components_unpersists_superseded_rounds(spark):
+    from msgvault_spark.dedup.components import connected_components
+
+    # a 60-node path graph forces several pointer-jump rounds
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(59)], "src long, dst long"
+    )
+    base = _n_persistent_rdds(spark)
+    got = connected_components(edges, "src", "dst").collect()
+    # only the final round's checkpoint may remain (sym + the source
+    # label frame + every superseded round must be gone)
+    assert _n_persistent_rdds(spark) - base <= 1
+    assert {r["component"] for r in got} == {0}
+    assert len(got) == 60

@@ -38,11 +38,20 @@ print("SLOJSON " + json.dumps(
 def test_first_query_cold_process_budget(tmp_path):
     sf = os.environ.get("SPARK_GRAFT_SLO_SF_DIR", "/root/testdata/sf0.01")
     env = dict(os.environ)
-    # warm lake, cold JVM: the artifact store is the REAL one (a serving
-    # process inherits the lake built by the ETL job); if the store is
-    # disabled or empty the child pays a build — still within budget at
-    # sf0.01, so the test stays hermetic either way.
     env.pop("SPARK_GRAFT_SLO_SF_DIR", None)
+    # warm lake, cold JVM: a serving process inherits the lake built by
+    # the ETL job, so the SLO is defined over a WARM artifact store. Under
+    # pytest the store is a fresh per-run tmp dir (conftest._artifact_tmp),
+    # so run the child once UNTIMED to pay the lake build — otherwise the
+    # timed region measures the ETL build (~25-40s ambient-dependent on
+    # this box, which flaked the 45s bound under suite load), not serving.
+    # A structural regression (per-session warm-in returning, artifact
+    # rebuild on the hot path) still blows the bound on the warm run.
+    warm = subprocess.run(
+        [sys.executable, "-c", _CHILD % {"here": HERE, "sf": sf}],
+        capture_output=True, text=True, cwd=HERE, env=env, timeout=300,
+    )
+    assert warm.returncode == 0, warm.stderr[-3000:]
     proc = subprocess.run(
         [sys.executable, "-c", _CHILD % {"here": HERE, "sf": sf}],
         capture_output=True, text=True, cwd=HERE, env=env, timeout=300,

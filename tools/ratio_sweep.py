@@ -87,7 +87,11 @@ def main() -> None:
     # structural reading is the absolute Spark time (r11 verdict, task 7).
     STATED_ORACLE = {"encoding_repair_docs"}
 
-    from msgvault_spark.catalog import is_memory_pressure_error, shed_plan_cache
+    from msgvault_spark.catalog import (
+        clear_session_caches,
+        is_memory_pressure_error,
+        shed_plan_cache,
+    )
 
     rows = []
     errors = []
@@ -107,7 +111,21 @@ def main() -> None:
                     raise
                 shed = shed_plan_cache()
                 print(f"  [{name}] memory pressure: shed {shed} plans, retry")
-                n_out = len(spec.fn(spark, sf_dir).collect())
+                try:
+                    n_out = len(spec.fn(spark, sf_dir).collect())
+                except Exception as e2:  # noqa: BLE001
+                    # level 2: the r12 sf1 marathon showed the residual
+                    # hog is the serving caches, not pinned plans — clear
+                    # every session cache (they rebuild lazily from the
+                    # lake) and retry once more
+                    if not is_memory_pressure_error(e2):
+                        raise
+                    cleared = clear_session_caches(spark)
+                    print(
+                        f"  [{name}] still under pressure: cleared"
+                        f" {cleared} session caches, retry (level 2)"
+                    )
+                    n_out = len(spec.fn(spark, sf_dir).collect())
             sink_mode = n_out >= FULL_OUTPUT_ROWS
             if sink_mode:
                 def run_spark():
