@@ -326,10 +326,84 @@ def clear_session_caches(spark: SparkSession) -> int:
     try:
         jvm = spark.sparkContext._jvm
         if jvm is not None:
+            # Two GCs with a drain pause between them, not one: broadcast
+            # and block teardown is ASYNCHRONOUS — the first GC only
+            # enqueues the dead Broadcast/RDD weak references, and the
+            # ContextCleaner thread then destroys them (removing the
+            # BlockManager entries) in the background. A retry fired
+            # immediately after one System.gc() races that drain and can
+            # still see a near-full heap (the r12 sf1 marathon's level-2
+            # retry failed exactly this way). The second GC also reclaims
+            # whatever the cleaner's destroys just unpinned.
+            import time as _time
+
+            jvm.System.gc()
+            _time.sleep(2.0)
             jvm.System.gc()
     except Exception:
         pass
     return dropped
+
+
+def run_with_memory_recovery(spark: SparkSession, attempt, label: str = "query"):
+    """Run ``attempt()`` (plan build + action) under the full memory-
+    pressure recovery ladder and return its result:
+
+      level 1 — shed the plan memo (frees plan-private broadcasts), retry;
+      level 2 — clear every session serving cache (archive twins, wide
+        view, FTS/ANN indexes — all rebuild lazily from the artifact
+        lake), drain the ContextCleaner, retry;
+      level 3 — retry once more with runtime auto-broadcasts DISABLED
+        (``spark.sql.autoBroadcastJoinThreshold=-1``, restored after):
+        Catalyst plans the retried query's equi-joins as shuffle joins,
+        whose per-task build memory is bounded and spillable, so the
+        retry cannot die in a driver-side broadcast build no matter what
+        the residual heap looks like. Join strategy only — results are
+        identical; explicit broadcast() dimension hints ignore the
+        threshold and keep their (small, bounded) builds.
+
+    Non-memory errors propagate immediately at every level.  ``label``
+    names the work in the recovery log lines (stdout, one per level)."""
+    try:
+        return attempt()
+    except Exception as e:  # noqa: BLE001
+        if not is_memory_pressure_error(e):
+            raise
+        shed = shed_plan_cache()
+        print(f"  [{label}] memory pressure: shed {shed} plans, retry")
+        try:
+            return attempt()
+        except Exception as e2:  # noqa: BLE001
+            if not is_memory_pressure_error(e2):
+                raise
+            cleared = clear_session_caches(spark)
+            print(
+                f"  [{label}] still under pressure: cleared {cleared}"
+                f" session caches, retry (level 2)"
+            )
+            try:
+                return attempt()
+            except Exception as e3:  # noqa: BLE001
+                if not is_memory_pressure_error(e3):
+                    raise
+                shed_plan_cache()  # force a fresh plan under the new conf
+                key = "spark.sql.autoBroadcastJoinThreshold"
+                try:
+                    prev = spark.conf.get(key)
+                except Exception:
+                    prev = None
+                spark.conf.set(key, "-1")
+                print(
+                    f"  [{label}] still under pressure: auto-broadcast"
+                    f" disabled for one retry (level 3)"
+                )
+                try:
+                    return attempt()
+                finally:
+                    if prev is not None:
+                        spark.conf.set(key, prev)
+                    else:
+                        spark.conf.unset(key)
 
 
 def _ensure_watchdog(spark: SparkSession) -> None:

@@ -136,32 +136,21 @@ class MsgvaultHTTPServer:
                 if not self._authed():
                     return self._err(401, "missing or invalid X-API-Key")
                 try:
-                    try:
-                        r = self._route_get(u.path, q)
-                    except Exception as e:  # noqa: BLE001
-                        # driver memory pressure (broadcast-build refusal /
-                        # heap exhaustion): shed the plan cache and retry
-                        # the request once — degrade the cache, not the
-                        # request (the watchdog's reactive complement)
-                        from msgvault_spark.catalog import (
-                            clear_session_caches,
-                            is_memory_pressure_error,
-                            shed_plan_cache,
-                        )
+                    # driver memory pressure (broadcast-build refusal /
+                    # heap exhaustion): the shared 3-level recovery ladder
+                    # (shed plans → clear serving caches + cleaner drain →
+                    # one no-auto-broadcast retry) degrades the caches and
+                    # the join strategy, never the request — the
+                    # watchdog's reactive complement
+                    from msgvault_spark.catalog import (
+                        run_with_memory_recovery,
+                    )
 
-                        if not is_memory_pressure_error(e):
-                            raise
-                        shed_plan_cache()
-                        try:
-                            r = self._route_get(u.path, q)
-                        except Exception as e2:  # noqa: BLE001
-                            # level 2: plans weren't the hog — drop the
-                            # serving caches too (they rebuild lazily
-                            # from the lake) and retry once more
-                            if not is_memory_pressure_error(e2):
-                                raise
-                            clear_session_caches(outer.spark)
-                            r = self._route_get(u.path, q)
+                    r = run_with_memory_recovery(
+                        outer.spark,
+                        lambda: self._route_get(u.path, q),
+                        label=u.path,
+                    )
                 except _HTTPError as e:
                     return self._err(e.code, str(e))
                 except (KeyError, ValueError) as e:

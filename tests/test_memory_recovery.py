@@ -54,6 +54,70 @@ def test_clear_session_caches_is_idempotent(spark):
     assert clear_session_caches(spark) == 0
 
 
+def test_recovery_ladder_escalates_to_no_broadcast_retry(spark):
+    """The 3-level ladder (r12 sf1 marathon fix): when shedding plans and
+    clearing caches both fail to relieve pressure, the final retry runs
+    with auto-broadcast disabled — and the threshold is restored after,
+    success or not."""
+    from msgvault_spark.catalog import run_with_memory_recovery
+
+    key = "spark.sql.autoBroadcastJoinThreshold"
+    orig = spark.conf.get(key)
+    calls = []
+
+    def attempt():
+        calls.append(spark.conf.get(key))
+        if spark.conf.get(key) != "-1":
+            raise RuntimeError(
+                "Not enough memory to build and broadcast the table"
+            )
+        return "ok"
+
+    assert run_with_memory_recovery(spark, attempt, label="test") == "ok"
+    # first try + level 1 + level 2 all saw the original threshold and
+    # raised; level 3 saw -1 and succeeded; the conf is restored
+    assert calls == [orig, orig, orig, "-1"]
+    assert spark.conf.get(key) == orig
+
+
+def test_recovery_ladder_propagates_non_memory_errors(spark):
+    from msgvault_spark.catalog import run_with_memory_recovery
+
+    calls = []
+
+    def attempt():
+        calls.append(1)
+        raise ValueError("not a memory problem")
+
+    try:
+        run_with_memory_recovery(spark, attempt, label="test")
+        raise AssertionError("should have raised")
+    except ValueError:
+        pass
+    assert len(calls) == 1  # no retries for non-pressure errors
+
+
+def test_recovery_ladder_restores_threshold_on_level3_failure(spark):
+    """Even when level 3 itself dies, the threshold must not stay -1 in
+    the session."""
+    from msgvault_spark.catalog import run_with_memory_recovery
+
+    key = "spark.sql.autoBroadcastJoinThreshold"
+    orig = spark.conf.get(key)
+
+    def attempt():
+        raise RuntimeError(
+            "Not enough memory to build and broadcast the table"
+        )
+
+    try:
+        run_with_memory_recovery(spark, attempt, label="test")
+        raise AssertionError("should have raised")
+    except RuntimeError:
+        pass
+    assert spark.conf.get(key) == orig
+
+
 def test_pagerank_unpersists_superseded_checkpoints(spark):
     from msgvault_spark.operators.pagerank import pagerank
 

@@ -87,11 +87,7 @@ def main() -> None:
     # structural reading is the absolute Spark time (r11 verdict, task 7).
     STATED_ORACLE = {"encoding_repair_docs"}
 
-    from msgvault_spark.catalog import (
-        clear_session_caches,
-        is_memory_pressure_error,
-        shed_plan_cache,
-    )
+    from msgvault_spark.catalog import run_with_memory_recovery
 
     rows = []
     errors = []
@@ -101,31 +97,18 @@ def main() -> None:
         if only and name not in only:
             continue
         try:
-            try:
-                n_out = len(spec.fn(spark, sf_dir).collect())  # warm + size
-            except Exception as e:  # noqa: BLE001
-                # a marathon session's pinned plans can starve one heavy
-                # entry's broadcast build — shed the cache and retry once,
-                # the same recovery a serving process applies (server.py)
-                if not is_memory_pressure_error(e):
-                    raise
-                shed = shed_plan_cache()
-                print(f"  [{name}] memory pressure: shed {shed} plans, retry")
-                try:
-                    n_out = len(spec.fn(spark, sf_dir).collect())
-                except Exception as e2:  # noqa: BLE001
-                    # level 2: the r12 sf1 marathon showed the residual
-                    # hog is the serving caches, not pinned plans — clear
-                    # every session cache (they rebuild lazily from the
-                    # lake) and retry once more
-                    if not is_memory_pressure_error(e2):
-                        raise
-                    cleared = clear_session_caches(spark)
-                    print(
-                        f"  [{name}] still under pressure: cleared"
-                        f" {cleared} session caches, retry (level 2)"
-                    )
-                    n_out = len(spec.fn(spark, sf_dir).collect())
+            # a marathon session's accumulated heap can starve one heavy
+            # entry's broadcast build — the shared 3-level recovery
+            # ladder (shed plans → clear session caches + cleaner drain
+            # → one no-auto-broadcast retry) is the same recovery a
+            # serving process applies (server.py)
+            n_out = len(
+                run_with_memory_recovery(
+                    spark,
+                    lambda spec=spec: spec.fn(spark, sf_dir).collect(),
+                    label=name,
+                )
+            )
             sink_mode = n_out >= FULL_OUTPUT_ROWS
             if sink_mode:
                 def run_spark():
