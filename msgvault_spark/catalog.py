@@ -115,11 +115,19 @@ _WATCHDOG_FRAC = float(os.environ.get("SPARK_GRAFT_WATCHDOG_PRESSURE", "0.75"))
 _WATCHDOG_POLL_S = 1.0
 _WATCHDOG_COOLDOWN_S = 20.0
 _WATCHDOGS: set[str] = set()
+# level-2 recovery's ContextCleaner drain pause (seconds). Paid only when
+# the clear actually dropped cached entries; 2.0 s is the value the r12
+# sf1-marathon diagnosis validated (one cleaner pass destroys the dead
+# broadcasts the first GC enqueued).
+_CLEANER_DRAIN_S = float(os.environ.get("SPARK_GRAFT_CLEANER_DRAIN_S", "2.0"))
 # One lock for memo mutations: serving.prewarm_plans builds plans on
 # background driver threads (PySpark is driver-thread-safe; each thread
 # gets its own Py4J connection), and OrderedDict move_to_end/popitem are
 # not atomic under concurrent mutation.
 _PLAN_MEMO_LOCK = threading.Lock()
+# serializes level-3 recovery's set/attempt/restore of the session-wide
+# autoBroadcastJoinThreshold (see run_with_memory_recovery)
+_LEVEL3_LOCK = threading.Lock()
 
 
 def _pin_budget(spark) -> int:
@@ -284,7 +292,22 @@ def shed_plan_cache(*, keep_newest: bool = False) -> int:
 
 def is_memory_pressure_error(exc: BaseException) -> bool:
     """True for the driver-side failure modes a plan-cache shed can cure:
-    Spark's broadcast-build refusal and raw JVM heap exhaustion."""
+    Spark's broadcast-build refusal and raw JVM heap exhaustion.
+
+    Version pin (Spark 4.1.x — re-verify on upgrades; the matcher is a
+    string match over the Py4J-propagated exception text):
+      - ``BroadcastExchangeExec`` wraps an OOM during the driver-side
+        relation build as ``SparkException("Not enough memory to build
+        and broadcast the table to all worker nodes. As a workaround,
+        you can either disable broadcast by setting
+        spark.sql.autoBroadcastJoinThreshold to -1 or increase the spark
+        driver memory by setting spark.driver.memory to a higher
+        value.")`` (error class ``_LEGACY_ERROR_TEMP_2250``,
+        QueryExecutionErrors.notEnoughMemoryToBuildAndBroadcastTableError).
+      - A raw driver/executor heap exhaustion surfaces as
+        ``java.lang.OutOfMemoryError: Java heap space`` (or ``: GC
+        overhead limit exceeded``) inside the Py4J traceback string.
+    Both shapes are pinned by tests/test_memory_recovery.py."""
     msg = str(exc)
     return (
         "Not enough memory to build and broadcast" in msg
@@ -335,11 +358,18 @@ def clear_session_caches(spark: SparkSession) -> int:
             # still see a near-full heap (the r12 sf1 marathon's level-2
             # retry failed exactly this way). The second GC also reclaims
             # whatever the cleaner's destroys just unpinned.
+            #
+            # The pause is paid only when this call actually dropped
+            # something (dropped == 0 → there were no broadcasts/blocks
+            # to drain, so one GC suffices), and its length is
+            # configurable (SPARK_GRAFT_CLEANER_DRAIN_S, default 2.0 —
+            # the value the r12 marathon diagnosis validated).
             import time as _time
 
             jvm.System.gc()
-            _time.sleep(2.0)
-            jvm.System.gc()
+            if dropped:
+                _time.sleep(_CLEANER_DRAIN_S)
+                jvm.System.gc()
     except Exception:
         pass
     return dropped
@@ -388,22 +418,34 @@ def run_with_memory_recovery(spark: SparkSession, attempt, label: str = "query")
                     raise
                 shed_plan_cache()  # force a fresh plan under the new conf
                 key = "spark.sql.autoBroadcastJoinThreshold"
-                try:
-                    prev = spark.conf.get(key)
-                except Exception:
-                    prev = None
-                spark.conf.set(key, "-1")
-                print(
-                    f"  [{label}] still under pressure: auto-broadcast"
-                    f" disabled for one retry (level 3)"
-                )
-                try:
-                    return attempt()
-                finally:
-                    if prev is not None:
-                        spark.conf.set(key, prev)
-                    else:
-                        spark.conf.unset(key)
+                # The set/attempt/restore window is serialized: the server
+                # handles requests on concurrent threads, and two threads
+                # both entering level 3 could otherwise interleave (A saves
+                # orig & sets -1; B saves "-1" as its prev; A restores
+                # orig; B restores "-1"), permanently disabling
+                # auto-broadcast for the session. Level 3 is the rare
+                # last-resort path, so serializing it costs nothing on the
+                # happy path. (A concurrent UNRELATED query planned inside
+                # the window still sees -1 — session conf is global — which
+                # degrades that one plan to shuffle joins but stays
+                # correct.)
+                with _LEVEL3_LOCK:
+                    try:
+                        prev = spark.conf.get(key)
+                    except Exception:
+                        prev = None
+                    spark.conf.set(key, "-1")
+                    print(
+                        f"  [{label}] still under pressure: auto-broadcast"
+                        f" disabled for one retry (level 3)"
+                    )
+                    try:
+                        return attempt()
+                    finally:
+                        if prev is not None:
+                            spark.conf.set(key, prev)
+                        else:
+                            spark.conf.unset(key)
 
 
 def _ensure_watchdog(spark: SparkSession) -> None:

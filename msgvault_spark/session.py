@@ -109,4 +109,19 @@ def get_spark(
         )
         .config("spark.sql.parquet.filterPushdown", "true")
     )
+    # Driver status-store retention: AppStatusListener (jobs/stages/tasks)
+    # and SQLAppStatusListener (spark.sql.ui.retainedExecutions, each entry
+    # holding the full physicalPlanDescription + plan graph) are strongly-
+    # referenced driver heap no cache clear can reclaim. These are
+    # listener-construction-time configs, so they must be on the builder;
+    # tools/heap_growth.py --retained sets this env var to A/B-attribute
+    # marathon-session heap residue. Unset → Spark defaults (1000).
+    retained = os.environ.get("SPARK_GRAFT_UI_RETAINED")
+    if retained is not None:
+        builder = (
+            builder.config("spark.sql.ui.retainedExecutions", retained)
+            .config("spark.ui.retainedJobs", retained)
+            .config("spark.ui.retainedStages", retained)
+            .config("spark.ui.retainedTasks", retained)
+        )
     return builder.getOrCreate()

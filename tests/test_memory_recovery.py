@@ -118,6 +118,68 @@ def test_recovery_ladder_restores_threshold_on_level3_failure(spark):
     assert spark.conf.get(key) == orig
 
 
+def test_memory_matcher_catches_both_pinned_shapes():
+    """Version pin (Spark 4.1.x): the matcher is a string match over the
+    Py4J-propagated exception text; these are the two exact shapes it must
+    catch (see is_memory_pressure_error's docstring)."""
+    from msgvault_spark.catalog import is_memory_pressure_error
+
+    broadcast_refusal = RuntimeError(
+        "org.apache.spark.SparkException: Not enough memory to build and "
+        "broadcast the table to all worker nodes. As a workaround, you can "
+        "either disable broadcast by setting "
+        "spark.sql.autoBroadcastJoinThreshold to -1 or increase the spark "
+        "driver memory by setting spark.driver.memory to a higher value."
+    )
+    heap_exhaustion = RuntimeError(
+        "py4j.protocol.Py4JJavaError: An error occurred while calling "
+        "o123.collectToPython.\n: java.lang.OutOfMemoryError: Java heap space"
+    )
+    assert is_memory_pressure_error(broadcast_refusal)
+    assert is_memory_pressure_error(heap_exhaustion)
+    assert not is_memory_pressure_error(ValueError("AnalysisException: x"))
+
+
+def test_level3_concurrent_ladders_restore_threshold(spark):
+    """Two threads entering level 3 concurrently must not interleave the
+    set/attempt/restore window (the unguarded version could restore '-1'
+    as the 'original', permanently disabling auto-broadcast)."""
+    import threading
+
+    from msgvault_spark.catalog import run_with_memory_recovery
+
+    key = "spark.sql.autoBroadcastJoinThreshold"
+    orig = spark.conf.get(key)
+    errors = []
+
+    def ladder():
+        import time
+
+        calls = [0]
+
+        def attempt():
+            calls[0] += 1
+            if calls[0] < 4:  # fail first try + levels 1-2 regardless of conf
+                raise RuntimeError(
+                    "Not enough memory to build and broadcast the table"
+                )
+            time.sleep(0.3)  # widen the set/attempt/restore window
+            return "ok"
+
+        try:
+            assert run_with_memory_recovery(spark, attempt, label="t") == "ok"
+        except Exception as e:  # noqa: BLE001
+            errors.append(e)
+
+    threads = [threading.Thread(target=ladder) for _ in range(2)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errors
+    assert spark.conf.get(key) == orig
+
+
 def test_pagerank_unpersists_superseded_checkpoints(spark):
     from msgvault_spark.operators.pagerank import pagerank
 

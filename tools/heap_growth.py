@@ -53,6 +53,16 @@ def main() -> None:
     os.environ.setdefault("SPARK_GRAFT_CONSTRAINTS", "false")
     spark = get_spark("msgvault_heap_growth")
     spark.sparkContext.setLogLevel("ERROR")
+    if retained is not None:
+        # the env var is wired through session.py's builder; verify it
+        # took (getOrCreate silently ignores configs when a session
+        # already exists) so a retained-A/B never silently tests defaults
+        applied = spark.conf.get("spark.sql.ui.retainedExecutions")
+        if applied != retained:
+            raise SystemExit(
+                f"--retained {retained} did not apply "
+                f"(session reports {applied}); is a session already up?"
+            )
     jvm = spark.sparkContext._jvm
     rt = jvm.java.lang.Runtime.getRuntime()
 
