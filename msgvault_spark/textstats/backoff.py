@@ -33,11 +33,27 @@ exchange-free) plus one doc-keyed aggregate.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 ALPHA_NUM = 2  # alpha = 0.4 = ALPHA_NUM / ALPHA_DEN — exact integers so
 ALPHA_DEN = 5  # the backoff log argument stays a ratio of exact longs
+
+# Broadcast guard (r13): the count tables are bounded by the REFERENCE
+# slice's vocabulary under Brants et al.'s premise, but nothing in the API
+# stops a pathological ref_pred (e.g. the whole corpus) from making them
+# corpus-vocabulary-sized — an unbounded driver-side broadcast build with
+# only the memory-recovery ladder as a net. Above this many rows in either
+# count table the scoring joins fall back to sort-merge (shuffle) joins,
+# which are bounded and spillable per task and whose hot function-word
+# keys AQE's skew split handles. ~2M (term, long) / (prev, cur, long) rows
+# is low hundreds of MB as a hashed relation — comfortably inside an 8 GB
+# driver while far above any plausible trusted-slice vocabulary.
+BROADCAST_MAX_ROWS = int(
+    os.environ.get("SPARK_GRAFT_BACKOFF_BROADCAST_MAX_ROWS", "2000000")
+)
 
 
 def bigram_pairs(ws: Column) -> Column:
@@ -117,17 +133,32 @@ def bigram_backoff_scores(
         F.count(F.lit(1)).cast("long").alias("v"),
     )
 
+    # Size guard, decided from the ALREADY-AGGREGATED tables at plan-build
+    # time: tot's single row carries the cu row count (v), so one extra
+    # tiny job here plus one cb count covers both tables. Broadcast only
+    # when both fit (the Brants-premise case — scale-safe by construction,
+    # not by recovery); otherwise the instances shuffle-join the count
+    # tables. `tot` itself is 1 row and always broadcasts.
+    tot_row = tot.first()
+    vocab_rows = int(tot_row["v"] or 0) if tot_row is not None else 0
+    fits = vocab_rows <= BROADCAST_MAX_ROWS and cb.count() <= BROADCAST_MAX_ROWS
+
+    def _build(df: DataFrame) -> DataFrame:
+        # sort-merge, not shuffled-hash, in the fallback: a hot function
+        # word's post-shuffle partition must spill, not OOM
+        return F.broadcast(df) if fits else df.hint("merge")
+
     scored = (
-        inst_all.join(F.broadcast(cb), ["prev", "cur"], "left")
+        inst_all.join(_build(cb), ["prev", "cur"], "left")
         .join(
-            F.broadcast(
+            _build(
                 cu.select(F.col("term").alias("prev"), F.col("cu").alias("cup"))
             ),
             "prev",
             "left",
         )
         .join(
-            F.broadcast(
+            _build(
                 cu.select(F.col("term").alias("cur"), F.col("cu").alias("cuc"))
             ),
             "cur",

@@ -810,11 +810,14 @@ def test_broadcast_sites_are_ratcheted():
                                      # query-label set + Q-row hits
                                      # frame (labels NEVER broadcast —
                                      # they are corpus-granular)
-        "textstats/backoff.py": 4,   # r12 per-instance scoring: cb +
-                                     # cu(prev) + cu(cur) + 1-row totals
-                                     # — all bounded by the REFERENCE
-                                     # slice vocabulary, never the
-                                     # corpus being scored
+        "textstats/backoff.py": 2,   # r12 per-instance scoring: cb +
+                                     # cu(prev) + cu(cur) via the r13
+                                     # guarded _build helper (broadcast
+                                     # only when both count tables fit
+                                     # BROADCAST_MAX_ROWS — the Brants
+                                     # premise made guard-bounded; above
+                                     # it they sort-merge join) + the
+                                     # always-1-row totals broadcast
         "textstats/pmi.py": 2,       # two 1-row totals (N_uni, N_bi)
         "sources/build_cache.py": 1,
         "sources/cache.py": 4,
