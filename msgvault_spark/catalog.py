@@ -342,6 +342,14 @@ def clear_session_caches(spark: SparkSession) -> int:
                 srccache._unpersist_tree(v)
             dropped += len(memo)
             memo.clear()
+    # streaming one-shot pools: memory-sink views (driver-held rows), the
+    # footer-probe memo and the tmpfs checkpoint root — all rebuild lazily
+    try:
+        from msgvault_spark.streaming import incremental as _inc
+
+        dropped += _inc.clear_stream_pools(spark)
+    except Exception:
+        pass
     try:
         spark.catalog.clearCache()
     except Exception:

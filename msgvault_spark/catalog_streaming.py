@@ -52,6 +52,7 @@ def stream_rollup_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         windowed_rollup(stream),
         queryName=f"rollup_{uuid.uuid4().hex[:8]}",
         output_mode="complete",
+        pool="rollup",
     )
     return got.transform(present_sorted, F.col("day").asc(), F.col("event_type").asc())
 
@@ -68,7 +69,7 @@ def stream_dedup_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     surviving-row count equals batch COUNT(DISTINCT)."""
     stream = read_events_stream(spark, _events_glob(sf_dir))
     deduped = run_available_now(
-        stream_dedup(stream), queryName=f"dedup_{uuid.uuid4().hex[:8]}"
+        stream_dedup(stream), queryName=f"dedup_{uuid.uuid4().hex[:8]}", pool="dedup"
     )
     return deduped.agg(F.countDistinct("event_id").alias("unique_events"))
 
@@ -126,6 +127,7 @@ def stream_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         queryName=f"sessions_{uuid.uuid4().hex[:8]}",
         output_mode="update",
         assert_max_input_batches=1,
+        pool="sessions",
     )
     return (
         got.groupBy("user_id")
@@ -230,7 +232,7 @@ def stream_stream_join_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     got = run_available_now(
-        joined, queryName=f"ssj_{uuid.uuid4().hex[:8]}"
+        joined, queryName=f"ssj_{uuid.uuid4().hex[:8]}", pool="ssj"
     )
     return (
         got.groupBy(F.col("c_user").alias("user_id"))
@@ -274,6 +276,7 @@ def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         enriched_segment_rollup(stream, dim),
         queryName=f"enrich_{uuid.uuid4().hex[:8]}",
         output_mode="complete",
+        pool="enrich",
     )
     return got.transform(
         present_sorted, F.col("day").asc(), F.col("segment").asc()

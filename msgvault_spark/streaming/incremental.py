@@ -22,11 +22,78 @@ Pieces:
 from __future__ import annotations
 
 import os
+import shutil
 import tempfile
+import threading
+import uuid as _uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+# ---------------------------------------------------------------------------
+# One-shot invocation pooling (r13, guide §5/§1). A memory-sink AvailableNow
+# run pays three fixed costs per invocation that have nothing to do with the
+# data: (a) a fresh mkdtemp checkpoint on DISK whose WAL/state files are
+# written once and never read again (the memory sink cannot recover from a
+# checkpoint — Spark raises on reuse), and which is never deleted (the r12
+# tree had 60 orphaned msgvault_ckpt_* dirs in /tmp); (b) a batch
+# footer-probe read of the events parquet per invocation, though the
+# physical type of `ts` cannot change within a session; (c) a memory-sink
+# temp view per invocation that is never dropped — an unbounded driver-heap
+# leak in a marathon/serving session. The pool below fixes all three:
+# one tmpfs-backed checkpoint ROOT per process (subdir per run, deleted
+# once the run terminates — state-store providers are deactivated at query
+# termination, and the returned rows live in the sink, not the checkpoint),
+# a per-(app, path) probe memo, and a per-(app, pool) view registry that
+# drops an entry's SUPERSEDED sink views once its next run has finished
+# (the new view's plan is force-analyzed before the old one is dropped, so
+# an in-flight consumer of the old DataFrame keeps working: a resolved
+# memory-sink plan holds the sink object, not the catalog name).
+# clear_stream_pools() drops everything; catalog.clear_session_caches
+# (memory-recovery level 2) calls it.
+# ---------------------------------------------------------------------------
+
+_CKPT_ROOT: str | None = None
+_PROBE_MEMO: dict[tuple[str, str], str] = {}
+_SINK_VIEWS: dict[tuple[str, str], list[str]] = {}
+_POOL_LOCK = threading.Lock()
+
+
+def _checkpoint_root() -> str:
+    """Pooled parent for one-shot checkpoint dirs: tmpfs when the host has
+    one (the WAL + state files of a memory-sink one-shot are throwaway),
+    one mkdtemp per process instead of one per invocation."""
+    global _CKPT_ROOT
+    with _POOL_LOCK:
+        if _CKPT_ROOT is None or not os.path.isdir(_CKPT_ROOT):
+            base = "/dev/shm" if os.path.isdir("/dev/shm") else None
+            _CKPT_ROOT = tempfile.mkdtemp(prefix="msgvault_ckpt_pool_", dir=base)
+        return _CKPT_ROOT
+
+
+def clear_stream_pools(spark: SparkSession | None = None) -> int:
+    """Drop every pooled streaming resource: memory-sink views (and their
+    driver-held rows), the probe memo, and the checkpoint root. Returns
+    entries dropped; every pool rebuilds lazily."""
+    global _CKPT_ROOT
+    dropped = 0
+    with _POOL_LOCK:
+        for (_, _), names in _SINK_VIEWS.items():
+            for name in names:
+                dropped += 1
+                if spark is not None:
+                    try:
+                        spark.catalog.dropTempView(name)
+                    except Exception:
+                        pass
+        _SINK_VIEWS.clear()
+        dropped += len(_PROBE_MEMO)
+        _PROBE_MEMO.clear()
+        root, _CKPT_ROOT = _CKPT_ROOT, None
+    if root:
+        shutil.rmtree(root, ignore_errors=True)
+    return dropped
 
 EVENTS_SCHEMA = T.StructType(
     [
@@ -55,19 +122,30 @@ def read_events_stream(spark: SparkSession, path: str) -> DataFrame:
     probe_paths = sorted(_glob.glob(path)) or [path]
     from pyspark.errors import AnalysisException
 
-    try:
-        probed = dict(spark.read.parquet(probe_paths[0]).dtypes).get(
-            "ts", "bigint"
-        )
-    except AnalysisException:
-        # empty / not-yet-populated source dir (PATH_NOT_FOUND /
-        # UNABLE_TO_INFER_SCHEMA): start the stream with the legacy
-        # explicit schema and let it wait for files, exactly like the
-        # pre-probe behavior — do not fail stream DEFINITION on an empty
-        # directory. Real read errors (corrupt shard) still propagate.
-        # (A directory mixing ns and µs shards is not supported by a
-        # single stream schema; normalize at write time.)
-        probed = "bigint"
+    # probe once per (app, path): the physical type of `ts` cannot change
+    # within a session (shards of one directory share a writer), so the
+    # per-invocation batch footer read is pooled. An UNRESOLVED probe
+    # (empty dir fallback) is deliberately NOT memoized — files may land
+    # later and the next invocation should re-probe.
+    probe_key = (spark.sparkContext.applicationId, path)
+    with _POOL_LOCK:
+        probed = _PROBE_MEMO.get(probe_key)
+    if probed is None:
+        try:
+            probed = dict(spark.read.parquet(probe_paths[0]).dtypes).get(
+                "ts", "bigint"
+            )
+            with _POOL_LOCK:
+                _PROBE_MEMO[probe_key] = probed
+        except AnalysisException:
+            # empty / not-yet-populated source dir (PATH_NOT_FOUND /
+            # UNABLE_TO_INFER_SCHEMA): start the stream with the legacy
+            # explicit schema and let it wait for files, exactly like the
+            # pre-probe behavior — do not fail stream DEFINITION on an empty
+            # directory. Real read errors (corrupt shard) still propagate.
+            # (A directory mixing ns and µs shards is not supported by a
+            # single stream schema; normalize at write time.)
+            probed = "bigint"
     if probed == "bigint":
         raw = spark.readStream.schema(EVENTS_SCHEMA).parquet(path)
         # ns → µs via integer division (never through double: ns-since-epoch
@@ -128,6 +206,7 @@ def run_available_now(
     output_mode: str = "append",
     timeout_s: int = 300,
     assert_max_input_batches: int | None = None,
+    pool: str | None = None,
 ) -> DataFrame:
     """Run a streaming DataFrame to completion with Trigger.AvailableNow
     into an in-memory sink and return the result as a batch DataFrame.
@@ -140,8 +219,20 @@ def run_available_now(
     watermark-cursor build — lives on the foreachBatch path
     (``stream_to_lake``), which does recover; pinned by
     tests/test_streaming.py::{test_stream_to_lake_exactly_once,
-    test_watermark_drops_data_beyond_horizon}."""
-    checkpoint = checkpoint_dir or tempfile.mkdtemp(prefix="msgvault_ckpt_")
+    test_watermark_drops_data_beyond_horizon}.
+
+    Pooling (r13): when ``checkpoint_dir`` is None the per-run checkpoint
+    subdir lives under the process-wide tmpfs root and is DELETED once the
+    run terminates (its WAL/state files are unreadable-by-design for a
+    memory sink; the result rows live in the sink, not the checkpoint).
+    ``pool`` names the invocation family (one per catalog entry): after
+    this run's view is registered and force-analyzed, the family's
+    superseded sink views are dropped so repeated invocations hold at most
+    one result in driver memory instead of accumulating one per run."""
+    pooled = checkpoint_dir is None
+    checkpoint = checkpoint_dir or os.path.join(
+        _checkpoint_root(), f"run_{_uuid.uuid4().hex[:12]}"
+    )
     spark = stream_df.sparkSession
     q = (
         stream_df.writeStream.format("memory")
@@ -151,11 +242,15 @@ def run_available_now(
         .trigger(availableNow=True)
         .start()
     )
-    if not q.awaitTermination(timeout_s):
-        q.stop()
-        raise TimeoutError(
-            f"streaming query {queryName} did not finish in {timeout_s}s"
-        )
+    try:
+        if not q.awaitTermination(timeout_s):
+            q.stop()
+            raise TimeoutError(
+                f"streaming query {queryName} did not finish in {timeout_s}s"
+            )
+    finally:
+        if pooled:
+            shutil.rmtree(checkpoint, ignore_errors=True)
     if assert_max_input_batches is not None:
         # callers whose batch-replay oracle depends on per-key event-time
         # order being preserved across micro-batches (e.g. a session state
@@ -173,7 +268,20 @@ def run_available_now(
                 "batch-replay oracle assumes per-key ts order, which only "
                 "holds within a single micro-batch"
             )
-    return spark.table(queryName)
+    result = spark.table(queryName)
+    result.schema  # force analysis: the plan now holds the sink object,
+    # so dropping a temp view NAME cannot break this DataFrame
+    if pool is not None:
+        app = spark.sparkContext.applicationId
+        with _POOL_LOCK:
+            stale = _SINK_VIEWS.get((app, pool), [])
+            _SINK_VIEWS[(app, pool)] = [queryName]
+        for name in stale:
+            try:
+                spark.catalog.dropTempView(name)
+            except Exception:
+                pass
+    return result
 
 
 def stream_to_lake(
