@@ -68,14 +68,28 @@ def main() -> None:
     for spec in headline.values():
         spec.fn(spark, sf_dir).collect()
 
+    # warm timing: `value` stays best-of-BENCH_RUNS (default 3 — the
+    # protocol every prior round used, so cross-round solo comparisons
+    # keep their meaning), and the SAME loop continues to 5 samples for a
+    # supplementary best-of-5 (`value_best5`): the r12 verdict's noise
+    # finding — 25 × ~50 ms queries on a box with ±30% ambient drift made
+    # a 24/25 phantom "regression" — is mitigated by a deeper minimum,
+    # which converges on the code's floor instead of the weather's.
+    warm_samples = max(runs, 5)
     times: dict[str, float] = {}
+    times5: dict[str, float] = {}
     for name, spec in headline.items():
         best = float("inf")
-        for _ in range(runs):
+        for i in range(warm_samples):
             t0 = time.perf_counter()
             spec.fn(spark, sf_dir).collect()
-            best = min(best, time.perf_counter() - t0)
+            dt = time.perf_counter() - t0
+            if i < runs:
+                best = min(best, dt)
+            times5.setdefault(name, float("inf"))
+            times5[name] = min(times5[name], dt)
         times[name] = round(best, 3)
+        times5[name] = round(times5[name], 3)
 
     # cold path: same queries with the prepared-plan memo dropped each run,
     # so plan construction (Py4J expression building + Catalyst analysis/
@@ -106,13 +120,17 @@ def main() -> None:
         "value": round(sum(times.values()), 3),
         "unit": "sec",
         "queries": times,
+        "value_best5": round(sum(times5.values()), 3),
+        "queries_best5": times5,
         "cold_value": round(sum(cold.values()), 3),
         "cold_queries": cold,
         "sf": sf,
         # measurement protocol, so cross-round deltas are attributable:
-        # warm = best of `runs` collects on the prepared plan; cold =
+        # warm = best of `runs` collects on the prepared plan (value),
+        # with a deeper best-of-5 minimum alongside (value_best5); cold =
         # best of max(2, runs-1) with the plan memo cleared per run
         "warm_best_of": runs,
+        "warm_best5_of": warm_samples,
         "cold_best_of": max(2, runs - 1),
         # this VM carries ±30% ambient noisy-neighbor drift between
         # sessions; cross-round deltas are only attributable via the
@@ -162,10 +180,18 @@ def main() -> None:
         "value": out["value"],
         "unit": out["unit"],
         "queries": out["queries"],
+        "value_best5": out["value_best5"],
         "cold_value": out["cold_value"],
         "sf": out["sf"],
         "full": out_name,
     }
+    # surface the interleaved A/B pair (the ONLY noise-proof round-over-
+    # round comparison on this box) in the compact line, so PERF-style
+    # tooling sees the attributable number without opening the artifact
+    if "ab" in out and out["ab"].get("best_warm"):
+        bw = out["ab"]["best_warm"]
+        compact["ab_best_warm"] = {"head": bw.get("head"), "prev": bw.get("prev")}
+        compact["ab_artifact"] = out["ab"]["artifact"]
     sys.stdout.flush()
     print(json.dumps(compact, separators=(",", ":")))
 
